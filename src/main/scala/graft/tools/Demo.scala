@@ -1,0 +1,49 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.schema.SchemaInfo
+
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val nested = ord.join(
+      li.groupBy("l_orderkey").agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items")),
+      col("o_orderkey") === col("l_orderkey"), "left"
+    ).select(col("o_orderkey"), col("o_custkey"), struct(col("o_totalprice"), col("items")).as("detail"))
+
+    println("== SchemaInfo.render ==")
+    println(SchemaInfo.render(nested.toDF))
+
+    println("== Flatten (inner) ==")
+    val flat = Flatten.flatten(nested.toDF)
+    flat.show(5)
+    println(s"flat rows=${flat.count} (lineitem rows=${li.count})")
+
+    println("== Flatten outer ==")
+    println(s"outer rows=${Flatten.flatten(nested.toDF, join = FlattenJoin.Outer).count} (orders=${ord.count})")
+
+    println("== include clusion ==")
+    Flatten.flatten(nested.toDF, include = Seq("o_orderkey", "detail.items"): Seq[String]).show(3)
+
+    println("== conflict probe ==")
+    val conflicted = nested.withColumn("other", array(lit(1), lit(2)))
+    try { Flatten.flatten(conflicted.toDF); println("NO ERROR - BAD") }
+    catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+    println(s"available-strategy cols=${Flatten.flatten(conflicted.toDF, strategy = FlattenStrategy.FlattenAvailable).columns.toList}")
+
+    println("== bad clusion probe ==")
+    try { Flatten.flatten(nested.toDF, include = "detail.nope"); println("NO ERROR - BAD") }
+    catch { case e: IllegalArgumentException => println("caught: " + e.getMessage) }
+
+    println("== physical plan ==")
+    flat.explain("formatted")
+    spark.stop()
+  }
+}

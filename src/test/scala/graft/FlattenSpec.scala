@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.operators._
+import graft.operators.FlattenStrategy._
+import graft.operators.NameStrategy._
+import graft.operators.FlattenJoin._
+
+/** Flatten semantics transcribed from the reference's FlattenTests
+  * (/root/reference/python/bamboo_tests/node_tests.py:92-256). The
+  * documented divergence: scalar nulls stay SQL nulls instead of the
+  * pandas fill values (0 / NaN / False).
+  */
+class FlattenSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  private def collect(d: DataFrame): (List[String], List[List[Any]]) =
+    (d.columns.toList, d.collect().toList.map(_.toSeq.toList))
+
+  private val valueStruct = StructType(Seq(StructField("value", DoubleType)))
+
+  // struct<a: struct<values: array<struct<value: double>>>, b: long>
+  private val listObjSchema = StructType(Seq(
+    StructField("a", StructType(Seq(
+      StructField("values", ArrayType(valueStruct))))),
+    StructField("b", LongType)))
+
+  test("flatten list with scalar sibling (test_flatten_list)") {
+    val d = df(listObjSchema,
+      Row(Row(Seq(Row(1.0), Row(null))), 3L))
+    val (cols, rows) = collect(Flatten.flatten(d))
+    assert(cols == List("value", "b"))
+    assert(rows == List(List(1.0, 3L), List(null, 3L)))
+  }
+
+  test("flatten nested list (test_flatten_nested_list)") {
+    // a: ListObject([c, c]) where c: ListObject([{1.0}, {null}])
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(
+        StructField("values", ArrayType(StructType(Seq(
+          StructField("values", ArrayType(valueStruct))))))))),
+      StructField("b", LongType)))
+    val inner = Seq(Row(1.0), Row(null))
+    val d = df(schema, Row(Row(Seq(Row(inner), Row(inner))), 3L))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("a_values_values_value", "b"))
+    assert(rows == List(List(1.0, 3L), List(null, 3L), List(1.0, 3L), List(null, 3L)))
+  }
+
+  test("null record contributes no rows (test_null_record)") {
+    val schema = StructType(Seq(
+      StructField("d", ArrayType(StructType(Seq(
+        StructField("b", ArrayType(DoubleType)))))),
+      StructField("e", DoubleType)))
+    val d = df(schema, Row(Seq(Row(Seq(1.0, 1.0, 1.0)), null), 2.0))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("d_b", "e"))
+    assert(rows == List(List(1.0, 2.0), List(1.0, 2.0), List(1.0, 2.0)))
+  }
+
+  test("null primitive kept as null (test_null_primitive)") {
+    val schema = StructType(Seq(
+      StructField("d", ArrayType(StructType(Seq(
+        StructField("b", ArrayType(DoubleType)))))),
+      StructField("e", DoubleType)))
+    val rec = Row(Seq(1.0, 1.0, null))
+    val d = df(schema, Row(Seq(rec, rec), 2.0))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("d_b", "e"))
+    assert(rows == List(
+      List(1.0, 2.0), List(1.0, 2.0), List(null, 2.0),
+      List(1.0, 2.0), List(1.0, 2.0), List(null, 2.0)))
+  }
+
+  test("null list drops the whole record (test_null_list)") {
+    val schema = StructType(Seq(
+      StructField("d", ArrayType(StructType(Seq(
+        StructField("b", ArrayType(DoubleType)),
+        StructField("c", DoubleType))))),
+      StructField("e", DoubleType)))
+    val d = df(schema,
+      Row(Seq(Row(Seq(1.0, 1.0, 5.0), 2.0), Row(null, 3.0)), 4.0))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("d_b", "d_c", "e"))
+    assert(rows == List(
+      List(1.0, 2.0, 4.0), List(1.0, 2.0, 4.0), List(5.0, 2.0, 4.0)))
+  }
+
+  test("simple flatten of sibling records (test_simple_flatten)") {
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("value", LongType)))),
+      StructField("b", StructType(Seq(StructField("value", LongType))))))
+    val d = df(schema, Row(Row(1L), Row(2L)))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("a_value", "b_value"))
+    assert(rows == List(List(1L, 2L)))
+  }
+
+  test("incomplete (NullType) columns are dropped (test_flatten_null)") {
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("value", LongType)))),
+      StructField("b", StructType(Seq(StructField("value", NullType))))))
+    val d = df(schema, Row(Row(1L), Row(null)))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("a_value"))
+    assert(rows == List(List(1L)))
+  }
+
+  test("strings (test_strings)") {
+    val schema = StructType(Seq(StructField("value", StringType)))
+    val d = df(schema, Row("a"))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = ConcatenateAlways))
+    assert(cols == List("value"))
+    assert(rows == List(List("a")))
+  }
+
+  test("conflicting sibling lists (test_flatten_multiple_lists)") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType)),
+      StructField("b", ArrayType(LongType)),
+      StructField("c", LongType)))
+    val d = df(schema, Row(Seq(1L, 2L), Seq(3L, 4L), 1L))
+    assertThrows[IllegalArgumentException](Flatten.flatten(d))
+    val (cols, rows) = collect(Flatten.flatten(d, strategy = FlattenAvailable))
+    assert(cols == List("c"))
+    assert(rows == List(List(1L)))
+  }
+
+  test("exclude (test_exclude)") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val d = df(schema, Row(1L, 2L))
+    val (cols, rows) = collect(Flatten.flatten(d, exclude = "b"))
+    assert(cols == List("a"))
+    assert(rows == List(List(1L)))
+  }
+
+  test("conflicting clusions throw (test_conflicting_clusions)") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val d = df(schema, Row(1L, 2L))
+    assertThrows[IllegalArgumentException](
+      Flatten.flatten(d, include = "a", exclude = "a"))
+  }
+
+  test("multi-index naming divergence (test_multi_index_naming)") {
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("c", LongType)))),
+      StructField("b", LongType)))
+    val d = df(schema, Row(Row(1L), 2L))
+    val (cols, rows) = collect(Flatten.flatten(d, nameStrategy = MultiIndex))
+    assert(cols == List("a.c", "b"))
+    assert(rows == List(List(1L, 2L)))
+  }
+
+  test("excluded lists are ignored (test_excluded_lists_are_ignored)") {
+    val schema = StructType(Seq(
+      StructField("a", LongType),
+      StructField("b", ArrayType(LongType)),
+      StructField("c", ArrayType(LongType))))
+    val d = df(schema,
+      Row(null, Seq(2L, 3L), Seq(-2L, -3L)),
+      Row(1L, Seq(2L, 4L), Seq(-2L, -4L)))
+    val (cols1, rows1) = collect(Flatten.flatten(d, include = "a"))
+    assert(cols1 == List("a"))
+    assert(rows1.toSet == Set(List(null), List(1L))) // ref fills 0; we keep null
+    val (cols2, rows2) = collect(Flatten.flatten(d, include = "b"))
+    assert(cols2 == List("b"))
+    assert(rows2.map(_.head).toSet == Set(2L, 3L, 4L))
+    assert(rows2.size == 4)
+  }
+
+  test("empty schema flatten is empty (test_incomplete_node)") {
+    val d = spark.emptyDataFrame
+    val out = Flatten.flatten(d)
+    assert(out.columns.isEmpty)
+    assert(out.count() == 0)
+  }
+
+  test("explicit strategy expands only explicitly included lists") {
+    val schema = StructType(Seq(
+      StructField("a", LongType),
+      StructField("b", ArrayType(LongType))))
+    val d = df(schema, Row(1L, Seq(2L, 3L)))
+    // no includes: list dropped, scalar kept
+    val (cols1, rows1) = collect(Flatten.flatten(d, strategy = FlattenExplicit))
+    assert(cols1 == List("a"))
+    assert(rows1 == List(List(1L)))
+    // explicit include of the list field expands it
+    val (cols2, rows2) = collect(
+      Flatten.flatten(d, strategy = FlattenExplicit, include = "b"))
+    assert(cols2 == List("b"))
+    assert(rows2 == List(List(2L), List(3L)))
+  }
+
+  test("outer join keeps parents of null/empty lists") {
+    val schema = StructType(Seq(
+      StructField("d", ArrayType(StructType(Seq(
+        StructField("b", ArrayType(DoubleType)),
+        StructField("c", DoubleType))))),
+      StructField("e", DoubleType)))
+    val d = df(schema,
+      Row(Seq(Row(Seq(1.0), 2.0), Row(null, 3.0), Row(Seq(), 5.0)), 4.0))
+    val inner = Flatten.flatten(d, nameStrategy = ConcatenateAlways)
+    assert(inner.count() == 1)
+    val outer = Flatten.flatten(d, nameStrategy = ConcatenateAlways, join = Outer)
+    val (cols, rows) = collect(outer)
+    assert(cols == List("d_b", "d_c", "e"))
+    assert(rows.toSet == Set(
+      List(1.0, 2.0, 4.0), List(null, 3.0, 4.0), List(null, 5.0, 4.0)))
+  }
+
+  test("deep single path across records and nested arrays") {
+    // array<struct<x, y: array<struct<a, b>>>> — the arrow_tests
+    // list-of-struct flatten golden (arrow_tests.py:247-252)
+    val schema = StructType(Seq(
+      StructField("x", LongType),
+      StructField("y", ArrayType(StructType(Seq(
+        StructField("a", LongType), StructField("b", LongType)))))))
+    val d = df(schema,
+      Row(1L, Seq(Row(3L, 6L))),
+      Row(2L, Seq(Row(4L, 7L), Row(5L, 8L))))
+    val (cols, rows) = collect(Flatten.flatten(d))
+    assert(cols == List("x", "a", "b"))
+    assert(rows.toSet == Set(List(1L, 3L, 6L), List(2L, 4L, 7L), List(2L, 5L, 8L)))
+  }
+}
