@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.types._
+import graft.operators.{ClusionInput, Clusions, ColumnFilter}
+
+/** Readers with decode-time column pruning: include/exclude clusions
+  * are converted to a pruned *reader schema* handed to the scan, the
+  * Spark-native analog of the reference's Avro reader-schema rewrite
+  * (avro_direct.cpp:107-166) and PBD wire-type skipping
+  * (pbd.hpp:176-207) — pruned leaves are never decoded, which at
+  * 100 TB is the difference between reading a column chunk and not.
+  * Catalyst's nested-schema pruning provides the same effect for
+  * columns dropped later in the plan; passing the schema up front
+  * additionally prunes even when the caller materializes the frame
+  * directly.
+  *
+  * Filter semantics (pinned by avro_tests.py:206-250):
+  *  - no includes anywhere → include-all by default, explicit
+  *    excludes prune their subtree;
+  *  - any include → exclude-all by default; an explicit include
+  *    covers its whole subtree; an explicit exclude cuts an
+  *    inherited include, but deeper explicit includes revive their
+  *    branch (exclude='oa', include=[{}, 'oa.ia'] keeps oa.ia).
+  */
+object Sources {
+  import ClusionInput.Empty
+
+  def readParquet(spark: SparkSession, path: String,
+                  include: ClusionInput = Empty,
+                  exclude: ClusionInput = Empty): DataFrame = {
+    val full = spark.read.parquet(path).schema // footer-only read
+    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    spark.read.schema(pruned).parquet(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String,
+              include: ClusionInput = Empty,
+              exclude: ClusionInput = Empty): DataFrame = {
+    val full = spark.read.orc(path).schema
+    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    spark.read.schema(pruned).orc(path)
+  }
+
+  /** JSON-lines reader (scales where the reference's whole-document
+    * DOM parse does not; from_json analog, core.py:49-54). Schema
+    * inference plays the role of the reference's dynamic node-tree
+    * growth, including cross-record schema union with null backfill.
+    * Pass `schema` to skip the inference pass (the schema-driven
+    * mode, §1.4).
+    */
+  def readJson(spark: SparkSession, path: String,
+               include: ClusionInput = Empty,
+               exclude: ClusionInput = Empty,
+               schema: Option[StructType] = None): DataFrame = {
+    val full = schema.getOrElse(spark.read.json(path).schema)
+    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    spark.read.schema(pruned).json(path)
+  }
+
+  /** Avro object-container reader (from_avro analog, core.py:36-38).
+    * Requires the spark-avro module on the classpath; this
+    * environment ships without it, so the call degrades with a clear
+    * error. Parquet carries the engine's nested-format parity.
+    */
+  def readAvro(spark: SparkSession, path: String,
+               include: ClusionInput = Empty,
+               exclude: ClusionInput = Empty): DataFrame =
+    try {
+      val full = spark.read.format("avro").load(path).schema
+      val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+      spark.read.schema(pruned).format("avro").load(path)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          "Avro source requires the spark-avro module on the classpath", e)
+    }
+
+  /** from_object analog (core.py:30-33): typed local collections via
+    * Encoders. Heterogeneous-record schema union (nodes.py:552-563)
+    * maps to [[unionByNameAll]].
+    */
+  def fromObjects[T: Encoder](spark: SparkSession, values: Seq[T]): Dataset[T] =
+    spark.createDataset(values)
+
+  /** Schema-union of frames with differing columns, null-backfilled
+    * both directions — the reference's dynamic-schema record union.
+    */
+  def unionByNameAll(frames: Seq[DataFrame]): DataFrame =
+    frames.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  /** Prune a nested schema by the combined include/exclude filter.
+    * An all-pruned schema comes back empty (the reference's empty
+    * selection short-circuit, avro_direct.cpp:201-209).
+    */
+  def pruneSchema(schema: StructType, filter: ColumnFilter): StructType = {
+    val defaultInclude = !filter.hasIncludes
+    pruneStruct(schema, filter, inherited = filter.includeExplicit, defaultInclude)
+      .getOrElse(StructType(Nil))
+  }
+
+  private val emptyFilter = ColumnFilter(includeExplicit = false, excludeExplicit = false, Map.empty)
+
+  private def pruneStruct(st: StructType, f: ColumnFilter, inherited: Boolean,
+                          defaultInclude: Boolean): Option[StructType] = {
+    val kept = st.fields.flatMap { fld =>
+      val cf = f.fields.getOrElse(fld.name, emptyFilter)
+      if (cf.excludeExplicit && !cf.hasIncludes) None
+      else {
+        // an explicit exclude cuts the inherited include; deeper
+        // explicit includes revive their own branches
+        val childInherited = !cf.excludeExplicit && (inherited || cf.includeExplicit)
+        val selected = childInherited || cf.hasIncludes ||
+          (defaultInclude && !cf.excludeExplicit)
+        if (!selected) None
+        else pruneType(fld.dataType, cf, childInherited, defaultInclude)
+          .map(t => fld.copy(dataType = t))
+      }
+    }
+    if (kept.isEmpty) None else Some(StructType(kept))
+  }
+
+  private def pruneType(dt: DataType, cf: ColumnFilter, inherited: Boolean,
+                        defaultInclude: Boolean): Option[DataType] = dt match {
+    case st: StructType => pruneStruct(st, cf, inherited, defaultInclude)
+    case ArrayType(e, n) => pruneType(e, cf, inherited, defaultInclude).map(ArrayType(_, n))
+    case MapType(k, v, n) => pruneType(v, cf, inherited, defaultInclude).map(MapType(k, _, n))
+    case other => Some(other)
+  }
+}

@@ -44,6 +44,13 @@ object Demo {
 
     println("== physical plan ==")
     flat.explain("formatted")
+
+    println("== Sources.readParquet pruned scan ==")
+    val prunedLi = graft.sources.Sources.readParquet(
+      spark, "/root/testdata/sf0.001/lineitem.parquet",
+      include = Seq("l_orderkey", "l_quantity"): Seq[String])
+    println(s"pruned schema: ${prunedLi.schema.catalogString}, rows=${prunedLi.count}")
+    prunedLi.explain("formatted")
     spark.stop()
   }
 }
