@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see SURVEY.md §7 and README. Every operator from
+  * the SURVEY §2 inventory (plus the LLM-pipeline extensions) is
+  * declared as a named query with, where SQL-expressible, a DuckDB
+  * oracle over the same parquet tables. Column names are aligned
+  * between the Spark result and the oracle (the driver's compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: two-level nest → flatten round-trip on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    FlattenQueries.queries("flatten_nested2")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    FlattenQueries.queries ++
+      RelationalQueries.queries ++
+      EventQueries.queries
+
+  def oracleSql: Map[String, String] =
+    FlattenQueries.oracles ++
+      RelationalQueries.oracles ++
+      EventQueries.oracles
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-ordered operators over the events table: as-of join,
+  * sessionization, tumbling windows. The parquet ts column is
+  * nanosecond-precision, read as epoch-nanosecond longs
+  * ([[Tables.events]]); results expose epoch microseconds (BIGINT)
+  * which DuckDB's `epoch_us` reproduces exactly (both floor the ns
+  * fraction for post-1970 data).
+  */
+object EventQueries {
+  import graft.operators.AsOfJoin
+
+  private val NS_PER_US = 1000L
+  private val US_PER_30MIN = 1800L * 1000000L
+  private val NS_PER_HOUR = 3600L * 1000000000L
+  private val US_PER_HOUR = 3600L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: each purchase matched to the user's latest signup
+    // at or before it (AsOfJoin operator: union + window, one shuffle)
+    "q_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      AsOfJoin.backward(purchases, signups, Seq("user_id"), "ts", "ts",
+          Seq("ts" -> "signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          expr(s"ts div $NS_PER_US").as("ts_us"),
+          expr(s"signup_ts div $NS_PER_US").as("signup_ts_us"))
+    }),
+
+    // sessionization: 30-minute inactivity gap splits sessions
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("us", expr(s"ts div $NS_PER_US"))
+        .withColumn("gap",
+          when(col("us") - lag(col("us"), 1).over(w) > US_PER_30MIN ||
+               lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // tumbling hourly window: count + value sum per hour bucket
+    "q_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((expr(s"ts div $NS_PER_HOUR") * US_PER_HOUR).as("hour_us"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT epoch_us(max(s.ts)) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND s.ts <= e.ts) AS signup_ts_us
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           OR lag(epoch_us(ts)) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC))
+        |SELECT user_id, CAST(sum(gap) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

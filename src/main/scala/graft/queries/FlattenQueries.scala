@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.schema.SchemaInfo
+
+/** Oracle-checked queries exercising the core flatten operator
+  * (SURVEY.md §2.3) on the driver tables. Each builds a genuinely
+  * nested frame from flat parquet, flattens it back with the library,
+  * and is checked against plain relational SQL in DuckDB — nest
+  * followed by flatten must round-trip to the flat form, which makes
+  * the oracles independent of any UNNEST dialect quirks.
+  */
+object FlattenQueries {
+
+  private def nestedLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // nest → flatten round-trip: inner explode over one list path,
+    // scalar parent broadcast along elements
+    "flatten_roundtrip" -> ((s, dir) =>
+      Flatten.flatten(nestedLineitem(s, dir))),
+
+    // two-level nesting: customer → orders[] → items[]; two chained
+    // explodes, parents broadcast through both levels
+    "flatten_nested2" -> ((s, dir) => {
+      val inner = nestedLineitem(s, dir)
+      val orders = Tables(s, dir, "orders")
+        .join(inner, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("items"))
+      val byCust = orders.groupBy("o_custkey")
+        .agg(collect_list(struct(col("o_orderkey"), col("o_totalprice"), col("items")))
+          .as("orders"))
+      Flatten.flatten(byCust)
+    }),
+
+    // sibling-array conflict + FlattenAvailable: arrays dropped,
+    // scalars kept (nodes.py:344-346)
+    "flatten_available" -> ((s, dir) => {
+      val nested = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"),
+          collect_list(col("l_returnflag")).as("flags"),
+          count(lit(1)).as("n"))
+      Flatten.flatten(nested, strategy = FlattenStrategy.FlattenAvailable)
+    }),
+
+    // outer join semantics (the reference's unimplemented
+    // JoinType.OUTER, nodes.py:326-327): orders with no lineitems
+    // survive with null item columns
+    "flatten_outer" -> ((s, dir) => {
+      val nested = Tables(s, dir, "orders")
+        .join(nestedLineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("items"))
+      Flatten.flatten(nested, join = FlattenJoin.Outer)
+    }),
+
+    // FlattenExplicit: only the explicitly included array expands;
+    // the sibling array is dropped entirely
+    "flatten_explicit" -> ((s, dir) => {
+      val nested = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"),
+          collect_list(col("l_returnflag")).as("flags"))
+      Flatten.flatten(nested, strategy = FlattenStrategy.FlattenExplicit,
+        include = Seq("l_orderkey", "items"): Seq[String])
+    }),
+
+    // dynamic-schema path: JSON props column parsed then flattened
+    "flatten_json_props" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("props"))
+      Flatten.flatten(ev)
+    }),
+
+    // schema introspection golden: info() rendering of the nested
+    // schema, checked against a literal oracle
+    "schema_info" -> ((s, dir) => {
+      import s.implicits._
+      val rendered = SchemaInfo.render(nestedLineitem(s, dir).schema)
+      rendered.split("\n").toSeq.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }
+        .toDF("idx", "line")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "flatten_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "flatten_nested2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, l_linenumber, l_quantity
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "flatten_available" ->
+      "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_orderkey",
+    "flatten_outer" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    "flatten_explicit" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "flatten_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    "schema_info" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), '- l_orderkey int64'),
+        |  (CAST(1 AS BIGINT), '- items []'),
+        |  (CAST(2 AS BIGINT), '    - l_linenumber int32'),
+        |  (CAST(3 AS BIGINT), '    - l_quantity float64')) t(idx, line)""".stripMargin
+  )
+}

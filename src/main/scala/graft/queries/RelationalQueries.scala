@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational capabilities the reference lacks entirely (SURVEY.md
+  * §2.6 — joins, aggregations, windows, sorts, set ops) but our
+  * engine inherits from Spark SQL. Declared here so the inventory is
+  * oracle-checked end to end, with plans shaped for scale: broadcast
+  * for dimension tables, partial aggregation before every shuffle,
+  * rounded float aggregates so results are hash-stable across
+  * summation orders.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-side filter pushdown + hash aggregate
+    "q1_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // top-k revenue orders: deterministic tiebreak on the key
+    "q3_topk" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
+    // multi-way join with broadcast dimensions: revenue by nation
+    "q5_join" -> ((s, dir) => {
+      val region = Tables(s, dir, "region")
+      val nation = Tables(s, dir, "nation")
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // window functions: top-2 orders per customer by price
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // grouping sets via rollup: partial+final aggregate with
+    // grouping-null rows
+    "q_rollup" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))),
+
+    // set operations: intersect + except with markers
+    "q_setops" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      c.intersect(o).withColumn("kind", lit("with_orders"))
+        .unionAll(c.except(o).withColumn("kind", lit("no_orders")))
+    }),
+
+    // semi/anti joins
+    "q_semi_anti" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))
+      val li = Tables(s, dir, "lineitem").select(col("l_suppkey"))
+      sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .withColumn("kind", lit("active"))
+        .unionAll(
+          sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_anti")
+            .withColumn("kind", lit("inactive")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_setops" ->
+      """SELECT custkey, 'with_orders' AS kind FROM
+        |  (SELECT c_custkey AS custkey FROM customer
+        |   INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, 'no_orders' AS kind FROM
+        |  (SELECT c_custkey AS custkey FROM customer
+        |   EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT s_suppkey, 'active' AS kind FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |UNION ALL
+        |SELECT s_suppkey, 'inactive' AS kind FROM supplier
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin
+  )
+}
