@@ -19,10 +19,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FlattenQueries.queries ++
       RelationalQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      VectorQueries.queries ++
+      MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     FlattenQueries.oracles ++
       RelationalQueries.oracles ++
-      EventQueries.oracles
+      EventQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      VectorQueries.oracles ++
+      MultimodalQueries.oracles
 }

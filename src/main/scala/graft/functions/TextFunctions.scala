@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, shingling, quality metrics, language
+  * heuristics, fingerprints, simhash. Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs), so the
+  * expressions inline into whole-stage codegen and run at scan speed;
+  * all hashing is MD5-hex based so results are engine-portable and
+  * deterministic (no seed state).
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. */
+  def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count (original casing irrelevant). */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (w_i .. w_{i+n-1} joined by spaces); empty
+    * array when the text has fewer than n words.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint: MD5 of the sorted distinct word set —
+    * invariant under word order and repetition, the cheap
+    * bag-of-words dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** Per-seed MinHash value: lexicographic min of seeded MD5 over the
+    * document's shingles. Null for docs with no shingles.
+    */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** +1/-1 vote of one word for SimHash bit j. Bit j of a word's
+    * hash is bit (3 - j%4) of hex digit (j/4) of md5(word) — exact
+    * integer arithmetic, reproducible in any engine with md5 (the
+    * oracle uses strpos on the hex alphabet; same value).
+    */
+  def simhashVote(word: Column, j: Int): Column = {
+    val pos = j / 4 + 1 // 1-indexed hex digit of the md5 string
+    val shift = 3 - j % 4
+    val digit = conv(substring(md5(word), pos, 1), 16, 10).cast("int")
+    val bit = shiftright(digit, shift).bitwiseAND(lit(1))
+    bit * 2 - 1
+  }
+
+  /** Combine 16 per-bit vote sums into the simhash value. */
+  def simhashFromVotes(voteSums: Seq[Column]): Column =
+    voteSums.zipWithIndex.map { case (s, j) =>
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Stopword sets used by the language heuristic and quality score. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  /** Count of distinct words present in a constant vocabulary. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(array_intersect(array_distinct(words(text)),
+      array(vocab.map(lit): _*)))
+
+  /** Language guess: argmax of stopword hits in fixed language order,
+    * 'unknown' when nothing matches. A real system swaps in char
+    * n-gram profiles; the contract (deterministic, engine-portable,
+    * one pass) stays the same.
+    */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr")
+    val hits = langs.map(l => l -> vocabHits(text, stopwords(l))).toMap
+    val allZero = hits.values.reduce(_ + _) === 0
+    val best = langs.foldRight(lit("unknown")) { (l, acc) =>
+      when(langs.filter(_ != l).map(o => hits(l) >= hits(o)).reduce(_ && _), lit(l))
+        .otherwise(acc)
+    }
+    when(allZero, lit("unknown")).otherwise(best)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for document-scale corpora. All variants
+  * follow the same 100 TB shape: per-document signatures computed
+  * scan-side (narrow, codegen'd), then ONE shuffle on the
+  * signature/bucket key to surface duplicate groups or candidate
+  * pairs — never an all-pairs comparison. Hashing is MD5-based and
+  * seedless, so signatures are deterministic and portable.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical values of `on`, keep the smallest
+    * id. One hash-aggregate shuffle; map-side partial aggregation
+    * makes the exchange proportional to the number of DISTINCT
+    * values. */
+  def exact(df: DataFrame, idCol: String, on: Column): DataFrame =
+    df.groupBy(on.as("dup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** MinHash signature frame: (id, h0..h{k-1}) — k seeded-MD5 minima
+    * over word n-gram shingles. Docs with fewer than n words drop
+    * out (no shingles, no signature). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 12, shingleLen: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("s"))
+      .distinct()
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs. Signatures are
+    * banded (`bands` bands of `numHashes/bands` rows); docs sharing
+    * any band key become candidates; the estimated Jaccard is the
+    * fraction of agreeing signature components. The only wide ops
+    * are the signature aggregation and the equi-join on band keys —
+    * the classic shingle→minhash→band→bucket-join pipeline.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 12, bands: Int = 4,
+                   minEstimate: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+
+    val bandKeys = sigs.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws("#", lit(b.toString) +: (b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
+      }: _*)).as("band_key"))
+
+    val a = bandKeys.select(col(idCol).as("id_a"), col("band_key"))
+    val b = bandKeys.select(col(idCol).as("id_b"), col("band_key"))
+    val candidates = a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sa = sigs.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sigs.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", round(matches.cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Per-document 16-bit SimHash over the distinct word set (votes
+    * per bit, sign-combined). Narrow until one hash-aggregate. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = df.select(col(idCol),
+      explode(array_distinct(words(col(textCol)))).as("w"))
+    val voteSums = (0 until 16).map(j => sum(simhashVote(col("w"), j)).as(s"v$j"))
+    w.groupBy(col(idCol))
+      .agg(voteSums.head, voteSums.tail: _*)
+      .select(col(idCol),
+        simhashFromVotes((0 until 16).map(j => col(s"v$j"))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`,
+    * found by banding the 16 bits into 4 nibbles: pairs within
+    * distance 3 must share at least one nibble (pigeonhole), so the
+    * candidate join is an equi-join on (band, nibble) — no all-pairs
+    * scan. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole covers Hamming <= 3")
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xf)).as("nibble"))): _*))
+        .as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.nibble"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("nibble"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("nibble"))
+    val hamming = {
+      val x = col("sh_a").bitwiseXOR(col("sh_b"))
+      (0 until 16).map(j => shiftright(x, j).bitwiseAND(lit(1L))).reduce(_ + _)
+    }
+    a.join(b, Seq("band", "nibble"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs: distinct shingles self-joined on the
+    * shingle (only docs sharing a shingle ever meet — at corpus scale
+    * add a document-frequency cap on shingles to bound the join
+    * fan-out). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleLen)).as("s"))
+      .distinct()
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Near-duplicate detection over documents/embeddings, each with an
+  * arithmetically identical DuckDB oracle (seedless MD5-derived
+  * hashing makes the pipelines engine-portable: min over hex strings,
+  * integer bit arithmetic, exact rational ratios).
+  */
+object DedupQueries {
+
+  private val K = 12 // minhash signature length
+  private val BANDS = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // shingle→minhash→band→bucket-join candidate pairs
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        numHashes = K, bands = BANDS, minEstimate = 0.5)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))),
+
+    // per-document 16-bit simhash value
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    // exact n-gram Jaccard pairs via shared-shingle join
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5)),
+
+    // embedding cosine near-dup pairs (brute-force, oracle-checkable;
+    // LSH variant is the scale path, see knn_lsh)
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.42))
+  )
+
+  // ---- oracle SQL (generated to stay in lockstep with K/BANDS) ----
+
+  private val shingleCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w) - 2),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM w WHERE len(w) >= 3)""".stripMargin
+
+  private val minhashOracle: String = {
+    val r = K / BANDS
+    val sigCols = (0 until K).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    val bandExprs = (0 until BANDS).map { b =>
+      val hs = (b * r until (b + 1) * r).map(i => s"h$i").mkString(" || '#' || ")
+      s"md5('$b' || '#' || $hs)"
+    }.mkString(", ")
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(($matchSum) / $K.0, 4) AS est_jaccard
+       |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |WHERE round(($matchSum) / $K.0, 4) >= 0.5""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val votes = (0 until 16).map { j =>
+      val pos = j / 4 + 1
+      val div = 1 << (3 - j % 4)
+      s"sum(2 * (((strpos('0123456789abcdef', substr(md5(w), $pos, 1)) - 1) // $div) % 2) - 1) AS v$j"
+    }.mkString(",\n    ")
+    val combine = (0 until 16)
+      .map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH wd AS (SELECT DISTINCT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM wd GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  private val jaccardOracle: String =
+    s"""WITH $shingleCte,
+       |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (na.c + nb.c - inter), 4) AS jaccard
+       |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+       |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5""".stripMargin
+
+  private val embeddingOracle: String =
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(round(list_cosine_similarity(a.e, b.e), 6), 4) AS sim
+      |FROM q a JOIN q b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.42""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_embedding" -> embeddingOracle
+  )
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis operators over the documents table, each mirrored by
+  * an arithmetic-identical DuckDB oracle (integer/string functions
+  * only, so hash equality is exact; ratios divide the same integer
+  * operands in both engines).
+  */
+object TextQueries {
+
+  private def sqlStopwords(lang: String): String =
+    stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace + BPE-ish regex
+    "text_tokens" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_ws"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpe"))),
+
+    // quality scoring: length/stopword/alpha signals, one weighted score
+    "text_quality" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+      val nWords = tokenCount(col("text")).cast("double")
+      val hits = vocabHits(col("text"), stopwords("en")).cast("double")
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("double")
+      val nChars = length(col("text")).cast("double")
+      t.select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(hits / nWords, 4).as("stopword_ratio"),
+        round(alpha / nChars, 4).as("alpha_ratio"),
+        round(
+          lit(0.4) * (hits / nWords) +
+            lit(0.3) * least(nWords / 50.0, lit(1.0)) +
+            lit(0.3) * (alpha / nChars), 4).as("quality"))
+    }),
+
+    // language guess: stopword-profile argmax (deterministic ties)
+    "text_langid" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), langId(col("text")).as("lang_guess"))),
+
+    // bag-of-words fingerprint per document
+    "text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // exact dedup on the fingerprint (word-order/repetition invariant):
+    // duplicate groups with the surviving id
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id",
+          fingerprint(col("text")))
+        .select(col("dup_key"), col("keep_id"), col("cnt")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "text_quality" -> {
+      val sw = sqlStopwords("en")
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')), SW)) AS DOUBLE) AS hits,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(hits / n_words, 4) AS stopword_ratio,
+        |  round(alpha / n_chars, 4) AS alpha_ratio,
+        |  round(0.4 * (hits / n_words) + 0.3 * least(n_words / 50.0, 1.0)
+        |        + 0.3 * (alpha / n_chars), 4) AS quality
+        |FROM m""".stripMargin.replace("SW", sw)
+    },
+    "text_langid" -> {
+      val hits = Seq("en", "de", "es", "fr").map { l =>
+        s"CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), ${sqlStopwords(l)})) AS INTEGER) AS h_$l"
+      }.mkString(",\n    ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h_en + h_de + h_es + h_fr = 0 THEN 'unknown'
+         |       WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_es >= h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+         |       WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+         |       ELSE 'unknown' END AS lang_guess
+         |FROM m""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS dup_key,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin
+  )
+}

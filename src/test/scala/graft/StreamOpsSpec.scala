@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessionEvent
+
+/** Structured Streaming operators driven through MemoryStream. */
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window with watermark aggregates counts per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = StreamOps.tumblingCounts(events, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 1.0), (ts(2), 2.0), (ts(11), 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((ts(59), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n, sum_value FROM tumbling ORDER BY window_start")
+        .collect().map(_.toSeq.toList).toList
+      assert(rows.take(2) == List(List(2L, 3.0), List(1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: two events 5 min apart, then a 40-min gap opens a new
+      // session (closing the first)
+      input.addData(
+        SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(5), 1.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(7L, ts(45), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM sessions ORDER BY start_us")
+        .collect().map(_.toSeq.toList).toList
+      assert(rows == List(List(7L, 2L)))
+    } finally q.stop()
+  }
+}
