@@ -23,16 +23,24 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles (w_i .. w_{i+n-1} joined by spaces); empty
-    * array when the text has fewer than n words.
-    */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  /** Shingles from an already-materialized word-array column. Use
+    * this two-step form in pipelines: `transform` is interpreted (not
+    * codegen'd), so if `w` were an inline `split(...)` expression it
+    * would re-run the regex split for every element_at — materialize
+    * the array in a projection first and the lambda reads an
+    * attribute (measured ~20x on the shingle pipeline). */
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles (w_i .. w_{i+n-1} joined by spaces); empty
+    * array when the text has fewer than n words. Convenience form —
+    * prefer projecting [[words]] first and using [[shinglesOfWords]]
+    * in hot paths (see its scaladoc).
+    */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOfWords(words(text), n)
 
   /** Document fingerprint: MD5 of the sorted distinct word set —
     * invariant under word order and repetition, the cheap

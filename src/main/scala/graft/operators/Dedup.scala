@@ -26,7 +26,8 @@ object Dedup {
     * out (no shingles, no signature). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 12, shingleLen: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("s"))
+    val sh = df.select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(shinglesOfWords(col("__w"), shingleLen)).as("s"))
       .distinct()
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
@@ -45,7 +46,9 @@ object Dedup {
                    minEstimate: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    // the signature frame feeds three join sides; persist it so the
+    // shingle pipeline (the expensive part) runs once
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes).persist()
 
     val bandKeys = sigs.select(
       col(idCol),
@@ -121,8 +124,9 @@ object Dedup {
     * fan-out). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleLen)).as("s"))
-      .distinct()
+    val sh = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("s"))
+      .distinct().persist() // feeds both join sides + the count
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
