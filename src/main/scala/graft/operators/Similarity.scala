@@ -18,22 +18,20 @@ import org.apache.spark.sql.functions._
   *
   * Dot products sum left-to-right in double precision — the exact
   * arithmetic a SQL engine produces for the same expression, so
-  * results replay in DuckDB. The kernel is a JVM while-loop UDF:
-  * measured ~40x faster than the equivalent higher-order-function
-  * column expression, which Catalyst cannot whole-stage-codegen
-  * (and BroadcastNestedLoopJoin disables codegen anyway); for a
-  * 64-float dot product a primitive loop is the idiomatic kernel,
-  * as in Spark MLlib's own BLAS paths.
+  * results replay in DuckDB. Column-space scoring uses the native
+  * Catalyst DotProduct expression (graft.plans) whose doGenCode
+  * emits a primitive loop inside whole-stage codegen; the
+  * deliberately-exact all-pairs variant uses a broadcast +
+  * partition-local kernel instead, as Spark MLlib's BLAS paths do
+  * (the HOF column form is never codegen'd and measured ~40x
+  * slower).
   */
 object Similarity {
 
-  /** Index-order double dot product of two float vectors. */
-  private val dotF = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var i = 0; var s = 0.0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  /** Index-order double dot product: the native Catalyst expression
+    * (codegen'd primitive loop, graft.plans.DotProduct). */
+  private def dotF(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dot(a, b)
 
   /** Cosine similarity of two float-array columns (exact, double). */
   def cosine(a: Column, b: Column): Column =

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions
+
+/** The native DotProduct expression: correctness vs the kernel,
+  * codegen path, and SQL registration via GraftExtensions. */
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("native dot matches manual double summation and handles nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorExpressions.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == (1.0f.toDouble * 4.0f + 2.0f.toDouble * 5.0f + 3.0f.toDouble * 6.0f))
+    assert(got(1) == (0.5f.toDouble * 2.0f + (-1.5f).toDouble * 2.0f))
+
+    val withNull = df.withColumn("a", when(lit(true), lit(null).cast("array<float>")))
+    assert(withNull.select(VectorExpressions.dot(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("native dot agrees with the embeddings oracle arithmetic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val viaExpr = pairs.select(
+      round(VectorExpressions.cosine(col("va"), col("vb")), 6).as("c")).collect()
+    val viaKernel = pairs.select(
+      round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6).as("c")).collect()
+    assert(viaExpr.map(_.getDouble(0)).toSeq == viaKernel.map(_.getDouble(0)).toSeq)
+  }
+
+  test("whole-stage codegen survives the expression") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(VectorExpressions.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage containing the projection
+    assert(plan.startsWith("*("), s"no codegen in:\n$plan")
+  }
+
+  test("graft_dot registers as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+        |                 array(cast(3.0 AS float), cast(4.0 AS float))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+}
