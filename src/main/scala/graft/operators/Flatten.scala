@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, explode, explode_outer}
+import org.apache.spark.sql.functions.{col, explode, explode_outer, map_entries}
 import org.apache.spark.sql.types._
 
 /** Strategies for expanding list (array) columns; mirrors
@@ -89,14 +89,15 @@ object Flatten {
     }
     var cur = df
     val materialized = Array.fill(plan.leaves.size)(false)
-    plan.spine.zipWithIndex.foreach { case (arrPath, i) =>
+    plan.spine.zipWithIndex.foreach { case (op, i) =>
       val pass = plan.leaves.indices.filter(materialized(_)).map(j => col(temps(j)))
       val mats = plan.leaves.zipWithIndex.collect {
         case (l, j) if l.frame == i =>
           materialized(j) = true
           frameCol(i, l.path).as(temps(j))
       }
-      val src = frameCol(i, arrPath)
+      val raw = frameCol(i, op.path)
+      val src = if (op.isMap) map_entries(raw) else raw
       cur = cur.select((pass ++ mats :+ explodeFn(src).as(s"__g${i + 1}")): _*)
     }
     val lastFrame = plan.spine.size
@@ -126,10 +127,16 @@ object Flatten {
     */
   private final case class Leaf(namePath: List[String], frame: Int, path: List[String])
 
-  /** leaves in DFS field order; spine(i) = path of the array to
-    * explode, relative to frame i (empty for array-of-array levels).
+  /** One explode step: the path of the list (relative to its frame)
+    * and whether it is a MapType column — maps expand through
+    * map_entries into {key, value} records, the Spark form of the
+    * reference's dict-as-list-of-KV emulation (obj.py:69-76). */
+  private final case class SpineOp(path: List[String], isMap: Boolean)
+
+  /** leaves in DFS field order; spine(i) = the list to explode,
+    * relative to frame i (empty path for array-of-array levels).
     */
-  private final case class Sub(leaves: Vector[Leaf], spine: Vector[List[String]]) {
+  private final case class Sub(leaves: Vector[Leaf], spine: Vector[SpineOp]) {
     def isEmpty: Boolean = leaves.isEmpty
     def hasList: Boolean = spine.nonEmpty
   }
@@ -152,6 +159,9 @@ object Flatten {
   @annotation.tailrec
   private def stripArrays(dt: DataType): DataType = dt match {
     case ArrayType(e, _) => stripArrays(e)
+    case mt: MapType => StructType(Seq(
+      StructField("key", mt.keyType, nullable = false),
+      StructField("value", mt.valueType, mt.valueContainsNull)))
     case d => d
   }
 
@@ -160,7 +170,8 @@ object Flatten {
     * construction lives in frame 0). */
   private def prepend(name: String, sub: Sub): Sub = Sub(
     sub.leaves.map(l => if (l.frame == 0) l.copy(path = name :: l.path) else l),
-    sub.spine.zipWithIndex.map { case (op, i) => if (i == 0) name :: op else op })
+    sub.spine.zipWithIndex.map { case (op, i) =>
+      if (i == 0) op.copy(path = name :: op.path) else op })
 
   private def walkRecord(st: StructType, fieldPath: List[String], strategy: FlattenStrategy,
                          implicitInclude: Boolean,
@@ -195,21 +206,16 @@ object Flatten {
       case st: StructType =>
         walkRecord(st, fieldPath, strategy, included, include, exclude)
       case at: ArrayType =>
-        val expand = strategy match {
-          case FlattenStrategy.FlattenAll | FlattenStrategy.FlattenAvailable => true
-          case FlattenStrategy.FlattenExplicit => explicitHere
-        }
-        if (!expand) Sub(Vector.empty, Vector.empty)
-        else {
-          val sub = walkField(at.elementType, fieldPath, strategy, included, explicitHere,
-            include, exclude)
-          if (sub.isEmpty) sub
-          else
-            // This array becomes a new spine op (path filled in by the
-            // enclosing record's prepend); child frames shift by one.
-            Sub(sub.leaves.map(l => l.copy(frame = l.frame + 1)),
-                List.empty[String] +: sub.spine)
-        }
+        expandList(at.elementType, isMap = false, fieldPath, strategy, included,
+          explicitHere, include, exclude)
+      case mt: MapType =>
+        // a map flattens as a list of {key, value} records, mirroring
+        // the reference's dict-as-list-of-KV shape (obj.py:69-76)
+        val kv = StructType(Seq(
+          StructField("key", mt.keyType, nullable = false),
+          StructField("value", mt.valueType, mt.valueContainsNull)))
+        expandList(kv, isMap = true, fieldPath, strategy, included,
+          explicitHere, include, exclude)
       case NullType =>
         // IncompleteNode analog: a column whose type was never
         // determined is dropped entirely (nodes.py:384-385).
@@ -218,4 +224,25 @@ object Flatten {
         if (included) Sub(Vector(Leaf(fieldPath, 0, Nil)), Vector.empty)
         else Sub(Vector.empty, Vector.empty)
     }
+
+  private def expandList(elem: DataType, isMap: Boolean, fieldPath: List[String],
+                         strategy: FlattenStrategy, included: Boolean,
+                         explicitHere: Boolean, include: Set[List[String]],
+                         exclude: Set[List[String]]): Sub = {
+    val expand = strategy match {
+      case FlattenStrategy.FlattenAll | FlattenStrategy.FlattenAvailable => true
+      case FlattenStrategy.FlattenExplicit => explicitHere
+    }
+    if (!expand) Sub(Vector.empty, Vector.empty)
+    else {
+      val sub = walkField(elem, fieldPath, strategy, included, explicitHere,
+        include, exclude)
+      if (sub.isEmpty) sub
+      else
+        // This list becomes a new spine op (path filled in by the
+        // enclosing record's prepend); child frames shift by one.
+        Sub(sub.leaves.map(l => l.copy(frame = l.frame + 1)),
+            SpineOp(Nil, isMap) +: sub.spine)
+    }
+  }
 }

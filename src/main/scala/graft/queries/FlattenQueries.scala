@@ -79,6 +79,18 @@ object FlattenQueries {
       Flatten.flatten(ev)
     }),
 
+    // map columns flatten as {key, value} records (the reference's
+    // dict-as-list-of-KV emulation, obj.py:69-76)
+    "flatten_map" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType)).as("props"))
+      Flatten.flatten(ev)
+    }),
+
     // schema introspection golden: info() rendering of the nested
     // schema, checked against a literal oracle
     "schema_info" -> ((s, dir) => {
@@ -105,6 +117,10 @@ object FlattenQueries {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "flatten_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    "flatten_map" ->
+      """SELECT event_id, 'k' AS key,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS value
         |FROM events""".stripMargin,
     "schema_info" ->
       """SELECT * FROM (VALUES

@@ -213,6 +213,24 @@ class FlattenSpec extends SparkSpec {
       List(1.0, 2.0, 4.0), List(null, 3.0, 4.0), List(null, 5.0, 4.0)))
   }
 
+  test("map column flattens as key/value records (dict-as-list emulation)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    val d = df(schema,
+      Row(1L, Map("a" -> 10L, "b" -> 20L)),
+      Row(2L, Map("c" -> 30L)),
+      Row(3L, null))
+    val (cols, rows) = collect(Flatten.flatten(d))
+    assert(cols == List("id", "key", "value"))
+    assert(rows.toSet == Set(
+      List(1L, "a", 10L), List(1L, "b", 20L), List(2L, "c", 30L)))
+    // clusion path reaches into the synthetic key/value record
+    val (cols2, rows2) = collect(Flatten.flatten(d, include = Seq("id", "m.key"): Seq[String]))
+    assert(cols2 == List("id", "key"))
+    assert(rows2.toSet == Set(List(1L, "a"), List(1L, "b"), List(2L, "c")))
+  }
+
   test("deep single path across records and nested arrays") {
     // array<struct<x, y: array<struct<a, b>>>> — the arrow_tests
     // list-of-struct flatten golden (arrow_tests.py:247-252)
