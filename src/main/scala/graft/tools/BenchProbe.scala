@@ -14,21 +14,26 @@ object BenchProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 
-    val sh = docs.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("s")).distinct()
-    time("shingle distinct count")(println(sh.count()))
-    
-    val f2 = sh.groupBy("s").agg(count(lit(1)).as("c")).selectExpr("sum(c*c) as f2", "max(c) as fmax").collect()(0)
-    println(s"sum f^2 = ${f2.getLong(0)}, max df = ${f2.getLong(1)}")
-
-    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
-    time("signatures")(println(sigs.count()))
-    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
-    time("minhash pairs")(println(pairs.count()))
-    val jac = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
-    time("jaccard pairs")(println(jac.count()))
+    // pure flatten throughput: pre-materialized nested parquet
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val nested = ord.join(
+      li.groupBy("l_orderkey").agg(collect_list(struct(col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))).as("items")),
+      col("o_orderkey") === col("l_orderkey")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "items")
+    nested.write.mode("overwrite").parquet("/tmp/nested_sf01.parquet")
+    val n = spark.read.parquet("/tmp/nested_sf01.parquet")
+    time("warm read")(n.count())
+    var rows = 0L
+    time("pure flatten (explode chain)") {
+      rows = graft.operators.Flatten.flatten(n).count()
+    }
+    println(s"flatten rows = $rows")
+    time("pure flatten again") {
+      graft.operators.Flatten.flatten(n).count()
+    }
     spark.stop()
   }
 }
