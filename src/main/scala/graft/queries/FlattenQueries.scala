@@ -91,6 +91,20 @@ object FlattenQueries {
       Flatten.flatten(ev)
     }),
 
+    // the graft-avro DataSource V2: a deterministic lineitem subset
+    // round-trips driver-written Avro -> pruned scan -> DataFrame and
+    // must equal the parquet-derived oracle
+    "avro_source" -> ((s, dir) => {
+      val sample = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 37 === 0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      val path = java.nio.file.Files.createTempDirectory("graft_avro_q")
+        .resolve("li.avro").toString
+      graft.sources.avro.GraftAvroWriter.write(path, sample.schema,
+        sample.collect().toSeq)
+      graft.sources.Sources.readAvro(s, path)
+    }),
+
     // schema introspection golden: info() rendering of the nested
     // schema, checked against a literal oracle
     "schema_info" -> ((s, dir) => {
@@ -122,6 +136,9 @@ object FlattenQueries {
       """SELECT event_id, 'k' AS key,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS value
         |FROM events""".stripMargin,
+    "avro_source" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 37 = 0""".stripMargin,
     "schema_info" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), '- l_orderkey int64'),

@@ -58,23 +58,20 @@ object Sources {
     spark.read.schema(pruned).json(path)
   }
 
-  /** Avro object-container reader (from_avro analog, core.py:36-38).
-    * Requires the spark-avro module on the classpath; this
-    * environment ships without it, so the call degrades with a clear
-    * error. Parquet carries the engine's nested-format parity.
+  /** Avro object-container reader (from_avro analog, core.py:36-38),
+    * backed by the engine's own DataSource V2 implementation
+    * ([[graft.sources.avro.GraftAvroSource]]): the writer schema
+    * drives the table schema, and include/exclude prune down to a
+    * rebuilt reader schema so deselected fields are never decoded —
+    * the reference's schema projection (avro_direct.cpp:107-166).
     */
   def readAvro(spark: SparkSession, path: String,
                include: ClusionInput = Empty,
-               exclude: ClusionInput = Empty): DataFrame =
-    try {
-      val full = spark.read.format("avro").load(path).schema
-      val pruned = pruneSchema(full, Clusions.convert(include, exclude))
-      spark.read.schema(pruned).format("avro").load(path)
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalStateException(
-          "Avro source requires the spark-avro module on the classpath", e)
-    }
+               exclude: ClusionInput = Empty): DataFrame = {
+    val full = spark.read.format("graft-avro").load(path).schema
+    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    spark.read.schema(pruned).format("graft-avro").load(path)
+  }
 
   /** from_object analog (core.py:30-33): typed local collections via
     * Encoders. Heterogeneous-record schema union (nodes.py:552-563)
