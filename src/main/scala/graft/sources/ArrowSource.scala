@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, FileInputStream}
+import java.nio.channels.Channels
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.VectorUnloader
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.arrow.vector.ipc.WriteChannel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftglue.ArrowBridge
+
+/** from_arrow analog (reference: arrow.cpp:289-326 reads an IPC
+  * stream batch-wise into the node tree). Arrow is Spark's native
+  * interchange format, so the batches feed straight into Spark's own
+  * Arrow deserialization path (the one PySpark's createDataFrame
+  * uses) — dictionary-encoded columns come back materialized, like
+  * the reference's DictionaryArray handling (arrow.cpp:253-274).
+  *
+  * The stream is consumed on the driver (it IS a driver-interchange
+  * format — the reference is likewise single-process here); for data
+  * at rest use parquet. Batches distribute across the cluster after
+  * conversion.
+  */
+object ArrowSource {
+
+  /** Read an Arrow IPC *stream* file into a DataFrame. */
+  def fromArrowStream(spark: SparkSession, path: String): DataFrame = {
+    val alloc = new RootAllocator()
+    val in = new FileInputStream(path.stripPrefix("file:"))
+    val reader = new ArrowStreamReader(in, alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = ArrowBridge.schemaFromArrow(root.getSchema)
+      val batches = Iterator.unfold(()) { _ =>
+        if (reader.loadNextBatch()) {
+          val unloader = new VectorUnloader(root)
+          val recordBatch = unloader.getRecordBatch
+          try {
+            val out = new ByteArrayOutputStream()
+            MessageSerializer.serialize(
+              new WriteChannel(Channels.newChannel(out)), recordBatch)
+            Some((out.toByteArray, ()))
+          } finally recordBatch.close()
+        } else None
+      }.toVector // materialize while the reader is open
+      ArrowBridge.toDataFrame(batches.iterator, schema, spark)
+    } finally {
+      reader.close()
+      in.close()
+      alloc.close()
+    }
+  }
+}

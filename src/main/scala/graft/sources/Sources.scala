@@ -52,10 +52,18 @@ object Sources {
   def readJson(spark: SparkSession, path: String,
                include: ClusionInput = Empty,
                exclude: ClusionInput = Empty,
-               schema: Option[StructType] = None): DataFrame = {
-    val full = schema.getOrElse(spark.read.json(path).schema)
+               schema: Option[StructType] = None,
+               wholeDocument: Boolean = false): DataFrame = {
+    // wholeDocument = the reference's from_json shape (one DOM per
+    // file, a top-level array becoming the row list); JSON-lines is
+    // the default because it is the shape that scales
+    def reader = {
+      val r = spark.read.option("multiLine", wholeDocument)
+      r
+    }
+    val full = schema.getOrElse(reader.json(path).schema)
     val pruned = pruneSchema(full, Clusions.convert(include, exclude))
-    spark.read.schema(pruned).json(path)
+    reader.schema(pruned).json(path)
   }
 
   /** Avro object-container reader (from_avro analog, core.py:36-38),

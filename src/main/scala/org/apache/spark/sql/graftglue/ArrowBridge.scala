@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.arrow.vector.types.pojo.{Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.arrow.ArrowConverters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.ArrowUtils
+
+/** In-package access to Spark's own Arrow interchange machinery
+  * (private[sql]): IPC record-batch payloads -> DataFrame, and Arrow
+  * schema -> Spark schema. This is the exact path PySpark uses for
+  * Arrow-backed createDataFrame, reused rather than reimplemented.
+  */
+object ArrowBridge {
+  def schemaFromArrow(schema: ArrowSchema): StructType =
+    ArrowUtils.fromArrowSchema(schema)
+
+  def toDataFrame(batches: Iterator[Array[Byte]], schema: StructType,
+                  spark: SparkSession): DataFrame =
+    ArrowConverters.toDataFrame(batches, schema.json,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+}
