@@ -91,6 +91,16 @@ object FlattenQueries {
       Flatten.flatten(ev)
     }),
 
+    // name-conflict resolution visible at the output: sibling records
+    // with identically-named leaves resolve to parent-prefixed names
+    // (nodes.py:218-241 fixpoint)
+    "flatten_names" -> ((s, dir) =>
+      Flatten.flatten(
+        Tables(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          struct(col("l_quantity").as("v")).as("a"),
+          struct(col("l_discount").as("v")).as("b")))),
+
     // the graft-avro DataSource V2: a deterministic lineitem subset
     // round-trips driver-written Avro -> pruned scan -> DataFrame and
     // must equal the parquet-derived oracle
@@ -139,6 +149,9 @@ object FlattenQueries {
     "avro_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 37 = 0""".stripMargin,
+    "flatten_names" ->
+      """SELECT l_orderkey, l_quantity AS a_v, l_discount AS b_v
+        |FROM lineitem""".stripMargin,
     "schema_info" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), '- l_orderkey int64'),

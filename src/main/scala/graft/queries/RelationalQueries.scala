@@ -81,6 +81,44 @@ object RelationalQueries {
         .unionAll(c.except(o).withColumn("kind", lit("no_orders")))
     }),
 
+    // cube grouping sets
+    "q_cube" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))),
+
+    // scalar function library: strings, dates, math in one pass
+    "q_scalar_funcs" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          (col("p_partkey") % 7).as("mod7"),
+          round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
+          round(pow(col("p_size").cast("double"), 2.0), 1).as("size_sq"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    // exact distinct aggregation
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // skew-safe salted join: must equal the plain inner join
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      graft.operators.Salting.saltedJoin(li, ord
+          .withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", buckets = 8)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // semi/anti joins
     "q_semi_anti" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))
@@ -137,6 +175,30 @@ object RelationalQueries {
         |SELECT custkey, 'no_orders' AS kind FROM
         |  (SELECT c_custkey AS custkey FROM customer
         |   EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 8)) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_partkey % 7 AS mod7,
+        |  round(sqrt(p_retailprice), 4) AS sqrt_price,
+        |  round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_custkey, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey""".stripMargin,
     "q_semi_anti" ->
       """SELECT s_suppkey, 'active' AS kind FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
