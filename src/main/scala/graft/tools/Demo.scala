@@ -45,6 +45,19 @@ object Demo {
     println("== physical plan ==")
     flat.explain("formatted")
 
+    println("== Bucketing: co-located join without shuffle ==")
+    spark.sql("DROP TABLE IF EXISTS demo_li_b"); spark.sql("DROP TABLE IF EXISTS demo_ord_b")
+    graft.operators.Bucketing.writeBucketed(
+      li.select(col("l_orderkey"), col("l_quantity")), "demo_li_b", "l_orderkey", 4)
+    graft.operators.Bucketing.writeBucketed(
+      ord.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "demo_ord_b", "l_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = graft.operators.Bucketing.bucketedJoin(spark, "demo_li_b", "demo_ord_b", "l_orderkey")
+    println("bucketed join rows=" + bj.count() +
+      " shuffle-free=" + !bj.queryExecution.executedPlan.toString.contains("hashpartitioning"))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     println("== Sources.readParquet pruned scan ==")
     val prunedLi = graft.sources.Sources.readParquet(
       spark, "/root/testdata/sf0.001/lineitem.parquet",
