@@ -1,0 +1,76 @@
+package graft.sources.pbd
+
+/** Minimal protobuf wire-format cursor over a byte slice. The wire
+  * format is public, stable, and tiny: varints, zigzag, two fixed
+  * widths, and length-delimited blobs (this is everything the PBD
+  * container needs — no protobuf runtime on the classpath).
+  */
+final class ProtoWire(val bytes: Array[Byte], var pos: Int, val end: Int) {
+  def this(bytes: Array[Byte]) = this(bytes, 0, bytes.length)
+
+  def hasMore: Boolean = pos < end
+
+  def readVarint(): Long = {
+    var shift = 0
+    var value = 0L
+    while (true) {
+      val b = bytes(pos)
+      pos += 1
+      value |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return value
+      shift += 7
+      if (shift > 63) throw new IllegalArgumentException("varint too long")
+    }
+    value
+  }
+
+  def readZigzag(): Long = {
+    val v = readVarint()
+    (v >>> 1) ^ -(v & 1)
+  }
+
+  def readFixed32(): Int = {
+    val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+      ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+    pos += 4
+    v
+  }
+
+  def readFixed64(): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
+    pos += 8
+    v
+  }
+
+  def readBytes(): Array[Byte] = {
+    val len = readVarint().toInt
+    val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+    pos += len
+    out
+  }
+
+  /** Sub-cursor over a length-delimited region (no copy). */
+  def readSlice(): ProtoWire = {
+    val len = readVarint().toInt
+    val w = new ProtoWire(bytes, pos, pos + len)
+    pos += len
+    w
+  }
+
+  /** Skip one field payload by wire type — the decode-time column
+    * skip (reference: pbd.hpp:176-207). */
+  def skip(wireType: Int): Unit = wireType match {
+    case 0 => readVarint()
+    case 1 => pos += 8
+    case 2 =>
+      // note: must read the length BEFORE adding — `pos += readVarint()`
+      // would capture pos before the varint advanced it
+      val len = readVarint().toInt
+      pos += len
+    case 5 => pos += 4
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported wire type $other (groups?)")
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusionInput, Flatten}
+import graft.sources.pbd.PbdSource
+import ClusionInput._
+
+/** from_pbd against the reference's golden binary fixture
+  * (bamboo_tests/data/example.pbd: ONE record whose repeated fields
+  * drive the flatten) with the expectations of pbd_tests.py:62-92.
+  */
+class PbdSourceSpec extends SparkSpec {
+
+  private val example = "/root/reference/python/bamboo_tests/data/example.pbd"
+
+  private def read(include: ClusionInput = Empty, exclude: ClusionInput = Empty) =
+    PbdSource.read(spark, example, include, exclude)
+
+  test("flatten(exclude=rm) matches test_example goldens") {
+    val flat = Flatten.flatten(read(), exclude = "rm")
+    val rows = flat.collect().sortBy(_.getAs[Double]("f"))
+    assert(flat.columns.toSet ==
+      Set("a", "b", "c", "d", "e", "f", "s", "sd", "de"))
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Number]("a").intValue == 13)
+      assert(r.getAs[Number]("b").intValue == 23) // m.b resolved to leaf name
+      assert(r.getAs[Number]("c").intValue == 33) // d.c
+      assert(r.getAs[Double]("d") == -1.3) // d.d resolved d_? -> leaf unique
+      assert(r.getAs[String]("e") == "B")
+      assert(r.getAs[String]("s") == "test")
+      assert(r.getAs[String]("sd") == "") // unset proto3 string -> default
+      assert(r.getAs[String]("de") == "DE1") // cross-file dependency enum
+    }
+    assert(rows.map(_.getAs[Double]("f")).toSeq == Seq(2.3, 3.3))
+  }
+
+  test("repeated message flatten (test_repeated_message)") {
+    val flat = Flatten.flatten(read(), include = "rm")
+    assert(flat.columns.toList == List("b"))
+    assert(flat.collect().map(_.getAs[Number](0).intValue).sorted.toSeq == Seq(11, 22))
+  }
+
+  test("decode-time inclusion (test_inclusion / test_nested_inclusion)") {
+    val a = Flatten.flatten(read(include = Path("a")))
+    assert(a.columns.toList == List("a"))
+    assert(a.collect().map(_.getAs[Number](0).intValue).toSeq == Seq(13))
+
+    val mb = Flatten.flatten(read(include = Path("m.b")))
+    assert(mb.columns.toList == List("b"))
+    assert(mb.collect().map(_.getAs[Number](0).intValue).toSeq == Seq(23))
+  }
+
+  test("decode-time exclusion (test_exclusion)") {
+    // m's only field excluded -> the empty struct prunes away entirely
+    val df = read(exclude = Path("m.b"))
+    assert(!df.columns.contains("m"))
+    val flat = Flatten.flatten(df, exclude = "rm")
+    assert(flat.count() == 2)
+    assert(flat.columns.toSet == Set("a", "c", "d", "e", "f", "s", "sd", "de"))
+  }
+
+  test("conflicting clusions throw (test_conflict)") {
+    assertThrows[IllegalArgumentException](
+      read(include = Path("m.b"), exclude = Path("m.b")))
+  }
+
+  test("sibling repeated fields conflict in flatten (f vs rm)") {
+    assertThrows[IllegalArgumentException](Flatten.flatten(read()))
+  }
+
+  test("perf floor: 100k records decode distributed well under the ref bound") {
+    // replicate perf_example.pbd's record the way pbd_tests.py:42-60
+    // does, then decode; the reference asserts 1M records < 5 s
+    // single-threaded
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/python/bamboo_tests/data/perf_example.pbd"))
+    val parsed = PbdSource.parseFile(bytes)
+    assert(parsed.records.length == 1)
+    val rec = parsed.records(0)
+    val out = new java.io.ByteArrayOutputStream()
+    val headerEnd = bytes.length - rec.length - 1 // 82-byte record: 1-byte varint
+    out.write(bytes, 0, headerEnd)
+    (1 to 100000).foreach { _ => out.write(rec.length); out.write(rec) }
+    val p = java.nio.file.Files.createTempFile("graft_pbd", ".pbd")
+    java.nio.file.Files.write(p, out.toByteArray)
+    val t0 = System.nanoTime()
+    val n = PbdSource.read(spark, p.toString).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 100000)
+    assert(sec < 20.0, s"decode too slow: $sec s")
+    info(f"100k records in $sec%.2f s")
+  }
+}
