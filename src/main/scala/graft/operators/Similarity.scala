@@ -71,7 +71,7 @@ object Similarity {
 
   /** Sign-bit buckets for all tables in one pass: element t of the
     * result is the `nPlanes`-bit bucket of plane family t. */
-  private def bucketsUdf(dim: Int, nPlanes: Int, tables: Int) = {
+  private[operators] def bucketsUdf(dim: Int, nPlanes: Int, tables: Int) = {
     val planes: Array[Array[Double]] = Array.tabulate(tables * nPlanes) { i =>
       val t = i / nPlanes; val p = i % nPlanes
       Array.tabulate(dim)(d => planeComponent(100 * t + p, d))
@@ -178,5 +178,32 @@ object Similarity {
       }
     }.toDF("id_a", "id_b", "sim")
     pairs.select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs — the scale form of
+    * [[embeddingNearDupPairs]]: vectors meet only when they share a
+    * bucket in some table (one equi-join shuffle on (table, bucket)),
+    * then exact cosine verifies. Approximate: pairs whose vectors
+    * never co-bucket are missed; for cosine >= ~0.8 near-dups the
+    * multi-table probability of missing is tiny, and recall is pinned
+    * against the exact operator in tests.
+    */
+  def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
+                               minCosine: Double, dim: Int = 64,
+                               nPlanes: Int = 6, tables: Int = 4): DataFrame = {
+    val bud = bucketsUdf(dim, nPlanes, tables)
+    val banded = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      posexplode(bud(col(vecCol))).as(Seq("t", "b")))
+    val a = banded.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("t"), col("b"))
+    val b = banded.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("t"), col("b"))
+    a.join(b, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .distinct()
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 }

@@ -45,6 +45,14 @@ object Demo {
     println("== physical plan ==")
     flat.explain("formatted")
 
+    println("== embedding near-dup: exact vs LSH-bucketed ==")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exactPairs = graft.operators.Similarity
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45).count()
+    val lshPairs = graft.operators.Similarity
+      .embeddingNearDupPairsLSH(emb, "vec_id", "embedding", 0.45).count()
+    println(s"exact pairs=$exactPairs lsh pairs=$lshPairs (lsh <= exact expected)")
+
     println("== Bucketing: co-located join without shuffle ==")
     spark.sql("DROP TABLE IF EXISTS demo_li_b"); spark.sql("DROP TABLE IF EXISTS demo_ord_b")
     graft.operators.Bucketing.writeBucketed(

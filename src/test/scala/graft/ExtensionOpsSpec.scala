@@ -52,6 +52,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(jac.subsetOf(found), s"missing ${jac -- found}")
   }
 
+  test("LSH near-dup pairs find planted true near-duplicates") {
+    // plant pairs at cosine ~0.99 (tiny noise around base vectors) —
+    // the regime the operator exists for; the corpus's own random
+    // pairs (max cosine ~0.5) are not near-dups and sign-LSH rightly
+    // ignores them
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val bases = (0 until 30).map(i => (i.toLong, vec()))
+    val noisy = bases.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val df = (bases ++ noisy).toDF("vec_id", "embedding")
+    val expected = bases.map { case (i, _) => (i, i + 1000L) }.toSet
+
+    val exact = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == expected)
+
+    val lsh = Similarity.embeddingNearDupPairsLSH(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact verification keeps only true pairs
+    assert(lsh.size.toDouble / exact.size >= 0.8,
+      s"recall ${lsh.size}/${exact.size} too low for planted near-dups")
+  }
+
   test("multimodal batch decode plumbing (stubbed codec)") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "defghij")).toDF("id", "text")
