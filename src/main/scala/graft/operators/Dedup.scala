@@ -123,10 +123,22 @@ object Dedup {
     * add a document-frequency cap on shingles to bound the join
     * fan-out). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+                        shingleLen: Int = 3, minJaccard: Double = 0.5,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val raw = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
       .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("s"))
-      .distinct().persist() // feeds both join sides + the count
+      .distinct()
+    // optional stop-shingle cap: at corpus scale, shingles appearing in
+    // more than maxDocFreq documents are dropped BEFORE the self-join,
+    // bounding its fan-out to maxDocFreq^2 per shingle; Jaccard is then
+    // computed over the capped shingle sets (a documented approximation
+    // -- near-duplicates share plenty of rare shingles)
+    val sh = (if (maxDocFreq == Int.MaxValue) raw
+      else {
+        val rare = raw.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select(col("s"))
+        raw.join(rare, "s")
+      }).persist() // feeds both join sides + the count
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))

@@ -45,6 +45,14 @@ object Demo {
     println("== physical plan ==")
     flat.explain("formatted")
 
+    println("== n-gram jaccard: exact vs df-capped ==")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exactJ = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.9).count()
+    val cappedJ = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.9, maxDocFreq = 20).count()
+    println(s"jaccard pairs exact=$exactJ df-capped(20)=$cappedJ")
+
     println("== embedding near-dup: exact vs LSH-bucketed ==")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exactPairs = graft.operators.Similarity
