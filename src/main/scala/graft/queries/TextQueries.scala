@@ -31,15 +31,18 @@ object TextQueries {
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
         .cast("double")
       val nChars = length(col("text")).cast("double")
+      // ratios ship as floor-scaled basis points: floor of identical
+      // IEEE doubles is bit-exact across engines, where round() can
+      // disagree on exact .xxxx5 boundaries (one sf0.1 row hit this)
       t.select(
         col("doc_id"),
         nWords.cast("long").as("n_words"),
-        round(hits / nWords, 4).as("stopword_ratio"),
-        round(alpha / nChars, 4).as("alpha_ratio"),
-        round(
+        floor((hits / nWords) * 10000).cast("long").as("stopword_ratio_e4"),
+        floor((alpha / nChars) * 10000).cast("long").as("alpha_ratio_e4"),
+        floor((
           lit(0.4) * (hits / nWords) +
             lit(0.3) * least(nWords / 50.0, lit(1.0)) +
-            lit(0.3) * (alpha / nChars), 4).as("quality"))
+            lit(0.3) * (alpha / nChars)) * 10000).cast("long").as("quality_e4"))
     }),
 
     // language guess: stopword-profile argmax (deterministic ties)
@@ -76,10 +79,10 @@ object TextQueries {
         |    CAST(length(text) AS DOUBLE) AS n_chars
         |  FROM documents)
         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |  round(hits / n_words, 4) AS stopword_ratio,
-        |  round(alpha / n_chars, 4) AS alpha_ratio,
-        |  round(0.4 * (hits / n_words) + 0.3 * least(n_words / 50.0, 1.0)
-        |        + 0.3 * (alpha / n_chars), 4) AS quality
+        |  CAST(floor((hits / n_words) * 10000) AS BIGINT) AS stopword_ratio_e4,
+        |  CAST(floor((alpha / n_chars) * 10000) AS BIGINT) AS alpha_ratio_e4,
+        |  CAST(floor((0.4 * (hits / n_words) + 0.3 * least(n_words / 50.0, 1.0)
+        |        + 0.3 * (alpha / n_chars)) * 10000) AS BIGINT) AS quality_e4
         |FROM m""".stripMargin.replace("SW", sw)
     },
     "text_langid" -> {
