@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without a nested-loop plan.
+  *
+  * The reference has no joins at all (SURVEY.md §2.6); Spark's
+  * built-in answer to `point BETWEEN start AND end` with no equi-key
+  * is BroadcastNestedLoopJoin — O(|points| x |intervals|) work that
+  * stops scaling the moment the interval side outgrows a broadcast.
+  * The standard scale shape (used by every warehouse range-join
+  * implementation, e.g. the OVERLAPS bucketing in Flink and the
+  * binned range join literature) is:
+  *
+  *   1. quantize time into fixed-width buckets;
+  *   2. explode each interval into the buckets it overlaps
+  *      (`sequence`, a few rows for interval ≈ bucket width);
+  *   3. equi-join points to intervals on the bucket — a plain
+  *      shuffle/broadcast hash join Catalyst can reason about;
+  *   4. re-check the exact predicate as a residual filter.
+  *
+  * Each point falls in exactly one bucket and an interval emits each
+  * bucket once, so matches are already unique — no dedup pass.
+  * Choose the bucket width near the median interval length: the
+  * explode factor stays O(1) and every candidate pair shares a
+  * bucket. Skewed hot buckets remain ordinary join skew (AQE / salt).
+  */
+object RangeJoin {
+
+  /** Inner join `points` to `intervals` on
+    * `start <= point < end` (half-open), bucketed by calendar day.
+    *
+    * @param points    frame containing `ptCol` (timestamp)
+    * @param intervals frame containing `startCol`/`endCol` (timestamp)
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      ptCol: String, startCol: String, endCol: String): DataFrame = {
+    val bucketed = intervals.withColumn("__bucket",
+      explode(sequence(
+        date_trunc("DAY", col(startCol)),
+        date_trunc("DAY", col(endCol)),
+        expr("INTERVAL 1 DAY"))))
+    val pts = points.withColumn("__bucket", date_trunc("DAY", col(ptCol)))
+    pts.join(bucketed, Seq("__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

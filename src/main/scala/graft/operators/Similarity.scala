@@ -206,4 +206,92 @@ object Similarity {
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Spark `round` semantics (BigDecimal HALF_UP) so kernel-side
+    * rounding equals `functions.round` and DuckDB `round`. */
+  private def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** IVF (inverted-file) approximate nearest neighbors — the
+    * centroid-partitioned scale path next to [[lshTopK]]'s
+    * hyperplane one.
+    *
+    * Every corpus vector is assigned to its nearest centroid (its
+    * "cell"); a query probes only the `nProbe` cells nearest to it
+    * and reranks those candidates exactly. With deterministic
+    * centroids the whole algorithm is deterministic, so unlike most
+    * ANN operators it is *oracle-checkable* end to end: nearest-cell
+    * argmax uses round-to-6 cosine with a centroid-id tiebreak,
+    * replayable as a SQL window in DuckDB.
+    *
+    * Scale shape (the reason IVF is the standard big-corpus layout,
+    * cf. FAISS IVF / SPANN): centroid assignment is a narrow map over
+    * the corpus against a broadcast centroid matrix — no shuffle, no
+    * per-row join. Candidate generation is a broadcast hash join of
+    * the (tiny) probe list against the corpus on the cell id, so each
+    * task scores only its probed-cell residents; only the final
+    * per-query top-k window shuffles, and it carries candidates, not
+    * the corpus. At 100 TB: nlist grows ~sqrt(N), and writing the
+    * corpus bucketed by cell makes repeated query batches
+    * shuffle-free.
+    *
+    * @param centroids frame of (cidCol, vecCol) — small (hundreds to
+    *                  tens of thousands); collected exactly like a
+    *                  broadcast join collects its build side
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qidCol: String, idCol: String, vecCol: String,
+              centroids: DataFrame, cidCol: String,
+              k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float], Double)] = centroids
+      .select(col(cidCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (cid, cv) =>
+        var d = 0; var sc = 0.0
+        while (d < cv.length) { sc += cv(d).toDouble * cv(d).toDouble; d += 1 }
+        (cid, cv, sc)
+      }
+    val bc = spark.sparkContext.broadcast(cents)
+
+    // rounded cosine of v against every centroid, index-order sums
+    def scores(v: Seq[Float],
+               cs: Array[(Long, Array[Float], Double)]): Array[(Long, Double)] = {
+      var sv = 0.0
+      var i = 0
+      while (i < v.length) { sv += v(i).toDouble * v(i).toDouble; i += 1 }
+      cs.map { case (cid, cv, sc) =>
+        var d = 0; var s = 0.0
+        val n = math.min(v.length, cv.length)
+        while (d < n) { s += v(d).toDouble * cv(d).toDouble; d += 1 }
+        cid -> round6(s / math.sqrt(sv * sc))
+      }
+    }
+    val assignU = udf { (v: Seq[Float]) =>
+      var bestCid = -1L; var bestS = Double.NegativeInfinity
+      scores(v, bc.value).foreach { case (cid, s) =>
+        if (s > bestS || (s == bestS && cid < bestCid)) { bestS = s; bestCid = cid }
+      }
+      bestCid
+    }
+    val probeU = udf { (v: Seq[Float]) =>
+      scores(v, bc.value).sortBy { case (cid, s) => (-s, cid) }
+        .take(nProbe).map(_._1)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", assignU(col("__cv")))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(probeU(col("__qv"))))
+    val sims = broadcast(q).join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
 }

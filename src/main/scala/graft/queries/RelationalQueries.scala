@@ -119,6 +119,40 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // range join done scale-right: day-bucketed equi-join + residual
+    // predicate instead of a BroadcastNestedLoopJoin (see RangeJoin)
+    "q_range_join" -> ((s, dir) => {
+      val iv = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("s"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("e"))
+      val pts = Tables(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+      graft.operators.RangeJoin.pointInInterval(pts, iv, "l_shipdate", "s", "e")
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // explicit grouping sets (beyond rollup/cube): per-flag, per-status
+    // and grand-total rows in one aggregate
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))),
+
+    // exact interpolated percentiles (sort-based aggregate)
+    "q_percentile" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
     // semi/anti joins
     "q_semi_anti" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))
@@ -199,6 +233,25 @@ object RelationalQueries {
         |  count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderkey, o_orderdate AS s,
+        |              o_orderdate + INTERVAL 7 DAY AS e
+        |            FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM iv JOIN lineitem ON l_shipdate >= s AND l_shipdate < e
+        |GROUP BY o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_semi_anti" ->
       """SELECT s_suppkey, 'active' AS kind FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)

@@ -27,6 +27,18 @@ object VectorQueries {
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 8), emb,
         "vec_id", "vec_id", "embedding", dim = DIM, k = 10)
+    }),
+
+    // IVF: deterministic centroids (vec_id < 16) make the whole
+    // cell-probe path replayable in SQL — an ANN operator WITH an
+    // exact oracle
+    "knn_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "vec_id", "embedding",
+        centroids = emb.filter(col("vec_id") < 16), cidCol = "vec_id",
+        k = 10, nProbe = 4)
     })
   )
 
@@ -43,7 +55,34 @@ object VectorQueries {
         |                           ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
         |      FROM s)
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
-        |FROM r WHERE rank <= 10""".stripMargin
+        |FROM r WHERE rank <= 10""".stripMargin,
     // knn_lsh: intentionally no oracle (approximate operator)
+    "knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+        |                 cent.cid ASC) AS rn
+        |    FROM e CROSS JOIN cent) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cid FROM (
+        |    SELECT e.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+        |                 cent.cid ASC) AS rn
+        |    FROM e CROSS JOIN cent WHERE e.vec_id < 8) WHERE rn <= 4),
+        |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe.v, ne.v) AS sim
+        |      FROM probe p JOIN asg a ON p.cid = a.cid
+        |      JOIN e qe ON qe.vec_id = p.query_id
+        |      JOIN e ne ON ne.vec_id = a.vec_id
+        |      WHERE p.query_id <> a.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+        |FROM r WHERE rank <= 10""".stripMargin
   )
 }

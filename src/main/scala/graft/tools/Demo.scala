@@ -62,7 +62,14 @@ object Demo {
     println(s"exact pairs=$exactPairs lsh pairs=$lshPairs (lsh <= exact expected)")
 
     println("== Bucketing: co-located join without shuffle ==")
-    spark.sql("DROP TABLE IF EXISTS demo_li_b"); spark.sql("DROP TABLE IF EXISTS demo_ord_b")
+    // the in-memory catalog is fresh each JVM, so DROP TABLE can't see
+    // (or clean) a warehouse dir left by a previous run — remove both
+    Seq("demo_li_b", "demo_ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     graft.operators.Bucketing.writeBucketed(
       li.select(col("l_orderkey"), col("l_quantity")), "demo_li_b", "l_orderkey", 4)
     graft.operators.Bucketing.writeBucketed(

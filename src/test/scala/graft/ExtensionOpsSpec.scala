@@ -25,6 +25,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(lsh.size <= bf.size)
   }
 
+  test("ivfTopK: deterministic cells, usable recall, exact rank within probed cells") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val cents = emb.filter(col("vec_id") < 16)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding",
+      cents, "vec_id", k = 10, nProbe = 4)
+    val rows = ivf.collect()
+    // deterministic: second run is identical (centroids + argmax are pure)
+    val again = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding",
+      cents, "vec_id", k = 10, nProbe = 4).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // every query returns a full (or cell-limited) ranked list 1..k
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length))
+    }
+    // recall vs brute force: probing 4/16 cells must still find most
+    // true neighbors (cells are cosine-coherent by construction)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.3, s"ivf recall $recall implausibly low")
+    assert(got.size <= bf.size)
+  }
+
   test("simhashPairs finds near-identical docs and respects hamming bound") {
     import spark.implicits._
     val docs = Seq(
