@@ -55,6 +55,34 @@ object TextQueries {
       Tables(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // TF-IDF top terms per document. Scale shape: tf = one shuffle on
+    // (doc, term) with map-side combine; df = second map-combined
+    // shuffle on term; tf x df meet in an equi-join on term (NOT
+    // broadcast — vocabulary grows with the corpus); corpus size N
+    // rides in as a broadcast 1-row frame. Scores ship as
+    // floor-scaled e4 integers so the ln() arithmetic hash-matches
+    // across engines, and ranking orders by that integer.
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf_e4",
+          floor(col("tf") * log(col("n").cast("double") / col("df")) * 10000)
+            .cast("long"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_e4").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf_e4"), col("rank"))
+    }),
+
     // exact dedup on the fingerprint (word-order/repetition invariant):
     // duplicate groups with the surviving id
     "dedup_exact" -> ((s, dir) =>
@@ -107,6 +135,20 @@ object TextQueries {
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |        CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000) AS BIGINT)
+        |          AS tfidf_e4
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf_e4 DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, tf, tfidf_e4, rank FROM r WHERE rank <= 3""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS dup_key,

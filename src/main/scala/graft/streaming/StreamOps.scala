@@ -26,6 +26,29 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
 
+  /** Sliding-window aggregate: each event lands in
+    * `window_ / slide` overlapping windows (Spark expands them at the
+    * source — a constant-factor row multiply, still a single
+    * map-combined shuffle on the window key). */
+  def slidingCounts(events: DataFrame, tsCol: String, window_ : String,
+                    slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup with bounded state: drops events whose
+    * key was already seen within the watermark horizon. State per key
+    * is evicted once the watermark passes, so memory is bounded by
+    * (keys/horizon), not the stream's lifetime — the streaming form
+    * of the batch `Dedup.exact` operator. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   start_us: Long, end_us: Long)

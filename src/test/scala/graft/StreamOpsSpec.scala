@@ -32,6 +32,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window counts events in overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = StreamOps.slidingCounts(events, "ts", "10 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(7), 1.0), (ts(8), 2.0))
+      q.processAllAvailable()
+      input.addData((ts(59), 9.0))
+      q.processAllAvailable()
+      // minutes 7 and 8 fall in both the [10:00,10:10) and [10:05,10:15) windows
+      val rows = spark.sql("SELECT n, sum_value FROM sliding ORDER BY window_start")
+        .collect().map(_.toSeq.toList).toList
+      assert(rows.take(2) == List(List(2L, 3.0), List(2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops repeated keys inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = StreamOps.dedupWithinWatermark(events, "ts", Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 5.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), 7.0)) // still a dup within the horizon
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id FROM deduped ORDER BY event_id")
+        .collect().map(_.getLong(0)).toList
+      assert(rows == List(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
