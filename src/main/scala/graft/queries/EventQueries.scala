@@ -51,6 +51,16 @@ object EventQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // JSON function library over the string props column:
+    // scalar-path extraction stays inside codegen (no DOM object
+    // rides between operators)
+    "q_json_funcs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod10"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
     // tumbling hourly window: count + value sum per hour bucket
     "q_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -77,6 +87,13 @@ object EventQueries {
         |SELECT user_id, CAST(sum(gap) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+    "q_json_funcs" ->
+      """WITH k AS (SELECT event_id,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT k % 10 AS k_mod10, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM k GROUP BY 1""".stripMargin,
     "q_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

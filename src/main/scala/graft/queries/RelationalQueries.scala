@@ -153,6 +153,57 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
 
+    // pivot with explicit values — no values-discovery job, so the
+    // plan is a single partial+final aggregate even on a huge table
+    "q_pivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")),
+
+    // window frames beyond row_number: running totals + moving average
+    "q_window_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey").asc)
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(avg(col("o_totalprice")).over(
+          byCust.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg3"),
+        count(lit(1)).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("nth_order"))
+    }),
+
+    // array function family over grouped data: deterministic via
+    // sort_array; arrays leave as joined strings so cross-engine
+    // comparison is scalar
+    "q_array_funcs" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("arr"))
+        .select(
+          col("l_orderkey"),
+          size(col("arr")).cast("long").as("n_items"),
+          concat_ws(",", col("arr")).as("arr_str"),
+          expr("aggregate(slice(arr, 1, 2), 0L, (a, x) -> a + x)").as("first2_sum"),
+          array_contains(col("arr"), 1).cast("int").as("has_line1"))),
+
+    // user-defined aggregate: typed Aggregator planned as
+    // partial+final hash agg exactly like a built-in
+    "q_geomean" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(graft.functions.GeoMean.geoMean(col("l_extendedprice")), 4)
+            .as("geo_price"),
+          count(lit(1)).as("n"))),
+
     // semi/anti joins
     "q_semi_anti" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))
@@ -251,6 +302,35 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth_order
+        |FROM orders""".stripMargin,
+    "q_array_funcs" ->
+      """WITH g AS (SELECT l_orderkey,
+        |             list_sort(list(l_linenumber)) AS arr
+        |           FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(arr) AS BIGINT) AS n_items,
+        |  array_to_string(arr, ',') AS arr_str,
+        |  CAST(list_sum(arr[1:2]) AS BIGINT) AS first2_sum,
+        |  CAST(list_contains(arr, 1) AS INTEGER) AS has_line1
+        |FROM g""".stripMargin,
+    "q_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+        |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_semi_anti" ->
       """SELECT s_suppkey, 'active' AS kind FROM supplier
