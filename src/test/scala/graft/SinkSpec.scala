@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sinks + scan-side pruning: the write paths the reference lacks
+  * entirely (its only output is an in-memory DataFrame) and the two
+  * scan properties that matter most at 100 TB — partition pruning
+  * and predicate pushdown — asserted at the physical-plan level.
+  */
+class SinkSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private val scratch = "target/scratch"
+
+  test("partitioned parquet sink prunes partitions at read time") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = s"$scratch/orders_by_status"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+
+    val back = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    assert(back.count() == orders.filter(col("o_orderstatus") === "F").count())
+    // the filter lands in the scan's PartitionFilters (directory-level
+    // pruning), not as a row-level data filter
+    val scan = back.queryExecution.executedPlan.collectLeaves().head
+    val meta = scan.toString
+    assert(meta.contains("PartitionFilters: [isnotnull(o_orderstatus"), meta)
+    assert(meta.contains("= F)"), meta)
+    // and after execution the scan reports reading exactly one file
+    // (one status directory), not all three
+    back.collect()
+    val numFiles = scan.metrics.get("numFiles").map(_.value)
+    assert(numFiles.contains(1L), s"numFiles=$numFiles")
+  }
+
+  test("predicate and projection reach the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = li.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan)
+  }
+
+  test("round trip through json and orc sinks preserves rows") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.mode("overwrite").json(s"$scratch/nation_json")
+    nation.write.mode("overwrite").orc(s"$scratch/nation_orc")
+    val viaJson = spark.read.json(s"$scratch/nation_json")
+    val viaOrc = spark.read.orc(s"$scratch/nation_orc")
+    assert(viaJson.count() == nation.count())
+    assert(viaOrc.count() == nation.count())
+    // orc keeps the exact schema; json widens but keeps all columns
+    assert(viaOrc.schema == nation.schema)
+    assert(viaJson.columns.sorted.sameElements(nation.columns.sorted))
+  }
+}
