@@ -23,7 +23,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     FlattenQueries.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      PipelineQueries.oracles
 }
