@@ -27,6 +27,12 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("sum_tok"))),
 
+    // deterministic hash sample: stable holdout selection, exact oracle
+    "q_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(
+          Tables(s, dir, "documents"), "doc_id", keep = 3, outOf = 16)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // offset-binned packing: window-function form with an exact oracle
     "q_pack" -> ((s, dir) =>
       Packing.offsetBinned(
@@ -48,6 +54,10 @@ object PipelineQueries {
          |           FROM documents)
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
          |FROM d GROUP BY shard""".stripMargin,
+    "q_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |      % 16 < 3""".stripMargin,
     "q_pack" ->
       s"""WITH d AS (SELECT doc_id, $SHARD_SQL AS shard, $TOK_SQL AS n_tok
          |           FROM documents)

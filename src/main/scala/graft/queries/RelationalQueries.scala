@@ -204,6 +204,16 @@ object RelationalQueries {
             .as("geo_price"),
           count(lit(1)).as("n"))),
 
+    // sketch aggregates: HLL distinct counts — the 100 TB form of
+    // countDistinct (no exact-distinct shuffle explosion). Approximate
+    // by nature -> no SQL oracle; error bound pinned in SamplingSpec
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01)
+          .as("approx_parts"),
+          count(lit(1)).as("n_rows"))),
+
     // semi/anti joins
     "q_semi_anti" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))

@@ -67,6 +67,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join equals naive theta join on random intervals") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rng = new Random(23)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    (1 to 5).foreach { _ =>
+      // random points over ~40 days; random intervals 0-10 days long
+      val pts = (0 until 200).map { i =>
+        Row(i, new java.sql.Timestamp(base + (rng.nextDouble() * 40 * 86400000L).toLong))
+      }
+      val ivs = (0 until 30).map { i =>
+        val s = base + (rng.nextDouble() * 35 * 86400000L).toLong
+        val e = s + (rng.nextDouble() * 10 * 86400000L).toLong
+        Row(i, new java.sql.Timestamp(s), new java.sql.Timestamp(e))
+      }
+      val ptDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pts, 3),
+        StructType(Seq(StructField("pid", IntegerType),
+          StructField("ts", TimestampType))))
+      val ivDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ivs, 2),
+        StructType(Seq(StructField("iid", IntegerType),
+          StructField("s", TimestampType), StructField("e", TimestampType))))
+      val bucketed = graft.operators.RangeJoin
+        .pointInInterval(ptDf, ivDf, "ts", "s", "e")
+        .select("pid", "iid").collect().map(_.toSeq).toSet
+      val naive = ptDf.join(ivDf, col("ts") >= col("s") && col("ts") < col("e"))
+        .select("pid", "iid").collect().map(_.toSeq).toSet
+      assert(bucketed == naive)
+    }
+  }
+
   test("resolution never invents segments and stays unique when it returns") {
     val rng = new Random(17)
     (1 to 200).foreach { _ =>
