@@ -106,10 +106,8 @@ object Dedup {
       col("band"), col("nibble"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
       col("band"), col("nibble"))
-    val hamming = {
-      val x = col("sh_a").bitwiseXOR(col("sh_b"))
-      (0 until 16).map(j => shiftright(x, j).bitwiseAND(lit(1L))).reduce(_ + _)
-    }
+    // single popcount instruction under codegen (vs 16 shift+mask terms)
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
     a.join(b, Seq("band", "nibble"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()

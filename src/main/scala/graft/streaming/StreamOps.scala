@@ -49,6 +49,30 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join on a key plus a time interval: a left
+    * event matches right events with the same key whose timestamp is
+    * in [left.ts - before, left.ts + after]. Both sides carry
+    * watermarks, so join state is evicted once an event can no
+    * longer match — bounded memory on unbounded streams, the
+    * streaming form of the batch range/as-of joins.
+    *
+    * Column contract: key columns share names; the time columns are
+    * `leftTs`/`rightTs` (pre-rename on the caller side). Output =
+    * left row ++ right row.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val cond = keyEq &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after")
+    keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   start_us: Long, end_us: Long)

@@ -71,6 +71,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches key within the time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDF().toDF("user_id", "p_ts", "amount"),
+      clicks.toDF().toDF("user_id", "c_ts", "page"),
+      Seq("user_id"), "p_ts", "c_ts",
+      before = "10 MINUTES", after = "0 MINUTES", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, ts(0), "home"), (1L, ts(25), "pricing"), (2L, ts(1), "home"))
+      purchases.addData((1L, ts(8), 9.99), (2L, ts(30), 5.0))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(59), "x")); purchases.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, page FROM attributed WHERE user_id < 9 ORDER BY user_id, page")
+        .collect().map(_.toSeq.toList).toList
+      // user 1: click at :00 within 10 min before purchase at :08;
+      // the :25 click is after the purchase (after=0) -> excluded;
+      // user 2: click at :01 is 29 min before purchase -> excluded
+      assert(rows == List(List(1L, "home")))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
