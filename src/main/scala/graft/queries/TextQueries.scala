@@ -55,6 +55,20 @@ object TextQueries {
       Tables(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // winnowed (MOSS-style) fingerprints: rolling-window minima over
+    // shingle hashes — all list-level expressions, zero shuffles
+    "text_winnow" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("__w"))
+        .select(col("doc_id"), shinglesOfWords(col("__w"), 3).as("__sh"))
+        .select(col("doc_id"), winnowedMins(col("__sh"), w = 4).as("__mins"))
+        .select(
+          col("doc_id"),
+          size(array_distinct(col("__mins"))).cast("long").as("n_prints"),
+          md5(concat_ws(",",
+            array_sort(array_distinct(col("__mins"))).cast("array<string>")))
+            .as("fp"))),
+
     // TF-IDF top terms per document. Scale shape: tf = one shuffle on
     // (doc, term) with map-side combine; df = second map-combined
     // shuffle on term; tf x df meet in an equi-join on term (NOT
@@ -135,6 +149,30 @@ object TextQueries {
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "text_winnow" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(wl) >= 3 THEN
+        |           list_transform(range(1, len(wl) - 1),
+        |             i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |       FROM w),
+        |hs AS (SELECT doc_id,
+        |         list_transform(s, x ->
+        |           CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)) AS h
+        |       FROM sh),
+        |m AS (SELECT doc_id,
+        |        CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+        |             ELSE list_transform(range(1, greatest(len(h) - 4, 0) + 2),
+        |                    p -> list_min(h[p:p+3]))
+        |        END AS mins
+        |      FROM hs)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(mins)) AS BIGINT) AS n_prints,
+        |  md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp
+        |FROM m""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

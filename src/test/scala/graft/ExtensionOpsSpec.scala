@@ -53,6 +53,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.size <= bf.size)
   }
 
+  test("winnowed fingerprints overlap heavily for near-identical docs") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omicron"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val mins = docs
+      .select(col("doc_id"), shinglesOfWords(words(col("text")), 3).as("sh"))
+      .select(col("doc_id"), winnowedMins(col("sh"), 4).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val j01 = (mins(0L) intersect mins(1L)).size.toDouble /
+      (mins(0L) union mins(1L)).size
+    assert(j01 >= 0.5, s"near-identical docs should share minima, got $j01")
+    assert((mins(0L) intersect mins(2L)).isEmpty)
+    // a doc shorter than one window still yields a fingerprint
+    val short = Seq((9L, "tiny doc here")).toDF("doc_id", "text")
+      .select(shinglesOfWords(words(col("text")), 3).as("sh"))
+      .select(winnowedMins(col("sh"), 4).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(short.length == 1)
+  }
+
   test("simhashPairs finds near-identical docs and respects hamming bound") {
     import spark.implicits._
     val docs = Seq(
