@@ -120,6 +120,39 @@ object Dedup {
     * shingle (only docs sharing a shingle ever meet — at corpus scale
     * add a document-frequency cap on shingles to bound the join
     * fan-out). */
+  /** Near-dup pairs by Jaccard over *winnowed* fingerprint minima —
+    * the production-scale form of [[ngramJaccardPairs]]: winnowing
+    * keeps ~1/w of the shingle hashes (window minima), so the
+    * self-join shuffles a w-times-smaller table and the fan-out per
+    * shared hash shrinks accordingly, while near-identical documents
+    * still share most minima (Schleimer et al. 2003 guarantees every
+    * match of length >= w+k-1 is witnessed). Exact arithmetic over
+    * the sampled sets — oracle-checkable, unlike MinHash's
+    * probabilistic estimate.
+    */
+  def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, window: Int = 4,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val mins = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"), shinglesOfWords(col("__w"), shingleLen).as("__sh"))
+      .select(col("id"),
+        explode(array_distinct(winnowedMins(col("__sh"), window))).as("m"))
+      .persist()
+    val counts = mins.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = mins.select(col("id").as("id_a"), col("m"))
+      .join(mins.select(col("id").as("id_b"), col("m")), Seq("m"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {

@@ -30,6 +30,12 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, minJaccard = 0.5)),
 
+    // Jaccard over winnowed minima: the w-times-cheaper production
+    // form of exact shingle Jaccard (see Dedup.winnowJaccardPairs)
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)),
+
     // embedding cosine near-dup pairs (brute-force, oracle-checkable;
     // LSH variant is the scale path, see knn_lsh)
     "dedup_embedding" -> ((s, dir) =>
@@ -103,10 +109,40 @@ object DedupQueries {
       |FROM q a JOIN q b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.42""".stripMargin
 
+  private val winnowOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+      |           FROM documents),
+      |shl AS (SELECT doc_id,
+      |          CASE WHEN len(wl) >= 3 THEN
+      |            list_transform(range(1, len(wl) - 1),
+      |              i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+      |          ELSE CAST([] AS VARCHAR[]) END AS s
+      |        FROM w),
+      |hs AS (SELECT doc_id,
+      |         list_transform(s, x ->
+      |           CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)) AS h
+      |       FROM shl),
+      |mins AS (SELECT DISTINCT doc_id, unnest(
+      |           CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+      |                ELSE list_transform(range(1, greatest(len(h) - 4, 0) + 2),
+      |                       p -> list_min(h[p:p+3]))
+      |           END) AS m
+      |         FROM hs),
+      |n AS (SELECT doc_id, count(*) AS c FROM mins GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |      FROM mins a JOIN mins b ON a.m = b.m AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter * 1.0 / (na.c + nb.c - inter), 4) AS jaccard
+      |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+      |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_winnow" -> winnowOracle,
     "dedup_embedding" -> embeddingOracle
   )
 }
