@@ -57,6 +57,27 @@ object Multimodal {
     }(encoder)
   }
 
+  /** STUB resize: deterministic truncation of the payload to
+    * `targetBytes` — stands in for a real image resize while keeping
+    * the binary-in/binary-out column contract (narrow, codegen'd;
+    * a real resize plugs into [[mapBatches]] instead when it needs
+    * per-batch codec state). */
+  def resizeStub(df: DataFrame, binCol: String, targetBytes: Int = 256): DataFrame =
+    df.withColumn("resized", col(binCol).substr(lit(1), lit(targetBytes)))
+
+  /** STUB feature extractor: a deterministic pseudo-embedding
+    * (md5-derived floats in [-1, 1)) with the exact schema a real
+    * vision/audio encoder would emit (`array<float>`), so the
+    * downstream Similarity/Dedup operators run unchanged. Chain:
+    * payloads -> [[resizeStub]] -> embedStub -> `Similarity.*TopK`.
+    */
+  def embedStub(df: DataFrame, binCol: String, dim: Int = 8): DataFrame =
+    df.withColumn("embedding",
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (conv(substring(md5(concat(j.cast("string"), base64(col(binCol)))), 1, 12),
+          16, 10).cast("double") / lit((1L << 48).toDouble) * 2.0 - 1.0)
+          .cast("float")))
+
   /** STUB frame sampler for video-ish payloads: every `stride`-th
     * byte as a "frame id" — stands in for frame extraction while
     * exercising array-of-binary schema. */

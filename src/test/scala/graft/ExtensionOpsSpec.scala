@@ -130,6 +130,25 @@ class ExtensionOpsSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size} too low for planted near-dups")
   }
 
+  test("multimodal end to end: payload -> resize -> embed -> kNN") {
+    import spark.implicits._
+    val payloads = (0L until 40L)
+      .map(i => (i, Array.fill((i % 7 + 3).toInt * 50)((i % 251).toByte)))
+      .toDF("item_id", "payload")
+    val resized = Multimodal.resizeStub(payloads, "payload", targetBytes = 64)
+    assert(resized.select(max(length(col("resized")))).head.getInt(0) <= 64)
+    val embedded = Multimodal.embedStub(resized, "resized", dim = 8)
+    val vec = embedded.select("embedding").head.getSeq[Float](0)
+    assert(vec.length == 8 && vec.forall(v => v >= -1f && v < 1f))
+    // the pseudo-embeddings feed the real ANN operator unchanged
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      embedded.filter(col("item_id") < 2), embedded,
+      "item_id", "item_id", "embedding", k = 5)
+    val byQ = knn.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach(rs => assert(rs.length == 5))
+  }
+
   test("multimodal batch decode plumbing (stubbed codec)") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "defghij")).toDF("id", "text")
