@@ -204,6 +204,22 @@ object RelationalQueries {
             .as("geo_price"),
           count(lit(1)).as("n"))),
 
+    // outer joins with null-side markers (inner/semi/anti covered
+    // elsewhere; this pins the null-extension semantics)
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("orderkey"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_orderkey").isNull, "customer_only")
+            .otherwise("both").as("kind"))
+    }),
+
     // sketch aggregates: HLL distinct counts — the 100 TB form of
     // countDistinct (no exact-distinct shuffle explosion). Approximate
     // by nature -> no SQL oracle; error bound pinned in SamplingSpec
@@ -342,6 +358,13 @@ object RelationalQueries {
         |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_outer_join" ->
+      """SELECT coalesce(c_custkey, -1) AS custkey,
+        |  coalesce(o_orderkey, -1) AS orderkey,
+        |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |       WHEN o_orderkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS kind
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
     "q_semi_anti" ->
       """SELECT s_suppkey, 'active' AS kind FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
