@@ -67,13 +67,15 @@ object Graft {
 final case class GraftFrame(df: DataFrame) {
 
   /** `node.flatten(...)` (nodes.py:298-312): explode-chain planning,
-    * single-list-path rule, clusions, name resolution. */
+    * single-list-path rule, clusions, name resolution. Returns a
+    * [[GraftFrame]] so node methods keep chaining; the implicit
+    * conversion hands back a `DataFrame` wherever one is expected. */
   def flatten(strategy: FlattenStrategy = FlattenStrategy.FlattenAll,
               nameStrategy: NameStrategy = NameStrategy.ConcatenateConflicts,
               join: FlattenJoin = FlattenJoin.Inner,
               include: ClusionInput = Empty,
-              exclude: ClusionInput = Empty): DataFrame =
-    Flatten.flatten(df, strategy, nameStrategy, join, include, exclude)
+              exclude: ClusionInput = Empty): GraftFrame =
+    GraftFrame(Flatten.flatten(df, strategy, nameStrategy, join, include, exclude))
 
   /** `node.info(depth)` (nodes.py:406-413): compact schema tree. */
   def info(depth: Int = 3): String = SchemaInfo.render(df.schema, depth)

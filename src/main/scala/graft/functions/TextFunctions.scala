@@ -49,30 +49,31 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
-  /** Winnowed fingerprint minima (the MOSS/winnowing algorithm,
-    * Schleimer et al. 2003): hash every k-gram shingle to a 48-bit
-    * integer, slide a window of `w` consecutive shingle hashes, keep
-    * each window's minimum. Near-identical documents share most
-    * minima; position-robust unlike whole-doc hashes. The rolling
-    * window runs as list-level expressions (`transform`/`slice`/
-    * `array_min`) over the projected shingle array — partition-local,
-    * no explode, and integer md5 arithmetic replays exactly in SQL.
-    * Docs with fewer than w windows contribute the min of what they
-    * have; docs with no shingles yield an empty array.
+  /** 48-bit hash per shingle (first 12 md5 hex digits as BIGINT —
+    * portable: DuckDB `CAST('0x'||substring(md5(s),1,12) AS BIGINT)`).
+    * MUST be materialized in its own projection before feeding
+    * [[winnowedMins]]: HOF lambdas are interpreted with no common-
+    * subexpression elimination, so an inline hash array would be
+    * recomputed for every window — O(shingles^2) md5 calls per doc.
     */
-  def winnowedMins(shingleArr: Column, w: Int = 4): Column = {
-    val hs = transform(shingleArr,
-      s => expr_conv(md5(s)))
-    when(size(shingleArr) === 0, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0), greatest(size(hs) - w, lit(0))),
-        p => array_min(slice(hs, p + 1, lit(w)))))
-  }
+  def shingleHashes48(shingleArr: Column): Column =
+    transform(shingleArr, s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
 
-  /** First 12 hex digits of an md5 as a 48-bit BIGINT (portable:
-    * DuckDB CAST('0x'||substring(...)). */
-  private def expr_conv(md5Hex: Column): Column =
-    conv(substring(md5Hex, 1, 12), 16, 10).cast("long")
+  /** Winnowed fingerprint minima (the MOSS/winnowing algorithm,
+    * Schleimer et al. 2003) over a *pre-projected* [[shingleHashes48]]
+    * array: slide a window of `w` consecutive hashes, keep each
+    * window's minimum. Near-identical documents share most minima;
+    * position-robust unlike whole-doc hashes. The rolling window runs
+    * as list-level expressions (`transform`/`slice`/`array_min`) —
+    * partition-local, no explode, exact-replayable in SQL. Docs with
+    * fewer than w windows contribute the min of what they have; docs
+    * with no shingles yield an empty array.
+    */
+  def winnowedMins(hashArr: Column, w: Int = 4): Column =
+    when(size(hashArr) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), greatest(size(hashArr) - w, lit(0))),
+        p => array_min(slice(hashArr, p + 1, lit(w)))))
 
   /** Per-seed MinHash value: lexicographic min of seeded MD5 over the
     * document's shingles. Null for docs with no shingles.

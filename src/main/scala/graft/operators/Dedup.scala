@@ -116,10 +116,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs: distinct shingles self-joined on the
-    * shingle (only docs sharing a shingle ever meet — at corpus scale
-    * add a document-frequency cap on shingles to bound the join
-    * fan-out). */
+  /** Shared Jaccard tail over a distinct `(id, token)` relation:
+    * per-id set sizes, shared-token self-join for intersections, and
+    * the exact |A∩B| / (|A|+|B|-|A∩B|) ratio rounded to 4 dp (the
+    * oracle-portable arithmetic). The relation is persisted because
+    * it feeds both join sides plus the count — the cache lives until
+    * session end, bounded by one relation per operator invocation.
+    */
+  private def jaccardFromTokens(tokens: DataFrame, minJaccard: Double): DataFrame = {
+    val t = tokens.persist()
+    val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = t.select(col("id").as("id_a"), col("tok"))
+      .join(t.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Near-dup pairs by Jaccard over *winnowed* fingerprint minima —
     * the production-scale form of [[ngramJaccardPairs]]: winnowing
     * keeps ~1/w of the shingle hashes (window minima), so the
@@ -132,55 +151,36 @@ object Dedup {
     */
   def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, window: Int = 4,
-                         minJaccard: Double = 0.5): DataFrame = {
-    val mins = df
-      .select(col(idCol).as("id"), words(col(textCol)).as("__w"))
-      .select(col("id"), shinglesOfWords(col("__w"), shingleLen).as("__sh"))
-      .select(col("id"),
-        explode(array_distinct(winnowedMins(col("__sh"), window))).as("m"))
-      .persist()
-    val counts = mins.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = mins.select(col("id").as("id_a"), col("m"))
-      .join(mins.select(col("id").as("id_b"), col("m")), Seq("m"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+                         minJaccard: Double = 0.5): DataFrame =
+    jaccardFromTokens(
+      df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+        .select(col("id"), shinglesOfWords(col("__w"), shingleLen).as("__sh"))
+        .select(col("id"), shingleHashes48(col("__sh")).as("__hs"))
+        .select(col("id"),
+          explode(array_distinct(winnowedMins(col("__hs"), window))).as("tok")),
+      minJaccard)
 
+  /** Exact n-gram Jaccard pairs: distinct shingles self-joined on the
+    * shingle (only docs sharing a shingle ever meet). `maxDocFreq`
+    * caps shingle document frequency at corpus scale: shingles in
+    * more than that many documents are dropped BEFORE the self-join,
+    * bounding its fan-out to maxDocFreq^2 per shingle; Jaccard is
+    * then computed over the capped shingle sets (a documented
+    * approximation — near-duplicates share plenty of rare shingles).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val raw = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
-      .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("s"))
+      .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("tok"))
       .distinct()
-    // optional stop-shingle cap: at corpus scale, shingles appearing in
-    // more than maxDocFreq documents are dropped BEFORE the self-join,
-    // bounding its fan-out to maxDocFreq^2 per shingle; Jaccard is then
-    // computed over the capped shingle sets (a documented approximation
-    // -- near-duplicates share plenty of rare shingles)
-    val sh = (if (maxDocFreq == Int.MaxValue) raw
+    val capped =
+      if (maxDocFreq == Int.MaxValue) raw
       else {
-        val rare = raw.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select(col("s"))
-        raw.join(rare, "s")
-      }).persist() // feeds both join sides + the count
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("id_a"), col("s"))
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+        val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select(col("tok"))
+        raw.join(rare, "tok")
+      }
+    jaccardFromTokens(capped, minJaccard)
   }
 }

@@ -29,19 +29,29 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner join `points` to `intervals` on
-    * `start <= point < end` (half-open), bucketed by calendar day.
+    * `start <= point < end` (half-open), bucketed at `bucket`
+    * granularity (a `date_trunc` unit: HOUR / DAY / WEEK / MONTH —
+    * pick the one nearest the median interval length so the explode
+    * factor stays O(1)).
+    *
+    * Malformed intervals (`end < start`) match nothing — same result
+    * as the theta-join this operator replaces — rather than blowing
+    * up `sequence` with reversed boundaries.
     *
     * @param points    frame containing `ptCol` (timestamp)
     * @param intervals frame containing `startCol`/`endCol` (timestamp)
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
-                      ptCol: String, startCol: String, endCol: String): DataFrame = {
-    val bucketed = intervals.withColumn("__bucket",
-      explode(sequence(
-        date_trunc("DAY", col(startCol)),
-        date_trunc("DAY", col(endCol)),
-        expr("INTERVAL 1 DAY"))))
-    val pts = points.withColumn("__bucket", date_trunc("DAY", col(ptCol)))
+                      ptCol: String, startCol: String, endCol: String,
+                      bucket: String = "DAY"): DataFrame = {
+    val bucketed = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          date_trunc(bucket, col(startCol)),
+          date_trunc(bucket, col(endCol)),
+          expr(s"INTERVAL 1 $bucket"))))
+    val pts = points.withColumn("__bucket", date_trunc(bucket, col(ptCol)))
     pts.join(bucketed, Seq("__bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")

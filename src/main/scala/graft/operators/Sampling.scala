@@ -28,7 +28,5 @@ object Sampling {
     * consistently re-derived (the trick behind stable eval-set
     * holdouts). Keeps ~k/b of rows. */
   def hashSample(df: DataFrame, idCol: String, keep: Int, outOf: Int): DataFrame =
-    df.filter(
-      expr(s"conv(substring(md5(cast($idCol AS STRING)), 1, 6), 16, 10) % $outOf")
-        .cast("long") < keep)
+    df.filter(Packing.shardId(idCol, outOf) < keep)
 }

@@ -265,7 +265,12 @@ object Similarity {
         var d = 0; var s = 0.0
         val n = math.min(v.length, cv.length)
         while (d < n) { s += v(d).toDouble * cv(d).toDouble; d += 1 }
-        cid -> round6(s / math.sqrt(sv * sc))
+        val cosine = s / math.sqrt(sv * sc)
+        // zero-norm or NaN-element vectors score NaN against every
+        // centroid; map that below any real cosine so they assign to
+        // the smallest centroid id (deterministic, still findable)
+        // instead of an unprobed -1 cell / arbitrary NaN sort order
+        cid -> (if (cosine.isNaN) -2.0 else round6(cosine))
       }
     }
     val assignU = udf { (v: Seq[Float]) =>

@@ -61,7 +61,8 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("__w"))
         .select(col("doc_id"), shinglesOfWords(col("__w"), 3).as("__sh"))
-        .select(col("doc_id"), winnowedMins(col("__sh"), w = 4).as("__mins"))
+        .select(col("doc_id"), shingleHashes48(col("__sh")).as("__hs"))
+        .select(col("doc_id"), winnowedMins(col("__hs"), w = 4).as("__mins"))
         .select(
           col("doc_id"),
           size(array_distinct(col("__mins"))).cast("long").as("n_prints"),
@@ -80,7 +81,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        explode(words(col("text"))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

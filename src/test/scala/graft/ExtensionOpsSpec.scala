@@ -63,7 +63,8 @@ class ExtensionOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val mins = docs
       .select(col("doc_id"), shinglesOfWords(words(col("text")), 3).as("sh"))
-      .select(col("doc_id"), winnowedMins(col("sh"), 4).as("m"))
+      .select(col("doc_id"), shingleHashes48(col("sh")).as("hs"))
+      .select(col("doc_id"), winnowedMins(col("hs"), 4).as("m"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val j01 = (mins(0L) intersect mins(1L)).size.toDouble /
       (mins(0L) union mins(1L)).size
@@ -72,7 +73,8 @@ class ExtensionOpsSpec extends SparkSpec {
     // a doc shorter than one window still yields a fingerprint
     val short = Seq((9L, "tiny doc here")).toDF("doc_id", "text")
       .select(shinglesOfWords(words(col("text")), 3).as("sh"))
-      .select(winnowedMins(col("sh"), 4).as("m"))
+      .select(shingleHashes48(col("sh")).as("hs"))
+      .select(winnowedMins(col("hs"), 4).as("m"))
       .collect().head.getSeq[Long](0)
     assert(short.length == 1)
   }
