@@ -116,6 +116,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * the group-resolution step that turns pairwise matches into a
+    * canonical keep/drop decision (component label = smallest id in
+    * the group, the conventional survivor).
+    *
+    * Iterative min-label propagation: each round, every node lowers
+    * its label to the minimum of its own and its neighbors' labels —
+    * one equi-join + one map-combined min aggregate per round, and
+    * labels only ever decrease, so the fixpoint is exact. Converges
+    * in O(component diameter) rounds; near-dup clusters are
+    * star-like (diameter 2-4), so a handful of shuffles settles even
+    * a 100 TB corpus. `localCheckpoint` cuts the growing lineage each
+    * round (the standard iterative-DataFrame pattern; GraphFrames'
+    * alternating large-star/small-star is the O(log n) upgrade if
+    * pathological chain-shaped components ever matter).
+    *
+    * @param ids universe of node ids (isolated nodes keep their own
+    *            id as component)
+    */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = ids.select(col(idCol).cast("long").as("id"))
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nmin"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          labels("component").as("old"),
+          least(labels("component"), coalesce(col("nmin"), labels("component")))
+            .as("component"))
+        .localCheckpoint() // cut lineage before the convergence action
+      changed = updated.filter(col("component") =!= col("old")).count()
+      labels = updated.select(col("id"), col("component"))
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Shared Jaccard tail over a distinct `(id, token)` relation:
     * per-id set sizes, shared-token self-join for intersections, and
     * the exact |A∩B| / (|A|+|B|-|A∩B|) ratio rounded to 4 dp (the

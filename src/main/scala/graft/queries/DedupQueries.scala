@@ -36,6 +36,16 @@ object DedupQueries {
       Dedup.winnowJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, window = 4, minJaccard = 0.3)),
 
+    // near-dup group resolution: connected components over the
+    // winnow pair graph; component label = surviving doc id
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)
+      Dedup.connectedComponents(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // embedding cosine near-dup pairs (brute-force, oracle-checkable;
     // LSH variant is the scale path, see knn_lsh)
     "dedup_embedding" -> ((s, dir) =>
@@ -109,8 +119,10 @@ object DedupQueries {
       |FROM q a JOIN q b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.42""".stripMargin
 
-  private val winnowOracle: String =
-    """WITH w AS (SELECT doc_id,
+  // CTE list shared by the winnow pair oracle and the components
+  // oracle (which closes over the same pair graph recursively)
+  private val winnowCtes: String =
+    """w AS (SELECT doc_id,
       |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
       |           FROM documents),
       |shl AS (SELECT doc_id,
@@ -132,17 +144,38 @@ object DedupQueries {
       |n AS (SELECT doc_id, count(*) AS c FROM mins GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |      FROM mins a JOIN mins b ON a.m = b.m AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  round(inter * 1.0 / (na.c + nb.c - inter), 4) AS jaccard
-      |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
-      |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.3""".stripMargin
+      |      GROUP BY 1, 2),
+      |wpairs AS (SELECT id_a, id_b
+      |      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+      |      WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.3)""".stripMargin
+
+  private val winnowOracle: String =
+    s"""WITH $winnowCtes
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (na.c + nb.c - inter), 4) AS jaccard
+       |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+       |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.3""".stripMargin
+
+  // reachability closure over the winnow pair graph; component =
+  // smallest reachable id (including self, so isolated docs keep
+  // their own id)
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE $winnowCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       |        UNION SELECT id_b, id_a FROM wpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+       |FROM reach GROUP BY a""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_winnow" -> winnowOracle,
+    "dedup_components" -> componentsOracle,
     "dedup_embedding" -> embeddingOracle
   )
 }

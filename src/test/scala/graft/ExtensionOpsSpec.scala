@@ -53,6 +53,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.size <= bf.size)
   }
 
+  test("connectedComponents resolves chains, cliques and isolated nodes") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                    // path
+      (10L, 11L),                            // pair
+      (20L, 21L), (21L, 22L), (22L, 20L),    // triangle
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // diameter-4 chain
+    ).toDF("id_a", "id_b")
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L) ++ (20L to 22L) ++ (30L to 34L))
+      .toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
+    assert(got == want)
+  }
+
   test("winnowed fingerprints overlap heavily for near-identical docs") {
     import spark.implicits._
     import graft.functions.TextFunctions._
