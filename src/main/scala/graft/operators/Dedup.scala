@@ -141,7 +141,9 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = ids.select(col(idCol).cast("long").as("id"))
+    // ids pass through untouched — min/least propagate any orderable
+    // id type, so no narrowing cast
+    var labels = ids.select(col(idCol).as("id"))
       .withColumn("component", col("id")).localCheckpoint()
     var changed = 1L
     var round = 0
@@ -155,13 +157,18 @@ object Dedup {
           labels("component").as("old"),
           least(labels("component"), coalesce(col("nmin"), labels("component")))
             .as("component"))
-        .localCheckpoint() // cut lineage before the convergence action
+        .localCheckpoint() // eager: cut lineage, materialize this round
       changed = updated.filter(col("component") =!= col("old")).count()
-      labels = updated.select(col("id"), col("component"))
+      labels.unpersist() // previous round's checkpoint blocks released
+      labels = updated
       round += 1
     }
     edges.unpersist()
-    labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component min-distance exceeds maxIter); raise maxIter")
+    labels.select(col("id"), col("component"))
   }
 
   /** Shared Jaccard tail over a distinct `(id, token)` relation:

@@ -74,13 +74,15 @@ object Multimodal {
   def embedStub(df: DataFrame, binCol: String, dim: Int = 8): DataFrame =
     df.withColumn("embedding",
       transform(sequence(lit(0), lit(dim - 1)),
-        j => least(
-          conv(substring(md5(concat(j.cast("string"), base64(col(binCol)))), 1, 12),
-            16, 10).cast("double") / lit((1L << 48).toDouble) * 2.0 - 1.0,
-          // clamp below 1: the double->float cast would otherwise round
-          // values in (1 - 2^-25, 1) up to exactly 1.0f, breaking the
-          // documented [-1, 1) contract
-          lit(0.99999994)).cast("float")))
+        j => {
+          val x = conv(substring(md5(concat(j.cast("string"), base64(col(binCol)))), 1, 12),
+            16, 10).cast("double") / lit((1L << 48).toDouble) * 2.0 - 1.0
+          // clamp below 1 (the double->float cast would round values in
+          // (1 - 2^-25, 1) up to exactly 1.0f); when/otherwise rather
+          // than least() so a NULL payload keeps a NULL element instead
+          // of collapsing onto a shared constant vector
+          when(x > lit(0.99999994), lit(0.99999994)).otherwise(x).cast("float")
+        }))
 
   /** STUB frame sampler for video-ish payloads: every `stride`-th
     * byte as a "frame id" — stands in for frame extraction while

@@ -41,9 +41,15 @@ object RangeJoin {
     * @param points    frame containing `ptCol` (timestamp)
     * @param intervals frame containing `startCol`/`endCol` (timestamp)
     */
+  private val BucketUnits = Set("HOUR", "DAY", "WEEK", "MONTH")
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: String, startCol: String, endCol: String,
                       bucket: String = "DAY"): DataFrame = {
+    // an unknown unit would make date_trunc return NULL for every row
+    // and the join silently empty — fail loudly instead
+    require(BucketUnits.contains(bucket.toUpperCase),
+      s"bucket must be one of $BucketUnits, got '$bucket'")
     val bucketed = intervals
       .filter(col(endCol) >= col(startCol))
       .withColumn("__bucket",
