@@ -231,6 +231,24 @@ class FlattenSpec extends SparkSpec {
     assert(rows2.toSet == Set(List(1L, "a"), List(1L, "b"), List(2L, "c")))
   }
 
+  test("flatten is narrow: no Exchange in the physical plan") {
+    // the core 100 TB claim — the explode chain is Generate+Project
+    // over the scan, so flattening never shuffles at any scale
+    val nested = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct("o_orderkey", "o_totalprice"))
+        .as("orders"))
+    // materialize the nested shape, then plan flatten alone
+    val path = "target/scratch/nested_orders"
+    nested.write.mode("overwrite").parquet(path)
+    val flat = Flatten.flatten(spark.read.parquet(path))
+    val plan = flat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(flat.count() > 0)
+  }
+
   test("deep single path across records and nested arrays") {
     // array<struct<x, y: array<struct<a, b>>>> — the arrow_tests
     // list-of-struct flatten golden (arrow_tests.py:247-252)
