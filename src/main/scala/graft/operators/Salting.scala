@@ -25,6 +25,28 @@ object Salting {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Two-tier skew join — the production form of [[saltedJoin]]:
+    * only rows whose key is in `hotKeys` pay the salt/replicate cost;
+    * everything else takes the plain equi-join path. The naive form
+    * replicates the entire build side `buckets` times; here the
+    * replication factor applies to the handful of hot keys only, so
+    * the extra shuffle volume is O(hot rows x buckets) regardless of
+    * corpus size. Semantically identical to `skewed.join(other, key)`
+    * for any inner equi-join (the two tiers partition the key space).
+    *
+    * Hot keys are an explicit argument: at 100 TB you know them
+    * (power-law user ids, null-ish defaults) or detect them with a
+    * cheap sampled count; AQE's skew handling is the runtime fallback
+    * when you don't.
+    */
+  def hotKeySaltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                       hotKeys: Seq[Any], buckets: Int = 8): DataFrame = {
+    val isHot = col(key).isin(hotKeys: _*)
+    val hot = saltedJoin(skewed.filter(isHot), other.filter(isHot), key, buckets)
+    val cold = skewed.filter(!isHot).join(other.filter(!isHot), Seq(key))
+    hot.unionByName(cold)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate
     * on (key, salt), then final aggregate on key. For algebraic
     * aggregates this is what map-side partial aggregation already
