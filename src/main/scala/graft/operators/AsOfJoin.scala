@@ -21,21 +21,29 @@ object AsOfJoin {
 
   /** @param rightCols right columns to carry (renamed as given);
     *                   must not collide with left column names.
+    * @param tolerance  optional max lookback in the time columns'
+    *                   own (numeric) units — a match older than
+    *                   `leftTime - tolerance` comes back as null,
+    *                   pandas merge_asof-style. Requires numeric
+    *                   (epoch) time columns.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[(String, String)]): DataFrame = {
+               rightCols: Seq[(String, String)],
+               tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
     val leftCols = left.columns.toSeq
+    val pType = payloadType(right, rightCols, rightTime)
 
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__payload", lit(null).cast(payloadType(right, rightCols)))
+      .withColumn("__payload", lit(null).cast(pType))
     val rTagged = right
       .select((keys.map(col) :+ col(rightTime).as("__t")) ++
         Seq(lit(0).as("__side"),
-          struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+          struct((rightCols.map { case (src, dst) => col(src).as(dst) } :+
+            col(rightTime).as("__mt")).toSeq: _*)
             .as("__payload")): _*)
     // align schemas: right side lacks left payload columns
     val rAligned = leftCols.foldLeft(rTagged) { (df, c) =>
@@ -47,8 +55,14 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val rawMatch = last(col("__payload"), ignoreNulls = true).over(w)
     val joined = lTagged.unionByName(rAligned)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", tolerance match {
+        case None => rawMatch
+        case Some(t) =>
+          when(col("__t").cast("long") - rawMatch.getField("__mt").cast("long") <= t,
+            rawMatch).otherwise(lit(null).cast(pType))
+      })
       .filter(col("__side") === 1)
 
     val out: Seq[Column] = leftCols.map(col) ++
@@ -56,8 +70,10 @@ object AsOfJoin {
     joined.select(out: _*)
   }
 
-  private def payloadType(right: DataFrame, rightCols: Seq[(String, String)]) =
-    org.apache.spark.sql.types.StructType(rightCols.map { case (src, dst) =>
-      right.schema(src).copy(name = dst)
-    }.toSeq)
+  private def payloadType(right: DataFrame, rightCols: Seq[(String, String)],
+                          rightTime: String) =
+    org.apache.spark.sql.types.StructType(
+      rightCols.map { case (src, dst) =>
+        right.schema(src).copy(name = dst)
+      }.toSeq :+ right.schema(rightTime).copy(name = "__mt"))
 }
