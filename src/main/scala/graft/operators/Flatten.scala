@@ -141,7 +141,7 @@ object Flatten {
     def hasList: Boolean = spine.nonEmpty
   }
 
-  private def validatePath(schema: StructType, path: List[String]): Unit = {
+  private[graft] def validatePath(schema: StructType, path: List[String]): Unit = {
     var dt: DataType = schema
     path.foreach { seg =>
       dt = stripArrays(dt) match {

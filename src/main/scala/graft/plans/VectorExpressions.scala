@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,10 +26,32 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 
+  /** Enforced at analysis time: without this, array<double> input
+    * would pass BinaryExpression's default no-op check and getFloat
+    * would read 4-byte halves of 8-byte doubles — silently wrong
+    * scores. Callers with double arrays must cast("array<float>")
+    * explicitly (and knowingly drop precision). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = ArrayType(FloatType)
+    def base(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (base(left.dataType) && base(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two ${ok.simpleString} arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch is always a data error (mixed embedding
+    // versions); surface it instead of a plausible truncated score
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: mismatched vector lengths ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -44,7 +67,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: mismatched vector lengths " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);

@@ -26,11 +26,22 @@ import graft.operators.{ClusionInput, Clusions, ColumnFilter}
 object Sources {
   import ClusionInput.Empty
 
+  /** Validate every clusion path against the full schema (the same
+    * walk Flatten does), then build the filter: a typo'd include
+    * must throw, not silently prune the frame to zero columns.
+    */
+  private[graft] def validatedFilter(full: StructType, include: ClusionInput,
+                                     exclude: ClusionInput): ColumnFilter = {
+    (Clusions.paths(include) ++ Clusions.paths(exclude))
+      .foreach(graft.operators.Flatten.validatePath(full, _))
+    Clusions.convert(include, exclude)
+  }
+
   def readParquet(spark: SparkSession, path: String,
                   include: ClusionInput = Empty,
                   exclude: ClusionInput = Empty): DataFrame = {
     val full = spark.read.parquet(path).schema // footer-only read
-    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    val pruned = pruneSchema(full, validatedFilter(full, include, exclude))
     spark.read.schema(pruned).parquet(path)
   }
 
@@ -38,7 +49,7 @@ object Sources {
               include: ClusionInput = Empty,
               exclude: ClusionInput = Empty): DataFrame = {
     val full = spark.read.orc(path).schema
-    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    val pruned = pruneSchema(full, validatedFilter(full, include, exclude))
     spark.read.schema(pruned).orc(path)
   }
 
@@ -62,7 +73,7 @@ object Sources {
       r
     }
     val full = schema.getOrElse(reader.json(path).schema)
-    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    val pruned = pruneSchema(full, validatedFilter(full, include, exclude))
     reader.schema(pruned).json(path)
   }
 
@@ -77,7 +88,7 @@ object Sources {
                include: ClusionInput = Empty,
                exclude: ClusionInput = Empty): DataFrame = {
     val full = spark.read.format("graft-avro").load(path).schema
-    val pruned = pruneSchema(full, Clusions.convert(include, exclude))
+    val pruned = pruneSchema(full, validatedFilter(full, include, exclude))
     spark.read.schema(pruned).format("graft-avro").load(path)
   }
 
@@ -129,7 +140,16 @@ object Sources {
                         defaultInclude: Boolean): Option[DataType] = dt match {
     case st: StructType => pruneStruct(st, cf, inherited, defaultInclude)
     case ArrayType(e, n) => pruneType(e, cf, inherited, defaultInclude).map(ArrayType(_, n))
-    case MapType(k, v, n) => pruneType(v, cf, inherited, defaultInclude).map(MapType(k, _, n))
+    case MapType(k, v, n) =>
+      // maps address their contents through the synthetic key/value
+      // fields, exactly as Flatten's stripArrays models them — so the
+      // same clusion string ("m.value.x") means the same thing in
+      // both public APIs. A spec without key/value segments applies
+      // to the value type directly (a bare "m" include/exclude).
+      val vf = if (cf.fields.contains("value") || cf.fields.contains("key"))
+        cf.fields.getOrElse("value", emptyFilter) else cf
+      val childInherited = !vf.excludeExplicit && (inherited || vf.includeExplicit)
+      pruneType(v, vf, childInherited, defaultInclude).map(MapType(k, _, n))
     case other => Some(other)
   }
 }

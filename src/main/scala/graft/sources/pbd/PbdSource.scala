@@ -84,7 +84,7 @@ object PbdSource {
     val file = parseFile(bytes)
     val full = schemaOf(file.root, file.registry)
     val pruned = Sources.pruneSchema(full,
-      Clusions.convert(include, exclude))
+      Sources.validatedFilter(full, include, exclude))
     val rootMsg = file.root
     val registry = file.registry
 

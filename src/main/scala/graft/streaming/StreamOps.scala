@@ -79,32 +79,53 @@ object StreamOps {
   final case class SessionState(n: Long, startUs: Long, lastUs: Long)
 
   /** Session windows via per-key custom state: a session closes after
-    * `gapMinutes` of inactivity (processing-time timeout drives
-    * emission). The mapGroupsWithState form — bounded state per key,
-    * shuffled once on user_id. */
+    * `gapMinutes` of event-time inactivity — either because a later
+    * event for the key arrives past the gap, or because the
+    * event-time timeout fires (the watermark passed the session's
+    * last event + gap), which emits the final open session and
+    * REMOVES the key's state. Both paths together bound the state:
+    * without the timeout branch a key that goes silent would pin its
+    * open session in the state store forever. Event-time (not
+    * processing-time) timeouts keep the operator deterministic and
+    * replayable. Shuffled once on user_id. */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
   : Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.groupByKey(_.user_id)
+    val gapMs = gapMinutes * 60L * 1000L
+    val watermarked = events.toDF()
+      .withWatermark("ts", s"$gapMinutes minutes").as[SessionEvent]
+    watermarked.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, evs, state: GroupState[SessionState]) =>
-          // batch-of-events per trigger: fold events in ts order,
-          // emitting summaries when a gap closes a session
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L))
-          val out = Seq.newBuilder[SessionSummary]
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            if (st.n == 0L) st = SessionState(1L, us, us)
-            else if (us - st.lastUs > gapUs) {
-              out += SessionSummary(user, st.n, st.startUs, st.lastUs)
-              st = SessionState(1L, us, us)
-            } else st = SessionState(st.n + 1, st.startUs, us)
+          if (state.hasTimedOut) {
+            // inactivity expiry: flush the open session, evict the key
+            val out = state.getOption.toSeq.filter(_.n > 0L)
+              .map(st => SessionSummary(user, st.n, st.startUs, st.lastUs))
+            state.remove()
+            out.iterator
+          } else {
+            // batch-of-events per trigger: fold events in ts order,
+            // emitting summaries when a gap closes a session
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L))
+            val out = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st.n == 0L) st = SessionState(1L, us, us)
+              else if (us - st.lastUs > gapUs) {
+                out += SessionSummary(user, st.n, st.startUs, st.lastUs)
+                st = SessionState(1L, us, us)
+              } else st = SessionState(st.n + 1, st.startUs, us)
+            }
+            state.update(st)
+            // evict once the watermark passes the inactivity gap (the
+            // timestamp must sit above the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, st.lastUs / 1000L + gapMs))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }
