@@ -3,8 +3,11 @@ package graft.sources
 import java.io.{ByteArrayOutputStream, FileInputStream}
 import java.nio.channels.Channels
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.VectorUnloader
+import org.apache.arrow.vector.{FieldVector, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.dictionary.DictionaryEncoder
 import org.apache.arrow.vector.ipc.ArrowStreamReader
 import org.apache.arrow.vector.ipc.message.MessageSerializer
 import org.apache.arrow.vector.ipc.WriteChannel
@@ -32,17 +35,46 @@ object ArrowSource {
     val reader = new ArrowStreamReader(in, alloc)
     try {
       val root = reader.getVectorSchemaRoot
-      val schema = ArrowBridge.schemaFromArrow(root.getSchema)
+      val hasDict = root.getSchema.getFields.asScala.exists(_.getDictionary != null)
+      var schema = ArrowBridge.schemaFromArrow(root.getSchema)
       val batches = Iterator.unfold(()) { _ =>
         if (reader.loadNextBatch()) {
-          val unloader = new VectorUnloader(root)
-          val recordBatch = unloader.getRecordBatch
+          // materialize dictionary-encoded columns: the record batch
+          // alone carries only index codes — without decoding against
+          // the reader's dictionary vectors, Spark would see integer
+          // codes where the data has values (reference handling:
+          // arrow.cpp:253-274)
+          val (batchRoot, decoded) =
+            if (!hasDict) (root, Seq.empty[FieldVector])
+            else {
+              val vs = root.getFieldVectors.asScala.map { v =>
+                val enc = v.getField.getDictionary
+                if (enc == null) v
+                else {
+                  // decode names the result after the dictionary
+                  // (DICT<id>); transfer onto the original column name
+                  val raw = DictionaryEncoder.decode(
+                    v, reader.getDictionaryVectors.get(enc.getId))
+                  val tp = raw.getTransferPair(v.getField.getName, alloc)
+                  tp.transfer()
+                  raw.close()
+                  tp.getTo.asInstanceOf[FieldVector]
+                }
+              }.toSeq
+              (VectorSchemaRoot.of(vs: _*), vs.filter(_.getField.getDictionary == null)
+                .filterNot(root.getFieldVectors.asScala.contains))
+            }
+          if (hasDict) schema = ArrowBridge.schemaFromArrow(batchRoot.getSchema)
+          val recordBatch = new VectorUnloader(batchRoot).getRecordBatch
           try {
             val out = new ByteArrayOutputStream()
             MessageSerializer.serialize(
               new WriteChannel(Channels.newChannel(out)), recordBatch)
             Some((out.toByteArray, ()))
-          } finally recordBatch.close()
+          } finally {
+            recordBatch.close()
+            decoded.foreach(_.close())
+          }
         } else None
       }.toVector // materialize while the reader is open
       ArrowBridge.toDataFrame(batches.iterator, schema, spark)

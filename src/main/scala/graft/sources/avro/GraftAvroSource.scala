@@ -58,9 +58,19 @@ class GraftAvroSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftAvroSource {
+  /** Multi-path `load(a, b)` arrives as a JSON array string in the
+    * "paths" option (Spark's FileDataSourceV2 convention) — splitting
+    * on ',' would shred it (and any path containing a comma). */
   def paths(options: CaseInsensitiveStringMap): Seq[String] =
     Option(options.get("paths"))
-      .map(_.split(",").toSeq)
+      .map { raw =>
+        val t = raw.trim
+        if (t.startsWith("["))
+          // minimal JSON string-array decode: "a","b" elements with \-escapes
+          """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(t)
+            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+        else t.split(",").toSeq
+      }
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(Seq.empty)
 

@@ -35,7 +35,11 @@ object PbdSource {
   final case class PbdFile(registry: Registry, root: PMessage,
                            records: Array[Array[Byte]])
 
-  def parseFile(bytes: Array[Byte]): PbdFile = {
+  /** Header only: descriptors + root name, and the offset where
+    * record payloads begin — no record bytes are copied (read()
+    * scans boundaries in place; copying every payload up front would
+    * double driver memory for nothing). */
+  def parseHeader(bytes: Array[Byte]): (Registry, PMessage, Int) = {
     val w = new ProtoWire(bytes)
     val magic = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
       ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
@@ -47,9 +51,16 @@ object PbdSource {
     val files = (0 until nFiles).map(_ => w.readBytes())
     val registry = PbdDescriptors.parseFiles(files)
     val rootName = new String(w.readBytes(), "UTF-8")
+    (registry, registry.message(rootName), w.pos)
+  }
+
+  def parseFile(bytes: Array[Byte]): PbdFile = {
+    val (registry, root, start) = parseHeader(bytes)
+    val w = new ProtoWire(bytes)
+    w.pos = start
     val records = Iterator.unfold(())(_ =>
       if (w.hasMore) Some((w.readBytes(), ())) else None).toArray
-    PbdFile(registry, registry.message(rootName), records)
+    PbdFile(registry, root, records)
   }
 
   /** Spark schema of a message (full, before clusion pruning). */
@@ -81,19 +92,19 @@ object PbdSource {
            exclude: ClusionInput = ClusionInput.Empty): DataFrame = {
     val localPath = path.stripPrefix("file:")
     val bytes = Files.readAllBytes(Paths.get(localPath))
-    val file = parseFile(bytes)
-    val full = schemaOf(file.root, file.registry)
+    val (registry, rootMsg, start) = parseHeader(bytes)
+    val full = schemaOf(rootMsg, registry)
     val pruned = Sources.pruneSchema(full,
       Sources.validatedFilter(full, include, exclude))
-    val rootMsg = file.root
-    val registry = file.registry
 
     // Tasks receive only contiguous byte ranges (record-aligned, found
     // by the driver's cheap varint scan) and re-read the file
-    // themselves — the payload never ships through the scheduler. The
-    // same chunking works against any seekable storage.
+    // themselves through the Hadoop filesystem for `path` — so the
+    // same code works when executors live on other hosts (HDFS/S3/
+    // shared FS), not just against the driver's local disk. The
+    // payload never ships through the scheduler.
     val w = new ProtoWire(bytes)
-    w.pos = recordsStart(bytes)
+    w.pos = start
     val boundaries = scala.collection.mutable.ArrayBuffer[Int](w.pos)
     while (w.hasMore) { w.skip(2); boundaries += w.pos }
     val nChunks = math.max(1, math.min(spark.sparkContext.defaultParallelism,
@@ -103,11 +114,15 @@ object PbdSource {
       (boundaries(i), boundaries(math.min(i + per, boundaries.size - 1)))
     }
 
+    val pathStr = path
     val rdd = spark.sparkContext.parallelize(chunks, math.max(1, chunks.size))
-      .flatMap { case (start, end) =>
-        val raf = new java.io.RandomAccessFile(localPath, "r")
-        val buf = new Array[Byte](end - start)
-        raf.seek(start.toLong); raf.readFully(buf); raf.close()
+      .flatMap { case (chunkStart, chunkEnd) =>
+        val hPath = new org.apache.hadoop.fs.Path(
+          if (pathStr.contains(":")) pathStr else "file:" + pathStr)
+        val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hPath)
+        val buf = new Array[Byte](chunkEnd - chunkStart)
+        try { in.seek(chunkStart.toLong); in.readFully(buf) } finally in.close()
         val decoder = new PbdRowDecoder(rootMsg, pruned, registry)
         val cw = new ProtoWire(buf)
         Iterator.unfold(())(_ =>
@@ -118,16 +133,6 @@ object PbdSource {
     org.apache.spark.sql.graftglue.Bridge.internalCreateDataFrame(spark, rdd, pruned)
   }
 
-  /** Offset just past the header (descriptors + root name). */
-  private def recordsStart(bytes: Array[Byte]): Int = {
-    val w = new ProtoWire(bytes)
-    w.pos = 4
-    w.readVarint() // version
-    val n = w.readVarint().toInt
-    (0 until n).foreach(_ => w.skip(2))
-    w.skip(2) // root name
-    w.pos
-  }
 }
 
 /** Precompiled per-schema decoder: field number -> slot/action table

@@ -32,6 +32,36 @@ class ArrowSourceSpec extends SparkSpec {
     path
   }
 
+  test("dictionary-encoded column materializes values (arrow_tests.py:224-229)") {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val path = Files.createTempDirectory("graft_arrow").resolve("dict.arrows").toString
+    val alloc = new RootAllocator()
+    // dictionary: ["lo", "hi"]
+    val dictVec = new VarCharVector("dictv", alloc)
+    dictVec.allocateNew(2)
+    dictVec.setSafe(0, "lo".getBytes("UTF-8")); dictVec.setSafe(1, "hi".getBytes("UTF-8"))
+    dictVec.setValueCount(2)
+    val encoding = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+    val dict = new Dictionary(dictVec, encoding)
+    val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+    // index column: [0, 1, 1, 0]
+    val idx = new IntVector(new Field("cat",
+      new FieldType(true, new ArrowType.Int(32, true), encoding), null), alloc)
+    idx.allocateNew(4)
+    Seq(0, 1, 1, 0).zipWithIndex.foreach { case (v, i) => idx.setSafe(i, v) }
+    idx.setValueCount(4)
+    val root = VectorSchemaRoot.of(idx)
+    val out = new FileOutputStream(path)
+    val writer = new ArrowStreamWriter(root, provider, out)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    out.close(); root.close(); dictVec.close(); alloc.close()
+
+    val df = ArrowSource.fromArrowStream(spark, path)
+    assert(df.schema("cat").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("lo", "hi", "hi", "lo"))
+  }
+
   test("int64 column with nulls (arrow_tests per-type arrays)") {
     val schema = new ASchema(Seq(
       Field.nullable("arr", new ArrowType.Int(64, true))).asJava)
