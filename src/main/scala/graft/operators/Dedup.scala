@@ -141,9 +141,15 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
+    // Iterate ONLY over nodes that appear in some edge: in a near-dup
+    // graph that's a vanishing fraction of the corpus (everything else
+    // is a singleton), so each round checkpoints the matched subgraph,
+    // not the whole id universe — at 100 TB the labels frame is MBs,
+    // not the corpus. Isolated ids re-enter at the end with their own
+    // id as component, shuffle-free beyond one left join.
     // ids pass through untouched — min/least propagate any orderable
     // id type, so no narrowing cast
-    var labels = ids.select(col(idCol).as("id"))
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var changed = 1L
     var round = 0
@@ -168,7 +174,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component min-distance exceeds maxIter); raise maxIter")
-    labels.select(col("id"), col("component"))
+    ids.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Shared Jaccard tail over a distinct `(id, token)` relation:

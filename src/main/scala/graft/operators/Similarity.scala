@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]).
@@ -52,12 +51,8 @@ object Similarity {
     val sims = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         dotF(col("__qv"), col("__cv")) / sqrt(col("__sqq") * col("__sqc")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+    TopK.perKey(sims.select(col("query_id"), col("neighbor_id"), col("sim")),
+      "query_id", "neighbor_id", "sim", k)
   }
 
   /** Deterministic pseudo-random hyperplane component: MD5 of
@@ -121,12 +116,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .distinct()
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+    TopK.perKey(sims.select(col("query_id"), col("neighbor_id"), col("sim")),
+      "query_id", "neighbor_id", "sim", k)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold —
@@ -292,11 +283,7 @@ object Similarity {
     val sims = broadcast(q).join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+    TopK.perKey(sims.select(col("query_id"), col("neighbor_id"), col("sim")),
+      "query_id", "neighbor_id", "sim", k)
   }
 }
