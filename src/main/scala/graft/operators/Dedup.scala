@@ -223,6 +223,45 @@ object Dedup {
           explode(array_distinct(winnowedMins(col("__hs"), window))).as("tok")),
       minJaccard)
 
+  /** Fuzzy near-dup pairs by Levenshtein distance over normalized
+    * text prefixes, with length-bucket banding so candidates meet via
+    * an equi-join instead of an all-pairs scan.
+    *
+    * Pairs within edit distance `maxDist` differ in length by at most
+    * `maxDist`; with bucket width `lenBucket > maxDist` such a pair's
+    * buckets differ by at most 1, so emitting keys {b-1, b, b+1} on
+    * one side and {b} on the other witnesses every qualifying pair —
+    * the banding is purely a pruning optimization and the observable
+    * semantics are exactly "length diff <= maxDist AND
+    * levenshtein(prefix_a, prefix_b) <= maxDist", which is what the
+    * oracle states. Distances are computed on a fixed-length prefix
+    * of the normalized text so the per-pair cost is O(prefixLen^2)
+    * regardless of document size (the standard trick for
+    * quadratic-cost verifiers).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        lenCol: String, maxDist: Int = 5,
+                        prefixLen: Int = 40, lenBucket: Int = 16): DataFrame = {
+    require(lenBucket > maxDist,
+      "lenBucket must exceed maxDist for the +-1 bucket band to be complete")
+    val base = df.select(col(idCol).as("id"),
+      substring(trim(lower(col(textCol))), 1, prefixLen).as("p"),
+      col(lenCol).as("len"),
+      floor(col(lenCol) / lenBucket).as("b"))
+    val a = base.select(col("id").as("id_a"), col("p").as("pa"),
+        col("len").as("la"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"))
+    val b = base.select(col("id").as("id_b"), col("p").as("pb"),
+        col("len").as("lb"), col("b").as("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb")).distinct()
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Exact n-gram Jaccard pairs: distinct shingles self-joined on the
     * shingle (only docs sharing a shingle ever meet). `maxDocFreq`
     * caps shingle document frequency at corpus scale: shingles in

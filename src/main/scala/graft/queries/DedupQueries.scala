@@ -50,7 +50,13 @@ object DedupQueries {
     // LSH variant is the scale path, see knn_lsh)
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", minCosine = 0.42))
+        "vec_id", "embedding", minCosine = 0.42)),
+
+    // fuzzy near-dup by edit distance over normalized prefixes,
+    // length-bucket banded so candidates meet via an equi-join
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables(s, dir, "documents"), "doc_id", "text",
+        "n_chars", maxDist = 5, prefixLen = 40, lenBucket = 16))
   )
 
   // ---- oracle SQL (generated to stay in lockstep with K/BANDS) ----
@@ -170,7 +176,20 @@ object DedupQueries {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  // the length-bucket banding is pruning-only (lenBucket > maxDist
+  // guarantees every qualifying pair is witnessed), so the oracle
+  // states just the observable predicate
+  private val editdistOracle: String =
+    """WITH d AS (SELECT doc_id, substr(trim(lower(text)), 1, 40) AS p, n_chars
+      |           FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+      |FROM d a JOIN d b
+      |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
+      |WHERE levenshtein(a.p, b.p) <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_editdist" -> editdistOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,

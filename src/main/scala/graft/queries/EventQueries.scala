@@ -66,7 +66,39 @@ object EventQueries {
       Tables.events(s, dir)
         .groupBy((expr(s"ts div $NS_PER_HOUR") * US_PER_HOUR).as("hour_us"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("sum_value")))
+          round(sum(col("value")), 2).as("sum_value"))),
+
+    // sliding windows in batch: Spark's native window() generator
+    // (size 2h, slide 1h — every event lands in exactly two windows)
+    "q_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("tsm", timestamp_micros(expr(s"ts div $NS_PER_US")))
+        .groupBy(window(col("tsm"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_us"),
+          col("n"), col("sum_value"))),
+
+    // exact histogram: fixed-width value buckets, all-integer keys
+    "q_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))),
+
+    // rank statistics: ntile / percent_rank / cume_dist over a
+    // deterministic total order; ratios ship floor-scaled e4 (floor of
+    // identical IEEE doubles is bit-exact where round can disagree)
+    "q_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * 10000).cast("long").as("pct_rank_e4"),
+          floor(cume_dist().over(w) * 10000).cast("long").as("cume_e4"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +129,26 @@ object EventQueries {
     "q_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_sliding" ->
+      """WITH x AS (SELECT unnest([
+        |    (epoch_us(ts) // 3600000000) * 3600000000,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 - 3600000000]) AS win_us,
+        |    value
+        |  FROM events)
+        |SELECT win_us, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY win_us""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT event_id, event_type,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pct_rank_e4,
+        |  CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cume_e4
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""".stripMargin
   )
 }

@@ -40,7 +40,23 @@ object PipelineQueries {
             .select(col("doc_id"),
               bpeishTokenCount(col("text")).cast("long").as("n_tok")),
           "doc_id", "n_tok", SHARDS, BUDGET)
-        .select(col("doc_id"), col("shard"), col("cum_before"), col("pack_id")))
+        .select(col("doc_id"), col("shard"), col("cum_before"), col("pack_id"))),
+
+    // z-order layout: Morton-interleave (user_id mod 256, floor(value))
+    // and bucket the curve — per-bucket min/max of BOTH dimensions stay
+    // narrow, which is exactly the parquet-stats-pruning property the
+    // layout exists for (ZOrderSpec pins the locality bound)
+    "q_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("user_id") % 256).as("ux"),
+          floor(col("value")).cast("long").as("vy"))
+        .withColumn("z", graft.operators.ZOrder.zvalue2(col("ux"), col("vy"), bits = 9))
+      ev.groupBy(floor(col("z") / 4096).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("min_ux"), max(col("ux")).as("max_ux"),
+          min(col("vy")).as("min_vy"), max(col("vy")).as("max_vy"))
+    })
   )
 
   private val SHARD_SQL =
@@ -48,7 +64,19 @@ object PipelineQueries {
   private val TOK_SQL =
     """CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)"""
 
+  private val ZORDER_SQL =
+    graft.operators.ZOrder.zvalue2Sql("ux", "vy", bits = 9)
+
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH d AS (SELECT event_id, user_id % 256 AS ux,
+         |             CAST(floor(value) AS BIGINT) AS vy
+         |           FROM events),
+         |z AS (SELECT event_id, ux, vy, $ZORDER_SQL AS z FROM d)
+         |SELECT CAST(floor(z / 4096) AS BIGINT) AS zbucket, count(*) AS n,
+         |  min(ux) AS min_ux, max(ux) AS max_ux,
+         |  min(vy) AS min_vy, max(vy) AS max_vy
+         |FROM z GROUP BY 1""".stripMargin,
     "q_shard" ->
       s"""WITH d AS (SELECT doc_id, $SHARD_SQL AS shard, $TOK_SQL AS n_tok
          |           FROM documents)

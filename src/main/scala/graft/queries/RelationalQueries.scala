@@ -230,6 +230,42 @@ object RelationalQueries {
           .as("approx_parts"),
           count(lit(1)).as("n_rows"))),
 
+    // Bloom-filter pre-filtered join: probe-side rows drop BEFORE the
+    // join exchange; the exact join then removes false positives, so
+    // the result equals the plain join while the shuffle carries only
+    // ~matching rows (the explicit form of runtime bloom joins)
+    "q_bloom_join" -> ((s, dir) => {
+      val hot = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomJoin.join(li, hot, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
+    // unpivot/melt: wide measure columns to long (variable, value)
+    // rows — a narrow Expand, no shuffle
+    "q_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")),
+
+    // ordered group concatenation: deterministic string_agg
+    "q_group_concat" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+          count(lit(1)).as("n"))),
+
     // semi/anti joins
     "q_semi_anti" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))
@@ -243,6 +279,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    "q_group_concat" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

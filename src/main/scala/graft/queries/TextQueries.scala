@@ -103,7 +103,45 @@ object TextQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id",
           fingerprint(col("text")))
-        .select(col("dup_key"), col("keep_id"), col("cnt")))
+        .select(col("dup_key"), col("keep_id"), col("cnt"))),
+
+    // PII masking: email then phone patterns replaced in one codegen'd
+    // pass (regexes are RE2-safe so the oracle replays them verbatim).
+    // The synthetic corpus has no PII, so a deterministic contact
+    // string is appended first — built identically in both engines —
+    // and the masking must strip exactly it.
+    "text_pii" -> ((s, dir) => {
+      val synth = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" today"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(synth,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9()\\-]{6,}", "<PHONE>").as("masked"))
+    }),
+
+    // composite quality-filter chain (C4/Gopher-style): word-count
+    // bounds, chars-per-word, lexical diversity; keep flag + first
+    // failing rule. Ratios floor-scaled e4, thresholds on the integer.
+    "text_filter" -> ((s, dir) => {
+      val wc = size(words(col("text"))).cast("long")
+      val cpwE4 = floor(col("n_chars").cast("double") / wc * 10000).cast("long")
+      val divE4 = floor(size(array_distinct(words(col("text")))).cast("double")
+        / wc * 10000).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), wc.as("wc"), cpwE4.as("cpw_e4"), divE4.as("div_e4"))
+        .withColumn("reason",
+          when(col("wc") < 30, "too_short")
+            .when(col("wc") > 300, "too_long")
+            .when(col("cpw_e4") > 80000L, "long_words")
+            .when(col("div_e4") < 3000L, "low_diversity")
+            .otherwise("ok"))
+        .withColumn("keep", (col("reason") === "ok").cast("int"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,6 +230,38 @@ object TextQueries {
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS dup_key,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS cnt
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_pii" ->
+      """WITH s AS (SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or +1-555-01'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today' AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(synth,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-]{6,}', '<PHONE>', 'g') AS masked
+        |FROM s""".stripMargin,
+    "text_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS wc,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS dw,
+        |    n_chars
+        |  FROM documents),
+        |e AS (SELECT doc_id, wc,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) / wc * 10000) AS BIGINT) AS cpw_e4,
+        |    CAST(floor(CAST(dw AS DOUBLE) / wc * 10000) AS BIGINT) AS div_e4
+        |  FROM m)
+        |SELECT doc_id, wc, cpw_e4, div_e4,
+        |  CASE WHEN wc < 30 THEN 'too_short'
+        |       WHEN wc > 300 THEN 'too_long'
+        |       WHEN cpw_e4 > 80000 THEN 'long_words'
+        |       WHEN div_e4 < 3000 THEN 'low_diversity'
+        |       ELSE 'ok' END AS reason,
+        |  CAST(CASE WHEN wc >= 30 AND wc <= 300 AND cpw_e4 <= 80000
+        |            AND div_e4 >= 3000 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM e""".stripMargin
   )
 }
