@@ -257,8 +257,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("pa"), col("pb")).distinct()
-      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold form runs the banded O(len * maxDist) DP instead of
+      // the full O(len^2) matrix and yields -1 when above the bound —
+      // same surviving (pair, dist) set as the unbounded distance
+      .withColumn("dist",
+        levenshtein(col("pa"), col("pb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
