@@ -35,6 +35,21 @@ object EventQueries {
           expr(s"signup_ts div $NS_PER_US").as("signup_ts_us"))
     }),
 
+    // as-of join with a tolerance window (pandas merge_asof-style):
+    // matches older than 24h come back null. Times convert to epoch
+    // microseconds BEFORE the join so the tolerance comparison is the
+    // same integer arithmetic in both engines.
+    "q_asof_tol" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr(s"ts div $NS_PER_US").as("ts_us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr(s"ts div $NS_PER_US").as("ts_us"))
+      AsOfJoin.backward(purchases, signups, Seq("user_id"), "ts_us", "ts_us",
+        Seq("ts_us" -> "signup_ts_us"), tolerance = Some(86400000000L))
+    }),
+
     // sessionization: 30-minute inactivity gap splits sessions
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -108,6 +123,16 @@ object EventQueries {
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND s.ts <= e.ts) AS signup_ts_us
         |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+    "q_asof_tol" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT max(g.ts_us) FROM g
+        |   WHERE g.user_id = p.user_id AND g.ts_us <= p.ts_us
+        |     AND p.ts_us - g.ts_us <= 86400000000) AS signup_ts_us
+        |FROM p""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,

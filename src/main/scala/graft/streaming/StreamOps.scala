@@ -73,6 +73,52 @@ object StreamOps {
     keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
 
+  final case class Anomaly(user_id: Long, ts_us: Long, value: Double,
+                           z_e2: Long)
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** Streaming per-key anomaly detection: a Welford running
+    * mean/variance per key (numerically stable, O(1) state — three
+    * numbers per key, independent of stream length), flagging events
+    * more than `zThreshold` sample standard deviations from the key's
+    * running mean once `warmup` observations have accumulated. The
+    * z-score is emitted floor-scaled e2 so downstream comparisons are
+    * integer-exact.
+    *
+    * State is keyed and tiny, so the operator shuffles once on the
+    * key and scales with the number of distinct keys, not events.
+    * Within a trigger batch events fold in event-time order; the
+    * statistics update AFTER scoring, so an event never tests against
+    * a mean it contributed to. */
+  def zscoreAnomalies(events: Dataset[SessionEvent], zThreshold: Double = 3.0,
+                      warmup: Long = 10L): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[WelfordState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (st.n >= warmup) {
+              val sd = math.sqrt(st.m2 / (st.n - 1).toDouble)
+              if (sd > 0.0) {
+                val z = (e.value - st.mean) / sd
+                if (math.abs(z) > zThreshold)
+                  out += Anomaly(user, e.ts.getTime * 1000L, e.value,
+                    math.floor(z * 100).toLong)
+              }
+            }
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (e.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,
                                   start_us: Long, end_us: Long)

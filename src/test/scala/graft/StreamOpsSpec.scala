@@ -120,4 +120,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows == List(List(7L, 2L)))
     } finally q.stop()
   }
+
+  test("zscoreAnomalies flags outliers after warmup, with exact Welford state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.zscoreAnomalies(input.toDS(), zThreshold = 3.0, warmup = 10L)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // warmup: 12 calm values around 10 +- 1 for user 1; user 2 stays calm
+      val calm = (0 until 12).map(i =>
+        SessionEvent(1L, ts(i), 10.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+      input.addData(calm: _*)
+      input.addData((0 until 12).map(i => SessionEvent(2L, ts(i), 5.0 + i * 0.1)): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM anomalies").head().getLong(0) == 0L)
+      // outlier for user 1 only: mean 10, sd ~1.04 -> z ~ +38
+      input.addData(SessionEvent(1L, ts(20), 50.0), SessionEvent(2L, ts(20), 5.9))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, value, z_e2 FROM anomalies")
+        .collect().map(_.toSeq.toList).toList
+      assert(rows.size == 1 && rows.head(0) == 1L && rows.head(1) == 50.0)
+      assert(rows.head(2).asInstanceOf[Long] > 300L)
+      // state persists across triggers: a later calm value stays quiet
+      input.addData(SessionEvent(1L, ts(21), 10.5))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM anomalies").head().getLong(0) == 1L)
+    } finally q.stop()
+  }
 }
