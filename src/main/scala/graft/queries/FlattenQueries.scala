@@ -115,6 +115,18 @@ object FlattenQueries {
       graft.sources.Sources.readAvro(s, path)
     }),
 
+    // ORC round-trip: the second columnar storage format (Spark
+    // built-in), same deterministic-subset pattern as avro_source
+    "orc_source" -> ((s, dir) => {
+      val sample = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 41 === 0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      val path = java.nio.file.Files.createTempDirectory("graft_orc_q")
+        .resolve("li.orc").toString
+      sample.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    }),
+
     // schema introspection golden: info() rendering of the nested
     // schema, checked against a literal oracle
     "schema_info" -> ((s, dir) => {
@@ -149,6 +161,9 @@ object FlattenQueries {
     "avro_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 37 = 0""".stripMargin,
+    "orc_source" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 41 = 0""".stripMargin,
     "flatten_names" ->
       """SELECT l_orderkey, l_quantity AS a_v, l_discount AS b_v
         |FROM lineitem""".stripMargin,

@@ -266,6 +266,54 @@ object RelationalQueries {
           concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
           count(lit(1)).as("n"))),
 
+    // correlation/covariance/stddev from raw moment sums over
+    // integral-valued columns: every sum is an exact integer in
+    // double, so the derived statistics are bit-identical across
+    // engines (Spark's built-in corr/stddev use order-dependent
+    // streaming co-moments — NOT replayable; this form is)
+    "q_stats" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_linenumber").cast("double")
+      val m = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val covN = col("n") * col("sxy") - col("sx") * col("sy")
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        floor(covN / sqrt(varX * varY) * 10000).cast("long").as("corr_e4"),
+        floor(covN / (col("n") * (col("n") - 1)) * 10000).cast("long").as("covar_e4"),
+        floor(sqrt(varX / (col("n") * (col("n") - 1))) * 10000).cast("long")
+          .as("stddev_x_e4"))
+    }),
+
+    // navigation window functions: first/last/nth need the full-frame
+    // spec to be deterministic (default frames stop at CURRENT ROW)
+    "q_navigation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wFull).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+    }),
+
+    // the spark.sql surface: TPC-H Q6 as a SQL string over a temp view
+    "q_sql_q6" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              |       count(*) AS n
+              |FROM lineitem_v
+              |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+    }),
+
     // semi/anti joins
     "q_semi_anti" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier").select(col("s_suppkey"))
@@ -279,6 +327,38 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS sy,
+        |    CAST(sum(l_quantity * CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS sxy,
+        |    CAST(sum(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_linenumber AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(floor((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+        |       * 10000) AS BIGINT) AS corr_e4,
+        |  CAST(floor((n*sxy - sx*sy) / (n * (n - 1)) * 10000) AS BIGINT) AS covar_e4,
+        |  CAST(floor(sqrt((n*sxx - sx*sx) / (n * (n - 1))) * 10000) AS BIGINT)
+        |    AS stddev_x_e4
+        |FROM m""".stripMargin,
+    "q_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_sql_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
