@@ -32,11 +32,16 @@ object BloomJoin {
   def join(probe: DataFrame, build: DataFrame,
            probeKey: String, buildKey: String,
            fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
-    val n = if (expectedItems > 0) expectedItems else build.count()
-    val bloom = build.stat.bloomFilter(buildKey, math.max(n, 1L), fpp)
+    // the build side is evaluated up to three times (sizing count,
+    // bloom aggregate, the join itself) — persist it so an expensive
+    // build lineage runs once; the cache is shared by plan equality
+    // across repeated calls (the repo-wide persist pattern)
+    val b = build.persist()
+    val n = if (expectedItems > 0) expectedItems else b.count()
+    val bloom = b.stat.bloomFilter(buildKey, math.max(n, 1L), fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
     probe.filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+      .join(b, col(probeKey) === col(buildKey))
   }
 }

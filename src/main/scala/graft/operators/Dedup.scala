@@ -235,9 +235,16 @@ object Dedup {
     * semantics are exactly "length diff <= maxDist AND
     * levenshtein(prefix_a, prefix_b) <= maxDist", which is what the
     * oracle states. Distances are computed on a fixed-length prefix
-    * of the normalized text so the per-pair cost is O(prefixLen^2)
-    * regardless of document size (the standard trick for
-    * quadratic-cost verifiers).
+    * of the normalized text with the banded threshold DP, so the
+    * per-pair cost is O(prefixLen * maxDist) regardless of document
+    * size (the standard trick for quadratic-cost verifiers).
+    *
+    * Caveat for corpora whose lengths cluster (tweets, fixed
+    * truncation): length banding alone leaves O(bucket^2) candidates
+    * in the crowded buckets. A provably complete second band needs a
+    * PartEnum/q-gram-style chunk filter; when lengths don't
+    * discriminate, prefer the content-based candidate generators
+    * ([[winnowJaccardPairs]], [[minhashPairs]]) instead.
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         lenCol: String, maxDist: Int = 5,
@@ -253,13 +260,14 @@ object Dedup {
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"))
     val b = base.select(col("id").as("id_b"), col("p").as("pb"),
         col("len").as("lb"), col("b").as("bk"))
+    // no dedup needed: the b side emits one bucket key and the a
+    // side's three keys are distinct, so each qualifying (smaller id,
+    // larger id) pair meets exactly once. The threshold levenshtein
+    // yields -1 above the bound — same surviving (pair, dist) set as
+    // the unbounded distance.
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select(col("id_a"), col("id_b"), col("pa"), col("pb")).distinct()
-      // threshold form runs the banded O(len * maxDist) DP instead of
-      // the full O(len^2) matrix and yields -1 when above the bound —
-      // same surviving (pair, dist) set as the unbounded distance
       .withColumn("dist",
         levenshtein(col("pa"), col("pb"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)

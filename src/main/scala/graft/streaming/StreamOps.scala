@@ -99,13 +99,19 @@ object StreamOps {
         case (user, evs, state: GroupState[WelfordState]) =>
           var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
           val out = Seq.newBuilder[Anomaly]
-          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // microsecond-precision event time: getTime is ms-truncated,
+          // the sub-ms part lives in getNanos — fold it back in so both
+          // the ordering and the emitted ts_us are replay-deterministic
+          // for sub-millisecond event streams
+          def us(t: Timestamp): Long =
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          evs.toSeq.sortBy(e => (us(e.ts), e.value)).foreach { e =>
             if (st.n >= warmup) {
               val sd = math.sqrt(st.m2 / (st.n - 1).toDouble)
               if (sd > 0.0) {
                 val z = (e.value - st.mean) / sd
                 if (math.abs(z) > zThreshold)
-                  out += Anomaly(user, e.ts.getTime * 1000L, e.value,
+                  out += Anomaly(user, us(e.ts), e.value,
                     math.floor(z * 100).toLong)
               }
             }
