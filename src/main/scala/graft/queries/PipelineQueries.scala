@@ -42,6 +42,33 @@ object PipelineQueries {
           "doc_id", "n_tok", SHARDS, BUDGET)
         .select(col("doc_id"), col("shard"), col("cum_before"), col("pack_id"))),
 
+    // the flagship end-to-end training-data pipeline, one plan:
+    // quality-filter -> exact near-dup removal (fingerprint survivor)
+    // -> deterministic sharding -> per-shard corpus stats. Every stage
+    // is an exact operator, so the whole pipeline replays in SQL.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{words, fingerprint}
+      val docs = Tables(s, dir, "documents")
+      val wc = size(words(col("text"))).cast("long")
+      val cpwE4 = floor(col("n_chars").cast("double") / wc * 10000).cast("long")
+      val divE4 = floor(size(array_distinct(words(col("text")))).cast("double")
+        / wc * 10000).cast("long")
+      val kept = docs
+        .withColumn("wc", wc)
+        .filter(col("wc") >= 30 && col("wc") <= 300 &&
+          cpwE4 <= 80000L && divE4 >= 3000L)
+      val survivors = kept
+        .withColumn("fp", fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("wc")).as("wc_min"))
+      survivors
+        .select(col("doc_id"),
+          Packing.shardId("doc_id", SHARDS).as("shard"), col("wc_min"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wc_min")).as("sum_wc"))
+    }),
+
     // z-order layout: Morton-interleave (user_id mod 256, floor(value))
     // and bucket the curve — per-bucket min/max of BOTH dimensions stay
     // narrow, which is exactly the parquet-stats-pruning property the
@@ -68,6 +95,29 @@ object PipelineQueries {
     graft.operators.ZOrder.zvalue2Sql("ux", "vy", bits = 9)
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS wc,
+         |    CAST(floor(CAST(n_chars AS DOUBLE) / len(w) * 10000) AS BIGINT) AS cpw_e4,
+         |    CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 10000)
+         |         AS BIGINT) AS div_e4,
+         |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+         |  FROM m),
+         |kept AS (
+         |  SELECT * FROM e
+         |  WHERE wc >= 30 AND wc <= 300 AND cpw_e4 <= 80000 AND div_e4 >= 3000),
+         |surv AS (
+         |  SELECT fp, CAST(min(doc_id) AS BIGINT) AS doc_id,
+         |    CAST(min(wc) AS BIGINT) AS wc_min
+         |  FROM kept GROUP BY fp)
+         |SELECT $SHARD_SQL AS shard, count(*) AS n_docs,
+         |  CAST(sum(wc_min) AS BIGINT) AS sum_wc
+         |FROM surv GROUP BY 1""".stripMargin,
     "q_zorder" ->
       s"""WITH d AS (SELECT event_id, user_id % 256 AS ux,
          |             CAST(floor(value) AS BIGINT) AS vy
