@@ -137,10 +137,50 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
                           aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          driverThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
+
+    // Size-adaptive strategy, same contract both ways: a near-dup
+    // pair graph is a vanishing fraction of the corpus, so when it
+    // fits comfortably on the driver (the same budget a broadcast
+    // join's build side gets) a single union-find pass replaces the
+    // whole multi-round join iteration — one collect, zero extra
+    // shuffles. The iterative path remains for genuinely huge pair
+    // graphs. Spec pins both paths to identical labels.
+    val nEdges = edges.count()
+    val longIds = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      ids.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    if (nEdges <= driverThreshold && longIds) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // root = smallest id in the component (unions always point the
+      // larger root at the smaller one)
+      val labels = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet[Long]
+        .iterator.map(v => v -> find(v)).toMap
+      val bc = ids.sparkSession.sparkContext.broadcast(labels)
+      val compOf = udf { (id: Long) => bc.value.getOrElse(id, id) }
+      return ids.select(col(idCol).as("id"))
+        .withColumn("component", compOf(col("id").cast("long")))
+    }
     // Iterate ONLY over nodes that appear in some edge: in a near-dup
     // graph that's a vanishing fraction of the corpus (everything else
     // is a singleton), so each round checkpoints the matched subgraph,

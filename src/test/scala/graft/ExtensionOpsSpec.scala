@@ -70,6 +70,12 @@ class ExtensionOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
     assert(got == want)
+    // the distributed iterative path (forced via driverThreshold = 0)
+    // must produce identical labels to the driver union-find path
+    val gotIter = Dedup.connectedComponents(pairs, ids, "doc_id",
+        driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotIter == want)
   }
 
   test("winnowed fingerprints overlap heavily for near-identical docs") {
