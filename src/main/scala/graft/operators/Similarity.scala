@@ -56,8 +56,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: MD5 of
-    * (plane, dim) → first 12 hex digits → uniform in [-1, 1). */
-  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
+    * (plane, dim) → first 12 hex digits → uniform in [-1, 1).
+    * Exposed within graft so the oracle generator can inline the
+    * plane constants as SQL literals (Double.toString round-trips). */
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Similarity search over the embeddings table (Array[Float], 64-d).
-  * knn_cosine is exact and oracle-checked; knn_lsh is the
-  * approximate scale path (no SQL oracle — the driver records a
-  * rows-only check; recall vs brute force is pinned in
-  * SimilaritySpec).
+  * knn_cosine is exact brute force; knn_lsh and knn_ivf are the
+  * approximate scale paths — and because their randomness is
+  * MD5-derived (hyperplanes) or fixed (centroids), BOTH replay
+  * deterministically in SQL: every ANN operator here carries an
+  * exact DuckDB oracle, rare for ANN. Recall vs brute force is
+  * additionally pinned in ExtensionOpsSpec.
   */
 object VectorQueries {
 
@@ -42,7 +44,52 @@ object VectorQueries {
     })
   )
 
+  // ---- knn_lsh oracle: the hyperplanes are MD5-derived constants, so
+  // the whole LSH path — sign-bit bucketing, 1-bit-flip probes,
+  // distinct candidates, exact rerank — replays in SQL. Plane
+  // components inline as double literals (Double.toString round-trips
+  // to the identical IEEE value), dot products sum left-to-right
+  // exactly as the scoring loop does, so the bucket sign bits are
+  // bit-identical and the candidate set matches exactly.
+  private val NPLANES = 6
+  private val TABLES = 4
+
+  private def lshOracle: String = {
+    def dot(t: Int, p: Int): String =
+      (0 until DIM).map { d =>
+        s"v[${d + 1}] * ${graft.operators.Similarity.planeComponent(100 * t + p, d)}"
+      }.mkString("(", " + ", ")")
+    def bucket(t: Int): String =
+      (0 until NPLANES).map { p =>
+        s"(CASE WHEN ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val buckets = (0 until TABLES).map { t =>
+      s"SELECT vec_id, v, $t AS t, ${bucket(t)} AS b FROM e"
+    }.mkString("\nUNION ALL\n")
+    val probeCond = (Seq("c.b = q.b") ++
+      (0 until NPLANES).map(p => s"c.b = xor(q.b, ${1L << p})")).mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (
+       |$buckets),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM (SELECT * FROM bk WHERE vec_id < 8) q
+       |         JOIN bk c ON c.t = q.t AND ($probeCond)
+       |           AND q.vec_id <> c.vec_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |        list_cosine_similarity(qe.v, ne.v) AS sim
+       |      FROM cand
+       |      JOIN e qe ON qe.vec_id = cand.query_id
+       |      JOIN e ne ON ne.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "knn_lsh" -> lshOracle,
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings WHERE vec_id < 8),
@@ -56,7 +103,6 @@ object VectorQueries {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
         |FROM r WHERE rank <= 10""".stripMargin,
-    // knn_lsh: intentionally no oracle (approximate operator)
     "knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
