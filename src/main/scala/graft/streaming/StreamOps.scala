@@ -73,6 +73,34 @@ object StreamOps {
     keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
 
+  /** Streaming per-window top-k: the batch [[graft.operators.TopK]]
+    * aggregator reused as a UDAF inside a watermarked tumbling-window
+    * aggregate. The bounded buffer property carries over: streaming
+    * state per (window) group is at most k items, and each trigger's
+    * partial aggregation forwards at most k rows per window — the
+    * stream never materializes the full candidate set. Emits one row
+    * per (window, rank) when the watermark closes the window.
+    *
+    * @param events frame with event-time `tsCol`, long `idCol`,
+    *               double `scoreCol`
+    */
+  def windowedTopK(events: DataFrame, tsCol: String, idCol: String,
+                   scoreCol: String, k: Int, window_ : String,
+                   watermark: String): DataFrame = {
+    val topk = udaf(new graft.operators.TopK.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(topk(col(idCol), col(scoreCol)).as("top"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("top.items")).as(Seq("i", "item")))
+      .select(col("window_start"), col("item._1").as("id"),
+        col("item._2").as("score"), (col("i") + 1).cast("long").as("rank"))
+  }
+
   final case class Anomaly(user_id: Long, ts_us: Long, value: Double,
                            z_e2: Long)
   final case class WelfordState(n: Long, mean: Double, m2: Double)

@@ -121,6 +121,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK emits the k best per closed window with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "id", "score")
+    val q = StreamOps.windowedTopK(events, "ts", "id", "score",
+        k = 2, window_ = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one window, four candidates across two triggers
+      input.addData((ts(1), 101L, 0.5), (ts(2), 102L, 0.9))
+      q.processAllAvailable()
+      input.addData((ts(3), 103L, 0.7), (ts(4), 104L, 0.9))
+      q.processAllAvailable()
+      input.addData((ts(59), 999L, 0.1)) // advance watermark, close window
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, score, rank FROM wtopk WHERE id < 900 ORDER BY rank")
+        .collect().map(_.toSeq.toList).toList
+      // ties at 0.9 break by id asc: 102 before 104
+      assert(rows == List(List(102L, 0.9, 1L), List(104L, 0.9, 2L)))
+    } finally q.stop()
+  }
+
   test("zscoreAnomalies flags outliers after warmup, with exact Welford state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
