@@ -139,8 +139,12 @@ object Dedup {
                           aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 25,
                           driverThreshold: Long = 1L << 20): DataFrame = {
+    // null endpoints are inert in the iterative path (they never match
+    // a join); drop them up front so the driver fast path's primitive
+    // tuple collect behaves identically
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
 
     // Size-adaptive strategy, same contract both ways: a near-dup

@@ -63,7 +63,10 @@ object Similarity {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 47).toDouble * 2.0 - 1.0
+    // 48-bit hash / 2^48 -> [0, 1), scaled to [-1, 1). (A previous
+    // /2^47 variant mapped to [-1, 3): heavily positive-biased planes
+    // whose sign bits correlate, inflating bucket collision rates.)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 48).toDouble * 2.0 - 1.0
   }
 
   /** Sign-bit buckets for all tables in one pass: element t of the

@@ -47,18 +47,22 @@ object PipelineQueries {
     // -> deterministic sharding -> per-shard corpus stats. Every stage
     // is an exact operator, so the whole pipeline replays in SQL.
     "q_pipeline_e2e" -> ((s, dir) => {
-      import graft.functions.TextFunctions.{words, fingerprint}
+      import graft.functions.TextFunctions.words
+      // project the word array ONCE, then derive every signal from it
+      // (Spark HOF/regex expressions have no CSE — the repo-wide rule)
       val docs = Tables(s, dir, "documents")
-      val wc = size(words(col("text"))).cast("long")
-      val cpwE4 = floor(col("n_chars").cast("double") / wc * 10000).cast("long")
-      val divE4 = floor(size(array_distinct(words(col("text")))).cast("double")
-        / wc * 10000).cast("long")
-      val kept = docs
-        .withColumn("wc", wc)
-        .filter(col("wc") >= 30 && col("wc") <= 300 &&
-          cpwE4 <= 80000L && divE4 >= 3000L)
+        .select(col("doc_id"), col("n_chars"), words(col("text")).as("__w"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("__w")).cast("long").as("wc"),
+          array_sort(array_distinct(col("__w"))).as("__dw"))
+      val cpwE4 = floor(col("n_chars").cast("double") / col("wc") * 10000)
+        .cast("long")
+      val divE4 = floor(size(col("__dw")).cast("double") / col("wc") * 10000)
+        .cast("long")
+      val kept = docs.filter(col("wc") >= 30 && col("wc") <= 300 &&
+        cpwE4 <= 80000L && divE4 >= 3000L)
       val survivors = kept
-        .withColumn("fp", fingerprint(col("text")))
+        .withColumn("fp", md5(concat_ws(" ", col("__dw"))))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("wc")).as("wc_min"))
       survivors

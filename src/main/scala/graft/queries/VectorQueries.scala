@@ -55,9 +55,12 @@ object VectorQueries {
   private val TABLES = 4
 
   private def lshOracle: String = {
+    // coalesce(v[i], 0) replays bucketsUdf's min(v.length, dim) guard:
+    // an out-of-range index is NULL in DuckDB and a missing dim
+    // contributes 0 to the Spark loop — identical partial-sum
     def dot(t: Int, p: Int): String =
       (0 until DIM).map { d =>
-        s"v[${d + 1}] * ${graft.operators.Similarity.planeComponent(100 * t + p, d)}"
+        s"coalesce(v[${d + 1}], 0) * ${graft.operators.Similarity.planeComponent(100 * t + p, d)}"
       }.mkString("(", " + ", ")")
     def bucket(t: Int): String =
       (0 until NPLANES).map { p =>

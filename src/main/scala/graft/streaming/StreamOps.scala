@@ -93,6 +93,9 @@ object StreamOps {
         org.apache.spark.sql.Encoders.scalaDouble))
     events
       .withWatermark(tsCol, watermark)
+      // same contract as the batch TopK.perKey: null ids/scores drop
+      // (the primitive-tuple encoder would otherwise kill the query)
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(window(col(tsCol), window_).as("w"))
       .agg(topk(col(idCol), col(scoreCol)).as("top"))
       .select(col("w.start").as("window_start"),
