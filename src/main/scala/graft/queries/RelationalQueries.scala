@@ -108,12 +108,17 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
 
-    // skew-safe salted join: must equal the plain inner join
+    // skew-safe salted join, two-tier production form: only the
+    // declared-hot keys pay the salt/replicate cost, everything else
+    // takes the plain join path — must equal the plain inner join
+    // (the naive full-replication form is pinned in SaltingSpec)
     "q_salted_join" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      graft.operators.Salting.saltedJoin(li, ord
-          .withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", buckets = 8)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val hotKeys: Seq[Any] = (0L to 150000L by 1000L)
+      graft.operators.Salting.hotKeySaltedJoin(li, ord, "l_orderkey",
+          hotKeys, buckets = 8)
         .groupBy(col("o_custkey"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("cnt"))
