@@ -49,9 +49,13 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      val buffered = rows.toVector
-      val feats = decode(buffered.iterator.map(_.getAs[Array[Byte]](binIdx)))
-      buffered.iterator.zip(feats).map { case (r, f) =>
+      // duplicate + lockstep zip keeps memory bounded by the decoder's
+      // internal batch (the duplicate gap), NOT the partition size —
+      // a fully-buffered partition of binary payloads is exactly what
+      // blows an executor at corpus scale
+      val (forFeatures, forRows) = rows.duplicate
+      val feats = decode(forFeatures.map(_.getAs[Array[Byte]](binIdx)))
+      forRows.zip(feats).map { case (r, f) =>
         Row.fromSeq(r.toSeq :+ f)
       }
     }(encoder)
