@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Output-layout control: file sizing and clustering for the write
+  * path. At corpus scale the writer's file geometry IS a query-plan
+  * decision — thousands of tiny files tax the driver's file index and
+  * every downstream scan's task scheduling, while single giant files
+  * serialize reads. These helpers make the row→file mapping explicit
+  * and deterministic.
+  */
+object Layout {
+
+  /** Repartition so each output file receives ~`rowsPerFile` rows,
+    * optionally range-clustered by `clusterBy` columns (sorted within
+    * partitions too, so parquet min/max footer stats are tight —
+    * combine with [[ZOrder.zvalue2]] for 2-D clustering).
+    *
+    * The partition count derives from an exact count — one extra
+    * pass, the same trade the writer's own AQE rebalance makes; pass
+    * `totalRows` if the caller already knows it.
+    */
+  def sized(df: DataFrame, rowsPerFile: Long,
+            clusterBy: Seq[String] = Nil, totalRows: Long = -1L): DataFrame = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val n = if (totalRows >= 0) totalRows else df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    if (clusterBy.isEmpty) df.repartition(parts)
+    else df.repartitionByRange(parts, clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+  }
+
+  /** Writer with a hard per-file row cap — belt to [[sized]]'s
+    * braces: even if a partition ends up oversized (skewed range,
+    * upstream change), no single file exceeds `maxRecordsPerFile`. */
+  def cappedWriter(df: DataFrame, maxRecordsPerFile: Long): DataFrameWriter[Row] =
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+}

@@ -42,6 +42,36 @@ class SinkSpec extends SparkSpec {
       plan)
   }
 
+  test("Layout.sized controls output file count; cap bounds file rows") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet") // 6000 rows
+    graft.operators.Layout.sized(li, rowsPerFile = 1500,
+        clusterBy = Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$scratch/li_sized")
+    val files = new java.io.File(s"$scratch/li_sized")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 sized files, got $files")
+    // range clustering -> disjoint key ranges across files (tight
+    // min/max stats); verify via per-file key ranges
+    val ranges = spark.read.parquet(s"$scratch/li_sized")
+      .select(org.apache.spark.sql.functions
+        .input_file_name().as("f"), col("l_orderkey"))
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("l_orderkey").as("lo"),
+        org.apache.spark.sql.functions.max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.toSeq)
+      case _ =>
+    }
+    // the hard cap splits an oversized partition at write time
+    graft.operators.Layout.cappedWriter(li.repartition(1), 1000)
+      .mode("overwrite").parquet(s"$scratch/li_capped")
+    val capped = new java.io.File(s"$scratch/li_capped")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(capped == 6, s"expected 6 capped files, got $capped")
+  }
+
   test("round trip through json and orc sinks preserves rows") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     nation.write.mode("overwrite").json(s"$scratch/nation_json")
