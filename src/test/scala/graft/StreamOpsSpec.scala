@@ -146,6 +146,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregate streams into a parquet file sink with checkpoint recovery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    def start() = StreamOps.tumblingCounts(events, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    val q = start()
+    try {
+      input.addData((ts(1), 1.0), (ts(2), 2.0))
+      q.processAllAvailable()
+      input.addData((ts(31), 3.0)) // watermark closes the first window
+      q.processAllAvailable()
+    } finally q.stop()
+    val afterFirst = spark.read.parquet(s"$dir/out")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(afterFirst.map(r => (r._2, r._3)) == Set((2L, 3.0)))
+    // restart from the checkpoint: state (open windows, watermark)
+    // recovers; only the newly closed window is appended, no replays
+    val q2 = start()
+    try {
+      input.addData((ts(59), 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val afterRestart = spark.read.parquet(s"$dir/out")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(afterRestart.map(r => (r._2, r._3)) == Set((2L, 3.0), (1L, 3.0)))
+  }
+
   test("zscoreAnomalies flags outliers after warmup, with exact Welford state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
