@@ -42,6 +42,20 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int = 3): Column = shinglesOfWords(words(text), n)
 
+  /** Unicode NFC normalization — canonical composition so visually
+    * identical strings (combining sequences vs precomposed chars)
+    * compare, hash, and dedup as equal; the standard first step of a
+    * text-cleaning pipeline. JDK Normalizer implements the same
+    * Unicode algorithm as DuckDB's nfc_normalize, so results are
+    * engine-exact. (UDF: Spark has no built-in normalizer.) */
+  val normalizeNfc: Column => Column = {
+    val u = org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    c => u(c)
+  }
+
   /** Document fingerprint: MD5 of the sorted distinct word set —
     * invariant under word order and repetition, the cheap
     * bag-of-words dedup key.

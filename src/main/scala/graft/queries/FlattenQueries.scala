@@ -127,6 +127,20 @@ object FlattenQueries {
       s.read.orc(path)
     }),
 
+    // CSV round-trip: the text format path (explicit read schema —
+    // CSV carries none), same deterministic-subset pattern
+    "csv_source" -> ((s, dir) => {
+      val sample = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 43 === 0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      val path = java.nio.file.Files.createTempDirectory("graft_csv_q")
+        .resolve("li.csv").toString
+      sample.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
+        .csv(path)
+    }),
+
     // schema introspection golden: info() rendering of the nested
     // schema, checked against a literal oracle
     "schema_info" -> ((s, dir) => {
@@ -164,6 +178,9 @@ object FlattenQueries {
     "orc_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 41 = 0""".stripMargin,
+    "csv_source" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 43 = 0""".stripMargin,
     "flatten_names" ->
       """SELECT l_orderkey, l_quantity AS a_v, l_discount AS b_v
         |FROM lineitem""".stripMargin,

@@ -124,6 +124,20 @@ object TextQueries {
           "\\+?[0-9][0-9()\\-]{6,}", "<PHONE>").as("masked"))
     }),
 
+    // Unicode NFC normalization: a decomposed combining sequence is
+    // appended deterministically in both engines (the corpus is
+    // ASCII), then normalization must compose it — n_before/n_after
+    // pin that a codepoint actually merged
+    "text_normalize" -> ((s, dir) => {
+      val synth = concat(substring(col("text"), 1, 20),
+        lit(" cafe"), lit("\u0301"), lit(" fin"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(synth).cast("long").as("n_before"),
+        length(normalizeNfc(synth)).cast("long").as("n_after"),
+        normalizeNfc(synth).as("normalized"))
+    }),
+
     // composite quality-filter chain (C4/Gopher-style): word-count
     // bounds, chars-per-word, lexical diversity; keep flag + first
     // failing rule. Ratios floor-scaled e4, thresholds on the integer.
@@ -242,6 +256,15 @@ object TextQueries {
         |    regexp_replace(synth,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\-]{6,}', '<PHONE>', 'g') AS masked
+        |FROM s""".stripMargin,
+    "text_normalize" ->
+      """WITH s AS (SELECT doc_id,
+        |    substr(text, 1, 20) || ' cafe' || chr(769) || ' fin' AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(synth) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(synth)) AS BIGINT) AS n_after,
+        |  nfc_normalize(synth) AS normalized
         |FROM s""".stripMargin,
     "text_filter" ->
       """WITH m AS (
