@@ -25,7 +25,10 @@ object Layout {
             clusterBy: Seq[String] = Nil, totalRows: Long = -1L): DataFrame = {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
     val n = if (totalRows >= 0) totalRows else df.count()
-    val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val partsL = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)
+    require(partsL <= Int.MaxValue,
+      s"derived partition count $partsL exceeds Int range — raise rowsPerFile")
+    val parts = partsL.toInt
     if (clusterBy.isEmpty) df.repartition(parts)
     else df.repartitionByRange(parts, clusterBy.map(col): _*)
       .sortWithinPartitions(clusterBy.map(col): _*)

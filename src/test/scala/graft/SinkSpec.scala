@@ -60,8 +60,10 @@ class SinkSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.min("l_orderkey").as("lo"),
         org.apache.spark.sql.functions.max("l_orderkey").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // strict: equal keys always land in ONE range partition, so
+    // adjacent files must not even share a boundary key
     ranges.sliding(2).foreach {
-      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.toSeq)
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges.toSeq)
       case _ =>
     }
     // the hard cap splits an oversized partition at write time
