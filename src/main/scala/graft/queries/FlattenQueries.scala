@@ -15,9 +15,9 @@ import graft.schema.SchemaInfo
 object FlattenQueries {
 
   private def nestedLineitem(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
+    Nest.nest(Tables(s, dir, "lineitem"),
+      keys = Seq("l_orderkey"), payload = Seq("l_linenumber", "l_quantity"),
+      as = "items", sortBy = Seq("l_linenumber"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // nest → flatten round-trip: inner explode over one list path,

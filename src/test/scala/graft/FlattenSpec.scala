@@ -263,4 +263,23 @@ class FlattenSpec extends SparkSpec {
     assert(cols == List("x", "a", "b"))
     assert(rows.toSet == Set(List(1L, 3L, 6L), List(2L, 4L, 7L), List(2L, 5L, 8L)))
   }
+
+  test("Nest is the deterministic inverse of flatten") {
+    import spark.implicits._
+    val flat = Seq(
+      (1L, 2, 10.0), (1L, 1, 11.0), (2L, 1, 20.0), (3L, 3, 30.0), (3L, 1, 31.0))
+      .toDF("k", "line", "qty")
+    val nested = Nest.nest(flat, Seq("k"), Seq("line", "qty"), "items",
+      sortBy = Seq("line"))
+    // arrays come back sorted by the sort key regardless of row order
+    val arr = nested.filter($"k" === 1L).select("items").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getInt(0), r.getDouble(1)))
+    assert(arr == Seq((1, 11.0), (2, 10.0)))
+    // round-trip: nest then flatten restores the original rows
+    val back = Flatten.flatten(nested).as[(Long, Int, Double)].collect().toSet
+    assert(back == flat.as[(Long, Int, Double)].collect().toSet)
+    // struct field order inside the array is the declared payload order
+    assert(nested.schema("items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq == Seq("line", "qty"))
+  }
 }
