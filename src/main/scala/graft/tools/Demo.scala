@@ -87,6 +87,31 @@ object Demo {
       include = Seq("l_orderkey", "l_quantity"): Seq[String])
     println(s"pruned schema: ${prunedLi.schema.catalogString}, rows=${prunedLi.count}")
     prunedLi.explain("formatted")
+
+    println("== round-2 operators ==")
+    val hot = ord.filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    val bloomed = graft.operators.BloomJoin.join(
+      li.select(col("l_orderkey"), col("l_quantity")), hot,
+      "l_orderkey", "o_orderkey")
+    println("bloom-joined rows=" + bloomed.count())
+
+    val renested = graft.operators.Nest.nest(
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Seq("l_orderkey"), Seq("l_linenumber", "l_quantity"), "items",
+      sortBy = Seq("l_linenumber"))
+    println("nest->flatten round-trip rows=" +
+      graft.operators.Flatten.flatten(renested).count())
+
+    val scored = li.select(col("l_orderkey").as("key"),
+      col("l_partkey").as("id"), col("l_quantity").as("score"))
+    println("topk rows=" + graft.operators.TopK.perKey(
+      scored.filter(col("key") < 8), "key", "id", "score", 3).count())
+
+    val z = graft.operators.ZOrder.layoutByZ(
+      li.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", partitions = 4)
+    println("zorder-layout partitions=" + z.rdd.getNumPartitions)
     spark.stop()
   }
 }
