@@ -264,6 +264,25 @@ class FlattenSpec extends SparkSpec {
     assert(rows.toSet == Set(List(1L, 3L, 6L), List(2L, 4L, 7L), List(2L, 5L, 8L)))
   }
 
+  test("clusion paths reach through map columns (key/value as record fields)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("props", MapType(StringType, LongType))))
+    val d = df(schema,
+      Row(1L, Map("a" -> 10L, "b" -> 11L)),
+      Row(2L, Map("c" -> 20L)))
+    // include only the map's value side: key column drops, expansion stays
+    val (cols, rows) = collect(
+      Flatten.flatten(d, include = Seq("id", "props.value"): Seq[String]))
+    assert(cols == List("id", "value"))
+    assert(rows.toSet == Set(List(1L, 10L), List(1L, 11L), List(2L, 20L)))
+    // exclude the value side: key survives
+    val (cols2, rows2) = collect(
+      Flatten.flatten(d, exclude = Seq("props.value"): Seq[String]))
+    assert(cols2 == List("id", "key"))
+    assert(rows2.toSet == Set(List(1L, "a"), List(1L, "b"), List(2L, "c")))
+  }
+
   test("Nest is the deterministic inverse of flatten") {
     import spark.implicits._
     val flat = Seq(
