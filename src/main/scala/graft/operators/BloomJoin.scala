@@ -23,25 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** Inner equi-join of `probe` to `build` on long keys, with a
-    * Bloom-filter membership pre-filter on the probe side.
+  /** Build the membership filter once — hand the result to
+    * [[filterProbe]]/[[join]] to amortize it across several probes
+    * (each `join()` call otherwise re-aggregates the build side).
     *
-    * @param expectedItems sizing for the filter; defaults to a count
-    *                      of the build side (one cheap extra action)
+    * @param expectedItems sizing; defaults to a count of the build
+    *                      side (one cheap extra action)
+    */
+  def buildFilter(build: DataFrame, buildKey: String,
+                  fpp: Double = 0.01, expectedItems: Long = -1L)
+  : org.apache.spark.util.sketch.BloomFilter = {
+    val n = if (expectedItems > 0) expectedItems else build.count()
+    build.stat.bloomFilter(buildKey, math.max(n, 1L), fpp)
+  }
+
+  /** Drop probe rows whose key cannot be in the filter. */
+  def filterProbe(probe: DataFrame, probeKey: String,
+                  bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
+    probe.filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
+  }
+
+  /** Inner equi-join of `probe` to `build` on long keys, with a
+    * Bloom-filter membership pre-filter on the probe side. One-shot
+    * convenience: builds the filter internally (persisting the build
+    * side so its lineage — sizing count, bloom aggregate, join build —
+    * evaluates once); for repeated probes against the same build side,
+    * call [[buildFilter]] once and compose [[filterProbe]] + `join`.
     */
   def join(probe: DataFrame, build: DataFrame,
            probeKey: String, buildKey: String,
            fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
-    // the build side is evaluated up to three times (sizing count,
-    // bloom aggregate, the join itself) — persist it so an expensive
-    // build lineage runs once; the cache is shared by plan equality
-    // across repeated calls (the repo-wide persist pattern)
     val b = build.persist()
-    val n = if (expectedItems > 0) expectedItems else b.count()
-    val bloom = b.stat.bloomFilter(buildKey, math.max(n, 1L), fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
-    probe.filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
+    val bloom = buildFilter(b, buildKey, fpp, expectedItems)
+    filterProbe(probe, probeKey, bloom)
       .join(b, col(probeKey) === col(buildKey))
   }
 }

@@ -138,7 +138,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, ids: DataFrame, idCol: String,
                           aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 25,
-                          driverThreshold: Long = 1L << 20): DataFrame = {
+                          driverThreshold: Long = 1L << 16): DataFrame = {
     // null endpoints are inert in the iterative path (they never match
     // a join); drop them up front so the driver fast path's primitive
     // tuple collect behaves identically
@@ -149,10 +149,13 @@ object Dedup {
 
     // Size-adaptive strategy, same contract both ways: a near-dup
     // pair graph is a vanishing fraction of the corpus, so when it
-    // fits comfortably on the driver (the same budget a broadcast
-    // join's build side gets) a single union-find pass replaces the
-    // whole multi-round join iteration — one collect, zero extra
-    // shuffles. The iterative path remains for genuinely huge pair
+    // fits comfortably on the driver a single union-find pass
+    // replaces the whole multi-round join iteration — one collect,
+    // zero extra shuffles. The default threshold (2^16 directed
+    // edges) keeps the collected pairs + boxed label Map in the
+    // ~10 MB range, the same order as a default broadcast-join
+    // build side; raise it only with driver/executor memory to
+    // spare. The iterative path remains for genuinely huge pair
     // graphs. Spec pins both paths to identical labels.
     val nEdges = edges.count()
     val longIds = edges.schema("src").dataType ==

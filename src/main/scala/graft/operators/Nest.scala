@@ -24,6 +24,13 @@ object Nest {
     val order = if (sortBy.isEmpty) payload else sortBy
     require(order.forall(payload.contains),
       s"sortBy columns ${order.filterNot(payload.contains)} must be in the payload")
+    // array_sort compares the whole struct, and Spark cannot order
+    // maps — fail fast with guidance instead of a late AnalysisException
+    payload.foreach { p =>
+      require(!df.schema(p).dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"payload column '$p' is a map (unorderable in Spark); convert it " +
+          "with map_entries() before nesting")
+    }
     // sort key rides first inside the struct so array_sort's natural
     // struct ordering sorts by it, then the payload is re-projected
     val tagged = struct((order ++ payload.filterNot(order.contains))

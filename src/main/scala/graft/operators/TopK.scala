@@ -93,6 +93,14 @@ object TopK {
     val spark = scored.sparkSession
     import spark.implicits._
     require(k >= 1, s"top-k requires k >= 1, got $k")
+    // fail fast on non-integral keys: a fractional double would cast
+    // by truncation, silently MERGING distinct keys
+    Seq(keyCol, idCol).foreach { c =>
+      val dt = scored.schema(c).dataType
+      require(Seq("byte", "short", "int", "integer", "long")
+        .contains(dt.typeName),
+        s"column '$c' must be integral for top-k keys, got ${dt.typeName}")
+    }
     val agg = new TopKAgg(k).toColumn
     scored
       .select(col(keyCol).cast("long"), col(idCol).cast("long"),

@@ -142,12 +142,17 @@ object TextQueries {
     // bounds, chars-per-word, lexical diversity; keep flag + first
     // failing rule. Ratios floor-scaled e4, thresholds on the integer.
     "text_filter" -> ((s, dir) => {
-      val wc = size(words(col("text"))).cast("long")
-      val cpwE4 = floor(col("n_chars").cast("double") / wc * 10000).cast("long")
-      val divE4 = floor(size(array_distinct(words(col("text")))).cast("double")
-        / wc * 10000).cast("long")
+      // project the word array once (regex expressions have no CSE)
       Tables(s, dir, "documents")
-        .select(col("doc_id"), wc.as("wc"), cpwE4.as("cpw_e4"), divE4.as("div_e4"))
+        .select(col("doc_id"), col("n_chars"), words(col("text")).as("__w"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("__w")).cast("long").as("wc"),
+          size(array_distinct(col("__w"))).cast("long").as("dw"))
+        .select(col("doc_id"), col("wc"),
+          floor(col("n_chars").cast("double") / col("wc") * 10000)
+            .cast("long").as("cpw_e4"),
+          floor(col("dw").cast("double") / col("wc") * 10000)
+            .cast("long").as("div_e4"))
         .withColumn("reason",
           when(col("wc") < 30, "too_short")
             .when(col("wc") > 300, "too_long")

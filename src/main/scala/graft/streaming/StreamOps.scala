@@ -100,8 +100,12 @@ object StreamOps {
       .agg(topk(col(idCol), col(scoreCol)).as("top"))
       .select(col("w.start").as("window_start"),
         posexplode(col("top.items")).as(Seq("i", "item")))
+      // same 4-dp output rounding as the batch TopK.perKey, so the
+      // streaming window's top-k reconciles exactly against a batch
+      // backfill of the same data
       .select(col("window_start"), col("item._1").as("id"),
-        col("item._2").as("score"), (col("i") + 1).cast("long").as("rank"))
+        round(col("item._2"), 4).as("score"),
+        (col("i") + 1).cast("long").as("rank"))
   }
 
   final case class Anomaly(user_id: Long, ts_us: Long, value: Double,
@@ -135,7 +139,7 @@ object StreamOps {
           // the ordering and the emitted ts_us are replay-deterministic
           // for sub-millisecond event streams
           def us(t: Timestamp): Long =
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           evs.toSeq.sortBy(e => (us(e.ts), e.value)).foreach { e =>
             if (st.n >= warmup) {
               val sd = math.sqrt(st.m2 / (st.n - 1).toDouble)
