@@ -116,4 +116,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("nest then flatten is the identity on random flat tables") {
+    import spark.implicits._
+    val rng = new Random(23)
+    (1 to 5).foreach { _ =>
+      val rows = List.fill(60)(
+        (rng.nextInt(8).toLong, rng.nextInt(1000), rng.nextInt(50) / 2.0))
+      val flat = rows.toDF("k", "line", "qty").repartition(3)
+      val back = Flatten.flatten(
+          graft.operators.Nest.nest(flat, Seq("k"), Seq("line", "qty"),
+            "items", sortBy = Seq("line")))
+        .as[(Long, Int, Double)].collect().toList
+      // multiset equality: nest/flatten must not drop or duplicate rows
+      assert(back.groupBy(identity).view.mapValues(_.size).toMap ==
+        rows.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+  }
+
+  test("TopK.perKey equals the rank window on random data and k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rng = new Random(31)
+    (1 to 5).foreach { _ =>
+      val k = 1 + rng.nextInt(7)
+      val rows = List.fill(400)(
+        (rng.nextInt(6).toLong, rng.nextInt(10000).toLong,
+          // coarse grid forces 6-dp ties
+          rng.nextInt(40) / 8.0))
+      val df = rows.toDF("key", "id", "score").repartition(4)
+      val got = graft.operators.TopK.perKey(df, "key", "id", "score", k)
+        .orderBy("key", "rank").collect().toSeq
+      val w = Window.partitionBy(col("key"))
+        .orderBy(round(col("score"), 6).desc, col("id").asc)
+      val want = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("key"), col("id"), round(col("score"), 4).as("score"),
+          col("rank"))
+        .orderBy("key", "rank").collect().toSeq
+      assert(got == want, s"k=$k")
+    }
+  }
 }
