@@ -56,7 +56,15 @@ object DedupQueries {
     // length-bucket banded so candidates meet via an equi-join
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables(s, dir, "documents"), "doc_id", "text",
-        "n_chars", maxDist = 5, prefixLen = 40, lenBucket = 16))
+        "n_chars", maxDist = 5, prefixLen = 40, lenBucket = 16)),
+
+    // the df-capped Jaccard: hot shingles (document frequency > cap)
+    // drop BEFORE the self-join — the knob that bounds the join
+    // fan-out to cap^2 per shingle at corpus scale. The cap is part
+    // of the operator's exact semantics, so it oracle-checks too.
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40))
   )
 
   // ---- oracle SQL (generated to stay in lockstep with K/BANDS) ----
@@ -176,6 +184,19 @@ object DedupQueries {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  private val cappedJaccardOracle: String =
+    s"""WITH $shingleCte,
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 40),
+       |c AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+       |n AS (SELECT doc_id, count(*) AS c FROM c GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM c a JOIN c b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (na.c + nb.c - inter), 4) AS jaccard
+       |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+       |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5""".stripMargin
+
   // the length-bucket banding is pruning-only (lenBucket > maxDist
   // guarantees every qualifying pair is witnessed), so the oracle
   // states just the observable predicate
@@ -193,6 +214,7 @@ object DedupQueries {
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_jaccard_capped" -> cappedJaccardOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_components" -> componentsOracle,
     "dedup_embedding" -> embeddingOracle
