@@ -204,14 +204,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nmin"))
+      // convergence count rides the SAME job that materializes the
+      // round (an observed metric on the checkpoint action) — one
+      // Spark action per round, not a join + a separate count scan
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val updated = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           labels("component").as("old"),
           least(labels("component"), coalesce(col("nmin"), labels("component")))
             .as("component"))
+        .observe(obs, sum(when(col("component") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint() // eager: cut lineage, materialize this round
-      changed = updated.filter(col("component") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist() // previous round's checkpoint blocks released
       labels = updated
       round += 1

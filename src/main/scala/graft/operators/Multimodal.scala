@@ -6,15 +6,89 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: images/audio/video ride through the
   * engine as opaque `binary` columns with a typed metadata struct.
-  * The Spark-side contract — schema, partition-local batch
-  * processing, deterministic outputs — is real and tested; the media
-  * decode itself is STUBBED (this container has no image/audio
-  * codecs): [[decodeStub]] derives fake-but-deterministic dimensions
-  * from the payload bytes, and marks itself clearly. Swap the stub
-  * body for a real codec (e.g. JNI or an FFI batch call) without
-  * touching the pipeline shape.
+  *
+  * IMAGE decode, resize, and pixel-feature extraction are REAL: the
+  * JDK ships codecs for PNG/JPEG/BMP/GIF via `javax.imageio`, so
+  * [[decodeImage]]/[[resizeImage]]/[[pixelFeatures]] decode actual
+  * bytes — no external libraries. Audio/video remain STUBS
+  * ([[decodeStub]], [[sampleFramesStub]]) with deterministic fake
+  * outputs and real schema/partitioning plumbing; swap the stub body
+  * for a codec (JNI/FFI batch call) without touching the pipeline
+  * shape.
   */
 object Multimodal {
+
+  final case class ImageInfo(width: Long, height: Long, channels: Long)
+
+  private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (b == null) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF).
+    * Emits a `decoded` struct of (width, height, channels); null or
+    * undecodable payloads yield a null struct — the null behavior a
+    * production decoder needs so one corrupt image never kills a
+    * 100 TB scan. UDF by necessity: no Catalyst built-in decodes
+    * image containers. */
+  def decodeImage(df: DataFrame, binCol: String): DataFrame = {
+    val decode = udf { (b: Array[Byte]) =>
+      readImage(b).map(img => ImageInfo(img.getWidth.toLong,
+        img.getHeight.toLong, img.getColorModel.getNumComponents.toLong))
+    }
+    df.withColumn("decoded", decode(col(binCol)))
+  }
+
+  /** REAL image resize: decode, scale to (targetW x targetH) with
+    * bilinear Graphics2D, re-encode as PNG bytes. Narrow per-row
+    * work; heavyweight per-batch codec state belongs in
+    * [[mapBatches]] instead. */
+  def resizeImage(df: DataFrame, binCol: String,
+                  targetW: Int = 8, targetH: Int = 8): DataFrame = {
+    val resize = udf { (b: Array[Byte]) =>
+      readImage(b).map { img =>
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+    df.withColumn("resized", resize(col(binCol)))
+  }
+
+  /** REAL pixel features: per-channel mean RGB in [0, 1] as
+    * `array<float>` — the minimal honest image embedding, with the
+    * exact schema a vision encoder emits, so Similarity/Dedup run
+    * unchanged on real pixels (payload -> [[resizeImage]] ->
+    * pixelFeatures -> `Similarity.*TopK`). */
+  def pixelFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val feats = udf { (b: Array[Byte]) =>
+      readImage(b).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var r = 0L; var g = 0L; var bl = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; bl += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble * 255.0
+        Array((r / n).toFloat, (g / n).toFloat, (bl / n).toFloat)
+      }
+    }
+    df.withColumn("embedding", feats(col(binCol)))
+  }
 
   /** Metadata struct computed scan-side from the payload: byte size,
     * SHA-256 content address. Codegen'd; no UDF. */
@@ -23,10 +97,11 @@ object Multimodal {
       length(col(binCol)).cast("long").as("n_bytes"),
       sha2(col(binCol), 256).as("sha256")))
 
-  /** STUB image decode: deterministic fake dimensions derived from
-    * payload length (`1 + n % 64`); replace with a real decoder. The
-    * column types and null behavior match what a real decoder would
-    * produce. */
+  /** STUB decode for codec-less media (audio/video — the JDK has no
+    * codecs for those; images use the REAL [[decodeImage]]):
+    * deterministic fake dimensions derived from payload length
+    * (`1 + n % 64`). The column types and null behavior match what a
+    * real decoder would produce. */
   def decodeStub(df: DataFrame, binCol: String): DataFrame = {
     val n = length(col(binCol)).cast("long")
     df.withColumn("decoded", struct(
@@ -61,11 +136,10 @@ object Multimodal {
     }(encoder)
   }
 
-  /** STUB resize: deterministic truncation of the payload to
-    * `targetBytes` — stands in for a real image resize while keeping
-    * the binary-in/binary-out column contract (narrow, codegen'd;
-    * a real resize plugs into [[mapBatches]] instead when it needs
-    * per-batch codec state). */
+  /** STUB resize for codec-less media (images use the REAL
+    * [[resizeImage]]): deterministic truncation of the payload to
+    * `targetBytes`, keeping the binary-in/binary-out column contract
+    * (narrow, codegen'd). */
   def resizeStub(df: DataFrame, binCol: String, targetBytes: Int = 256): DataFrame =
     df.withColumn("resized", col(binCol).substr(lit(1), lit(targetBytes)))
 

@@ -1,0 +1,117 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Nest
+
+/** Pre-materialized nested-input fixtures for the flatten benchmarks.
+  *
+  * The flatten queries need genuinely nested frames as input, but
+  * building them (Nest's collect_list aggregation, a join for the
+  * two-level shape) costs more than the flatten being measured — and
+  * that cost is shuffle-heavy and noisy, so timing it INSIDE the query
+  * made the flatten trend line unreadable (±2.5x swings with identical
+  * code between rounds 2 and 3). Each fixture is therefore written to
+  * parquet once per scale-factor directory and read back by the timed
+  * query: the benchmark then measures what the reference measures —
+  * flatten over nested data at rest (pbd_tests.py:55-60 times decode +
+  * flatten of an already-written file, never fixture construction).
+  *
+  * The cache key includes the source parquet's mtime, so regenerated
+  * test data invalidates stale fixtures. Writes go to a temp dir and
+  * move into place atomically, so concurrent suites never observe a
+  * half-written fixture.
+  */
+object Fixtures {
+
+  private def cacheRoot(dir: String): Path = {
+    val src = Paths.get(dir, "lineitem.parquet")
+    val mtime =
+      if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis else 0L
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + mtime
+    Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures", key)
+  }
+
+  /** Build-once-per-sf parquet cache. The _SUCCESS marker written by
+    * Spark's committer inside the moved directory is the completeness
+    * witness. */
+  private def cached(s: SparkSession, dir: String, name: String)
+                    (build: => DataFrame): DataFrame = synchronized {
+    val path = cacheRoot(dir).resolve(name)
+    if (!Files.exists(path.resolve("_SUCCESS"))) {
+      val tmp = cacheRoot(dir).resolve(
+        s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      Files.createDirectories(path.getParent)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another JVM won the race; its fixture is equivalent
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** One-level nested lineitem: (l_orderkey, items[(l_linenumber,
+    * l_quantity)]) — input of flatten_roundtrip / flatten_outer and
+    * the building block of the two-level fixture. */
+  def nestedLineitem(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "nested_lineitem") { nestLineitem(s, dir) }
+
+  /** The same frame built inline (un-cached): what nest_roundtrip
+    * times. */
+  def nestLineitem(s: SparkSession, dir: String): DataFrame =
+    Nest.nest(Tables(s, dir, "lineitem"),
+      keys = Seq("l_orderkey"), payload = Seq("l_linenumber", "l_quantity"),
+      as = "items", sortBy = Seq("l_linenumber"))
+
+  /** Two-level nesting: customer -> orders[] -> items[]. */
+  def nestedOrders2(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "nested_orders2") {
+      val inner = nestLineitem(s, dir)
+      Tables(s, dir, "orders")
+        .join(inner, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("items"))
+        .groupBy("o_custkey")
+        .agg(collect_list(
+          struct(col("o_orderkey"), col("o_totalprice"), col("items")))
+          .as("orders"))
+    }
+
+  /** Orders left-joined to nested items: rows with null `items` are
+    * the outer-join semantics probe. */
+  def nestedOuter(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "nested_outer") {
+      Tables(s, dir, "orders")
+        .join(nestLineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("items"))
+    }
+
+  /** Sibling-array fixture: items[] and flags[] conflict under
+    * FlattenAll; the scalar count `n` survives FlattenAvailable, the
+    * include list selects items under FlattenExplicit. */
+  def nestedSiblings(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "nested_siblings") {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity")))
+          .as("items"),
+          collect_list(col("l_returnflag")).as("flags"),
+          count(lit(1)).as("n"))
+    }
+
+  /** Build every fixture for a scale factor (Bench calls this before
+    * the timed loop so no query is charged fixture construction). */
+  def warm(s: SparkSession, dir: String): Unit = {
+    nestedLineitem(s, dir)
+    nestedOrders2(s, dir)
+    nestedOuter(s, dir)
+    nestedSiblings(s, dir)
+  }
+}
