@@ -52,6 +52,14 @@ object DedupQueries {
       Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = 0.42)),
 
+    // the LSH-bucketed scale form of dedup_embedding: vectors meet
+    // only via a shared (table, bucket) equi-join key — the 100 TB
+    // embedding-dedup path, driver-oracled because the MD5-derived
+    // hyperplanes replay as SQL literals (knn_lsh technique)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsLSH(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.42, dim = 64)),
+
     // fuzzy near-dup by edit distance over normalized prefixes,
     // length-bucket banded so candidates meet via an equi-join
     "dedup_editdist" -> ((s, dir) =>
@@ -125,6 +133,38 @@ object DedupQueries {
        |  round(inter * 1.0 / (na.c + nb.c - inter), 4) AS jaccard
        |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
        |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5""".stripMargin
+
+  // ---- dedup_embedding_lsh oracle: same inlined-hyperplane replay
+  // as VectorQueries.lshOracle — sign-bit buckets per table from MD5
+  // plane constants, candidates meet on (t, b), exact cosine verifies
+  private val LSH_DIM = 64
+  private val LSH_NPLANES = 6
+  private val LSH_TABLES = 4
+
+  private def embeddingLshOracle: String = {
+    def dot(t: Int, p: Int): String =
+      (0 until LSH_DIM).map { d =>
+        s"coalesce(v[${d + 1}], 0) * ${Similarity.planeComponent(100 * t + p, d)}"
+      }.mkString("(", " + ", ")")
+    def bucket(t: Int): String =
+      (0 until LSH_NPLANES).map { p =>
+        s"(CASE WHEN ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val buckets = (0 until LSH_TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (
+       |$buckets),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
+       |           AND a.vec_id < c.vec_id),
+       |s AS (SELECT cand.id_a, cand.id_b,
+       |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |                JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.42""".stripMargin
+  }
 
   private val embeddingOracle: String =
     """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -217,6 +257,7 @@ object DedupQueries {
     "dedup_jaccard_capped" -> cappedJaccardOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_components" -> componentsOracle,
-    "dedup_embedding" -> embeddingOracle
+    "dedup_embedding" -> embeddingOracle,
+    "dedup_embedding_lsh" -> embeddingLshOracle
   )
 }

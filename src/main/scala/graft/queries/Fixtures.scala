@@ -106,6 +106,44 @@ object Fixtures {
           count(lit(1)).as("n"))
     }
 
+  /** lineitem rows encoded as a PBD container once per sf — the
+    * pbd_source query reads it back through the wire-level decoder,
+    * which makes PBD decode measurable at benchmark scale (600 k
+    * records at sf0.1) against the reference's 200 k rec/s bound
+    * (pbd_tests.py:42-58). The collect here is the fixture WRITER —
+    * one-time, outside any timed query. */
+  def pbdLineitem(s: SparkSession, dir: String): String = synchronized {
+    import graft.sources.pbd.{PbdWriter, PbdDescriptors}
+    val path = cacheRoot(dir).resolve("lineitem.pbd")
+    if (!Files.exists(path)) {
+      Files.createDirectories(path.getParent)
+      val tmp = path.resolveSibling(
+        s"lineitem.pbd.tmp-${java.lang.ProcessHandle.current().pid()}")
+      val rows = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .collect()
+      val fields = Seq(
+        PbdWriter.Field("l_orderkey", 1, PbdDescriptors.T.INT64),
+        PbdWriter.Field("l_partkey", 2, PbdDescriptors.T.INT64),
+        PbdWriter.Field("l_quantity", 3, PbdDescriptors.T.DOUBLE),
+        PbdWriter.Field("l_returnflag", 4, PbdDescriptors.T.STRING))
+      PbdWriter.write(tmp.toString, "graft", "LineItem", fields,
+        rows.iterator.map { r => out =>
+          out.writeVarintField(1, r.getLong(0))
+          out.writeVarintField(2, r.getLong(1))
+          out.writeDoubleField(3, r.getDouble(2))
+          out.writeStringField(4, r.getString(3))
+        })
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+      }
+    }
+    path.toString
+  }
+
   /** Build every fixture for a scale factor (Bench calls this before
     * the timed loop so no query is charged fixture construction). */
   def warm(s: SparkSession, dir: String): Unit = {
@@ -113,5 +151,6 @@ object Fixtures {
     nestedOrders2(s, dir)
     nestedOuter(s, dir)
     nestedSiblings(s, dir)
+    pbdLineitem(s, dir)
   }
 }

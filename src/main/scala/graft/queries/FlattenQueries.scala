@@ -98,6 +98,14 @@ object FlattenQueries {
       graft.sources.Sources.readAvro(s, path)
     }),
 
+    // the wire-level PBD decoder at benchmark scale: the whole
+    // lineitem table round-trips through a driver-written PBD
+    // container (Fixtures.pbdLineitem, built outside the timed
+    // region) and must equal the parquet-derived oracle — this is the
+    // row the reference's 200 k rec/s decode bound is judged against
+    "pbd_source" -> ((s, dir) =>
+      graft.sources.pbd.PbdSource.read(s, Fixtures.pbdLineitem(s, dir))),
+
     // ORC round-trip: the second columnar storage format (Spark
     // built-in), same deterministic-subset pattern as avro_source
     "orc_source" -> ((s, dir) => {
@@ -160,6 +168,9 @@ object FlattenQueries {
     "avro_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 37 = 0""".stripMargin,
+    "pbd_source" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem""".stripMargin,
     "orc_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 41 = 0""".stripMargin,

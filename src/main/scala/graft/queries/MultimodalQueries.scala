@@ -2,14 +2,54 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Similarity}
 
-/** Multimodal plumbing exercised end to end: documents' text bytes
-  * stand in for opaque media payloads; metadata (size, content hash)
-  * and the clearly-marked decode STUB flow through the engine as
-  * binary + struct columns.
+/** Multimodal columns exercised end to end.
+  *
+  * mm_meta: documents' text bytes as opaque payloads — metadata
+  * (size, content hash) plus the clearly-marked audio/video decode
+  * STUB flow through as binary + struct columns.
+  *
+  * mm_decode / mm_pixels / mm_knn: REAL image pipeline. Synthetic
+  * PNGs (solid color, dimensions and color arithmetic functions of
+  * doc_id) are encoded with ImageIO inside the query, then decoded /
+  * resized / feature-extracted with the REAL javax.imageio operators
+  * — so the DuckDB oracle can restate the expected dimensions and
+  * channel means in pure arithmetic while the engine exercises actual
+  * PNG codec round-trips. mm_knn chains the extracted pixel features
+  * into Similarity.bruteForceTopK: the embed→rank path on real
+  * pixels.
   */
 object MultimodalQueries {
+
+  /** Deterministic PNG payloads: width 1+id%37, height 1+(3id)%29,
+    * solid RGB (1+id%255, 1+7id%253, 1+13id%251) — never the zero
+    * vector, so cosine features are always defined. */
+  private def syntheticImages(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = 1 + (id % 37).toInt
+      val h = 1 + ((id * 3) % 29).toInt
+      val rgb = ((1 + (id % 255).toInt) << 16) |
+        ((1 + ((id * 7) % 253).toInt) << 8) | (1 + ((id * 13) % 251).toInt)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+  }
+
+  /** The pixel-mean features of the synthetic images, replayable as
+    * SQL arithmetic: mean of a solid channel == channel/255 exactly
+    * (IEEE division of the same rational). */
+  private def pixelVectors(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelFeatures(syntheticImages(s, dir), "payload")
+      .select(col("doc_id"), col("embedding"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, dir) => {
@@ -22,8 +62,44 @@ object MultimodalQueries {
           col("decoded.width").as("width"),
           col("decoded.height").as("height"),
           col("decoded.channels").as("channels"))
+    }),
+
+    // REAL ImageIO decode of real PNG bytes: dimensions and channel
+    // count come out of the codec, the oracle restates them from the
+    // generator arithmetic
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeImage(syntheticImages(s, dir), "payload")
+        .select(col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.channels").as("channels"))),
+
+    // REAL resize (bilinear to 8x8, PNG re-encode) then REAL pixel
+    // feature extraction; a solid color survives both exactly
+    "mm_pixels" -> ((s, dir) =>
+      Multimodal.pixelFeatures(
+        Multimodal.resizeImage(syntheticImages(s, dir), "payload", 8, 8),
+        "resized")
+        .select(col("doc_id"),
+          element_at(col("embedding"), 1).as("f_r"),
+          element_at(col("embedding"), 2).as("f_g"),
+          element_at(col("embedding"), 3).as("f_b"))),
+
+    // the multimodal chain: payload -> pixel features -> exact top-k
+    // cosine — image similarity search on real decoded pixels
+    "mm_knn" -> ((s, dir) => {
+      val feats = pixelVectors(s, dir)
+      Similarity.bruteForceTopK(
+        feats.filter(col("doc_id") < 4), feats,
+        "doc_id", "doc_id", "embedding", k = 5)
     })
   )
+
+  // channel means as SQL: exactly channel/255 cast to float4
+  private val vecSql =
+    """[CAST(CAST(1 + doc_id % 255 AS DOUBLE) / 255 AS REAL),
+      | CAST(CAST(1 + (doc_id * 7) % 253 AS DOUBLE) / 255 AS REAL),
+      | CAST(CAST(1 + (doc_id * 13) % 251 AS DOUBLE) / 255 AS REAL)]""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_meta" ->
@@ -33,6 +109,31 @@ object MultimodalQueries {
         |  CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
         |  CAST(1 + (octet_length(encode(text)) * 7) % 64 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 37 AS BIGINT) AS width,
+        |  CAST(1 + (doc_id * 3) % 29 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents""".stripMargin,
+    "mm_pixels" ->
+      s"""SELECT doc_id,
+         |  CAST(CAST(1 + doc_id % 255 AS DOUBLE) / 255 AS REAL) AS f_r,
+         |  CAST(CAST(1 + (doc_id * 7) % 253 AS DOUBLE) / 255 AS REAL) AS f_g,
+         |  CAST(CAST(1 + (doc_id * 13) % 251 AS DOUBLE) / 255 AS REAL) AS f_b
+         |FROM documents""".stripMargin,
+    "mm_knn" ->
+      s"""WITH v AS (SELECT doc_id, $vecSql AS e FROM documents),
+         |q AS (SELECT doc_id, CAST(e AS DOUBLE[]) AS e FROM v WHERE doc_id < 4),
+         |c AS (SELECT doc_id, CAST(e AS DOUBLE[]) AS e FROM v),
+         |s AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |        list_cosine_similarity(q.e, c.e) AS sim
+         |      FROM q JOIN c ON q.doc_id <> c.doc_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+         |      FROM s)
+         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+         |FROM r WHERE rank <= 5""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Real-image multimodal operators: decode/resize/features run the
+  * JDK's actual PNG codec, so these tests assert real codec behavior
+  * (dimensions out of the decoder, channel means out of the raster),
+  * plus the null-safety a corpus-scale scan needs.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage reads real PNG dimensions and channel count") {
+    val df = Seq((1L, png(13, 7, 0x804020)), (2L, png(1, 1, 0xffffff)))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImage(df, "payload")
+      .select($"id", $"decoded.width", $"decoded.height", $"decoded.channels")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((1L, 13L, 7L, 3L), (2L, 1L, 1L, 3L)))
+  }
+
+  test("decodeImage yields null struct for null and undecodable payloads") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImage(df, "payload").select($"decoded").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("resizeImage produces a decodable PNG of the target size") {
+    val df = Seq((1L, png(20, 10, 0x123456))).toDF("id", "payload")
+    val resized = Multimodal.resizeImage(df, "payload", 8, 8)
+    val Row(w: Long, h: Long) =
+      Multimodal.decodeImage(resized, "resized")
+        .select($"decoded.width", $"decoded.height").head()
+    assert((w, h) == (8L, 8L))
+  }
+
+  test("pixelFeatures of a solid color equals channel/255 exactly") {
+    val df = Seq((1L, png(9, 4, (200 << 16) | (100 << 8) | 50)))
+      .toDF("id", "payload")
+    val feats = Multimodal.pixelFeatures(df, "payload")
+      .select($"embedding").head().getSeq[Float](0)
+    assert(feats == Seq((200.0 / 255).toFloat, (100.0 / 255).toFloat,
+      (50.0 / 255).toFloat))
+  }
+
+  test("resize of a solid color preserves the channel means") {
+    val df = Seq((1L, png(33, 21, (10 << 16) | (20 << 8) | 30)))
+      .toDF("id", "payload")
+    val feats = Multimodal.pixelFeatures(
+      Multimodal.resizeImage(df, "payload", 8, 8), "resized")
+      .select($"embedding").head().getSeq[Float](0)
+    assert(feats == Seq((10.0 / 255).toFloat, (20.0 / 255).toFloat,
+      (30.0 / 255).toFloat))
+  }
+
+  test("mm_decode / mm_pixels / mm_knn queries run on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val qs = graft.queries.MultimodalQueries.queries
+    assert(qs("mm_decode")(spark, dir).count() > 0)
+    assert(qs("mm_pixels")(spark, dir).count() > 0)
+    val knn = qs("mm_knn")(spark, dir)
+    assert(knn.filter(col("rank") <= 5).count() == knn.count())
+    assert(knn.count() > 0)
+  }
+}
