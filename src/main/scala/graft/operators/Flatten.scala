@@ -49,8 +49,11 @@ object FlattenJoin {
   *    leaving scalar siblings unexpanded (nodes.py:373-374);
   *  - name resolution per [[NameStrategy]] (nodes.py:192-241).
   *
-  * Divergence (SURVEY.md §7.4): scalar nulls stay true SQL nulls
-  * instead of pandas fill values (0/NaN/False).
+  * Divergence (SURVEY.md §7.4): scalar nulls stay true SQL nulls by
+  * default instead of pandas fill values — `fillLikePandas = true`
+  * opts into the reference's exact fill behavior (nodes.py:70-78:
+  * int -> 0, float -> NaN, bool -> False, object -> None) for
+  * migrating users.
   */
 object Flatten {
   import ClusionInput.Empty
@@ -60,7 +63,8 @@ object Flatten {
               nameStrategy: NameStrategy = NameStrategy.ConcatenateConflicts,
               join: FlattenJoin = FlattenJoin.Inner,
               include: ClusionInput = Empty,
-              exclude: ClusionInput = Empty): DataFrame = {
+              exclude: ClusionInput = Empty,
+              fillLikePandas: Boolean = false): DataFrame = {
     val includePaths = Clusions.paths(include)
     val excludePaths = Clusions.paths(exclude)
     includePaths.intersect(excludePaths).headOption.foreach { p =>
@@ -107,7 +111,29 @@ object Flatten {
       val c = if (materialized(j)) col(temps(j)) else frameCol(lastFrame, l.path)
       c.as(resolved(j))
     }
-    cur.select(out: _*)
+    val flat = cur.select(out: _*)
+    if (!fillLikePandas) flat else fillNulls(flat)
+  }
+
+  /** The reference's pandas fill values (nodes.py:70-78, pinned by
+    * node_tests.py:141-149,208): null integers become 0, null
+    * floats NaN, null booleans false; strings/binary (numpy object
+    * dtype) keep None. Pure projection — stays narrow and
+    * codegen'd. */
+  private def fillNulls(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    df.select(df.schema.fields.map { f =>
+      val c = col(s"`${f.name.replace("`", "``")}`")
+      val filled = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          coalesce(c, lit(0).cast(f.dataType))
+        case FloatType => coalesce(c, lit(Float.NaN))
+        case DoubleType => coalesce(c, lit(Double.NaN))
+        case BooleanType => coalesce(c, lit(false))
+        case _ => c
+      }
+      filled.as(f.name)
+    }: _*)
   }
 
   /** Pre-flight check used by callers that want the reference's

@@ -47,6 +47,46 @@ object Salting {
     hot.unionByName(cold)
   }
 
+  /** Sampled hot-key detection — the cheap pre-pass that feeds
+    * [[hotKeySaltedJoin]] when the hot keys are NOT known a priori.
+    * One job over a `fraction` sample: per-key counts aggregate
+    * map-side, the top `maxKeys` come back with a distributed
+    * take-ordered (never a full collect of the key space), and the
+    * sample total rides the same job as an observed metric. A key is
+    * "hot" when its sampled share exceeds `hotShare` — at power-law
+    * scale the hot set is a handful of keys, so the driver holds
+    * O(maxKeys), independent of corpus size or key cardinality.
+    */
+  def detectHotKeys(df: DataFrame, key: String, fraction: Double = 0.05,
+                    hotShare: Double = 0.01, maxKeys: Int = 32,
+                    seed: Long = 42): Seq[Any] = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    val counts = df.select(col(key)).filter(col(key).isNotNull)
+      .sample(withReplacement = false, fraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("__c"))
+    val obs = org.apache.spark.sql.Observation()
+    // orderBy+limit plans as TakeOrdered: every partition is scanned,
+    // so the observed total covers the whole sample in the same action
+    val top = counts.observe(obs, sum(col("__c")).as("total"))
+      .orderBy(col("__c").desc).limit(maxKeys).collect()
+    val total = Option(obs.get("total")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (total == 0L) Seq.empty
+    else top.filter(_.getLong(1).toDouble / total >= hotShare).map(_.get(0)).toSeq
+  }
+
+  /** [[hotKeySaltedJoin]] with the hot set detected automatically via
+    * [[detectHotKeys]]; falls back to the plain equi-join when the
+    * sample shows no skew (no replication cost on well-behaved data).
+    * Semantically identical to `skewed.join(other, key)` either way.
+    */
+  def autoSaltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                     buckets: Int = 8, fraction: Double = 0.05,
+                     hotShare: Double = 0.01): DataFrame = {
+    val hot = detectHotKeys(skewed, key, fraction, hotShare)
+    if (hot.isEmpty) skewed.join(other, Seq(key))
+    else hotKeySaltedJoin(skewed, other, key, hot, buckets)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate
     * on (key, salt), then final aggregate on key. For algebraic
     * aggregates this is what map-side partial aggregation already

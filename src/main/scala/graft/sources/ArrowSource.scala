@@ -21,10 +21,12 @@ import org.apache.spark.sql.graftglue.ArrowBridge
   * uses) — dictionary-encoded columns come back materialized, like
   * the reference's DictionaryArray handling (arrow.cpp:253-274).
   *
-  * The stream is consumed on the driver (it IS a driver-interchange
-  * format — the reference is likewise single-process here); for data
-  * at rest use parquet. Batches distribute across the cluster after
-  * conversion.
+  * The stream's BYTES are read on the driver (an IPC stream is
+  * sequential by design — the reference is likewise single-process
+  * here), but only as opaque batch payloads: the expensive columnar
+  * decode runs on EXECUTORS, one task per slice of batches, so a
+  * multi-batch file parallelizes across the cluster. For data at
+  * rest use parquet.
   */
 object ArrowSource {
 
@@ -77,7 +79,18 @@ object ArrowSource {
           }
         } else None
       }.toVector // materialize while the reader is open
-      ArrowBridge.toDataFrame(batches.iterator, schema, spark)
+      // distribute: batch payloads parallelize (dictionary columns are
+      // already materialized above, so each payload is self-contained)
+      // and decode to InternalRows inside tasks — the driver never
+      // builds row objects
+      val outSchema = schema
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      val nParts = math.max(1,
+        math.min(batches.size, spark.sparkContext.defaultParallelism))
+      val rdd = spark.sparkContext.parallelize(batches, nParts)
+        .mapPartitions(it => ArrowBridge.rowsFromBatches(it, outSchema, tz))
+      org.apache.spark.sql.graftglue.Bridge
+        .internalCreateDataFrame(spark, rdd, outSchema)
     } finally {
       reader.close()
       in.close()

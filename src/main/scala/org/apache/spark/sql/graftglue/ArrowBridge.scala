@@ -19,4 +19,15 @@ object ArrowBridge {
                   spark: SparkSession): DataFrame =
     ArrowConverters.toDataFrame(batches, schema.json,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
+  /** Executor-side record-batch decode: IPC batch payloads ->
+    * InternalRows inside a task (the per-partition half of Spark's
+    * own Arrow deserialization). Lets a source parallelize batch
+    * bytes and keep the expensive columnar decode off the driver. */
+  def rowsFromBatches(batches: Iterator[Array[Byte]],
+                      schema: StructType, timeZoneId: String)
+  : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    ArrowConverters.fromBatchIterator(batches, schema, timeZoneId,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false,
+      org.apache.spark.TaskContext.get())
 }

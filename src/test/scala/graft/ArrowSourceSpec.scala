@@ -95,6 +95,34 @@ class ArrowSourceSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq == Seq("ab", "cd"))
   }
 
+  test("multi-batch stream decodes distributed across >1 partition") {
+    val schema = new ASchema(Seq(
+      Field.nullable("v", new ArrowType.Int(64, true))).asJava)
+    val path = Files.createTempDirectory("graft_arrow").resolve("mb.arrows").toString
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = new FileOutputStream(path)
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start()
+    val nBatches = 8
+    val perBatch = 100
+    (0 until nBatches).foreach { b =>
+      val v = root.getVector("v").asInstanceOf[BigIntVector]
+      v.allocateNew(perBatch)
+      (0 until perBatch).foreach(i => v.setSafe(i, (b * perBatch + i).toLong))
+      root.setRowCount(perBatch)
+      writer.writeBatch()
+    }
+    writer.end(); writer.close(); out.close(); root.close(); alloc.close()
+
+    val df = ArrowSource.fromArrowStream(spark, path)
+    // the decode itself is distributed: multiple tasks, not a driver loop
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.count() == nBatches.toLong * perBatch)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+      == (0L until nBatches.toLong * perBatch).sum)
+  }
+
   test("list column flattens end-to-end (arrow_tests.py:247-252 shape)") {
     val listField = new Field("arr",
       FieldType.nullable(new ArrowType.List()),

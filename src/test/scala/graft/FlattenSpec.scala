@@ -301,4 +301,44 @@ class FlattenSpec extends SparkSpec {
     assert(nested.schema("items").dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType].fieldNames.toSeq == Seq("line", "qty"))
   }
+
+  test("fillLikePandas replays the reference's null fills (node_tests test_null_primitive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, struct, typedLit, lit, col}
+    // reference fixture (node_tests.py:141-149): d = [{b: [1, 1, None]},
+    // {b: [1, 1, None]}], e = 2.0 -> d_b: [1, 1, nan, 1, 1, nan],
+    // e: [2]*6 under CONCATENATE_ALWAYS with pandas fills
+    val inner = Seq[Option[Double]](Some(1.0), Some(1.0), None)
+    val df = Seq(1).toDF("one").select(
+      array(struct(typedLit(inner).as("b")), struct(typedLit(inner).as("b")))
+        .as("d"),
+      lit(2.0).as("e"))
+    val flat = Flatten.flatten(df,
+      nameStrategy = graft.operators.NameStrategy.ConcatenateAlways,
+      fillLikePandas = true)
+    val rows = flat.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(rows.map(_._2) == Seq.fill(6)(2.0))
+    val db = rows.map(_._1)
+    assert(db(0) == 1.0 && db(1) == 1.0 && db(2).isNaN)
+    assert(db(3) == 1.0 && db(4) == 1.0 && db(5).isNaN)
+    // default stays SQL-null (the documented divergence)
+    val defaultFlat = Flatten.flatten(df,
+      nameStrategy = graft.operators.NameStrategy.ConcatenateAlways)
+    assert(defaultFlat.filter(col("d_b").isNull).count() == 2)
+  }
+
+  test("fillLikePandas fills ints with 0 and booleans with false (nodes.py fill_value)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(10), Some(true), Some("x")),
+      (2L, None: Option[Int], None: Option[Boolean], None: Option[String]))
+      .toDF("id", "i", "flag", "s")
+    val flat = Flatten.flatten(df, fillLikePandas = true)
+    val r2 = flat.filter(col("id") === 2L).head()
+    assert(r2.getInt(flat.columns.indexOf("i")) == 0)
+    assert(!r2.getBoolean(flat.columns.indexOf("flag")))
+    // object dtype (string) keeps None, exactly as the reference
+    assert(r2.isNullAt(flat.columns.indexOf("s")))
+  }
 }

@@ -36,4 +36,36 @@ class SaltingSpec extends SparkSpec {
     val none = Salting.hotKeySaltedJoin(li, ord, "l_orderkey", Seq(-1L), buckets = 4)
     assert(canon(none) == plain)
   }
+
+  test("detectHotKeys finds a dominating key from a sample and skips uniform data") {
+    import spark.implicits._
+    // power-law fixture: key 7 carries half the rows
+    val skewed = (Seq.fill(5000)(7L) ++ (0L until 5000L).map(_ % 500))
+      .toDF("k")
+    val hot = Salting.detectHotKeys(skewed, "k", fraction = 0.2,
+      hotShare = 0.1)
+    assert(hot == Seq(7L))
+    // uniform data: nothing crosses the share threshold
+    val uniform = (0L until 10000L).map(_ % 1000).toDF("k")
+    assert(Salting.detectHotKeys(uniform, "k", fraction = 0.2,
+      hotShare = 0.1).isEmpty)
+  }
+
+  test("autoSaltedJoin (sampled detection) equals the declared-hot-key join") {
+    import spark.implicits._
+    val skewed = (Seq.fill(5000)(7L) ++ (0L until 5000L).map(_ % 500))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val dim = (0L until 1000L).map(k => (k, s"dim$k")).toDF("k", "label")
+    def canon2(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      df.select("k", "row_id", "label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val declared = canon2(
+      Salting.hotKeySaltedJoin(skewed, dim, "k", Seq(7L), buckets = 4))
+    val auto = canon2(
+      Salting.autoSaltedJoin(skewed, dim, "k", buckets = 4,
+        fraction = 0.2, hotShare = 0.1))
+    assert(auto == declared)
+    assert(auto == canon2(skewed.join(dim, Seq("k"))))
+    assert(auto.nonEmpty)
+  }
 }

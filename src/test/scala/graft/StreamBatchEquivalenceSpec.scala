@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** Streaming <-> batch equivalence over the REAL events table: the
+  * driver's events replayed through MemoryStream must produce exactly
+  * the rows the (driver-oracled) batch queries produce over the same
+  * data — the backfill-equals-stream property a lambda-architecture
+  * pipeline depends on. A far-future sentinel event advances the
+  * watermark so every real window closes; sums compare at 2 dp (the
+  * oracle rounding), absorbing accumulation-order ulps between
+  * streaming incremental state and batch hash aggregation.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tsOf(us: Long): Timestamp =
+    Timestamp.from(Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+  /** (ts, event_id, value) rows with microsecond timestamps — the
+    * shared input of both sides. */
+  private lazy val rows: Seq[(Timestamp, Long, Double)] =
+    graft.queries.Tables.events(spark, sfDir)
+      .select(expr("ts div 1000").as("us"), col("event_id"), col("value"))
+      .collect().map(r => (tsOf(r.getLong(0)), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
+  private lazy val sentinel: Timestamp =
+    tsOf(rows.map(r => r._1.getTime).max * 1000L + 7L * 24 * 3600 * 1000000L)
+
+  private lazy val batchDf: DataFrame =
+    rows.toDF("ts", "event_id", "value")
+
+  test("streaming tumblingCounts equals the batch hourly aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamOps.tumblingCounts(
+        input.toDF().toDF("ts", "event_id", "value"),
+        "ts", "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("eq_tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((sentinel, -1L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      s"""SELECT unix_micros(window_start) AS w, n, round(sum_value, 2) AS s
+         |FROM eq_tumbling
+         |WHERE window_start < timestamp'${sentinel}'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = batchDf.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .select(unix_micros(col("w.start")), col("n"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming slidingCounts equals the batch sliding-window aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamOps.slidingCounts(
+        input.toDF().toDF("ts", "event_id", "value"),
+        "ts", "2 hours", "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("eq_sliding")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((sentinel, -1L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      s"""SELECT unix_micros(window_start) AS w, n, round(sum_value, 2) AS s
+         |FROM eq_sliding
+         |WHERE window_start < timestamp'${sentinel}'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = batchDf
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .select(unix_micros(col("w.start")), col("n"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming windowedTopK equals the batch per-window rank window") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamOps.windowedTopK(
+        input.toDF().toDF("ts", "event_id", "value"),
+        "ts", "event_id", "value", k = k, window_ = "1 hour",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("eq_topk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((sentinel, -1L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      s"""SELECT unix_micros(window_start) AS w, id, score, rank
+         |FROM eq_topk
+         |WHERE window_start < timestamp'${sentinel}'""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // TopKAgg's order is (round-6 score desc, id asc) — the batch
+    // window must rank by the same rounded key
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w"))
+      .orderBy(round(col("value"), 6).desc, col("event_id").asc)
+    val batch = batchDf
+      .withColumn("w", unix_micros(window(col("ts"), "1 hour").getField("start")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w"), col("event_id"), round(col("value"), 4), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
