@@ -48,7 +48,41 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scale probe: the scale-sensitive operators (candidate-join
+    // dedup, ANN, components, wire decode) re-run at a 10x-smaller sf
+    // so every round records how runtime scales with data volume —
+    // a ratio well under the 10x row ratio means fixed overheads
+    // still dominate; a ratio ABOVE it flags superlinear behavior
+    // (the thing that kills a 100 TB run) on exactly the operators
+    // whose join fan-out could produce it.
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR",
+      "/root/testdata/sf0.01")
+    val probeNames = Seq("dedup_minhash", "dedup_winnow", "dedup_components",
+      "dedup_jaccard_capped", "dedup_embedding_lsh", "knn_cosine", "knn_lsh",
+      "knn_ivf", "pbd_source", "flatten_roundtrip")
+    val probeJson =
+      if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
+      else {
+        try graft.queries.Fixtures.warm(spark, baseDir)
+        catch { case _: Throwable => }
+        val probes = probeNames.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try { fn(spark, baseDir).count() } catch { case _: Throwable => -1L }
+              (System.nanoTime() - t0) / 1e9
+            }
+            val base = times.min
+            val main = results.toMap.getOrElse(name, -1.0)
+            val ratio = if (base > 0) main / base else -1.0
+            "\"" + name + "\":{\"base\":" + base + ",\"main\":" + main +
+              ",\"ratio\":" + ratio + "}"
+          }
+        }
+        s""","scale_probe":{"base_sf":"$baseDir","queries":${probes.mkString("{", ",", "}")}}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
     spark.stop()
   }
 }
