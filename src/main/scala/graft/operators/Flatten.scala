@@ -107,9 +107,18 @@ object Flatten {
     val lastFrame = plan.spine.size
     val namePathsLeafFirst = plan.leaves.map(_.namePath.reverse)
     val resolved = NameResolution.columnNames(nameStrategy, namePathsLeafFirst)
+    // MultiIndex strategy: the exact padded tuples ride each output
+    // column as schema metadata (persisted by parquet, visible to
+    // Arrow consumers) — the export the flat dotted names can't carry
+    val miMeta: Option[Seq[Metadata]] =
+      if (nameStrategy == NameStrategy.MultiIndex)
+        Some(NameResolution.multiIndexNames(namePathsLeafFirst).map(t =>
+          new MetadataBuilder()
+            .putStringArray(NameResolution.multiIndexKey, t.toArray).build()))
+      else None
     val out = plan.leaves.zipWithIndex.map { case (l, j) =>
       val c = if (materialized(j)) col(temps(j)) else frameCol(lastFrame, l.path)
-      c.as(resolved(j))
+      miMeta.fold(c.as(resolved(j)))(ms => c.as(resolved(j), ms(j)))
     }
     val flat = cur.select(out: _*)
     if (!fillLikePandas) flat else fillNulls(flat)

@@ -53,6 +53,22 @@ object NameResolution {
     names.map(n => (n.reverse.toVector ++ Vector.fill(max - n.size)("")))
   }
 
+  /** Metadata key under which [[Flatten]] attaches the padded
+    * MultiIndex tuple to each output column. */
+  val multiIndexKey = "graft.multiIndex"
+
+  /** Read back the MultiIndex tuples a MultiIndex-strategy flatten
+    * attached (column name -> root-first padded tuple) — the export
+    * surface for pandas-side consumers. Spark column metadata rides
+    * the schema, so it survives parquet round-trips (the footer
+    * stores the full Spark schema) and reaches Arrow-based readers.
+    */
+  def multiIndexOf(df: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+    df.schema.fields.iterator.collect {
+      case f if f.metadata.contains(multiIndexKey) =>
+        f.name -> f.metadata.getStringArray(multiIndexKey).toSeq
+    }.toMap
+
   /** Exact port of the fixpoint in nodes.py:218-241, including the
     * quirk that `is_resolved` is overwritten per conflicting group in
     * encounter order.

@@ -28,6 +28,14 @@ import PbdDescriptors._
   * scalar fields (pbd.cpp:215-357 — absent string → "", ints → 0,
   * enum → value 0's name); enums materialize as strings; uint32/64
   * widen per SURVEY §1.5; groups are rejected (pbd.hpp:194-198).
+  *
+  * Divergence (documented): the reference treats enum columns from
+  * different sources as distinct types and REFUSES to merge them
+  * unless their value tables are identical (columns.cpp:22-32);
+  * graft's enum-as-string representation makes cross-source unions
+  * legal by construction — two enums union as their value NAMES,
+  * with no identity check. Callers needing the reference's strict
+  * behavior must compare descriptor enum tables themselves.
   */
 object PbdSource {
   private val MAGIC = 0x000010bd

@@ -302,6 +302,25 @@ class FlattenSpec extends SparkSpec {
       .elementType.asInstanceOf[StructType].fieldNames.toSeq == Seq("line", "qty"))
   }
 
+  test("MultiIndex tuples export as column metadata and survive parquet (node_tests.py:220-223)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, struct}
+    // reference golden: {'a': {'c': 1}, 'b': 2} -> {('a','c'): [1], ('b',): [2]}
+    val df = Seq(1).toDF("one")
+      .select(struct(lit(1).as("c")).as("a"), lit(2).as("b"))
+    val flat = Flatten.flatten(df, nameStrategy = NameStrategy.MultiIndex)
+    assert(flat.columns.toSeq == Seq("a.c", "b"))
+    val mi = NameResolution.multiIndexOf(flat)
+    assert(mi == Map("a.c" -> Seq("a", "c"), "b" -> Seq("b", "")))
+    // metadata rides the schema through parquet (footer-stored)
+    val p = java.nio.file.Files.createTempDirectory("graft_mi").toString
+    flat.write.mode("overwrite").parquet(s"$p/out")
+    val back = spark.read.parquet(s"$p/out")
+    assert(NameResolution.multiIndexOf(back) == mi)
+    // non-MultiIndex strategies attach nothing
+    assert(NameResolution.multiIndexOf(Flatten.flatten(df)).isEmpty)
+  }
+
   test("fillLikePandas replays the reference's null fills (node_tests test_null_primitive)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array, struct, typedLit, lit, col}
