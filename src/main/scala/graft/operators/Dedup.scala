@@ -128,9 +128,10 @@ object Dedup {
     * in O(component diameter) rounds; near-dup clusters are
     * star-like (diameter 2-4), so a handful of shuffles settles even
     * a 100 TB corpus. `localCheckpoint` cuts the growing lineage each
-    * round (the standard iterative-DataFrame pattern; GraphFrames'
-    * alternating large-star/small-star is the O(log n) upgrade if
-    * pathological chain-shaped components ever matter).
+    * round (the standard iterative-DataFrame pattern); for
+    * pathological chain-shaped components use
+    * [[connectedComponentsStars]], the O(log n)-round alternating
+    * star-contraction form.
     *
     * @param ids universe of node ids (isolated nodes keep their own
     *            id as component)
@@ -230,6 +231,92 @@ object Dedup {
     ids.select(col(idCol).as("id"))
       .join(labels.select(col("id"), col("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the O(log n)-round upgrade over
+    * [[connectedComponents]]'s min-label propagation, whose round
+    * count is the component DIAMETER. Near-dup clusters are shallow,
+    * so the default operator wins there; chain-shaped graphs (linked
+    * near-dups across a corpus, transitive identity edges) make
+    * diameter O(n) and need this form.
+    *
+    * Each round is two conditional re-hangings over the canonical
+    * (larger, smaller) edge list: large-star hangs every
+    * bigger-than-center neighbor under the neighborhood minimum,
+    * small-star re-hangs the smaller neighbors and the center itself.
+    * Both are one hash-aggregate plus one equi-join — the same
+    * shuffle shape as a round of label propagation, but the number of
+    * rounds collapses from diameter to log. Convergence is detected
+    * by an edge-checksum observed on the SAME job that materializes
+    * the round (no extra action); at the fixpoint the edge set is a
+    * star forest rooted at each component's minimum id.
+    */
+  def connectedComponentsStars(pairs: DataFrame, ids: DataFrame, idCol: String,
+                               aCol: String = "id_a", bCol: String = "id_b",
+                               maxIter: Int = 50): DataFrame = {
+    val canon = pairs
+      .select(col(aCol).as("x"), col(bCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // neighborhoods from both endpoints; m(u) = min(N(u) ∪ {u})
+      val nbr = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbr.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // hang every strictly-larger neighbor under m; v > u >= m keeps
+      // the (larger, smaller) canonical orientation for free
+      nbr.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges already point big -> small: N<(u) = e(u, *)
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hangNbrs = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val hangSelf = mins.select(col("u"), col("m").as("v"))
+      hangNbrs.unionAll(hangSelf)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = canon.localCheckpoint()
+    var prev: (Long, Any) = (-1L, null) // (count, checksum)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"cc_stars_$round")
+      // checksum sums 64-bit hashes in decimal(38,0): overflow-free
+      // under ANSI for any realistic edge count
+      val next = smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint()
+      val cur: (Long, Any) = (obs.get("n").asInstanceOf[Long], obs.get("h"))
+      edges.unpersist()
+      edges = next
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIter rounds")
+    ids.select(col(idCol).as("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(coalesce(min(col("component")), first(col("id"))).as("component"))
   }
 
   /** Shared Jaccard tail over a distinct `(id, token)` relation:

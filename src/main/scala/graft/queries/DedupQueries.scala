@@ -46,6 +46,18 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // the same group resolution via large-star/small-star contraction
+    // — O(log n) rounds instead of O(diameter), the form that
+    // survives chain-shaped components; same recursive-reachability
+    // oracle as dedup_components
+    "dedup_components_stars" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)
+      Dedup.connectedComponentsStars(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // embedding cosine near-dup pairs (brute-force, oracle-checkable;
     // LSH variant is the scale path, see knn_lsh)
     "dedup_embedding" -> ((s, dir) =>
@@ -257,6 +269,7 @@ object DedupQueries {
     "dedup_jaccard_capped" -> cappedJaccardOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_components" -> componentsOracle,
+    "dedup_components_stars" -> componentsOracle,
     "dedup_embedding" -> embeddingOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle
   )

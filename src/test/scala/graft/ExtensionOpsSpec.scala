@@ -76,6 +76,40 @@ class ExtensionOpsSpec extends SparkSpec {
         driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotIter == want)
+    // and the star-contraction form agrees on the same graph
+    val gotStars = Dedup.connectedComponentsStars(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStars == want)
+  }
+
+  test("connectedComponentsStars settles a 512-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for label propagation: one path of diameter 511 —
+    // min-label needs >500 rounds, star contraction a handful
+    val n = 512
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val ids = (0L until n.toLong).toDF("doc_id")
+    // maxIter = 20 FAILS unless round count is logarithmic
+    val got = Dedup.connectedComponentsStars(pairs, ids, "doc_id",
+        maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponentsStars equals union-find labels on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val nNodes = 300L
+    val pairs = (0 until 400).map { _ =>
+      (rnd.nextLong(nNodes), rnd.nextLong(nNodes))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val ids = (0L until nNodes).toDF("doc_id")
+    val want = Dedup.connectedComponents(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStars(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
   }
 
   test("winnowed fingerprints overlap heavily for near-identical docs") {
