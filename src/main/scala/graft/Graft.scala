@@ -74,8 +74,10 @@ final case class GraftFrame(df: DataFrame) {
               nameStrategy: NameStrategy = NameStrategy.ConcatenateConflicts,
               join: FlattenJoin = FlattenJoin.Inner,
               include: ClusionInput = Empty,
-              exclude: ClusionInput = Empty): GraftFrame =
-    GraftFrame(Flatten.flatten(df, strategy, nameStrategy, join, include, exclude))
+              exclude: ClusionInput = Empty,
+              fillLikePandas: Boolean = false): GraftFrame =
+    GraftFrame(Flatten.flatten(df, strategy, nameStrategy, join, include,
+      exclude, fillLikePandas))
 
   /** `node.info(depth)` (nodes.py:406-413): compact schema tree. */
   def info(depth: Int = 3): String = SchemaInfo.render(df.schema, depth)

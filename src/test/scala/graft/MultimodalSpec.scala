@@ -68,6 +68,27 @@ class MultimodalSpec extends SparkSpec {
       (30.0 / 255).toFloat))
   }
 
+  test("mapBatches runs the REAL codec partition-locally (amortized-decoder shape)") {
+    import org.apache.spark.sql.types._
+    val df = (1 to 50).map(i => (i.toLong, png(1 + i % 9, 1 + i % 7, i * 31)))
+      .toDF("id", "payload")
+    val schema = StructType(Seq(
+      StructField("w", LongType), StructField("h", LongType)))
+    val out = Multimodal.mapBatches(df, "payload", schema) { bytes =>
+      // per-partition setup happens HERE once (a real pipeline would
+      // hoist codec/model state); each payload decodes with ImageIO
+      bytes.map { b =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        Row(img.getWidth.toLong, img.getHeight.toLong)
+      }
+    }
+    val got = out.select($"id", $"features.w", $"features.h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (1 to 50).map(i =>
+      (i.toLong, (1 + i % 9).toLong, (1 + i % 7).toLong)).toSet
+    assert(got == want)
+  }
+
   test("mm_decode / mm_pixels / mm_knn queries run on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val qs = graft.queries.MultimodalQueries.queries
