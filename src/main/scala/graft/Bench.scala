@@ -33,21 +33,33 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warm failed: ${e.getMessage}") }
 
-    // min of two runs per query: the second run reuses OS page cache
-    // and warmed codegen, which is the steady-state a long-lived
-    // cluster session sees; min also damps the ±20% noise of a
-    // shared box
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // median of three runs per query: later runs reuse OS page cache
+    // and warmed codegen (the steady-state a long-lived cluster
+    // session sees); the median is robust to the one-off ±2x spikes a
+    // shared box injects, which min-of-2 only partially damped. A
+    // trial that throws is recorded as failed (time-to-failure is NOT
+    // a measurement) and the query reports -1 with an error marker.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              dir: String): (Double, Boolean) = {
+      val trials = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, dir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      if (trials.exists(!_._2)) (-1.0, false)
+      else (trials.map(_._1).sorted.apply(1), true)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, timed(fn, sfDir))
+    }
+    val failed = results.collect { case (n, (_, false)) => n }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    val errJson =
+      if (failed.isEmpty) ""
+      else s""","errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
     // Scale probe: the scale-sensitive operators (candidate-join
     // dedup, ANN, components, wire decode) re-run at a 10x-smaller sf
@@ -66,23 +78,25 @@ object Bench {
       else {
         try graft.queries.Fixtures.warm(spark, baseDir)
         catch { case _: Throwable => }
+        val mainTimes = results.toMap
         val probes = probeNames.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            val times = (1 to 2).map { _ =>
-              val t0 = System.nanoTime()
-              try { fn(spark, baseDir).count() } catch { case _: Throwable => -1L }
-              (System.nanoTime() - t0) / 1e9
+            val (base, baseOk) = timed(fn, baseDir)
+            val (main, mainOk) = mainTimes.getOrElse(name, (-1.0, false))
+            // a failed trial invalidates the ratio — emit an explicit
+            // err flag rather than a ratio built from time-to-failure
+            if (baseOk && mainOk) {
+              "\"" + name + "\":{\"base\":" + base + ",\"main\":" + main +
+                ",\"ratio\":" + (main / base) + "}"
+            } else {
+              "\"" + name + "\":{\"base\":" + base + ",\"main\":" + main +
+                ",\"err\":true}"
             }
-            val base = times.min
-            val main = results.toMap.getOrElse(name, -1.0)
-            val ratio = if (base > 0) main / base else -1.0
-            "\"" + name + "\":{\"base\":" + base + ",\"main\":" + main +
-              ",\"ratio\":" + ratio + "}"
           }
         }
         s""","scale_probe":{"base_sf":"$baseDir","queries":${probes.mkString("{", ",", "}")}}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$probeJson}""")
     spark.stop()
   }
 }

@@ -290,23 +290,29 @@ object Dedup {
     }
 
     var edges = canon.localCheckpoint()
-    var prev: (Long, Any) = (-1L, null) // (count, checksum)
+    var prevCount = -1L
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
       val obs = org.apache.spark.sql.Observation(s"cc_stars_$round")
-      // checksum sums 64-bit hashes in decimal(38,0): overflow-free
-      // under ANSI for any realistic edge count
+      // exact convergence witness, still one action per round: count
+      // next-edges absent from the previous set via a left join
+      // against the checkpointed previous edges. next == edges iff
+      // fresh == 0 and |next| == |edges| (next ⊆ edges with equal
+      // cardinality) — no probabilistic checksum.
       val next = smallStar(largeStar(edges))
+        .join(edges.withColumn("__old", lit(1)), Seq("u", "v"), "left")
         .observe(obs, count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("h"))
+          coalesce(sum(when(col("__old").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("fresh"))
+        .select(col("u"), col("v"))
         .localCheckpoint()
-      val cur: (Long, Any) = (obs.get("n").asInstanceOf[Long], obs.get("h"))
+      val n = obs.get("n").asInstanceOf[Long]
+      val fresh = obs.get("fresh").asInstanceOf[Long]
       edges.unpersist()
       edges = next
-      converged = cur == prev
-      prev = cur
+      converged = fresh == 0L && n == prevCount
+      prevCount = n
       round += 1
     }
     if (!converged)

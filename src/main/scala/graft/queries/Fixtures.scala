@@ -27,12 +27,34 @@ import graft.operators.Nest
 object Fixtures {
 
   private def cacheRoot(dir: String): Path = {
-    val src = Paths.get(dir, "lineitem.parquet")
-    val mtime =
+    // key over EVERY source table the fixtures read (lineitem AND
+    // orders): regenerating either invalidates the whole cache
+    val mtimes = Seq("lineitem.parquet", "orders.parquet").map { t =>
+      val src = Paths.get(dir, t)
       if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis else 0L
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + mtime
+    }
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + mtimes.mkString("_")
     Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures", key)
   }
+
+  /** Move tmp into place. ATOMIC_MOVE where the filesystem supports
+    * it; a plain rename otherwise (tmp dir on a different mount). In
+    * both cases losing the publish race (target already exists) just
+    * discards tmp — the winner's fixture is equivalent. Any other
+    * failure propagates: deleting tmp and carrying on would turn a
+    * real IO error into a confusing missing-path read later. */
+  private def publish(tmp: Path, path: Path): Unit =
+    try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        try Files.move(tmp, path)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        }
+    }
 
   /** Build-once-per-sf parquet cache. The _SUCCESS marker written by
     * Spark's committer inside the moved directory is the completeness
@@ -45,13 +67,7 @@ object Fixtures {
         s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
       build.write.mode("overwrite").parquet(tmp.toString)
       Files.createDirectories(path.getParent)
-      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // another JVM won the race; its fixture is equivalent
-        case _: java.nio.file.FileAlreadyExistsException
-             | _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-      }
+      publish(tmp, path)
     }
     s.read.parquet(path.toString)
   }
@@ -134,12 +150,7 @@ object Fixtures {
           out.writeDoubleField(3, r.getDouble(2))
           out.writeStringField(4, r.getString(3))
         })
-      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException
-             | _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp)
-      }
+      publish(tmp, path)
     }
     path.toString
   }
