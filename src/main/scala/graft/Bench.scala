@@ -72,7 +72,8 @@ object Bench {
       "/root/testdata/sf0.01")
     val probeNames = Seq("dedup_minhash", "dedup_winnow", "dedup_components",
       "dedup_jaccard_capped", "dedup_embedding_lsh", "knn_cosine", "knn_lsh",
-      "knn_ivf", "pbd_source", "flatten_roundtrip")
+      "knn_ivf", "pbd_source", "flatten_roundtrip", "q_kmeans",
+      "dedup_semantic", "text_decontaminate")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

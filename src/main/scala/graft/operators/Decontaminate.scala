@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{words, shinglesOfWords}
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with an evaluation set — the standard guard against
+  * test-set leakage when assembling a training corpus (the n-gram
+  * overlap rule used by public LM data pipelines).
+  *
+  * Scale shape: both sides reduce to distinct `(id, ngram)` pairs;
+  * the contaminated set is an equi-join on the ngram. The eval side
+  * is tiny by construction (benchmarks are thousands of documents,
+  * the corpus is billions), so its distinct ngram set is broadcast —
+  * the 100 TB plan is one broadcast hash join over the train scan
+  * plus one map-combined aggregation per train doc. Nothing shuffles
+  * the corpus on text.
+  */
+object Decontaminate {
+
+  /** Distinct `(id, gram)` pairs for a document frame. */
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"),
+        explode(array_distinct(shinglesOfWords(col("__w"), n))).as("gram"))
+
+  /** Per-train-document contamination report: `n_shared` distinct
+    * eval ngrams found in the document and a 0/1 `contaminated`
+    * flag. Clean documents appear with `n_shared = 0`, so the output
+    * is a total annotation of the train set (filter on
+    * `contaminated = 0` to decontaminate).
+    */
+  def overlapReport(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = broadcast(
+      grams(eval, idCol, textCol, n).select(col("gram")).distinct())
+    val hits = grams(train, idCol, textCol, n)
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per id
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantized Lloyd's k-means over an embedding column — the
+  * clustering step behind semantic dedup and corpus bucketing in a
+  * training-data pipeline (cluster first, then compare only within a
+  * cluster: the join never goes all-pairs).
+  *
+  * All arithmetic is exact: vectors quantize to integer milliunits
+  * (`floor(x * 1000)`), distances are integer sums of squares, and
+  * the only division (centroid mean) is a single IEEE double divide
+  * of two exact integers — deterministic to the bit in any engine,
+  * so assignments hash-match an independent SQL replay. Float
+  * k-means diverges across engines on summation order; quantized
+  * k-means is reproducible, which curation pipelines value more than
+  * the third decimal of a centroid.
+  *
+  * Scale shape: assignment is a narrow map against broadcast
+  * centroid literals (k * dim values); the centroid update is one
+  * map-combined aggregation on (cluster, position) — rows shuffle as
+  * k * dim partial sums per task, not as vectors. The driver only
+  * ever holds k * dim longs (the centroids), never data: at 100 TB
+  * the plan is identical. Iterations are bounded and small (Lloyd's
+  * converges fast; curation uses 2-5 passes).
+  */
+object KMeans {
+
+  /** Integer milliunit quantization of a float/double vector. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Squared L2 distance to each centroid (exact integer). */
+  private def assignTo(q: DataFrame, centroids: Map[Int, Seq[Long]]): DataFrame = {
+    val ids = centroids.keys.toSeq.sorted
+    val dists = array(ids.map { i =>
+      aggregate(
+        zip_with(col("__q"), typedlit(centroids(i)), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    // ties assign to the smallest surviving cluster id:
+    // array_position takes the FIRST index of the minimum and `ids`
+    // is sorted, which is what the oracle's ORDER BY d, c replays
+    q.withColumn("__d", dists)
+      .withColumn("dist", array_min(col("__d")))
+      .withColumn("cluster",
+        element_at(typedlit(ids),
+          array_position(col("__d"), array_min(col("__d"))).cast("int")))
+      .drop("__d")
+  }
+
+  /** New centroid per surviving cluster: componentwise
+    * floor(sum / count) — one aggregation, k*dim result rows. */
+  private def update(assigned: DataFrame): Map[Int, Seq[Long]] =
+    assigned
+      .select(col("cluster"), posexplode(col("__q")).as(Seq("pos", "val")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+      .collect() // k * dim rows — centroids, not data
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+
+  /** Run `steps` assignment passes (a centroid update between
+    * consecutive passes); initial centroids are the quantized
+    * vectors of the k smallest ids — deterministic, so the whole fit
+    * is a pure function of the data. Returns one row per input row:
+    * (idCol, cluster, dist). */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          k: Int, steps: Int = 2): DataFrame = {
+    require(steps >= 1, "k-means needs at least one assignment pass")
+    val q = df.select(col(idCol), quantize(col(vecCol)).as("__q"))
+    val init: Map[Int, Seq[Long]] =
+      q.orderBy(col(idCol).asc).limit(k).collect()
+        .map(_.getSeq[Long](1).toSeq).zipWithIndex
+        .map { case (v, i) => i -> v }.toMap
+    var centroids = init
+    var assigned = assignTo(q, centroids)
+    for (_ <- 2 to steps) {
+      centroids = update(assigned)
+      assigned = assignTo(q, centroids)
+    }
+    assigned.select(col(idCol), col("cluster"), col("dist"))
+  }
+
+  /** Cluster-bucketed semantic near-dup pairs: k-means buckets the
+    * corpus, then exact quantized cosine runs only within a bucket —
+    * the all-pairs comparison becomes k cluster-local self-joins
+    * (same family as LSH bucketing, but buckets are data-adaptive).
+    * Near-identical vectors always share a cluster (they are closer
+    * to each other than to any centroid gap), so recall loss is
+    * confined to borderline pairs near the threshold. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, steps: Int = 2,
+                           minCosE4: Long = 9000L): DataFrame = {
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("__q"))
+    val assigned = fit(df, idCol, vecCol, k, steps)
+      .select(col(idCol).as("id"), col("cluster"))
+      .join(q, Seq("id"))
+      .withColumn("__n",
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x))
+    val a = assigned.select(col("id").as("id_a"), col("cluster"),
+      col("__q").as("__qa"), col("__n").as("__na"))
+    val b = assigned.select(col("id").as("id_b"), col("cluster"),
+      col("__q").as("__qb"), col("__n").as("__nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__dot",
+        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      // exact integer comparison: cos >= t  <=>  dot > 0 and
+      // dot^2 * 1e8 >= t_e4^2 * na * nb — no float rounding at the
+      // threshold boundary, so the oracle can never disagree on a
+      // borderline pair. Products reach ~1e24: decimal(38,0) in
+      // Spark, HUGEINT in the oracle — both exact.
+      .filter(col("__dot") > 0 &&
+        col("__dot").cast("decimal(19,0)") * col("__dot").cast("decimal(19,0)") *
+          lit(100000000L).cast("decimal(19,0)") >=
+          lit(minCosE4 * minCosE4).cast("decimal(19,0)") *
+            col("__na").cast("decimal(19,0)") * col("__nb").cast("decimal(19,0)"))
+      .select(col("id_a"), col("id_b"), col("cluster"))
+  }
+}

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode, resize, and pixel-feature extraction are REAL: the
   * JDK ships codecs for PNG/JPEG/BMP/GIF via `javax.imageio`, so
   * [[decodeImage]]/[[resizeImage]]/[[pixelFeatures]] decode actual
-  * bytes — no external libraries. Audio/video remain STUBS
-  * ([[decodeStub]], [[sampleFramesStub]]) with deterministic fake
-  * outputs and real schema/partitioning plumbing; swap the stub body
-  * for a codec (JNI/FFI batch call) without touching the pipeline
-  * shape.
+  * bytes — no external libraries. AUDIO decode is REAL too:
+  * `javax.sound.sampled` reads WAV/AIFF/AU, so [[decodeAudio]]
+  * recovers actual PCM samples ([[encodeWavPcm16]] is the writer
+  * half of the round-trip). Only VIDEO remains a STUB
+  * ([[decodeStub]], [[sampleFramesStub]] — the JDK has no video
+  * codec) with deterministic fake outputs and real
+  * schema/partitioning plumbing; swap the stub body for a codec
+  * (JNI/FFI batch call) without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -88,6 +91,60 @@ object Multimodal {
       }
     }
     df.withColumn("embedding", feats(col(binCol)))
+  }
+
+  final case class AudioDecoded(sample_rate: Long, channels: Long,
+                                n_samples: Long, samples: Seq[Int])
+
+  /** REAL WAV (PCM16 mono, little-endian) encoder: canonical 44-byte
+    * RIFF header + samples. The writer half of the audio round-trip —
+    * [[decodeAudio]] must recover these samples bit-exactly. */
+  def encodeWavPcm16(samples: Seq[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU ship with the JRE — no external codecs): emits a
+    * `decoded` struct of (sample_rate, channels, n_samples, samples)
+    * with the recovered PCM16 samples. Null or undecodable payloads
+    * yield a null struct, same contract as [[decodeImage]]. */
+  def decodeAudio(df: DataFrame, binCol: String): DataFrame = {
+    val decode = udf { (b: Array[Byte]) =>
+      if (b == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            // little-endian signed 16-bit
+            samples(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            i += 1
+          }
+          Some(AudioDecoded(fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+            n.toLong, samples.toSeq))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+    df.withColumn("decoded", decode(col(binCol)))
   }
 
   /** Metadata struct computed scan-side from the payload: byte size,

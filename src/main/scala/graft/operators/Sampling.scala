@@ -29,4 +29,20 @@ object Sampling {
     * holdouts). Keeps ~k/b of rows. */
   def hashSample(df: DataFrame, idCol: String, keep: Int, outOf: Int): DataFrame =
     df.filter(Packing.shardId(idCol, outOf) < keep)
+
+  /** Deterministic weighted source mixing: per-stratum keep
+    * thresholds in basis points over the md5 shard of the id — the
+    * hash-stable form of [[stratified]]. This is how training
+    * mixtures are pinned ("30% of src A, 100% of src B"): the same
+    * row keeps or drops regardless of engine, run, row order, or
+    * cluster size, so a mixture is an auditable artifact of the
+    * config. Keys absent from `keepBp` drop (curation default).
+    * Narrow map, no shuffle, any scale. */
+  def hashStratified(df: DataFrame, idCol: String, keyCol: String,
+                     keepBp: Map[String, Int]): DataFrame = {
+    val threshold = keepBp.foldLeft(lit(0)) { case (acc, (k, bp)) =>
+      when(col(keyCol) === k, lit(bp)).otherwise(acc)
+    }
+    df.filter(Packing.shardId(idCol, 10000) < threshold)
+  }
 }

@@ -92,6 +92,36 @@ object MultimodalQueries {
       Similarity.bruteForceTopK(
         feats.filter(col("doc_id") < 4), feats,
         "doc_id", "doc_id", "embedding", k = 5)
+    }),
+
+    // REAL audio round-trip: md5-derived PCM16 samples -> WAV encode
+    // -> javax.sound decode -> exact integer features on the
+    // RECOVERED samples. The oracle computes the same features on the
+    // same md5-derived samples directly, so any decoder deviation
+    // (sign, endianness, dropped frames) hash-mismatches.
+    "mm_audio" -> ((s, dir) => {
+      val N = 256
+      val gen = Tables(s, dir, "documents").select(col("doc_id"),
+        transform(sequence(lit(0), lit(N - 1)),
+          i => conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("_"), i.cast("string"))), 1, 4), 16, 10)
+            .cast("int") - 32768).as("__s"))
+      val enc = udf { (s: Seq[Int]) => Multimodal.encodeWavPcm16(s, 16000) }
+      val wav = gen.select(col("doc_id"), enc(col("__s")).as("payload"))
+      val dec = Multimodal.decodeAudio(wav, "payload")
+        .select(col("doc_id"),
+          col("decoded.sample_rate").as("sample_rate"),
+          col("decoded.channels").as("channels"),
+          col("decoded.n_samples").as("n_samples"),
+          col("decoded.samples").as("__d"))
+      dec.select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"),
+        array_max(transform(col("__d"), x => abs(x))).cast("long").as("max_abs"),
+        aggregate(col("__d"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"),
+        aggregate(sequence(lit(1), lit(N - 1)), lit(0L), (acc, i) =>
+          acc + when(element_at(col("__d"), i) *
+            element_at(col("__d"), i + 1) < 0, 1L).otherwise(0L))
+          .as("zero_cross"))
     })
   )
 
@@ -134,6 +164,22 @@ object MultimodalQueries {
          |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
          |      FROM s)
          |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
-         |FROM r WHERE rank <= 5""".stripMargin
+         |FROM r WHERE rank <= 5""".stripMargin,
+    "mm_audio" ->
+      """WITH g AS (SELECT doc_id,
+        |    list_transform(range(0, 256), i ->
+        |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_'
+        |        || CAST(i AS VARCHAR)), 1, 4) AS INTEGER) - 32768) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS max_abs,
+        |  CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(list_sum(list_transform(range(2, 257), i ->
+        |    CASE WHEN s[i-1] * s[i] < 0 THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS zero_cross
+        |FROM g""".stripMargin
   )
 }

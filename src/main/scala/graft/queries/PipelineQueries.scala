@@ -87,8 +87,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           min(col("ux")).as("min_ux"), max(col("ux")).as("max_ux"),
           min(col("vy")).as("min_vy"), max(col("vy")).as("max_vy"))
-    })
+    }),
+
+    // deterministic weighted source mixing: the training-mixture
+    // step — per-source keep rates (25/50/75/100% here) pinned by
+    // the md5 shard of the doc id, so the mixture replays exactly
+    "q_mix" -> ((s, dir) =>
+      graft.operators.Sampling.hashStratified(
+          Tables(s, dir, "documents"), "doc_id", "source", MIX_BP)
+        .select(col("doc_id"), col("source")))
   )
+
+  /** Mixture weights in basis points: src0 -> 2500 ... cycling 25%,
+    * 50%, 75%, 100% across the 20 synthetic sources. */
+  private val MIX_BP: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> 2500 * (i % 4 + 1)).toMap
 
   private val SHARD_SQL =
     s"CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % $SHARDS"
@@ -150,6 +163,13 @@ object PipelineQueries {
          |  CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BUDGET) AS BIGINT)
          |    AS pack_id
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+    "q_mix" -> {
+      val cases = MIX_BP.toSeq.sortBy(_._1)
+        .map { case (k, bp) => s"WHEN '$k' THEN $bp" }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+         |      % 10000 < CASE source $cases ELSE 0 END""".stripMargin
+    }
   )
 }

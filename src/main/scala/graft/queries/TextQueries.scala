@@ -160,6 +160,53 @@ object TextQueries {
             .when(col("div_e4") < 3000L, "low_diversity")
             .otherwise("ok"))
         .withColumn("keep", (col("reason") === "ok").cast("int"))
+    }),
+
+    // Gopher-style repetition signals: top-bigram occupancy and the
+    // duplicate-trigram fraction — the rules that catch boilerplate
+    // and degenerate repetition. Trigram stats are list-local (zero
+    // shuffle); the top-bigram count is one map-combined aggregation
+    // on (doc, bigram) — the only shuffle, and it carries counts,
+    // not text.
+    "text_repetition" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("__w"))
+        .select(col("doc_id"),
+          shinglesOfWords(col("__w"), 2).as("__bg"),
+          shinglesOfWords(col("__w"), 3).as("__tri"))
+        .select(col("doc_id"),
+          col("__bg"),
+          size(col("__bg")).cast("long").as("n_bigrams"),
+          size(col("__tri")).cast("long").as("n_tri"),
+          size(array_distinct(col("__tri"))).cast("long").as("d_tri"))
+      val top = base
+        .select(col("doc_id"), explode(col("__bg")).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_cnt"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+          when(col("n_bigrams") > 0,
+            floor(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+              col("n_bigrams") * 10000).cast("long"))
+            .otherwise(lit(0L)).as("top_bigram_frac_e4"),
+          when(col("n_tri") > 0,
+            floor((col("n_tri") - col("d_tri")).cast("double") /
+              col("n_tri") * 10000).cast("long"))
+            .otherwise(lit(0L)).as("dup_trigram_frac_e4"))
+        .withColumn("repetitive",
+          (col("top_bigram_frac_e4") > 1800L ||
+            col("dup_trigram_frac_e4") > 3000L).cast("int"))
+    }),
+
+    // benchmark decontamination: train docs sharing any word 3-gram
+    // with the eval holdout (deterministic holdout: doc_id % 97 = 0)
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.overlapReport(
+        train = docs.filter(col("doc_id") % 97 =!= 0),
+        eval = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text", n = 3)
     })
   )
 
@@ -290,6 +337,63 @@ object TextQueries {
         |       ELSE 'ok' END AS reason,
         |  CAST(CASE WHEN wc >= 30 AND wc <= 300 AND cpw_e4 <= 80000
         |            AND div_e4 >= 3000 THEN 1 ELSE 0 END AS INTEGER) AS keep
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(wl) >= 2 THEN
+        |          list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])
+        |        ELSE CAST([] AS VARCHAR[]) END AS bg,
+        |        CASE WHEN len(wl) >= 3 THEN
+        |          list_transform(range(1, len(wl) - 1),
+        |            i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+        |        ELSE CAST([] AS VARCHAR[]) END AS tri
+        |      FROM w),
+        |base AS (SELECT doc_id, bg, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |           CAST(len(tri) AS BIGINT) AS n_tri,
+        |           CAST(len(list_distinct(tri)) AS BIGINT) AS d_tri
+        |         FROM g),
+        |ex AS (SELECT doc_id, unnest(bg) AS b FROM g),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1),
+        |r AS (SELECT base.doc_id AS doc_id, n_bigrams,
+        |        CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |        CASE WHEN n_bigrams > 0 THEN
+        |          CAST(floor(CAST(coalesce(top_cnt, 0) AS DOUBLE)
+        |               / n_bigrams * 10000) AS BIGINT)
+        |        ELSE 0 END AS top_bigram_frac_e4,
+        |        CASE WHEN n_tri > 0 THEN
+        |          CAST(floor(CAST(n_tri - d_tri AS DOUBLE)
+        |               / n_tri * 10000) AS BIGINT)
+        |        ELSE 0 END AS dup_trigram_frac_e4
+        |      FROM base LEFT JOIN top USING (doc_id))
+        |SELECT doc_id, n_bigrams, top_bigram_cnt, top_bigram_frac_e4,
+        |  dup_trigram_frac_e4,
+        |  CAST(CASE WHEN top_bigram_frac_e4 > 1800
+        |            OR dup_trigram_frac_e4 > 3000
+        |       THEN 1 ELSE 0 END AS INTEGER) AS repetitive
+        |FROM r""".stripMargin,
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(wl) >= 3 THEN
+        |           list_transform(range(1, len(wl) - 1),
+        |             i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |       FROM w),
+        |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh),
+        |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+        |hits AS (SELECT ex.doc_id, count(*) AS n_shared
+        |         FROM ex JOIN ev USING (g)
+        |         WHERE ex.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END
+        |       AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin
   )
 }

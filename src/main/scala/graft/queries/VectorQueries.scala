@@ -41,7 +41,27 @@ object VectorQueries {
         "vec_id", "vec_id", "embedding",
         centroids = emb.filter(col("vec_id") < 16), cidCol = "vec_id",
         k = 10, nProbe = 4)
-    })
+    }),
+
+    // quantized Lloyd's k-means: exact integer distances, so the
+    // clustering — init, two assignment passes, one centroid
+    // update — replays bit-identically in SQL
+    "q_kmeans" -> ((s, dir) =>
+      graft.operators.KMeans.fit(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, steps = 2)),
+
+    // semantic near-dup via cluster bucketing: all-pairs cosine
+    // becomes k cluster-local self-joins; the threshold compare is
+    // exact integer arithmetic (no float boundary). 0.42 matches
+    // dedup_embedding — borderline pairs at such a low threshold can
+    // straddle clusters (recall pinned vs the exact op in
+    // ExtensionOpsSpec); truly near-identical vectors always share
+    // one.
+    "dedup_semantic" -> ((s, dir) =>
+      graft.operators.KMeans.semanticNearDupPairs(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, steps = 2, minCosE4 = 4200L))
   )
 
   // ---- knn_lsh oracle: the hyperplanes are MD5-derived constants, so
@@ -132,6 +152,64 @@ object VectorQueries {
         |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
         |      FROM s)
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
-        |FROM r WHERE rank <= 10""".stripMargin
+        |FROM r WHERE rank <= 10""".stripMargin,
+    "q_kmeans" -> (kmeansCtes + "\nSELECT vec_id, cluster, dist FROM a2"),
+    "dedup_semantic" -> (kmeansCtes +
+      """,
+        |n AS (SELECT vec_id,
+        |        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+        |      FROM q),
+        |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> qa.v[i] * qb.v[i])) AS BIGINT) AS dot,
+        |        na.nn AS na, nb.nn AS nb
+        |      FROM a2 a JOIN a2 b ON a.cluster = b.cluster
+        |        AND a.vec_id < b.vec_id
+        |      JOIN q qa ON qa.vec_id = a.vec_id
+        |      JOIN q qb ON qb.vec_id = b.vec_id
+        |      JOIN n na ON na.vec_id = a.vec_id
+        |      JOIN n nb ON nb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, cluster FROM j
+        |WHERE dot > 0
+        |  AND CAST(dot AS HUGEINT) * dot * 100000000
+        |      >= CAST(17640000 AS HUGEINT) * na * nb""".stripMargin)
   )
+
+  // Quantized k-means replay: integer milliunit vectors, init = k
+  // smallest ids, assign (d1/a1), centroid update (m/c1), assign
+  // again (d2/a2). Every value is an exact integer or one IEEE
+  // double divide of two exact integers — hash-identical across
+  // engines. KMeans.fit with k=8, steps=2 is the Spark twin.
+  private def kmeansCtes: String =
+    s"""WITH q AS (SELECT vec_id,
+       |             list_transform(CAST(embedding AS DOUBLE[]),
+       |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |         AS c, v
+       |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+       |d1 AS (SELECT q.vec_id, c0.c,
+       |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+       |           i -> (q.v[i] - c0.v[i]) * (q.v[i] - c0.v[i]))) AS BIGINT) AS d
+       |       FROM q CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, c AS cluster FROM (
+       |         SELECT vec_id, c,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |         FROM d1) WHERE rn = 1),
+       |pos AS (SELECT unnest(range(1, ${DIM + 1})) AS i),
+       |m AS (SELECT a1.cluster, pos.i,
+       |        CAST(floor(CAST(sum(q.v[pos.i]) AS DOUBLE) / count(*)) AS BIGINT)
+       |          AS m
+       |      FROM a1 JOIN q USING (vec_id) CROSS JOIN pos
+       |      GROUP BY a1.cluster, pos.i),
+       |c1 AS (SELECT cluster AS c, list(m ORDER BY i) AS v FROM m
+       |       GROUP BY cluster),
+       |d2 AS (SELECT q.vec_id, c1.c,
+       |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+       |           i -> (q.v[i] - c1.v[i]) * (q.v[i] - c1.v[i]))) AS BIGINT) AS d
+       |       FROM q CROSS JOIN c1),
+       |a2 AS (SELECT vec_id, cluster, dist FROM (
+       |         SELECT vec_id, c AS cluster, d AS dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |         FROM d2) WHERE rn = 1)""".stripMargin
 }

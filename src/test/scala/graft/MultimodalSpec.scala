@@ -98,4 +98,22 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.filter(col("rank") <= 5).count() == knn.count())
     assert(knn.count() > 0)
   }
+
+  test("WAV round-trip: javax.sound decode recovers PCM16 samples bit-exactly") {
+    import spark.implicits._
+    val samples = Seq(0, 1, -1, 32767, -32768, 12345, -12345, 100, -100)
+    val wav = Multimodal.encodeWavPcm16(samples, 16000)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3)), (3L, null))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudio(df, "payload")
+      .select($"id", $"decoded").collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val d = got(1L).get
+    assert(d.getLong(0) == 16000L) // sample_rate
+    assert(d.getLong(1) == 1L)     // channels
+    assert(d.getLong(2) == samples.length.toLong)
+    assert(d.getSeq[Int](3) == samples)
+    // corrupt and null payloads yield null structs, never exceptions
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
 }

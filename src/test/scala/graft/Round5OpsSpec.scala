@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, KMeans, Sampling}
+
+/** Round-5 curation operators: quantized k-means, cluster-bucketed
+  * semantic dedup, benchmark decontamination, and deterministic
+  * weighted mixing.
+  */
+class Round5OpsSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def embeddings = spark.read.parquet(s"$SF/embeddings.parquet")
+
+  test("kmeans assigns every point to its exactly-nearest centroid") {
+    import spark.implicits._
+    val fit = KMeans.fit(embeddings, "vec_id", "embedding", k = 4, steps = 2)
+    val rows = fit.collect()
+    assert(rows.length == embeddings.count())
+    val clusters = rows.map(_.getInt(1)).distinct
+    assert(clusters.length <= 4 && clusters.forall(c => c >= 0 && c < 4))
+    val q = embeddings.select(col("vec_id"),
+      KMeans.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // 1-step fit: dist IS the distance to the nearest init centroid,
+    // ties to the smaller cluster id — re-derived independently here
+    val one = KMeans.fit(embeddings, "vec_id", "embedding", k = 4, steps = 1)
+      .collect()
+    val initIds = embeddings.orderBy(col("vec_id")).limit(4)
+      .select("vec_id").as[Long].collect()
+    val initCents = initIds.zipWithIndex.map { case (id, i) => i -> q(id) }.toMap
+    one.foreach { r =>
+      val v = q(r.getLong(0))
+      val dists = initCents.map { case (c, cv) =>
+        c -> v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      val best = dists.minBy { case (c, d) => (d, c) }
+      assert(r.getInt(1) == best._1 && r.getLong(2) == best._2)
+    }
+  }
+
+  test("semantic near-dup pairs are a subset of exact near-dup pairs") {
+    val exact = graft.operators.Similarity
+      .embeddingNearDupPairs(embeddings, "vec_id", "embedding",
+        minCosine = 0.42)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semantic = KMeans.semanticNearDupPairs(embeddings, "vec_id",
+        "embedding", k = 4, steps = 2, minCosE4 = 4200L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1: cluster bucketing can only LOSE cross-cluster
+    // pairs, never invent one (threshold arithmetic differs by <1e-4
+    // quantization — allow the boundary pair either way)
+    val boundary = semantic.diff(exact)
+    assert(boundary.isEmpty,
+      s"semantic pairs not in exact set: $boundary")
+  }
+
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),       // shares "alpha beta gamma"
+      (2L, "one two three four five"),      // clean
+      (3L, "zz alpha beta gamma"),          // shares (not at start)
+      (4L, "alpha beta delta gamma")        // 3-grams differ -> clean
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 1), 2L -> (0L, 0), 3L -> (1L, 1), 4L -> (0L, 0)))
+  }
+
+  test("hash-stratified mixing keeps per-key hash buckets exactly") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"src${i % 2}")).toDF("id", "src")
+    val kept = Sampling.hashStratified(df, "id", "src",
+      Map("src0" -> 10000, "src1" -> 0))
+    // src0 keeps everything (threshold = full range), src1 drops all
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("src0" -> 500L))
+    // and the keep decision is reproducible row-for-row
+    val again = Sampling.hashStratified(df, "id", "src",
+      Map("src0" -> 10000, "src1" -> 0))
+    assert(kept.collect().map(_.getLong(0)).sorted
+      sameElements again.collect().map(_.getLong(0)).sorted)
+  }
+
+  test("repetitive synthetic doc trips the repetition signals") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{words, shinglesOfWords}
+    // "spam spam spam ..." -> every bigram identical
+    val df = Seq((1L, Seq.fill(20)("spam").mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val bg = df.select(col("doc_id"),
+      shinglesOfWords(words(col("text")), 2).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bg(1L).distinct.length == 1 && bg(1L).length == 19)
+    assert(bg(2L).distinct.length == 19)
+  }
+}
