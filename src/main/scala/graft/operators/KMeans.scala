@@ -93,7 +93,16 @@ object KMeans {
     * (same family as LSH bucketing, but buckets are data-adaptive).
     * Near-identical vectors always share a cluster (they are closer
     * to each other than to any centroid gap), so recall loss is
-    * confined to borderline pairs near the threshold. */
+    * confined to borderline pairs near the threshold.
+    *
+    * Scaling discipline: within-cluster comparison is quadratic in
+    * cluster SIZE, so k must grow with the corpus — pick
+    * k ~ n / B for a target bucket size B and the total work stays
+    * n * B (linear in n), exactly the IVF tradeoff. The bench query
+    * pins k = 8 for oracle determinism, which is why its scale-probe
+    * ratio grows superlinearly with sf — a property of the frozen k,
+    * not the operator; `dedup_embedding_lsh` remains the
+    * fixed-parameter scale twin. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, steps: Int = 2,
                            minCosE4: Long = 9000L): DataFrame = {

@@ -58,6 +58,15 @@ class Round5OpsSpec extends SparkSpec {
       s"semantic pairs not in exact set: $boundary")
   }
 
+  test("larger k shrinks within-cluster candidate work (the n*B scaling lever)") {
+    def candPairs(k: Int): Long = {
+      val sizes = KMeans.fit(embeddings, "vec_id", "embedding", k = k, steps = 2)
+        .groupBy("cluster").count().collect().map(_.getLong(1))
+      sizes.map(n => n * (n - 1) / 2).sum
+    }
+    assert(candPairs(16) < candPairs(4))
+  }
+
   test("decontamination flags exactly the docs sharing an eval n-gram") {
     import spark.implicits._
     val train = Seq(
