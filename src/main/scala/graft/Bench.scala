@@ -41,14 +41,17 @@ object Bench {
     // a measurement) and the query reports -1 with an error marker.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
               dir: String): (Double, Boolean) = {
-      val trials = (1 to 3).map { _ =>
+      val times = Seq.newBuilder[Double]
+      var failed = false
+      var trial = 0
+      while (trial < 3 && !failed) { // first failure decides — don't re-run a broken query
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, dir).count(); true }
-                 catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        try { fn(spark, dir).count() } catch { case _: Throwable => failed = true }
+        times += (System.nanoTime() - t0) / 1e9
+        trial += 1
       }
-      if (trials.exists(!_._2)) (-1.0, false)
-      else (trials.map(_._1).sorted.apply(1), true)
+      if (failed) (-1.0, false)
+      else (times.result().sorted.apply(1), true)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, timed(fn, sfDir))

@@ -65,13 +65,13 @@ object KMeans {
         c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
       }
 
-  /** Run `steps` assignment passes (a centroid update between
-    * consecutive passes); initial centroids are the quantized
-    * vectors of the k smallest ids — deterministic, so the whole fit
-    * is a pure function of the data. Returns one row per input row:
-    * (idCol, cluster, dist). */
-  def fit(df: DataFrame, idCol: String, vecCol: String,
-          k: Int, steps: Int = 2): DataFrame = {
+  /** [[fit]] keeping the quantized vector column `__q` alongside the
+    * assignment — callers that compare vectors within clusters
+    * (semantic dedup) read it directly instead of re-scanning and
+    * re-joining the corpus. */
+  private[operators] def fitAssigned(df: DataFrame, idCol: String,
+                                     vecCol: String, k: Int,
+                                     steps: Int): DataFrame = {
     require(steps >= 1, "k-means needs at least one assignment pass")
     val q = df.select(col(idCol), quantize(col(vecCol)).as("__q"))
     val init: Map[Int, Seq[Long]] =
@@ -84,8 +84,18 @@ object KMeans {
       centroids = update(assigned)
       assigned = assignTo(q, centroids)
     }
-    assigned.select(col(idCol), col("cluster"), col("dist"))
+    assigned
   }
+
+  /** Run `steps` assignment passes (a centroid update between
+    * consecutive passes); initial centroids are the quantized
+    * vectors of the k smallest ids — deterministic, so the whole fit
+    * is a pure function of the data. Returns one row per input row:
+    * (idCol, cluster, dist). */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          k: Int, steps: Int = 2): DataFrame =
+    fitAssigned(df, idCol, vecCol, k, steps)
+      .select(col(idCol), col("cluster"), col("dist"))
 
   /** Cluster-bucketed semantic near-dup pairs: k-means buckets the
     * corpus, then exact quantized cosine runs only within a bucket —
@@ -106,10 +116,8 @@ object KMeans {
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, steps: Int = 2,
                            minCosE4: Long = 9000L): DataFrame = {
-    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("__q"))
-    val assigned = fit(df, idCol, vecCol, k, steps)
-      .select(col(idCol).as("id"), col("cluster"))
-      .join(q, Seq("id"))
+    val assigned = fitAssigned(df, idCol, vecCol, k, steps)
+      .select(col(idCol).as("id"), col("cluster"), col("__q"))
       .withColumn("__n",
         aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x))
     val a = assigned.select(col("id").as("id_a"), col("cluster"),

@@ -120,28 +120,43 @@ object Multimodal {
   /** REAL audio decode via the JDK's `javax.sound.sampled`
     * (WAV/AIFF/AU ship with the JRE — no external codecs): emits a
     * `decoded` struct of (sample_rate, channels, n_samples, samples)
-    * with the recovered PCM16 samples. Null or undecodable payloads
-    * yield a null struct, same contract as [[decodeImage]]. */
+    * where n_samples counts frames per channel and samples are the
+    * recovered interleaved PCM16 values. Null or undecodable
+    * payloads yield a null struct, same contract as
+    * [[decodeImage]]. */
   def decodeAudio(df: DataFrame, binCol: String): DataFrame = {
     val decode = udf { (b: Array[Byte]) =>
       if (b == null) None
       else try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(b))
         try {
-          val fmt = ais.getFormat
-          val bytes = ais.readAllBytes()
-          val n = bytes.length / 2
-          val samples = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            // little-endian signed 16-bit
-            samples(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
-            i += 1
-          }
-          Some(AudioDecoded(fmt.getSampleRate.toLong, fmt.getChannels.toLong,
-            n.toLong, samples.toSeq))
-        } finally ais.close()
+          // normalize whatever the container held (AIFF/AU are
+          // big-endian, WAV may be 8/24-bit or unsigned) to signed
+          // 16-bit little-endian PCM before the sample loop — the
+          // loop's byte arithmetic is only valid for that layout
+          val src = raw.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val ais =
+            if (src.matches(target)) raw
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+          try {
+            val fmt = ais.getFormat
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2 // interleaved 16-bit samples
+            val samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+              i += 1
+            }
+            Some(AudioDecoded(fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              n.toLong / fmt.getChannels, samples.toSeq))
+          } finally ais.close()
+        } finally raw.close()
       } catch { case _: Exception => None }
     }
     df.withColumn("decoded", decode(col(binCol)))

@@ -39,19 +39,25 @@ object Fixtures {
 
   /** Move tmp into place. ATOMIC_MOVE where the filesystem supports
     * it; a plain rename otherwise (tmp dir on a different mount). In
-    * both cases losing the publish race (target already exists) just
-    * discards tmp — the winner's fixture is equivalent. Any other
-    * failure propagates: deleting tmp and carrying on would turn a
-    * real IO error into a confusing missing-path read later. */
+    * both cases losing the publish race — the target already exists,
+    * surfaced as FileAlreadyExists for files or DirectoryNotEmpty
+    * when rename(2) hits the winner's non-empty fixture directory —
+    * just discards tmp: the winner's fixture is equivalent. Any
+    * other failure propagates: deleting tmp and carrying on would
+    * turn a real IO error into a confusing missing-path read later. */
+  private def lostRace(e: java.nio.file.FileSystemException): Boolean =
+    e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+      e.isInstanceOf[java.nio.file.DirectoryNotEmptyException]
+
   private def publish(tmp: Path, path: Path): Unit =
     try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case e: java.nio.file.FileSystemException if lostRace(e) =>
         org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         try Files.move(tmp, path)
         catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
+          case e: java.nio.file.FileSystemException if lostRace(e) =>
             org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
         }
     }

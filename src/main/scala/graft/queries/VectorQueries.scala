@@ -160,7 +160,7 @@ object VectorQueries {
         |        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
         |      FROM q),
         |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
-        |        CAST(list_sum(list_transform(range(1, 65),
+        |        CAST(list_sum(list_transform(range(1, DIMP1),
         |          i -> qa.v[i] * qb.v[i])) AS BIGINT) AS dot,
         |        na.nn AS na, nb.nn AS nb
         |      FROM a2 a JOIN a2 b ON a.cluster = b.cluster
@@ -172,7 +172,8 @@ object VectorQueries {
         |SELECT id_a, id_b, cluster FROM j
         |WHERE dot > 0
         |  AND CAST(dot AS HUGEINT) * dot * 100000000
-        |      >= CAST(17640000 AS HUGEINT) * na * nb""".stripMargin)
+        |      >= CAST(17640000 AS HUGEINT) * na * nb""".stripMargin
+        .replace("DIMP1", (DIM + 1).toString))
   )
 
   // Quantized k-means replay: integer milliunit vectors, init = k

@@ -116,4 +116,27 @@ class MultimodalSpec extends SparkSpec {
     // corrupt and null payloads yield null structs, never exceptions
     assert(got(2L).isEmpty && got(3L).isEmpty)
   }
+
+  test("AIFF (big-endian) decodes to the same samples as WAV") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    val samples = Seq(0, 1, -1, 32767, -32768, 1234, -4321)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, /*bigEndian=*/ true)
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = (samples(i) >> 8).toByte
+      data(2 * i + 1) = samples(i).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt,
+        samples.length.toLong),
+      AudioFileFormat.Type.AIFF, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val d = Multimodal.decodeAudio(df, "payload")
+      .select($"decoded").head().getStruct(0)
+    assert(d.getLong(2) == samples.length.toLong)
+    assert(d.getSeq[Int](3) == samples) // byte order normalized, not swapped
+  }
 }
