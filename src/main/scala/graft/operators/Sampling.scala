@@ -45,4 +45,31 @@ object Sampling {
     }
     df.filter(Packing.shardId(idCol, 10000) < threshold)
   }
+
+  /** Exact quota sampling: exactly min(n, |stratum|) rows per
+    * stratum, chosen by md5 order of the id — "take N of each
+    * source/language" with a result that is a pure function of the
+    * data. Scale shape: reuses [[TopK]]'s bounded partial aggregate,
+    * so each map task forwards at most n rows per stratum and the
+    * exchange never carries a whole stratum (the rank-window form
+    * shuffles everything). The stratum key rides as a 48-bit md5
+    * surrogate so it can be any type; an SQL replay must partition
+    * on the same surrogate — a collision (~2^-48 per key pair) then
+    * merges the same two strata in both engines rather than
+    * diverging. `idCol` must be integral (TopK's contract). */
+  def quotaSample(df: DataFrame, idCol: String, keyCol: String,
+                  n: Int): DataFrame = {
+    def h48(c: String) =
+      expr(s"conv(substring(md5(cast($c AS STRING)), 1, 12), 16, 10)")
+        .cast("long")
+    val scored = df.select(
+      h48(keyCol).as("__k"),
+      col(idCol),
+      // TopK ranks score DESC; negate so the SMALLEST id-hash wins
+      (-h48(idCol).cast("double")).as("__score"))
+    val picked = TopK.perKey(scored, "__k", idCol, "__score", n)
+      .select(col(idCol))
+    // picked is at most n * |strata| rows — broadcast semi-join back
+    df.join(broadcast(picked), Seq(idCol), "left_semi")
+  }
 }

@@ -46,10 +46,14 @@ object MultimodalQueries {
 
   /** The pixel-mean features of the synthetic images, replayable as
     * SQL arithmetic: mean of a solid channel == channel/255 exactly
-    * (IEEE division of the same rational). */
+    * (IEEE division of the same rational). Persisted: mm_knn reads
+    * this frame as BOTH join sides, and without the cache each side
+    * would re-run the PNG encode + ImageIO decode UDF chain — the
+    * features are 4 numbers/row, the codec work is the cost. */
   private def pixelVectors(s: SparkSession, dir: String): DataFrame =
     Multimodal.pixelFeatures(syntheticImages(s, dir), "payload")
       .select(col("doc_id"), col("embedding"))
+      .persist()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, dir) => {

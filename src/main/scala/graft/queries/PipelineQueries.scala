@@ -95,6 +95,13 @@ object PipelineQueries {
     "q_mix" -> ((s, dir) =>
       graft.operators.Sampling.hashStratified(
           Tables(s, dir, "documents"), "doc_id", "source", MIX_BP)
+        .select(col("doc_id"), col("source"))),
+
+    // exact quota sampling: exactly 10 docs per source, md5 order —
+    // TopK's bounded partial aggregate instead of a rank window
+    "q_quota" -> ((s, dir) =>
+      graft.operators.Sampling.quotaSample(
+          Tables(s, dir, "documents"), "doc_id", "source", n = 10)
         .select(col("doc_id"), col("source")))
   )
 
@@ -170,6 +177,17 @@ object PipelineQueries {
       s"""SELECT doc_id, source FROM documents
          |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
          |      % 10000 < CASE source $cases ELSE 0 END""".stripMargin
-    }
+    },
+    // partitions on the SAME 48-bit md5 surrogate the operator keys
+    // by, so even a surrogate collision stays engine-identical
+    "q_quota" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST('0x' || substring(md5(source), 1, 12) AS BIGINT) AS k,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY k ORDER BY h ASC, doc_id ASC) AS rn
+        |      FROM d)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin
   )
 }

@@ -102,6 +102,27 @@ class Round5OpsSpec extends SparkSpec {
       sameElements again.collect().map(_.getLong(0)).sorted)
   }
 
+  test("quota sampling takes exactly min(n, stratum size) per stratum") {
+    import spark.implicits._
+    // src0: 40 rows, src1: 5 rows (smaller than the quota of 10)
+    val df = ((0L until 40L).map(i => (i, "src0")) ++
+      (100L until 105L).map(i => (i, "src1"))).toDF("id", "src")
+    val got = Sampling.quotaSample(df, "id", "src", n = 10)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("src0" -> 10L, "src1" -> 5L))
+    // deterministic: same input -> same ids, and it matches the
+    // rank-window formulation exactly
+    import org.apache.spark.sql.expressions.Window
+    val h = expr("conv(substring(md5(cast(id AS STRING)), 1, 12), 16, 10)")
+      .cast("long")
+    val w = Window.partitionBy(col("src")).orderBy(h.asc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("id").as[Long].collect().sorted
+    val ids = got.select("id").as[Long].collect().sorted
+    assert(ids sameElements want)
+  }
+
   test("repetitive synthetic doc trips the repetition signals") {
     import spark.implicits._
     import graft.functions.TextFunctions.{words, shinglesOfWords}
