@@ -31,13 +31,20 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Squared L2 distance to each centroid (exact integer). */
-  private def assignTo(q: DataFrame, centroids: Map[Int, Seq[Long]]): DataFrame = {
+  /** Squared L2 distance to each centroid (exact integer), expanded
+    * as |v|^2 - 2 v.c + |c|^2 so the per-centroid work is one
+    * codegen'd [[graft.plans.DotProductLong]] kernel instead of an
+    * interpreted zip_with fold — |v|^2 is computed once per row and
+    * |c|^2 folds to a literal on the driver. Identical integer
+    * result. */
+  private def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]]): DataFrame = {
+    import graft.plans.VectorExpressions.dotLong
     val ids = centroids.keys.toSeq.sorted
+    val q = q0.withColumn("__vn", dotLong(col("__q"), col("__q")))
     val dists = array(ids.map { i =>
-      aggregate(
-        zip_with(col("__q"), typedlit(centroids(i)), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val c = centroids(i)
+      col("__vn") - lit(2L) * dotLong(col("__q"), typedlit(c)) +
+        lit(c.map(x => x * x).sum)
     }: _*)
     // ties assign to the smallest surviving cluster id:
     // array_position takes the FIRST index of the minimum and `ids`
@@ -47,7 +54,7 @@ object KMeans {
       .withColumn("cluster",
         element_at(typedlit(ids),
           array_position(col("__d"), array_min(col("__d"))).cast("int")))
-      .drop("__d")
+      .drop("__d", "__vn")
   }
 
   /** New centroid per surviving cluster: componentwise
@@ -116,19 +123,21 @@ object KMeans {
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, steps: Int = 2,
                            minCosE4: Long = 9000L): DataFrame = {
+    // persisted: the self-join reads this frame as BOTH sides, and the
+    // assignment chain (k interpreted zip_with distance folds per row)
+    // is the expensive part — compute it once, not once per side
+    import graft.plans.VectorExpressions.dotLong
     val assigned = fitAssigned(df, idCol, vecCol, k, steps)
       .select(col(idCol).as("id"), col("cluster"), col("__q"))
-      .withColumn("__n",
-        aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("__n", dotLong(col("__q"), col("__q")))
+      .persist()
     val a = assigned.select(col("id").as("id_a"), col("cluster"),
       col("__q").as("__qa"), col("__n").as("__na"))
     val b = assigned.select(col("id").as("id_b"), col("cluster"),
       col("__q").as("__qb"), col("__n").as("__nb"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("__dot",
-        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("__dot", dotLong(col("__qa"), col("__qb")))
       // exact integer comparison: cos >= t  <=>  dot > 0 and
       // dot^2 * 1e8 >= t_e4^2 * na * nb — no float rounding at the
       // threshold boundary, so the oracle can never disagree on a

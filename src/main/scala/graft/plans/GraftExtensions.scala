@@ -32,6 +32,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot expects two array<float> arguments")
         DotProduct(children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_dot_long expects two array<bigint> arguments")
+        DotProductLong(children.head, children(1))
       }))
 
   /** Register into an already-built session (tests, shells). */

@@ -86,6 +86,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProduct]]: exact long dot product of two
+  * `array<bigint>` columns — the hot kernel of quantized-vector
+  * operators (KMeans distances, semantic-dedup cosine numerators),
+  * where the HOF `aggregate(zip_with(...))` fold never enters
+  * whole-stage codegen and dominates candidate-pair joins.
+  * Arithmetic contract: the caller bounds components so every
+  * partial product and sum fits a long (milliunit quantization of
+  * unit vectors gives |v_i| <= ~1000 — headroom of ~2^43 at dim 64);
+  * ANSI overflow would throw rather than wrap silently. */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_long requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot_long: mismatched vector lengths ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_long: mismatched vector lengths " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftglue.Bridge
   import org.apache.spark.sql.functions.{sqrt => sqrtCol}
@@ -96,4 +163,8 @@ object VectorExpressions {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrtCol(dot(a, a) * dot(b, b))
+
+  /** Exact long dot product (codegen'd) over array<bigint> columns. */
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -51,4 +51,40 @@ class VectorExpressionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r == 11.0)
   }
+
+  test("long dot matches the interpreted fold, keeps codegen, registers in SQL") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(3L, -4L, 5L), Array(7L, 2L, -1L)),
+      (Array(1000L, -1000L, 999L), Array(-999L, 1000L, 1000L))
+    ).toDF("a", "b")
+    val got = df.select(VectorExpressions.dotLong(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val want = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)).collect().map(_.getLong(0))
+    assert(got.toSeq == want.toSeq)
+
+    // codegen check needs a real scan — a local Seq constant-folds
+    // into LocalTableScan with no codegen stage to observe
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<bigint>").as("v"))
+    val plan = emb.select(VectorExpressions.dotLong(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.startsWith("*("), s"no codegen in:\n$plan")
+
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT graft_dot_long(array(2L, 3L), array(5L, 7L)) AS d")
+      .head().getLong(0) == 31L)
+
+    // null propagates; mismatched lengths are a loud data error
+    val withNull = df.withColumn("a", lit(null).cast("array<bigint>"))
+    assert(withNull.select(VectorExpressions.dotLong(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    val mismatch = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    intercept[Exception] {
+      mismatch.select(VectorExpressions.dotLong(col("a"), col("b"))).collect()
+    }
+  }
 }
