@@ -207,6 +207,32 @@ object TextQueries {
         train = docs.filter(col("doc_id") % 97 =!= 0),
         eval = docs.filter(col("doc_id") % 97 === 0),
         idCol = "doc_id", textCol = "text", n = 3)
+    }),
+
+    // context-window chunking: overlapping token windows (size 50,
+    // stride 25) — the document -> training-sequence step. Pure list
+    // expressions then one explode: narrow, no shuffle; chunk_hash
+    // content-addresses each window for downstream chunk-level dedup.
+    "text_chunk" -> ((s, dir) => {
+      val winSize = 50
+      val stride = 25
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          // window starts: 0, stride, 2*stride, ... while start < n
+          // (a shorter final window keeps the tail; docs shorter than
+          // one window yield exactly one chunk)
+          sequence(lit(0),
+            (greatest(ceil(size(col("__w")).cast("double") / stride)
+              .cast("int"), lit(1)) - 1) * stride,
+            lit(stride)).as("__starts"))
+        .select(col("doc_id"),
+          posexplode(transform(col("__starts"),
+            st => slice(col("__w"), st + 1, lit(winSize)))).as(Seq("chunk_id", "__c")))
+        .filter(size(col("__c")) > 0)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("__c")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("__c"))).as("chunk_hash"))
     })
   )
 
@@ -394,6 +420,23 @@ object TextQueries {
         |  CAST(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END
         |       AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 97 <> 0""".stripMargin
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |s AS (SELECT doc_id, wl,
+        |        range(0, greatest(CAST(ceil(len(wl) / 25.0) AS INTEGER), 1) * 25,
+        |              25) AS starts
+        |      FROM w),
+        |c AS (SELECT doc_id, wl, unnest(starts) AS st,
+        |        unnest(range(0, len(starts))) AS chunk_id
+        |      FROM s),
+        |o AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |        wl[(st + 1):(st + 50)] AS ck
+        |      FROM c)
+        |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ck, ' ')) AS chunk_hash
+        |FROM o WHERE len(ck) > 0""".stripMargin
   )
 }
