@@ -233,7 +233,35 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           size(col("__c")).cast("long").as("n_tokens"),
           md5(concat_ws(" ", col("__c"))).as("chunk_hash"))
-    })
+    }),
+
+    // one BPE merge step: corpus-wide adjacent character-pair counts,
+    // top 20 — the inner loop of tokenizer training. One map-combined
+    // shuffle on the pair; the global top-k plans as
+    // TakeOrderedAndProject (no full sort).
+    "q_bpe_step" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(words(col("text"))).as("__wd"))
+        .select(col("__wd"), length(col("__wd")).as("__n"))
+        .filter(col("__n") >= 2)
+        .select(explode(transform(sequence(lit(1), col("__n") - 1),
+          i => col("__wd").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)),
+
+    // inverted-index build: term -> document frequency + a content
+    // address of the sorted posting list (the artifact a search/recall
+    // stage consumes). Distinct (term, doc) then one aggregation.
+    "q_inverted_index" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .distinct()
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          md5(concat_ws(",",
+            sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+            .as("postings_hash")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,6 +465,23 @@ object TextQueries {
         |      FROM c)
         |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(ck, ' ')) AS chunk_hash
-        |FROM o WHERE len(ck) > 0""".stripMargin
+        |FROM o WHERE len(ck) > 0""".stripMargin,
+    "q_bpe_step" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS wd
+        |           FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(wd)),
+        |        i -> wd[i:i+1])) AS pair
+        |      FROM w WHERE length(wd) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt FROM c
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_inverted_index" ->
+      """WITH t0 AS (SELECT doc_id,
+        |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |            FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM t0)
+        |SELECT term, count(*) AS df,
+        |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_hash
+        |FROM t GROUP BY term""".stripMargin
   )
 }
