@@ -124,8 +124,10 @@ object KMeans {
                            k: Int, steps: Int = 2,
                            minCosE4: Long = 9000L): DataFrame = {
     // persisted: the self-join reads this frame as BOTH sides, and the
-    // assignment chain (k interpreted zip_with distance folds per row)
-    // is the expensive part — compute it once, not once per side
+    // assignment chain (scan + quantize + k codegen'd distance kernels
+    // per row) would otherwise run once per side. One bounded
+    // (id, cluster, vector) frame per invocation, released with the
+    // session
     import graft.plans.VectorExpressions.dotLong
     val assigned = fitAssigned(df, idCol, vecCol, k, steps)
       .select(col(idCol).as("id"), col("cluster"), col("__q"))

@@ -27,6 +27,16 @@ object Packing {
     expr(s"conv(substring(md5(cast($idCol AS STRING)), 1, 6), 16, 10) % $nShards")
       .cast("long")
 
+  /** 48-bit md5 hash of a column — the portable Spark<->DuckDB
+    * integer hash (oracle replay:
+    * `CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)`); width-12
+    * twin of [[shardId]]'s width-6 bucket hash. Every new operator
+    * needing an engine-portable hash should use this ONE audited
+    * form rather than re-inlining the conv/substring idiom. */
+  def hash48(c: String) =
+    expr(s"conv(substring(md5(cast($c AS STRING)), 1, 12), 16, 10)")
+      .cast("long")
+
   /** Offset-binned packing: documents are laid out in deterministic
     * order (by `idCol`) within each shard; a document's pack is
     * `floor(cumulative_tokens_before / budget)` — i.e. fixed token

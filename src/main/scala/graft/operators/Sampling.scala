@@ -56,20 +56,26 @@ object Sampling {
     * surrogate so it can be any type; an SQL replay must partition
     * on the same surrogate — a collision (~2^-48 per key pair) then
     * merges the same two strata in both engines rather than
-    * diverging. `idCol` must be integral (TopK's contract). */
+    * diverging. `idCol` must be integral (TopK's contract), unique
+    * within its stratum (a duplicated id would re-enter through the
+    * semi-join past the quota), and non-null — rows with a null key
+    * or id are dropped, where a SQL rank-window replay would rank
+    * them. */
   def quotaSample(df: DataFrame, idCol: String, keyCol: String,
                   n: Int): DataFrame = {
-    def h48(c: String) =
-      expr(s"conv(substring(md5(cast($c AS STRING)), 1, 12), 16, 10)")
-        .cast("long")
+    def h48(c: String) = Packing.hash48(c)
     val scored = df.select(
       h48(keyCol).as("__k"),
       col(idCol),
       // TopK ranks score DESC; negate so the SMALLEST id-hash wins
       (-h48(idCol).cast("double")).as("__score"))
     val picked = TopK.perKey(scored, "__k", idCol, "__score", n)
-      .select(col(idCol))
+      .select(col("__k"), col(idCol))
     // picked is at most n * |strata| rows — broadcast semi-join back
-    df.join(broadcast(picked), Seq(idCol), "left_semi")
+    // on (stratum, id): joining on the id alone would readmit rows
+    // from OTHER strata that happen to share an id value
+    df.withColumn("__k", h48(keyCol))
+      .join(broadcast(picked), Seq("__k", idCol), "left_semi")
+      .drop("__k")
   }
 }

@@ -94,12 +94,17 @@ case class DotProduct(left: Expression, right: Expression)
   * Arithmetic contract: the caller bounds components so every
   * partial product and sum fits a long (milliunit quantization of
   * unit vectors gives |v_i| <= ~1000 — headroom of ~2^43 at dim 64);
-  * ANSI overflow would throw rather than wrap silently. */
+  * ANSI overflow would throw rather than wrap silently. A null
+  * ELEMENT on either side nulls the result — the same semantics as
+  * the `aggregate(zip_with(...))` fold this kernel replaces, never a
+  * silent zero-substitution. */
 case class DotProductLong(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // nullable even for non-null array columns: element nulls null the
+  // result
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -122,6 +127,7 @@ case class DotProductLong(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -142,9 +148,10 @@ case class DotProductLong(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) ${ev.value} = $s;
        """.stripMargin
     })
 

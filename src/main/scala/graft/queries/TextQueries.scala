@@ -219,12 +219,14 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("__w"))
         .select(col("doc_id"), col("__w"),
-          // window starts: 0, stride, 2*stride, ... while start < n
-          // (a shorter final window keeps the tail; docs shorter than
-          // one window yield exactly one chunk)
+          // window count = max(1, ceil((n - size) / stride) + 1): the
+          // last window is the first one whose end reaches n, so no
+          // window is a pure suffix of its predecessor (with
+          // size = 2*stride a naive ceil(n/stride) would always emit
+          // one fully-contained duplicate window at the end)
           sequence(lit(0),
-            (greatest(ceil(size(col("__w")).cast("double") / stride)
-              .cast("int"), lit(1)) - 1) * stride,
+            greatest(ceil((size(col("__w")) - winSize).cast("double") / stride)
+              .cast("int"), lit(0)) * stride,
             lit(stride)).as("__starts"))
         .select(col("doc_id"),
           posexplode(transform(col("__starts"),
@@ -454,7 +456,8 @@ object TextQueries {
         |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
         |           FROM documents),
         |s AS (SELECT doc_id, wl,
-        |        range(0, greatest(CAST(ceil(len(wl) / 25.0) AS INTEGER), 1) * 25,
+        |        range(0, greatest(CAST(ceil((len(wl) - 50) / 25.0) AS INTEGER), 0)
+        |                 * 25 + 1,
         |              25) AS starts
         |      FROM w),
         |c AS (SELECT doc_id, wl, unnest(starts) AS st,

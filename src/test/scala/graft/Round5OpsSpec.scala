@@ -123,6 +123,18 @@ class Round5OpsSpec extends SparkSpec {
     assert(ids sameElements want)
   }
 
+  test("quota sampling does not readmit rows from other strata sharing an id") {
+    import spark.implicits._
+    // id values repeat across strata: picking id=i in stratum A must
+    // not drag along stratum B's row with the same id
+    val df = ((0L until 30L).map(i => (i, "a")) ++
+      (0L until 30L).map(i => (i, "b"))).toDF("id", "src")
+    val got = Sampling.quotaSample(df, "id", "src", n = 5)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 5L, "b" -> 5L))
+  }
+
   test("repetitive synthetic doc trips the repetition signals") {
     import spark.implicits._
     import graft.functions.TextFunctions.{words, shinglesOfWords}

@@ -78,9 +78,14 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT graft_dot_long(array(2L, 3L), array(5L, 7L)) AS d")
       .head().getLong(0) == 31L)
 
-    // null propagates; mismatched lengths are a loud data error
+    // null propagates — a null ARRAY and a null ELEMENT both null the
+    // result (same as the aggregate/zip_with fold; never a silent 0)
     val withNull = df.withColumn("a", lit(null).cast("array<bigint>"))
     assert(withNull.select(VectorExpressions.dotLong(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    val withNullElem = spark.sql(
+      "SELECT array(1L, CAST(NULL AS BIGINT), 3L) AS a, array(1L, 2L, 3L) AS b")
+    assert(withNullElem.select(VectorExpressions.dotLong(col("a"), col("b")))
       .collect().forall(_.isNullAt(0)))
     val mismatch = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
     intercept[Exception] {
