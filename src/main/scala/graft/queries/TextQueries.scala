@@ -238,17 +238,21 @@ object TextQueries {
     }),
 
     // one BPE merge step: corpus-wide adjacent character-pair counts,
-    // top 20 — the inner loop of tokenizer training. One map-combined
-    // shuffle on the pair; the global top-k plans as
+    // top 20 — the inner loop of tokenizer training, in its textbook
+    // shape: aggregate to the word-FREQUENCY table first (vocabulary
+    // << token count), then count pairs once per distinct word
+    // weighted by its frequency. The pair explode runs over the
+    // vocabulary, not the corpus; the global top-k plans as
     // TakeOrderedAndProject (no full sort).
     "q_bpe_step" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(explode(words(col("text"))).as("__wd"))
-        .select(col("__wd"), length(col("__wd")).as("__n"))
-        .filter(col("__n") >= 2)
-        .select(explode(transform(sequence(lit(1), col("__n") - 1),
-          i => col("__wd").substr(i, lit(2)))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("__wd")).agg(count(lit(1)).as("__wc"))
+        .filter(length(col("__wd")) >= 2)
+        .select(col("__wc"),
+          explode(transform(sequence(lit(1), length(col("__wd")) - 1),
+            i => col("__wd").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("__wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(20)),
 

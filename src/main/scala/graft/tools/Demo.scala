@@ -112,6 +112,33 @@ object Demo {
       li.select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", partitions = 4)
     println("zorder-layout partitions=" + z.rdd.getNumPartitions)
+
+    println("== round-5 curation operators ==")
+    val emb5 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fit = graft.operators.KMeans.fit(emb5, "vec_id", "embedding", k = 4)
+    println("kmeans clusters=" +
+      fit.select(col("cluster")).distinct().count())
+    println("semantic near-dup pairs=" + graft.operators.KMeans
+      .semanticNearDupPairs(emb5, "vec_id", "embedding", k = 4,
+        minCosE4 = 4200L).count())
+
+    val docs5 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val decon = graft.operators.Decontaminate.overlapReport(
+      docs5.filter(col("doc_id") % 97 =!= 0),
+      docs5.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+    println("decontamination flagged=" +
+      decon.filter(col("contaminated") === 1).count())
+
+    println("quota sample rows=" + graft.operators.Sampling
+      .quotaSample(docs5, "doc_id", "source", n = 3).count())
+
+    val wav = graft.operators.Multimodal.encodeWavPcm16(
+      Seq(0, 1000, -1000, 32767, -32768), 16000)
+    import spark.implicits._
+    val audio = graft.operators.Multimodal.decodeAudio(
+      Seq((1L, wav)).toDF("id", "payload"), "payload")
+    println("audio decode n_samples=" +
+      audio.select(col("decoded.n_samples")).head().getLong(0))
     spark.stop()
   }
 }

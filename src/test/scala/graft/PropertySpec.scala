@@ -158,4 +158,43 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"k=$k")
     }
   }
+
+  test("chunking covers every token, bounds every window, never emits a suffix-duplicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new Random(58)
+    val winSize = 50
+    val stride = 25
+    // doc lengths straddle every boundary case: < stride, == winSize,
+    // winSize+1, multiples of stride, and long tails
+    val lens = List(1, 24, 25, 26, 49, 50, 51, 74, 75, 76, 100, 101, 137) ++
+      List.fill(7)(1 + rng.nextInt(300))
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    // drive the REAL registered query: Tables reads $dir/documents.parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_prop").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.queries("text_chunk")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val rows = out(i.toLong).sortBy(_.getLong(1))
+      val sizes = rows.map(_.getLong(2))
+      // chunk ids dense from 0; every window non-empty and bounded
+      assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong), s"n=$n")
+      assert(sizes.forall(s => s >= 1 && s <= winSize), s"n=$n")
+      // window count: the last window is the first to reach the end —
+      // never a fully-contained duplicate suffix
+      val wantChunks = math.max(1,
+        math.ceil(math.max(n - winSize, 0) / stride.toDouble).toInt + 1)
+      assert(rows.length == wantChunks, s"n=$n got=${rows.length}")
+      // coverage: total distinct tokens = n means starts + sizes span
+      // the doc (start of chunk j is j*stride, its size reaches at
+      // least min(n, j*stride + winSize))
+      val covered = rows.zipWithIndex.map { case (r, j) =>
+        (j * stride + 1) to (j * stride + r.getLong(2).toInt)
+      }.flatten.toSet
+      assert(covered == (1 to n).toSet, s"n=$n coverage gap")
+    }
+  }
 }
