@@ -76,7 +76,7 @@ object Bench {
     val probeNames = Seq("dedup_minhash", "dedup_winnow", "dedup_components",
       "dedup_jaccard_capped", "dedup_embedding_lsh", "knn_cosine", "knn_lsh",
       "knn_ivf", "pbd_source", "flatten_roundtrip", "q_kmeans",
-      "dedup_semantic", "text_decontaminate")
+      "dedup_semantic", "text_decontaminate", "q_pq", "knn_pq_adc")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {
@@ -100,7 +100,41 @@ object Bench {
         }
         s""","scale_probe":{"base_sf":"$baseDir","queries":${probes.mkString("{", ",", "}")}}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$probeJson}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$probeJson}"""
+    // Full-precision record (incl. the scale probe) goes to a file:
+    // the harness that invokes this main captures only the last ~2000
+    // characters of stdout, and the full per-query map outgrew that
+    // window — every round's detailed numbers were silently lost.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+
+    // Final stdout line: the same contract shape, compacted to fit the
+    // tail window (2-decimal seconds, no probe block). If the query
+    // count ever grows past what fits, drop the FASTEST queries into
+    // an "omitted" count — the slow ones are the ones worth reading.
+    def fmt(v: Double): String = f"$v%.2f"
+    def compactLine(keep: Seq[(String, Double)], omitted: Int): String = {
+      val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$errJson$om,"detail":"bench_detail.json"}"""
+    }
+    val ok = results.collect { case (n, (v, true)) => (n, v) }
+    val byTimeDesc = ok.sortBy(-_._2)
+    var keepN = byTimeDesc.length
+    var line = compactLine(byTimeDesc.take(keepN), byTimeDesc.length - keepN)
+    while (line.length > 1750 && keepN > 1) {
+      keepN -= 8
+      line = compactLine(byTimeDesc.take(keepN), byTimeDesc.length - keepN)
+    }
+    // Stop Spark BEFORE printing: shutdown can emit stray log lines,
+    // and the contract line must be the last thing on stdout so a
+    // fixed-size tail capture still contains it whole.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
