@@ -37,7 +37,7 @@ object KMeans {
     * interpreted zip_with fold — |v|^2 is computed once per row and
     * |c|^2 folds to a literal on the driver. Identical integer
     * result. */
-  private def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]]): DataFrame = {
+  private[operators] def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]]): DataFrame = {
     import graft.plans.VectorExpressions.dotLong
     val ids = centroids.keys.toSeq.sorted
     val q = q0.withColumn("__vn", dotLong(col("__q"), col("__q")))
@@ -59,7 +59,7 @@ object KMeans {
 
   /** New centroid per surviving cluster: componentwise
     * floor(sum / count) — one aggregation, k*dim result rows. */
-  private def update(assigned: DataFrame): Map[Int, Seq[Long]] =
+  private[operators] def update(assigned: DataFrame): Map[Int, Seq[Long]] =
     assigned
       .select(col("cluster"), posexplode(col("__q")).as(Seq("pos", "val")))
       .groupBy(col("cluster"), col("pos"))

@@ -183,21 +183,56 @@ object Similarity {
     * never co-bucket are missed; for cosine >= ~0.8 near-dups the
     * multi-table probability of missing is tiny, and recall is pinned
     * against the exact operator in tests.
+    *
+    * Parameter-scaling discipline: expected bucket occupancy is
+    * n / 2^nPlanes, and the per-bucket self-join is quadratic in
+    * occupancy — so nPlanes must grow ~log2(n/B) for a target bucket
+    * size B, with recall recovered by adding tables (the standard
+    * hyperplane-LSH tradeoff). The bench query freezes nPlanes=6 for
+    * oracle determinism, which is why its scale-probe ratio grows
+    * superlinearly at 10x data (SCALE.md): 64 buckets per table
+    * cannot stay balanced at 50 k vectors. At that size use
+    * nPlanes≈9-10 (buckets of ~50-100), at 1 B vectors ~23-24.
     */
   def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
                                minCosine: Double, dim: Int = 64,
                                nPlanes: Int = 6, tables: Int = 4): DataFrame = {
     val bud = bucketsUdf(dim, nPlanes, tables)
-    val banded = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      posexplode(bud(col(vecCol))).as(Seq("t", "b")))
-    val a = banded.select(col("__id").as("id_a"), col("__v").as("__va"),
+    // Late materialization: only (id, bucket-signature) rides through
+    // the quadratic bucket join — at dim=64 floats a candidate row
+    // carrying both vectors is ~35x wider than one carrying two ids,
+    // and at production dims (1-4 KB/vector) the gap is 100-250x, on
+    // the one table in the plan whose row count is quadratic in
+    // bucket occupancy. Vectors join back by id afterwards (an
+    // equi-join that also rebalances the skewed big-bucket output
+    // before the cosine kernel). A pair co-bucketing in several
+    // tables is emitted only from its FIRST colliding table — the
+    // signature comparison below — so no distinct is needed; the
+    // comparison expands to scalar element_at conjunctions because
+    // HOF forms (zip_with/array_position) are interpreted per
+    // candidate row (measured 2x on the whole operator).
+    val banded = df
+      .select(col(idCol).as("__id"), bud(col(vecCol)).as("__bk"))
+      .select(col("__id"), col("__bk"),
+        posexplode(col("__bk")).as(Seq("t", "b")))
+    val a = banded.select(col("__id").as("id_a"), col("__bk").as("__bka"),
       col("t"), col("b"))
-    val b = banded.select(col("__id").as("id_b"), col("__v").as("__vb"),
+    val b = banded.select(col("__id").as("id_b"), col("__bk").as("__bkb"),
       col("t"), col("b"))
-    a.join(b, Seq("t", "b"))
+    val firstCollision = (0 until tables).map { tt =>
+      (col("t") === tt) && (0 until tt)
+        .map(e => element_at(col("__bka"), e + 1) =!=
+          element_at(col("__bkb"), e + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val cand = a.join(b, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
-      .distinct()
+      .filter(firstCollision)
+      .select(col("id_a"), col("id_b"))
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+    cand
+      .join(vecs.select(col("__vid").as("id_a"), col("__vec").as("__va")), "id_a")
+      .join(vecs.select(col("__vid").as("id_b"), col("__vec").as("__vb")), "id_b")
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

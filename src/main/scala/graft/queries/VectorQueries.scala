@@ -61,8 +61,37 @@ object VectorQueries {
     "dedup_semantic" -> ((s, dir) =>
       graft.operators.KMeans.semanticNearDupPairs(
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, steps = 2, minCosE4 = 4200L))
+        k = 8, steps = 2, minCosE4 = 4200L)),
+
+    // product quantization (IVF+PQ's compression half): 4 subspace
+    // codebooks fit with the same quantized-integer k-means
+    // discipline, then ONE narrow projection encodes every vector as
+    // 4 codes + its exact squared quantization error — the m
+    // independent k-means chains replay per-subspace in SQL
+    "q_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
+        dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
+      graft.operators.PQ.encode(emb, "vec_id", "embedding", books)
+    }),
+
+    // ADC search over the PQ codes: the query (smallest vec_id)
+    // scores every encoded vector through the m*k lookup table as
+    // broadcast literals — a narrow projection + TakeOrdered, never
+    // touching the raw vectors. Exact-oracled like the other ANN ops.
+    "knn_pq_adc" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
+        dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
+      val codes = graft.operators.PQ.encode(emb, "vec_id", "embedding", books)
+      val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.operators.PQ.adcTopK(codes, "vec_id", books, query, n = 10)
+    })
   )
+
+  private val PQ_M = 4
+  private val PQ_K = 8
 
   // ---- knn_lsh oracle: the hyperplanes are MD5-derived constants, so
   // the whole LSH path — sign-bit bucketing, 1-bit-flip probes,
@@ -111,8 +140,85 @@ object VectorQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  // PQ replay: the q_kmeans CTE chain, once per subspace over the
+  // sliced milliunit vectors (DuckDB list slicing v[lo:hi] is 1-based
+  // inclusive, matching Spark's slice(v, lo, len)); the final join
+  // stitches the m codes and sums the per-subspace min distances.
+  private def pqOracle: String = {
+    val sub = DIM / PQ_M
+    val chains = (0 until PQ_M).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""q$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
+         |c0_$j AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |         AS c, v
+         |       FROM (SELECT vec_id, v FROM q$j ORDER BY vec_id LIMIT $PQ_K)),
+         |d1_$j AS (SELECT q$j.vec_id, c0_$j.c,
+         |         CAST(list_sum(list_transform(range(1, ${sub + 1}),
+         |           i -> (q$j.v[i] - c0_$j.v[i]) * (q$j.v[i] - c0_$j.v[i]))) AS BIGINT) AS d
+         |       FROM q$j CROSS JOIN c0_$j),
+         |a1_$j AS (SELECT vec_id, c AS cluster FROM (
+         |         SELECT vec_id, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |         FROM d1_$j) WHERE rn = 1),
+         |m_$j AS (SELECT a1_$j.cluster, pos.i,
+         |        CAST(floor(CAST(sum(q$j.v[pos.i]) AS DOUBLE) / count(*)) AS BIGINT)
+         |          AS m
+         |      FROM a1_$j JOIN q$j USING (vec_id) CROSS JOIN pos
+         |      GROUP BY a1_$j.cluster, pos.i),
+         |c1_$j AS (SELECT cluster AS c, list(m ORDER BY i) AS v FROM m_$j
+         |       GROUP BY cluster),
+         |d2_$j AS (SELECT q$j.vec_id, c1_$j.c,
+         |         CAST(list_sum(list_transform(range(1, ${sub + 1}),
+         |           i -> (q$j.v[i] - c1_$j.v[i]) * (q$j.v[i] - c1_$j.v[i]))) AS BIGINT) AS d
+         |       FROM q$j CROSS JOIN c1_$j),
+         |a2_$j AS (SELECT vec_id, cluster AS code_$j, dist AS e_$j FROM (
+         |         SELECT vec_id, c AS cluster, d AS dist,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |         FROM d2_$j) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until PQ_M).map(j => s"code_$j").mkString(", ")
+    val errSum = (0 until PQ_M).map(j => s"e_$j").mkString(" + ")
+    val joins = (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
+    s"""WITH q AS (SELECT vec_id,
+       |             list_transform(CAST(embedding AS DOUBLE[]),
+       |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+       |           FROM embeddings),
+       |pos AS (SELECT unnest(range(1, ${sub + 1})) AS i),
+       |$chains
+       |SELECT q.vec_id, $codeCols, CAST($errSum AS BIGINT) AS pq_err
+       |FROM q $joins""".stripMargin
+  }
+
+  // ADC replay: the same per-subspace chains produce codes and final
+  // centroids; the query row's lookup table joins code -> distance.
+  private def pqAdcOracle: String = {
+    val sub = DIM / PQ_M
+    val luts = (0 until PQ_M).map { j =>
+      val lo = j * sub + 1
+      s"""lut_$j AS (SELECT c1_$j.c,
+         |         CAST(list_sum(list_transform(range(1, ${sub + 1}),
+         |           i -> (qv.v[${lo - 1} + i] - c1_$j.v[i]) *
+         |                (qv.v[${lo - 1} + i] - c1_$j.v[i]))) AS BIGINT) AS d
+         |       FROM c1_$j CROSS JOIN qv)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PQ_M).map(j => s"JOIN lut_$j ON lut_$j.c = code_$j").mkString(" ")
+    val distSum = (0 until PQ_M).map(j => s"lut_$j.d").mkString(" + ")
+    val base = pqOracle
+    val upToChains = base.substring(0, base.indexOf("SELECT q.vec_id"))
+    s"""$upToChains,
+       |qv AS (SELECT v FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       |$luts
+       |SELECT q.vec_id, CAST($distSum AS BIGINT) AS adc_dist
+       |FROM q $codeJoins $lutJoins
+       |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracle,
+    "q_pq" -> pqOracle,
+    "knn_pq_adc" -> pqAdcOracle,
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings WHERE vec_id < 8),

@@ -139,6 +139,25 @@ object Demo {
       Seq((1L, wav)).toDF("id", "payload"), "payload")
     println("audio decode n_samples=" +
       audio.select(col("decoded.n_samples")).head().getLong(0))
+
+    // C4 line-level cleaning over a synthetic multi-line doc (the
+    // shipped documents carry no newlines)
+    // PQ: fit 4 subspace codebooks, encode, ADC-search
+    val pqBooks = graft.operators.PQ.fit(emb5, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8)
+    val pqCodes = graft.operators.PQ.encode(emb5, "vec_id", "embedding", pqBooks)
+    val pqQuery = emb5.orderBy(col("vec_id")).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    println("pq adc top-3=" + graft.operators.PQ
+      .adcTopK(pqCodes, "vec_id", pqBooks, pqQuery, n = 3)
+      .collect().map(r => r.getLong(0)).mkString(","))
+
+    val lf = graft.operators.LineFilter(
+      Seq((1L, "A good first sentence survives here.\ntoo short\n" +
+        "We use cookies on this site.\nAnother keeper ends properly!"))
+        .toDF("id", "text"), "text")
+      .select(col("n_lines"), col("n_kept")).head()
+    println(s"line filter lines=${lf.getLong(0)} kept=${lf.getLong(1)}")
     spark.stop()
   }
 }

@@ -1,0 +1,188 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load probe beyond the largest driver-provided scale factor.
+  *
+  * The shipped test data tops out at sf0.1 (~600 k lineitem rows,
+  * 5 k documents); every bench number so far says nothing about
+  * whether the candidate-join dedup operators, ANN, or components
+  * stay near-linear when the tables grow 10-30x. This tool
+  * materializes an R-fold replicated copy of the sf0.1 tables under
+  * a scratch dir and times the scale-sensitive queries on it.
+  *
+  * Fact keys are shifted per copy (orderkey/custkey/doc_id/vec_id/
+  * user_id stay unique, so join fan-out and group counts scale
+  * linearly); dimension tables (nation/region/part/supplier) stay
+  * fixed — dims grow slower than facts, which keeps broadcast sides
+  * broadcastable, exactly the 100 TB plan shape. Text/embedding
+  * content replicates in one of two regimes, because each answers a
+  * different scaling question:
+  *
+  *   - mode `dup` (content verbatim): every document gains R-1 exact
+  *     near-copies — the heavily-duplicated-crawl regime. Candidate
+  *     pair OUTPUT grows ~R^2 per duplicate group; what the probe
+  *     checks is that runtime tracks the output size, not n^2 over
+  *     the corpus (i.e. the bucketing still prunes non-duplicates).
+  *   - mode `fresh` (default): every 5th word rewrites to a
+  *     copy-specific token (kills >half the cross-copy shared
+  *     shingles, pushing cross-copy Jaccard below every threshold in
+  *     use) and embeddings cyclically rotate by 7*copy dimensions
+  *     (cosine between rotations of a vector is far below the 0.42
+  *     near-dup threshold) — the constant-duplicate-RATE regime,
+  *     i.e. genuine corpus growth. Outputs and runtime should both
+  *     grow ~linearly; a superlinear runtime here flags a real
+  *     scale bug.
+  *
+  * Usage: runMain graft.tools.ScaleProbe <R> [mode] [srcDir] [workDir]
+  * Emits one JSON line per query with seconds at replication R, plus
+  * rows processed; pair two runs (R=1 vs R=10) to read the scaling
+  * exponent. Results feed SCALE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val r = if (args.nonEmpty) args(0).toInt else 10
+    val mode = if (args.length > 1) args(1) else "fresh"
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val work = if (args.length > 3) args(3) else "/root/repo/tmp/scale"
+    val dest = s"$work/r$r$mode"
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    if (!Files.isDirectory(Paths.get(dest))) {
+      replicate(spark, src, dest, r, fresh = mode == "fresh")
+    }
+
+    // The scale-sensitive set: candidate-join dedup, ANN, iterative
+    // components, plus two relational anchors whose near-perfect
+    // scaling calibrates the box (if q1_agg itself goes superlinear,
+    // the run is noise, not signal).
+    val allNames = Seq(
+      "q1_agg", "q5_join", "q3_topk",
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_winnow",
+      "dedup_jaccard_capped", "dedup_components", "dedup_components_stars",
+      "dedup_embedding_lsh", "dedup_semantic",
+      "knn_cosine", "knn_lsh", "knn_ivf", "q_kmeans",
+      "text_tfidf", "text_decontaminate", "text_chunk",
+      "q_sessionize", "q_tumbling")
+    // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
+    val names = sys.env.get("SPARK_SCALE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(allNames)
+
+    // warm codegen/session
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try graft.queries.Fixtures.warm(spark, dest)
+    catch { case e: Throwable =>
+      System.err.println(s"[scale] fixture warm failed: ${e.getMessage}") }
+
+    val results = names.flatMap { name =>
+      graft.SparkEntry.queries.get(name).map { fn =>
+        // median of 3, same discipline as Bench
+        var rows = 0L
+        val times = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          rows = fn(spark, dest).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val med = times.sorted.apply(1)
+        (name, med, rows)
+      }
+    }
+    val qs = results.map { case (n, t, rows) =>
+      "\"" + n + "\":{\"sec\":" + f"$t%.3f" + ",\"rows\":" + rows + "}"
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"probe":"scale","r":$r,"mode":"$mode","src":"$src","queries":$qs}""")
+  }
+
+  /** Key-shifted R-fold replication of the fact tables; dims copied
+    * verbatim. KEYSPAN exceeds every key in the sf0.1 tables so
+    * shifted ids never collide across copies. `fresh` selects the
+    * constant-dup-rate content rewrite (see class doc).
+    */
+  private[tools] def replicate(spark: SparkSession, src: String,
+                               dest: String, r: Int,
+                               fresh: Boolean): Unit = {
+    import spark.implicits._
+    val KEYSPAN = 100000000L
+    Files.createDirectories(Paths.get(dest))
+
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(r).toDF("copy_n"))
+
+    def shift(c: String): org.apache.spark.sql.Column =
+      col(c) + col("copy_n") * KEYSPAN
+
+    def w(df: DataFrame, name: String): Unit =
+      df.drop("copy_n").write.mode("overwrite").parquet(s"$dest/$name.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    w(copies(li).withColumn("l_orderkey", shift("l_orderkey")), "lineitem")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    w(copies(ord)
+      .withColumn("o_orderkey", shift("o_orderkey"))
+      .withColumn("o_custkey", shift("o_custkey")), "orders")
+
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    w(copies(cust).withColumn("c_custkey", shift("c_custkey")), "customer")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docText =
+      if (!fresh) col("text")
+      else
+        // every 5th word becomes a copy-specific token: ~60% of the
+        // 3-word shingles change, so cross-copy Jaccard drops below
+        // the 0.3-0.5 thresholds while within-copy dup structure is
+        // preserved exactly (all docs of one copy rewrite the same
+        // positions the same way)
+        when(col("copy_n") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), "\\s+"), (wd, i) =>
+              when(i % 5 === 2,
+                concat(lit("xq"), col("copy_n").cast("string"),
+                  lit("p"), i.cast("string"))).otherwise(wd))))
+    w(copies(docs)
+      .withColumn("doc_id", shift("doc_id"))
+      .withColumn("text", docText), "documents")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embVec =
+      if (!fresh) col("embedding")
+      else {
+        // cyclic rotation by 7*copy dims: norm-preserving, keeps the
+        // within-copy cluster geometry, but a vector's cosine with
+        // its rotation is far below the 0.42 near-dup threshold
+        val d = size(col("embedding"))
+        val sh = (col("copy_n") * 7 % d).cast("int")
+        when(col("copy_n") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), sh + 1, d - sh),
+            slice(col("embedding"), lit(1), sh)))
+      }
+    w(copies(emb)
+      .withColumn("vec_id", shift("vec_id"))
+      .withColumn("embedding", embVec), "embeddings")
+
+    val ev = graft.queries.Tables.events(spark, src)
+    w(copies(ev)
+      .withColumn("event_id", shift("event_id"))
+      .withColumn("user_id", shift("user_id")), "events")
+
+    for (dim <- Seq("nation", "region", "part", "supplier")) {
+      w(spark.read.parquet(s"$src/$dim.parquet"), dim)
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KMeans, PQ}
+
+/** Product quantization: codebook fit, narrow encode, and ADC search
+  * pinned against independently recomputed exact arithmetic.
+  */
+class PQSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+  private val DIM = 64
+  private val M = 4
+  private val K = 8
+
+  private def embeddings = spark.read.parquet(s"$SF/embeddings.parquet")
+
+  private lazy val books = PQ.fit(embeddings, "vec_id", "embedding", DIM, M, K)
+  private lazy val codes =
+    PQ.encode(embeddings, "vec_id", "embedding", books).collect()
+
+  private def quantized: Map[Long, Seq[Long]] =
+    embeddings.select(col("vec_id"), KMeans.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+
+  test("codebooks: m*k centroids of the right dimensionality") {
+    assert(books.m == M && books.subDim == DIM / M)
+    assert(books.centroids.size == M * K)
+    assert(books.centroids.values.forall(_.length == DIM / M))
+  }
+
+  test("encode: every code is the exact per-subspace argmin, err is the sum") {
+    val q = quantized
+    assert(codes.length == q.size)
+    for (row <- codes.take(200)) {
+      val id = row.getLong(0)
+      val v = q(id)
+      var expectErr = 0L
+      for (j <- 0 until M) {
+        val sv = v.slice(j * books.subDim, (j + 1) * books.subDim)
+        val dists = (0 until K).map { c =>
+          val cent = books.centroids((j, c))
+          sv.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        val best = dists.zipWithIndex.min // ties -> smaller code
+        assert(row.getInt(1 + j) == best._2, s"vec $id subspace $j")
+        expectErr += best._1
+      }
+      assert(row.getLong(1 + M) == expectErr, s"vec $id err")
+    }
+  }
+
+  test("adc search: distances equal exact query-to-reconstruction L2") {
+    val query = embeddings.orderBy(col("vec_id"))
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val qq = query.map(x => math.floor(x * 1000).toLong)
+    val got = PQ.adcTopK(
+      PQ.encode(embeddings, "vec_id", "embedding", books),
+      "vec_id", books, query, n = 12).collect()
+    assert(got.length == 12)
+    // expected: for each vector, dist(query, reconstruction(codes))
+    val q = quantized
+    val codeMap = codes.map(r =>
+      r.getLong(0) -> (0 until M).map(j => r.getInt(1 + j))).toMap
+    val exact = codeMap.map { case (id, cs) =>
+      id -> cs.zipWithIndex.map { case (c, j) =>
+        val cent = books.centroids((j, c))
+        val qs = qq.slice(j * books.subDim, (j + 1) * books.subDim)
+        qs.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+    }
+    val expect = exact.toSeq.sortBy { case (id, d) => (d, id) }.take(12)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
+    // adc distances are monotone non-decreasing in rank
+    assert(got.map(_.getLong(1)).toSeq == got.map(_.getLong(1)).toSeq.sorted)
+  }
+
+  test("compression: codes fit in a byte each at k<=256") {
+    assert(codes.forall(r => (0 until M).forall { j =>
+      val c = r.getInt(1 + j); c >= 0 && c < K
+    }))
+  }
+}
