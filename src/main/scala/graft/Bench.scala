@@ -127,7 +127,7 @@ object Bench {
     var keepN = byTimeDesc.length
     var line = compactLine(byTimeDesc.take(keepN), byTimeDesc.length - keepN)
     while (line.length > 1750 && keepN > 1) {
-      keepN -= 8
+      keepN = math.max(1, keepN - 8)
       line = compactLine(byTimeDesc.take(keepN), byTimeDesc.length - keepN)
     }
     // Stop Spark BEFORE printing: shutdown can emit stray log lines,

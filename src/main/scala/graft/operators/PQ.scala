@@ -68,7 +68,11 @@ object PQ {
         slice(col("__qf"), j * books.subDim + 1, books.subDim))
     }
     val coded = (0 until books.m).foldLeft(withSub) { (acc, j) =>
-      val ids = (0 until booksK(books, j)).toSeq
+      // surviving cluster ids, sorted: an init centroid that captured
+      // zero points in the last update pass has no codebook entry
+      // (same convention as KMeans.assignTo), so codes are the
+      // ORIGINAL cluster ids, not dense positions
+      val ids = subspaceCodes(books, j)
       val sv = col(s"__s$j")
       val dists = array(ids.map { c =>
         val cent = books.centroids((j, c))
@@ -77,8 +81,8 @@ object PQ {
       }: _*)
       acc.withColumn(s"__d$j", dists)
         .withColumn(s"code_$j",
-          (array_position(col(s"__d$j"), array_min(col(s"__d$j"))) - 1)
-            .cast("int"))
+          element_at(typedlit(ids),
+            array_position(col(s"__d$j"), array_min(col(s"__d$j"))).cast("int")))
         .withColumn(s"__e$j", array_min(col(s"__d$j")))
     }
     coded.select(col(idCol) +:
@@ -86,8 +90,9 @@ object PQ {
       (0 until books.m).map(j => col(s"__e$j")).reduce(_ + _).as("pq_err"): _*)
   }
 
-  private def booksK(books: Codebooks, j: Int): Int =
-    books.centroids.keys.count(_._1 == j)
+  /** Surviving cluster ids of subspace j, sorted. */
+  private def subspaceCodes(books: Codebooks, j: Int): Seq[Int] =
+    books.centroids.keys.collect { case (`j`, c) => c }.toSeq.sorted
 
   /** Asymmetric-distance (ADC) top-`n` search: squared L2 between a
     * raw query and each ENCODED vector, computed as the sum of the
@@ -104,9 +109,12 @@ object PQ {
       val qs = qq.slice(j * books.subDim, (j + 1) * books.subDim)
       (j, c) -> qs.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
     }
+    // codes are original (possibly sparse) cluster ids — resolve each
+    // through a literal when-chain, not positional element_at
     val dist = (0 until books.m).map { j =>
-      val table = (0 until booksK(books, j)).map(c => lut((j, c)))
-      element_at(typedlit(table), col(s"code_$j") + 1)
+      subspaceCodes(books, j).map { c =>
+        when(col(s"code_$j") === c, lit(lut((j, c))))
+      }.reduceRight(_ otherwise _)
     }.reduce(_ + _)
     // orderBy+limit plans as TakeOrderedAndProject: every task keeps
     // only its n best rows, the driver merges — no global sort

@@ -75,6 +75,34 @@ class PQSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == got.map(_.getLong(1)).toSeq.sorted)
   }
 
+  test("dead init centroid: codes stay original ids, encode and ADC survive") {
+    import spark.implicits._
+    // ids 1 and 2 share a vector -> centroid 1 never wins an
+    // assignment (ties go to the smaller cluster), captures zero
+    // points in the update, and drops out of the codebook
+    val base = (0 until 8).map(_.toFloat)
+    val rows = Seq(
+      1L -> base, 2L -> base,
+      3L -> base.map(x => x + 5f),
+      4L -> base.map(x => 10f - x)) ++
+      (5L to 40L).map(i => i -> base.map(x => x * (i % 7).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val books = PQ.fit(df, "vec_id", "embedding", dim = 8, m = 2, k = 3)
+    // the premise: at least one subspace actually lost a cluster
+    assert(books.centroids.size < 2 * 3,
+      "expected a dead init centroid; test data no longer exercises the sparse path")
+    val enc = PQ.encode(df, "vec_id", "embedding", books).collect()
+    assert(enc.length == rows.length)
+    for (j <- 0 until 2) {
+      val surviving = books.centroids.keys.collect { case (`j`, c) => c }.toSet
+      assert(enc.forall(r => surviving.contains(r.getInt(1 + j))))
+    }
+    val top = PQ.adcTopK(PQ.encode(df, "vec_id", "embedding", books),
+      "vec_id", books, base.map(_.toDouble), n = 5).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sorted)
+  }
+
   test("compression: codes fit in a byte each at k<=256") {
     assert(codes.forall(r => (0 until M).forall { j =>
       val c = r.getInt(1 + j); c >= 0 && c < K
