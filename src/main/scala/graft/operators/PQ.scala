@@ -60,9 +60,10 @@ object PQ {
     * total squared quantization error — one narrow projection, codes
     * argmin'd against broadcast codebook literals. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             books: Codebooks): DataFrame = {
+             books: Codebooks, keep: Seq[String] = Nil): DataFrame = {
     import graft.plans.VectorExpressions.dotLong
-    val q = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qf"))
+    val q = df.select(col(idCol) +: keep.map(col) :+
+      KMeans.quantize(col(vecCol)).as("__qf"): _*)
     val withSub = (0 until books.m).foldLeft(q) { (acc, j) =>
       acc.withColumn(s"__s$j",
         slice(col("__qf"), j * books.subDim + 1, books.subDim))
@@ -85,7 +86,7 @@ object PQ {
             array_position(col(s"__d$j"), array_min(col(s"__d$j"))).cast("int")))
         .withColumn(s"__e$j", array_min(col(s"__d$j")))
     }
-    coded.select(col(idCol) +:
+    coded.select(col(idCol) +: keep.map(col) ++:
       (0 until books.m).map(j => col(s"code_$j")) :+
       (0 until books.m).map(j => col(s"__e$j")).reduce(_ + _).as("pq_err"): _*)
   }
@@ -102,24 +103,67 @@ object PQ {
     * table + a bounded [[TopK]] aggregate — the plan never touches
     * the original vectors, which is the entire point of PQ at scale.
     */
-  def adcTopK(codes: DataFrame, idCol: String, books: Codebooks,
-              query: Seq[Double], n: Int = 10): DataFrame = {
+  /** Per-query lookup table (m*k exact integer distances) and its
+    * when-chain resolution over the (possibly sparse — see encode)
+    * original cluster-id codes. */
+  private def adcDistExpr(books: Codebooks, query: Seq[Double]): Column = {
     val qq: Seq[Long] = query.map(x => math.floor(x * 1000).toLong)
     val lut: Map[(Int, Int), Long] = books.centroids.map { case ((j, c), cent) =>
       val qs = qq.slice(j * books.subDim, (j + 1) * books.subDim)
       (j, c) -> qs.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
     }
-    // codes are original (possibly sparse) cluster ids — resolve each
-    // through a literal when-chain, not positional element_at
-    val dist = (0 until books.m).map { j =>
+    (0 until books.m).map { j =>
       subspaceCodes(books, j).map { c =>
         when(col(s"code_$j") === c, lit(lut((j, c))))
       }.reduceRight(_ otherwise _)
     }.reduce(_ + _)
+  }
+
+  def adcTopK(codes: DataFrame, idCol: String, books: Codebooks,
+              query: Seq[Double], n: Int = 10): DataFrame = {
+    val dist = adcDistExpr(books, query)
     // orderBy+limit plans as TakeOrderedAndProject: every task keeps
     // only its n best rows, the driver merges — no global sort
     codes.withColumn("adc_dist", dist)
       .orderBy(col("adc_dist").asc, col(idCol).asc).limit(n)
       .select(col(idCol), col("adc_dist"))
+  }
+
+  /** IVF+PQ — the composed billion-vector recipe (FAISS IVFPQ, Jégou
+    * et al. 2011 §V): corpus vectors are assigned to inverted-file
+    * cells AND compressed to PQ codes; a query probes its `nProbe`
+    * nearest cells and ADC-scores only those cells' residents through
+    * the m*k lookup table.
+    *
+    * Plan shape: cell assignment + encode are ONE narrow projection
+    * over the corpus (broadcast centroid matrix + codebook literals —
+    * zero exchanges); the probe is a partition-pruning filter
+    * (`cell IN (...)`, a literal list); scoring is a when-chain over
+    * byte codes; the only exchange is the final TakeOrdered merge. At
+    * 100 TB, write the code table bucketed by cell and the probe
+    * filter becomes partition pruning on disk — the query never
+    * touches 1/nlist of the corpus, compressed 32x.
+    *
+    * Deterministic centroids make even the composed path
+    * oracle-checkable: assignment/probing use round-to-6 cosine with
+    * a centroid-id tiebreak (same discipline as [[Similarity.ivfTopK]]).
+    */
+  def ivfpqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, books: Codebooks,
+                query: Seq[Double], nProbe: Int = 4, n: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.collectCentroids(centroids, cidCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignU = org.apache.spark.sql.functions.udf {
+      (v: Seq[Float]) => Similarity.nearestCell(v, bc.value) }
+    val probed = Similarity.probeCells(query.map(_.toFloat), cents, nProbe)
+
+    val withCell = corpus.withColumn("__cell", assignU(col(vecCol)))
+    val codes = encode(withCell, idCol, vecCol, books, keep = Seq("__cell"))
+      .filter(col("__cell").isin(probed: _*))
+
+    codes.withColumn("adc_dist", adcDistExpr(books, query))
+      .orderBy(col("adc_dist").asc, col(idCol).asc).limit(n)
+      .select(col(idCol), col("adc_dist"), col("__cell").as("cell"))
   }
 }

@@ -270,13 +270,12 @@ object Similarity {
     *                  tens of thousands); collected exactly like a
     *                  broadcast join collects its build side
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              qidCol: String, idCol: String, vecCol: String,
-              centroids: DataFrame, cidCol: String,
-              k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents: Array[(Long, Array[Float], Double)] = centroids
+  /** Collected (cid, vector, |v|^2) centroid matrix, sorted by cid —
+    * the broadcast build side of the IVF family. */
+  private[operators] def collectCentroids(centroids: DataFrame, cidCol: String,
+                                          vecCol: String): Array[(Long, Array[Float], Double)] = {
+    import centroids.sparkSession.implicits._
+    centroids
       .select(col(cidCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .map { case (cid, cv) =>
@@ -284,37 +283,54 @@ object Similarity {
         while (d < cv.length) { sc += cv(d).toDouble * cv(d).toDouble; d += 1 }
         (cid, cv, sc)
       }
-    val bc = spark.sparkContext.broadcast(cents)
+  }
 
-    // rounded cosine of v against every centroid, index-order sums
-    def scores(v: Seq[Float],
-               cs: Array[(Long, Array[Float], Double)]): Array[(Long, Double)] = {
-      var sv = 0.0
-      var i = 0
-      while (i < v.length) { sv += v(i).toDouble * v(i).toDouble; i += 1 }
-      cs.map { case (cid, cv, sc) =>
-        var d = 0; var s = 0.0
-        val n = math.min(v.length, cv.length)
-        while (d < n) { s += v(d).toDouble * cv(d).toDouble; d += 1 }
-        val cosine = s / math.sqrt(sv * sc)
-        // zero-norm or NaN-element vectors score NaN against every
-        // centroid; map that below any real cosine so they assign to
-        // the smallest centroid id (deterministic, still findable)
-        // instead of an unprobed -1 cell / arbitrary NaN sort order
-        cid -> (if (cosine.isNaN) -2.0 else round6(cosine))
-      }
+  /** Rounded cosine of v against every centroid, index-order sums —
+    * the shared arithmetic of cell assignment and query probing
+    * (round-to-6 + cid tiebreak replays as a SQL window). */
+  private[operators] def centroidScores(v: Seq[Float],
+      cs: Array[(Long, Array[Float], Double)]): Array[(Long, Double)] = {
+    var sv = 0.0
+    var i = 0
+    while (i < v.length) { sv += v(i).toDouble * v(i).toDouble; i += 1 }
+    cs.map { case (cid, cv, sc) =>
+      var d = 0; var s = 0.0
+      val n = math.min(v.length, cv.length)
+      while (d < n) { s += v(d).toDouble * cv(d).toDouble; d += 1 }
+      val cosine = s / math.sqrt(sv * sc)
+      // zero-norm or NaN-element vectors score NaN against every
+      // centroid; map that below any real cosine so they assign to
+      // the smallest centroid id (deterministic, still findable)
+      // instead of an unprobed -1 cell / arbitrary NaN sort order
+      cid -> (if (cosine.isNaN) -2.0 else round6(cosine))
     }
-    val assignU = udf { (v: Seq[Float]) =>
-      var bestCid = -1L; var bestS = Double.NegativeInfinity
-      scores(v, bc.value).foreach { case (cid, s) =>
-        if (s > bestS || (s == bestS && cid < bestCid)) { bestS = s; bestCid = cid }
-      }
-      bestCid
+  }
+
+  /** Nearest-cell id (argmax rounded cosine, cid tiebreak). */
+  private[operators] def nearestCell(v: Seq[Float],
+      cs: Array[(Long, Array[Float], Double)]): Long = {
+    var bestCid = -1L; var bestS = Double.NegativeInfinity
+    centroidScores(v, cs).foreach { case (cid, s) =>
+      if (s > bestS || (s == bestS && cid < bestCid)) { bestS = s; bestCid = cid }
     }
-    val probeU = udf { (v: Seq[Float]) =>
-      scores(v, bc.value).sortBy { case (cid, s) => (-s, cid) }
-        .take(nProbe).map(_._1)
-    }
+    bestCid
+  }
+
+  /** The `nProbe` nearest cell ids for a query vector. */
+  private[operators] def probeCells(v: Seq[Float],
+      cs: Array[(Long, Array[Float], Double)], nProbe: Int): Seq[Long] =
+    centroidScores(v, cs).sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qidCol: String, idCol: String, vecCol: String,
+              centroids: DataFrame, cidCol: String,
+              k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = collectCentroids(centroids, cidCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignU = udf { (v: Seq[Float]) => nearestCell(v, bc.value) }
+    val probeU = udf { (v: Seq[Float]) => probeCells(v, bc.value, nProbe) }
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cell", assignU(col("__cv")))

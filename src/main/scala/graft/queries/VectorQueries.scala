@@ -87,6 +87,19 @@ object VectorQueries {
       val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble)
       graft.operators.PQ.adcTopK(codes, "vec_id", books, query, n = 10)
+    }),
+
+    // the composed IVF+PQ recipe: probe 4 of 16 cells, ADC-score only
+    // their residents — the billion-vector layout, still exact-oracled
+    "knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
+        dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
+      val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.operators.PQ.ivfpqTopK(emb, "vec_id", "embedding",
+        centroids = emb.filter(col("vec_id") < 16), cidCol = "vec_id",
+        books, query, nProbe = 4, n = 10)
     })
   )
 
@@ -215,10 +228,43 @@ object VectorQueries {
        |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
   }
 
+  // IVF+PQ replay: the ADC prelude (codes, query lut) plus the
+  // knn_ivf cell-assignment/probe windows; candidates = probed-cell
+  // residents, scored through the lut joins.
+  private def pqIvfpqOracle: String = {
+    val codeJoins = (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PQ_M).map(j => s"JOIN lut_$j ON lut_$j.c = code_$j").mkString(" ")
+    val distSum = (0 until PQ_M).map(j => s"lut_$j.d").mkString(" + ")
+    val base = pqAdcOracle
+    val prelude = base.substring(0, base.indexOf("SELECT q.vec_id"))
+    s"""$prelude,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+       |                 cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |    SELECT cent.cid,
+       |      row_number() OVER (
+       |        ORDER BY round(list_cosine_similarity(qe.v, cent.cv), 6) DESC,
+       |                 cent.cid ASC) AS rn
+       |    FROM cent CROSS JOIN
+       |      (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) qe)
+       |    WHERE rn <= 4)
+       |SELECT q.vec_id, CAST($distSum AS BIGINT) AS adc_dist, asg.cid AS cell
+       |FROM q $codeJoins $lutJoins JOIN asg ON asg.vec_id = q.vec_id
+       |WHERE asg.cid IN (SELECT cid FROM probe)
+       |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracle,
     "q_pq" -> pqOracle,
     "knn_pq_adc" -> pqAdcOracle,
+    "knn_ivfpq" -> pqIvfpqOracle,
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings WHERE vec_id < 8),

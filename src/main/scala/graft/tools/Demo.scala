@@ -151,6 +151,10 @@ object Demo {
     println("pq adc top-3=" + graft.operators.PQ
       .adcTopK(pqCodes, "vec_id", pqBooks, pqQuery, n = 3)
       .collect().map(r => r.getLong(0)).mkString(","))
+    println("ivfpq top-3=" + graft.operators.PQ
+      .ivfpqTopK(emb5, "vec_id", "embedding",
+        emb5.filter(col("vec_id") < 16), "vec_id", pqBooks, pqQuery, n = 3)
+      .collect().map(r => r.getLong(0)).mkString(","))
 
     val lf = graft.operators.LineFilter(
       Seq((1L, "A good first sentence survives here.\ntoo short\n" +

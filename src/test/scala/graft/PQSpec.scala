@@ -103,6 +103,33 @@ class PQSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sorted)
   }
 
+  test("ivfpq: results are the ADC top-n restricted to probed cells") {
+    val query = embeddings.orderBy(col("vec_id"))
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val centroids = embeddings.filter(col("vec_id") < 16)
+    val got = PQ.ivfpqTopK(embeddings, "vec_id", "embedding",
+      centroids, "vec_id", books, query, nProbe = 4, n = 10).collect()
+    assert(got.length == 10)
+    // distances monotone; every result's cell is one of <= 4 cells
+    assert(got.map(_.getLong(1)).toSeq == got.map(_.getLong(1)).toSeq.sorted)
+    assert(got.map(_.getLong(2)).distinct.length <= 4)
+    // full-corpus ADC with the same books can only be at least as
+    // close: the ivfpq winner set is a subset of candidates, so its
+    // best distance is >= the global ADC best
+    val fullBest = PQ.adcTopK(
+      PQ.encode(embeddings, "vec_id", "embedding", books),
+      "vec_id", books, query, n = 1).collect().head.getLong(1)
+    assert(got.head.getLong(1) >= fullBest)
+    // and with all cells probed, ivfpq == global ADC exactly
+    val allCells = PQ.ivfpqTopK(embeddings, "vec_id", "embedding",
+      centroids, "vec_id", books, query, nProbe = 16, n = 10).collect()
+    val globalTop = PQ.adcTopK(
+      PQ.encode(embeddings, "vec_id", "embedding", books),
+      "vec_id", books, query, n = 10).collect()
+    assert(allCells.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      globalTop.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("compression: codes fit in a byte each at k<=256") {
     assert(codes.forall(r => (0 until M).forall { j =>
       val c = r.getInt(1 + j); c >= 0 && c < K
