@@ -272,7 +272,7 @@ object Similarity {
     */
   /** Collected (cid, vector, |v|^2) centroid matrix, sorted by cid —
     * the broadcast build side of the IVF family. */
-  private[operators] def collectCentroids(centroids: DataFrame, cidCol: String,
+  private[graft] def collectCentroids(centroids: DataFrame, cidCol: String,
                                           vecCol: String): Array[(Long, Array[Float], Double)] = {
     import centroids.sparkSession.implicits._
     centroids
@@ -307,7 +307,7 @@ object Similarity {
   }
 
   /** Nearest-cell id (argmax rounded cosine, cid tiebreak). */
-  private[operators] def nearestCell(v: Seq[Float],
+  private[graft] def nearestCell(v: Seq[Float],
       cs: Array[(Long, Array[Float], Double)]): Long = {
     var bestCid = -1L; var bestS = Double.NegativeInfinity
     centroidScores(v, cs).foreach { case (cid, s) =>
@@ -317,7 +317,7 @@ object Similarity {
   }
 
   /** The `nProbe` nearest cell ids for a query vector. */
-  private[operators] def probeCells(v: Seq[Float],
+  private[graft] def probeCells(v: Seq[Float],
       cs: Array[(Long, Array[Float], Double)], nProbe: Int): Seq[Long] =
     centroidScores(v, cs).sortBy { case (cid, s) => (-s, cid) }
       .take(nProbe).map(_._1).toSeq
