@@ -185,18 +185,17 @@ object DedupQueries {
       |FROM q a JOIN q b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.42""".stripMargin
 
-  // CTE list shared by the winnow pair oracle and the components
-  // oracle (which closes over the same pair graph recursively)
-  private val winnowCtes: String =
-    """w AS (SELECT doc_id,
-      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
-      |           FROM documents),
-      |shl AS (SELECT doc_id,
+  // CTE list shared by the winnow pair oracle, the components oracle
+  // (which closes over the same pair graph recursively), and the
+  // composed curation pipeline (which runs it over the quality-kept
+  // subset). `wordsSrc` must yield (doc_id, wl).
+  private[queries] def winnowPairCtes(wordsSrc: String): String =
+    s"""shl AS (SELECT doc_id,
       |          CASE WHEN len(wl) >= 3 THEN
       |            list_transform(range(1, len(wl) - 1),
       |              i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
       |          ELSE CAST([] AS VARCHAR[]) END AS s
-      |        FROM w),
+      |        FROM $wordsSrc),
       |hs AS (SELECT doc_id,
       |         list_transform(s, x ->
       |           CAST('0x' || substring(md5(x), 1, 12) AS BIGINT)) AS h
@@ -214,6 +213,12 @@ object DedupQueries {
       |wpairs AS (SELECT id_a, id_b
       |      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
       |      WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.3)""".stripMargin
+
+  private val winnowCtes: String =
+    """w AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+      |           FROM documents),
+      |""".stripMargin + winnowPairCtes("w")
 
   private val winnowOracle: String =
     s"""WITH $winnowCtes

@@ -73,6 +73,60 @@ object PipelineQueries {
           sum(col("wc_min")).as("sum_wc"))
     }),
 
+    // the round-5 composed curation pipeline, one plan: quality
+    // filter -> NEAR-dup removal (winnow Jaccard pairs -> connected
+    // components, survivor = min id) -> benchmark decontamination
+    // (3-gram overlap vs the doc_id%97 holdout) -> context-window
+    // chunk statistics per shard. The full "raw documents to training
+    // sequences" path, every stage exact and SQL-replayable.
+    "q_curate_e2e" -> ((s, dir) => {
+      import graft.functions.TextFunctions.words
+      val docs = Tables(s, dir, "documents")
+      val base = docs
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          words(col("text")).as("__w"))
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          size(col("__w")).cast("long").as("wc"),
+          size(array_distinct(col("__w"))).cast("long").as("dw"))
+      val cpwE4 = floor(col("n_chars").cast("double") / col("wc") * 10000)
+        .cast("long")
+      val divE4 = floor(col("dw").cast("double") / col("wc") * 10000)
+        .cast("long")
+      val kept = base.filter(col("wc") >= 30 && col("wc") <= 300 &&
+        cpwE4 <= 80000L && divE4 >= 3000L)
+
+      val pairs = graft.operators.Dedup.winnowJaccardPairs(
+        kept, "doc_id", "text", shingleLen = 3, window = 4, minJaccard = 0.3)
+      val survivors = graft.operators.Dedup.connectedComponents(pairs, kept, "doc_id")
+        .filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+        .join(kept, "doc_id")
+
+      val clean = graft.operators.Decontaminate.overlapReport(
+          train = survivors.filter(col("doc_id") % 97 =!= 0),
+          eval = docs.filter(col("doc_id") % 97 === 0),
+          idCol = "doc_id", textCol = "text", n = 3)
+        .filter(col("contaminated") === 0)
+        .select(col("doc_id"))
+        .join(survivors.select(col("doc_id"), col("wc")), "doc_id")
+
+      // context-window chunk arithmetic (size 50 / stride 25) in
+      // closed form — wc >= 30 > 0 is guaranteed by the filter above
+      val nChunks = (greatest(ceil((col("wc") - 50).cast("double") / 25)
+        .cast("long"), lit(0L)) + 1L).as("n_chunks")
+      clean
+        .select(col("doc_id"), col("wc"), nChunks)
+        .withColumn("sum_tok",
+          aggregate(sequence(lit(0L), (col("n_chunks") - 1) * 25, lit(25L)),
+            lit(0L), (acc, st) => acc + least(lit(50L), col("wc") - st)))
+        .select(col("doc_id"), Packing.shardId("doc_id", SHARDS).as("shard"),
+          col("n_chunks"), col("sum_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("sum_chunks"),
+          sum(col("sum_tok")).as("sum_tok"))
+    }),
+
     // z-order layout: Morton-interleave (user_id mod 256, floor(value))
     // and bucket the curve — per-bucket min/max of BOTH dimensions stay
     // narrow, which is exactly the parquet-stats-pruning property the
@@ -118,7 +172,61 @@ object PipelineQueries {
   private val ZORDER_SQL =
     graft.operators.ZOrder.zvalue2Sql("ux", "vy", bits = 9)
 
+  // the composed curation replay: quality filter -> winnow-pair
+  // reachability components (survivor = min id) -> 3-gram holdout
+  // decontamination -> closed-form chunk stats per shard
+  private val curateOracle: String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT doc_id, n_chars,
+       |        regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
+       |      FROM documents),
+       |e AS (SELECT doc_id, wl, CAST(len(wl) AS BIGINT) AS wc,
+       |        CAST(floor(CAST(n_chars AS DOUBLE) / len(wl) * 10000) AS BIGINT)
+       |          AS cpw_e4,
+       |        CAST(floor(CAST(len(list_distinct(wl)) AS DOUBLE) / len(wl)
+       |          * 10000) AS BIGINT) AS div_e4
+       |      FROM m),
+       |keptw AS (SELECT doc_id, wl, wc FROM e
+       |          WHERE wc >= 30 AND wc <= 300
+       |            AND cpw_e4 <= 80000 AND div_e4 >= 3000),
+       |${DedupQueries.winnowPairCtes("keptw")},
+       |und AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       |        UNION SELECT id_b, id_a FROM wpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM keptw
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       |surv AS (SELECT k.doc_id, k.wc FROM comp JOIN keptw k USING (doc_id)
+       |         WHERE comp.component = comp.doc_id),
+       |sh3 AS (SELECT doc_id,
+       |          CASE WHEN len(wl) >= 3 THEN
+       |            list_transform(range(1, len(wl) - 1),
+       |              i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+       |          ELSE CAST([] AS VARCHAR[]) END AS s
+       |        FROM m),
+       |ex AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh3),
+       |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+       |contam AS (SELECT DISTINCT ex.doc_id FROM ex JOIN ev USING (g)
+       |           WHERE ex.doc_id % 97 <> 0),
+       |clean AS (SELECT s.doc_id, s.wc FROM surv s
+       |          WHERE s.doc_id % 97 <> 0
+       |            AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |ct AS (SELECT doc_id, wc,
+       |         greatest(CAST(ceil((wc - 50) / 25.0) AS BIGINT), 0) + 1
+       |           AS n_chunks
+       |       FROM clean),
+       |cs AS (SELECT doc_id, n_chunks,
+       |         CAST(list_sum(list_transform(range(0, n_chunks),
+       |           i -> least(50, wc - 25 * i))) AS BIGINT) AS sum_tok
+       |       FROM ct)
+       |SELECT $SHARD_SQL AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_chunks) AS BIGINT) AS sum_chunks,
+       |  CAST(sum(sum_tok) AS BIGINT) AS sum_tok
+       |FROM cs GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_curate_e2e" -> curateOracle,
     "q_pipeline_e2e" ->
       s"""WITH m AS (
          |  SELECT doc_id, n_chars,
