@@ -76,7 +76,8 @@ object Bench {
     val probeNames = Seq("dedup_minhash", "dedup_winnow", "dedup_components",
       "dedup_jaccard_capped", "dedup_embedding_lsh", "knn_cosine", "knn_lsh",
       "knn_ivf", "pbd_source", "flatten_roundtrip", "q_kmeans",
-      "dedup_semantic", "text_decontaminate", "q_pq", "knn_pq_adc")
+      "dedup_semantic", "text_decontaminate", "q_pq", "knn_pq_adc",
+      "knn_ivfpq", "q_curate_e2e")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

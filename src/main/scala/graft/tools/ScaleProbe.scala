@@ -75,8 +75,9 @@ object ScaleProbe {
       "dedup_jaccard_capped", "dedup_components", "dedup_components_stars",
       "dedup_embedding_lsh", "dedup_semantic",
       "knn_cosine", "knn_lsh", "knn_ivf", "q_kmeans",
+      "q_pq", "knn_pq_adc", "knn_ivfpq",
       "text_tfidf", "text_decontaminate", "text_chunk",
-      "q_sessionize", "q_tumbling")
+      "q_sessionize", "q_tumbling", "q_curate_e2e")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
