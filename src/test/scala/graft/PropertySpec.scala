@@ -188,6 +188,11 @@ class PropertySpec extends SparkSpec {
       val wantChunks = math.max(1,
         math.ceil(math.max(n - winSize, 0) / stride.toDouble).toInt + 1)
       assert(rows.length == wantChunks, s"n=$n got=${rows.length}")
+      // the closed-form token total q_curate_e2e uses in place of the
+      // explode: sum over windows of min(winSize, n - j*stride)
+      assert(sizes.sum ==
+        (0 until wantChunks).map(j => math.min(winSize, n - j * stride)).sum,
+        s"n=$n closed-form sum mismatch")
       // coverage: total distinct tokens = n means starts + sizes span
       // the doc (start of chunk j is j*stride, its size reaches at
       // least min(n, j*stride + winSize))
