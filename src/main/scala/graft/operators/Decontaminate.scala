@@ -19,12 +19,11 @@ import graft.functions.TextFunctions.{words, shinglesOfWords}
   */
 object Decontaminate {
 
-  /** Distinct `(id, gram)` pairs for a document frame. */
-  private def grams(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame =
-    df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
-      .select(col("id"),
-        explode(array_distinct(shinglesOfWords(col("__w"), n))).as("gram"))
+  /** Distinct `(id, gram)` pairs from a word-array column. */
+  private def gramsOfWords(df: DataFrame, idCol: String, wordsCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(shinglesOfWords(col(wordsCol), n))).as("gram"))
 
   /** Per-train-document contamination report: `n_shared` distinct
     * eval ngrams found in the document and a 0/1 `contaminated`
@@ -33,10 +32,20 @@ object Decontaminate {
     * `contaminated = 0` to decontaminate).
     */
   def overlapReport(train: DataFrame, eval: DataFrame,
-                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+                    idCol: String, textCol: String, n: Int = 3): DataFrame =
+    overlapReportOfWords(
+      train.select(col(idCol), words(col(textCol)).as("__gww")),
+      eval.select(col(idCol), words(col(textCol)).as("__gww")),
+      idCol, "__gww", n)
+
+  /** [[overlapReport]] over already-projected word arrays — composed
+    * pipelines tokenize once (regex expressions have no CSE). */
+  def overlapReportOfWords(train: DataFrame, eval: DataFrame,
+                           idCol: String, wordsCol: String,
+                           n: Int = 3): DataFrame = {
     val evalGrams = broadcast(
-      grams(eval, idCol, textCol, n).select(col("gram")).distinct())
-    val hits = grams(train, idCol, textCol, n)
+      gramsOfWords(eval, idCol, wordsCol, n).select(col("gram")).distinct())
+    val hits = gramsOfWords(train, idCol, wordsCol, n)
       .join(evalGrams, Seq("gram"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per id

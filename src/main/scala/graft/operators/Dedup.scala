@@ -361,8 +361,18 @@ object Dedup {
   def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, window: Int = 4,
                          minJaccard: Double = 0.5): DataFrame =
+    winnowJaccardPairsOfWords(
+      df.select(col(idCol), words(col(textCol)).as("__gww")),
+      idCol, "__gww", shingleLen, window, minJaccard)
+
+  /** [[winnowJaccardPairs]] over an already-projected word-array
+    * column — composed pipelines tokenize once and feed every stage
+    * from the same array (regex/HOF expressions have no CSE). */
+  def winnowJaccardPairsOfWords(df: DataFrame, idCol: String, wordsCol: String,
+                                shingleLen: Int = 3, window: Int = 4,
+                                minJaccard: Double = 0.5): DataFrame =
     jaccardFromTokens(
-      df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      df.select(col(idCol).as("id"), col(wordsCol).as("__w"))
         .select(col("id"), shinglesOfWords(col("__w"), shingleLen).as("__sh"))
         .select(col("id"), shingleHashes48(col("__sh")).as("__hs"))
         .select(col("id"),

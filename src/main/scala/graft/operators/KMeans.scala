@@ -120,28 +120,35 @@ object KMeans {
     * ratio grows superlinearly with sf — a property of the frozen k,
     * not the operator; `dedup_embedding_lsh` remains the
     * fixed-parameter scale twin. */
-  private val assignedCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession,
-            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-            Int, Int), DataFrame]
+  // one persisted assignment frame per session at most (see
+  // semanticNearDupPairs); weak-ish by construction — an entry is
+  // replaced (and its frame unpersisted) on the session's next call
+  private val lastAssigned = scala.collection.mutable
+    .Map.empty[org.apache.spark.sql.SparkSession, DataFrame]
 
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, steps: Int = 2,
                            minCosE4: Long = 9000L): DataFrame = {
-    // persisted + memoized: the self-join reads this frame as BOTH
+    // persisted, single-slot: the self-join reads this frame as BOTH
     // sides, and the assignment chain (scan + quantize + k codegen'd
     // distance kernels per row) would otherwise run once per side.
-    // Memoization is on (session, input plan, k, steps) — without it
-    // every bench trial (median-of-3 plus the scale probe) would
-    // stack a fresh persisted copy in the block manager for the life
-    // of the session.
+    // Each call recomputes (no memoization — a cache keyed on the
+    // logical plan would silently serve stale assignments if the
+    // files at a path were rewritten mid-session, and would hide the
+    // fit cost from repeated-trial benchmarks); the PREVIOUS
+    // invocation's frame is unpersisted instead, so repeated calls
+    // (bench median-of-3, the scale probe) never stack cached copies
+    // in the block manager.
     import graft.plans.VectorExpressions.dotLong
-    val assigned = assignedCache.getOrElseUpdate(
-      (df.sparkSession, df.queryExecution.logical.canonicalized, k, steps),
-      fitAssigned(df, idCol, vecCol, k, steps)
+    val assigned = synchronized {
+      lastAssigned.get(df.sparkSession).foreach(_.unpersist())
+      val a = fitAssigned(df, idCol, vecCol, k, steps)
         .select(col(idCol).as("id"), col("cluster"), col("__q"))
         .withColumn("__n", dotLong(col("__q"), col("__q")))
-        .persist())
+        .persist()
+      lastAssigned(df.sparkSession) = a
+      a
+    }
     val a = assigned.select(col("id").as("id_a"), col("cluster"),
       col("__q").as("__qa"), col("__n").as("__na"))
     val b = assigned.select(col("id").as("id_b"), col("cluster"),

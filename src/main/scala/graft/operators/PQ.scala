@@ -103,9 +103,12 @@ object PQ {
     * table + a bounded [[TopK]] aggregate — the plan never touches
     * the original vectors, which is the entire point of PQ at scale.
     */
-  /** Per-query lookup table (m*k exact integer distances) and its
-    * when-chain resolution over the (possibly sparse — see encode)
-    * original cluster-id codes. */
+  /** Per-query lookup table (m*k exact integer distances), resolved
+    * per row as an element_at over a literal MAP keyed by the
+    * (possibly sparse — see encode) original cluster-id codes: O(1)
+    * per subspace and constant codegen size, where a when-chain would
+    * be k comparisons per subspace and blow up generated-method size
+    * at production k=256. */
   private def adcDistExpr(books: Codebooks, query: Seq[Double]): Column = {
     val qq: Seq[Long] = query.map(x => math.floor(x * 1000).toLong)
     val lut: Map[(Int, Int), Long] = books.centroids.map { case ((j, c), cent) =>
@@ -113,9 +116,9 @@ object PQ {
       (j, c) -> qs.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
     }
     (0 until books.m).map { j =>
-      subspaceCodes(books, j).map { c =>
-        when(col(s"code_$j") === c, lit(lut((j, c))))
-      }.reduceRight(_ otherwise _)
+      val table: Map[Int, Long] =
+        subspaceCodes(books, j).map(c => c -> lut((j, c))).toMap
+      element_at(typedlit(table), col(s"code_$j"))
     }.reduce(_ + _)
   }
 

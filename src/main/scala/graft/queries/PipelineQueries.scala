@@ -81,11 +81,12 @@ object PipelineQueries {
     // sequences" path, every stage exact and SQL-replayable.
     "q_curate_e2e" -> ((s, dir) => {
       import graft.functions.TextFunctions.words
-      val docs = Tables(s, dir, "documents")
-      val base = docs
-        .select(col("doc_id"), col("n_chars"), col("text"),
-          words(col("text")).as("__w"))
-        .select(col("doc_id"), col("n_chars"), col("text"),
+      // tokenize the corpus EXACTLY ONCE: every stage below (quality
+      // stats, winnow shingles, decontamination grams) reads the same
+      // projected word array — regex/HOF expressions have no CSE
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), words(col("text")).as("__w"))
+        .select(col("doc_id"), col("n_chars"), col("__w"),
           size(col("__w")).cast("long").as("wc"),
           size(array_distinct(col("__w"))).cast("long").as("dw"))
       val cpwE4 = floor(col("n_chars").cast("double") / col("wc") * 10000)
@@ -95,17 +96,17 @@ object PipelineQueries {
       val kept = base.filter(col("wc") >= 30 && col("wc") <= 300 &&
         cpwE4 <= 80000L && divE4 >= 3000L)
 
-      val pairs = graft.operators.Dedup.winnowJaccardPairs(
-        kept, "doc_id", "text", shingleLen = 3, window = 4, minJaccard = 0.3)
+      val pairs = graft.operators.Dedup.winnowJaccardPairsOfWords(
+        kept, "doc_id", "__w", shingleLen = 3, window = 4, minJaccard = 0.3)
       val survivors = graft.operators.Dedup.connectedComponents(pairs, kept, "doc_id")
         .filter(col("id") === col("component"))
         .select(col("id").as("doc_id"))
         .join(kept, "doc_id")
 
-      val clean = graft.operators.Decontaminate.overlapReport(
+      val clean = graft.operators.Decontaminate.overlapReportOfWords(
           train = survivors.filter(col("doc_id") % 97 =!= 0),
-          eval = docs.filter(col("doc_id") % 97 === 0),
-          idCol = "doc_id", textCol = "text", n = 3)
+          eval = base.filter(col("doc_id") % 97 === 0),
+          idCol = "doc_id", wordsCol = "__w", n = 3)
         .filter(col("contaminated") === 0)
         .select(col("doc_id"))
         .join(survivors.select(col("doc_id"), col("wc")), "doc_id")

@@ -153,12 +153,40 @@ object VectorQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  // ---- PQ oracle fragments, shared by q_pq / knn_pq_adc / knn_ivfpq
+  // (one definition each; the three oracles compose them instead of
+  // splicing rendered strings) ----
+  private val pqSub = DIM / PQ_M
+  private val pqCodeJoins =
+    (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
+  private val pqLutJoins =
+    (0 until PQ_M).map(j => s"JOIN lut_$j ON lut_$j.c = code_$j").mkString(" ")
+  private val pqDistSum =
+    (0 until PQ_M).map(j => s"lut_$j.d").mkString(" + ")
+
+  // per-query lookup tables: squared distance of the query's slice to
+  // each final centroid of subspace j
+  private def pqLutCtes: String =
+    (0 until PQ_M).map { j =>
+      val lo = j * pqSub + 1
+      s"""lut_$j AS (SELECT c1_$j.c,
+         |         CAST(list_sum(list_transform(range(1, ${pqSub + 1}),
+         |           i -> (qv.v[${lo - 1} + i] - c1_$j.v[i]) *
+         |                (qv.v[${lo - 1} + i] - c1_$j.v[i]))) AS BIGINT) AS d
+         |       FROM c1_$j CROSS JOIN qv)""".stripMargin
+    }.mkString(",\n")
+
+  // the query vector (smallest vec_id) + its lut tables
+  private def pqAdcCtes: String =
+    s"""qv AS (SELECT v FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       |$pqLutCtes""".stripMargin
+
   // PQ replay: the q_kmeans CTE chain, once per subspace over the
   // sliced milliunit vectors (DuckDB list slicing v[lo:hi] is 1-based
   // inclusive, matching Spark's slice(v, lo, len)); the final join
   // stitches the m codes and sums the per-subspace min distances.
-  private def pqOracle: String = {
-    val sub = DIM / PQ_M
+  private def pqEncodeCtes: String = {
+    val sub = pqSub
     val chains = (0 until PQ_M).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
@@ -190,54 +218,37 @@ object VectorQueries {
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
          |         FROM d2_$j) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val codeCols = (0 until PQ_M).map(j => s"code_$j").mkString(", ")
-    val errSum = (0 until PQ_M).map(j => s"e_$j").mkString(" + ")
-    val joins = (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
-    s"""WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
        |             list_transform(CAST(embedding AS DOUBLE[]),
        |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
        |           FROM embeddings),
        |pos AS (SELECT unnest(range(1, ${sub + 1})) AS i),
-       |$chains
+       |$chains""".stripMargin
+  }
+
+  private def pqOracle: String = {
+    val codeCols = (0 until PQ_M).map(j => s"code_$j").mkString(", ")
+    val errSum = (0 until PQ_M).map(j => s"e_$j").mkString(" + ")
+    s"""WITH $pqEncodeCtes
        |SELECT q.vec_id, $codeCols, CAST($errSum AS BIGINT) AS pq_err
-       |FROM q $joins""".stripMargin
+       |FROM q $pqCodeJoins""".stripMargin
   }
 
   // ADC replay: the same per-subspace chains produce codes and final
   // centroids; the query row's lookup table joins code -> distance.
-  private def pqAdcOracle: String = {
-    val sub = DIM / PQ_M
-    val luts = (0 until PQ_M).map { j =>
-      val lo = j * sub + 1
-      s"""lut_$j AS (SELECT c1_$j.c,
-         |         CAST(list_sum(list_transform(range(1, ${sub + 1}),
-         |           i -> (qv.v[${lo - 1} + i] - c1_$j.v[i]) *
-         |                (qv.v[${lo - 1} + i] - c1_$j.v[i]))) AS BIGINT) AS d
-         |       FROM c1_$j CROSS JOIN qv)""".stripMargin
-    }.mkString(",\n")
-    val codeJoins = (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
-    val lutJoins = (0 until PQ_M).map(j => s"JOIN lut_$j ON lut_$j.c = code_$j").mkString(" ")
-    val distSum = (0 until PQ_M).map(j => s"lut_$j.d").mkString(" + ")
-    val base = pqOracle
-    val upToChains = base.substring(0, base.indexOf("SELECT q.vec_id"))
-    s"""$upToChains,
-       |qv AS (SELECT v FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
-       |$luts
-       |SELECT q.vec_id, CAST($distSum AS BIGINT) AS adc_dist
-       |FROM q $codeJoins $lutJoins
+  private def pqAdcOracle: String =
+    s"""WITH $pqEncodeCtes,
+       |$pqAdcCtes
+       |SELECT q.vec_id, CAST($pqDistSum AS BIGINT) AS adc_dist
+       |FROM q $pqCodeJoins $pqLutJoins
        |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
-  }
 
   // IVF+PQ replay: the ADC prelude (codes, query lut) plus the
   // knn_ivf cell-assignment/probe windows; candidates = probed-cell
   // residents, scored through the lut joins.
-  private def pqIvfpqOracle: String = {
-    val codeJoins = (0 until PQ_M).map(j => s"JOIN a2_$j USING (vec_id)").mkString(" ")
-    val lutJoins = (0 until PQ_M).map(j => s"JOIN lut_$j ON lut_$j.c = code_$j").mkString(" ")
-    val distSum = (0 until PQ_M).map(j => s"lut_$j.d").mkString(" + ")
-    val base = pqAdcOracle
-    val prelude = base.substring(0, base.indexOf("SELECT q.vec_id"))
-    s"""$prelude,
+  private def pqIvfpqOracle: String =
+    s"""WITH $pqEncodeCtes,
+       |$pqAdcCtes,
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
        |asg AS (SELECT vec_id, cid FROM (
@@ -254,11 +265,10 @@ object VectorQueries {
        |    FROM cent CROSS JOIN
        |      (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) qe)
        |    WHERE rn <= 4)
-       |SELECT q.vec_id, CAST($distSum AS BIGINT) AS adc_dist, asg.cid AS cell
-       |FROM q $codeJoins $lutJoins JOIN asg ON asg.vec_id = q.vec_id
+       |SELECT q.vec_id, CAST($pqDistSum AS BIGINT) AS adc_dist, asg.cid AS cell
+       |FROM q $pqCodeJoins $pqLutJoins JOIN asg ON asg.vec_id = q.vec_id
        |WHERE asg.cid IN (SELECT cid FROM probe)
        |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracle,
