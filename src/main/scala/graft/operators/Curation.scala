@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.words
+
+/** Fluent builder for the document-curation pipeline — the
+  * raw-documents-to-training-data path as one composable value:
+  *
+  * {{{
+  * Curation(docs, "doc_id", "text")
+  *   .qualityFilter()                  // C4/Gopher doc-level rules
+  *   .nearDedup()                      // winnow pairs -> components
+  *   .decontaminate(evalDocs)          // 3-gram holdout overlap
+  *   .docs                             // surviving documents
+  * // or .chunkStats(shards = 8)       // per-shard training-sequence stats
+  * }}}
+  *
+  * Each step narrows the carried frame; the corpus is tokenized
+  * EXACTLY ONCE on construction and every stage reads the same
+  * projected word array (regex/HOF expressions have no CSE — the
+  * repo-wide rule). Nothing materializes until the caller acts on
+  * the result, so the whole chain plans as one Spark job graph —
+  * `q_curate_e2e` is this builder's output verbatim and carries the
+  * DuckDB oracle for it.
+  */
+final case class Curation private (private val df: DataFrame,
+                                   idCol: String) {
+
+  /** Current surviving documents: (idCol, wc, __w word array). */
+  def docs: DataFrame = df
+
+  /** C4/Gopher-style document-level rules on the pre-projected
+    * stats: word-count bounds, chars-per-word, lexical diversity. */
+  def qualityFilter(minWords: Long = 30, maxWords: Long = 300,
+                    maxCpwE4: Long = 80000, minDivE4: Long = 3000): Curation = {
+    val cpwE4 = floor(col("n_chars").cast("double") / col("wc") * 10000)
+      .cast("long")
+    val divE4 = floor(col("dw").cast("double") / col("wc") * 10000)
+      .cast("long")
+    copy(df = df.filter(col("wc") >= minWords && col("wc") <= maxWords &&
+      cpwE4 <= maxCpwE4 && divE4 >= minDivE4))
+  }
+
+  /** Near-duplicate removal: winnow-Jaccard candidate pairs over the
+    * shared word arrays, connected components, survivor = min id. */
+  def nearDedup(shingleLen: Int = 3, window: Int = 4,
+                minJaccard: Double = 0.3): Curation = {
+    val pairs = Dedup.winnowJaccardPairsOfWords(
+      df, idCol, "__w", shingleLen, window, minJaccard)
+    copy(df = Dedup.connectedComponents(pairs, df, idCol)
+      .filter(col("id") === col("component"))
+      .select(col("id").as(idCol))
+      .join(df, idCol))
+  }
+
+  /** Drop documents sharing any word n-gram with the eval holdout
+    * (and holdout members themselves). `eval` needs (idCol, `__w`) —
+    * build it from the same [[Curation.apply]] projection. */
+  def decontaminate(eval: DataFrame, n: Int = 3): Curation = {
+    val evalIds = eval.select(col(idCol))
+    val train = df.join(evalIds, Seq(idCol), "left_anti")
+    copy(df = Decontaminate.overlapReportOfWords(
+        train, eval, idCol, "__w", n)
+      .filter(col("contaminated") === 0)
+      .select(col(idCol))
+      .join(train, idCol))
+  }
+
+  /** Per-shard training-sequence statistics for the surviving docs:
+    * closed-form context-window chunk counts and token totals. */
+  def chunkStats(shards: Int, winSize: Int = 50, stride: Int = 25): DataFrame = {
+    val nChunks = (greatest(ceil((col("wc") - winSize).cast("double") / stride)
+      .cast("long"), lit(0L)) + 1L).as("n_chunks")
+    df.select(col(idCol), col("wc"), nChunks)
+      .withColumn("sum_tok",
+        aggregate(
+          sequence(lit(0L), (col("n_chunks") - 1) * stride, lit(stride.toLong)),
+          lit(0L), (acc, st) => acc + least(lit(winSize.toLong), col("wc") - st)))
+      .select(col(idCol), Packing.shardId(idCol, shards).as("shard"),
+        col("n_chunks"), col("sum_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("sum_chunks"),
+        sum(col("sum_tok")).as("sum_tok"))
+  }
+}
+
+object Curation {
+  /** Project the curation working set once: id, char count, the word
+    * array, and the derived counts every stage reads. */
+  def apply(docs: DataFrame, idCol: String, textCol: String,
+            nCharsCol: Column = null): Curation = {
+    val nc = Option(nCharsCol).getOrElse(length(col(textCol)).cast("long"))
+    Curation(
+      docs.select(col(idCol), nc.as("n_chars"), words(col(textCol)).as("__w"))
+        .select(col(idCol), col("n_chars"), col("__w"),
+          size(col("__w")).cast("long").as("wc"),
+          size(array_distinct(col("__w"))).cast("long").as("dw")),
+      idCol)
+  }
+}

@@ -80,52 +80,14 @@ object PipelineQueries {
     // chunk statistics per shard. The full "raw documents to training
     // sequences" path, every stage exact and SQL-replayable.
     "q_curate_e2e" -> ((s, dir) => {
-      import graft.functions.TextFunctions.words
-      // tokenize the corpus EXACTLY ONCE: every stage below (quality
-      // stats, winnow shingles, decontamination grams) reads the same
-      // projected word array — regex/HOF expressions have no CSE
-      val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), words(col("text")).as("__w"))
-        .select(col("doc_id"), col("n_chars"), col("__w"),
-          size(col("__w")).cast("long").as("wc"),
-          size(array_distinct(col("__w"))).cast("long").as("dw"))
-      val cpwE4 = floor(col("n_chars").cast("double") / col("wc") * 10000)
-        .cast("long")
-      val divE4 = floor(col("dw").cast("double") / col("wc") * 10000)
-        .cast("long")
-      val kept = base.filter(col("wc") >= 30 && col("wc") <= 300 &&
-        cpwE4 <= 80000L && divE4 >= 3000L)
-
-      val pairs = graft.operators.Dedup.winnowJaccardPairsOfWords(
-        kept, "doc_id", "__w", shingleLen = 3, window = 4, minJaccard = 0.3)
-      val survivors = graft.operators.Dedup.connectedComponents(pairs, kept, "doc_id")
-        .filter(col("id") === col("component"))
-        .select(col("id").as("doc_id"))
-        .join(kept, "doc_id")
-
-      val clean = graft.operators.Decontaminate.overlapReportOfWords(
-          train = survivors.filter(col("doc_id") % 97 =!= 0),
-          eval = base.filter(col("doc_id") % 97 === 0),
-          idCol = "doc_id", wordsCol = "__w", n = 3)
-        .filter(col("contaminated") === 0)
-        .select(col("doc_id"))
-        .join(survivors.select(col("doc_id"), col("wc")), "doc_id")
-
-      // context-window chunk arithmetic (size 50 / stride 25) in
-      // closed form — wc >= 30 > 0 is guaranteed by the filter above
-      val nChunks = (greatest(ceil((col("wc") - 50).cast("double") / 25)
-        .cast("long"), lit(0L)) + 1L).as("n_chunks")
-      clean
-        .select(col("doc_id"), col("wc"), nChunks)
-        .withColumn("sum_tok",
-          aggregate(sequence(lit(0L), (col("n_chunks") - 1) * 25, lit(25L)),
-            lit(0L), (acc, st) => acc + least(lit(50L), col("wc") - st)))
-        .select(col("doc_id"), Packing.shardId("doc_id", SHARDS).as("shard"),
-          col("n_chunks"), col("sum_tok"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chunks")).as("sum_chunks"),
-          sum(col("sum_tok")).as("sum_tok"))
+      // the Curation builder verbatim: tokenize once, then quality
+      // filter -> winnow near-dedup components -> 3-gram holdout
+      // decontamination -> closed-form chunk stats, all one plan
+      val all = graft.operators.Curation(
+        Tables(s, dir, "documents"), "doc_id", "text", col("n_chars"))
+      val eval = all.docs.filter(col("doc_id") % 97 === 0)
+      all.qualityFilter().nearDedup().decontaminate(eval)
+        .chunkStats(shards = SHARDS)
     }),
 
     // z-order layout: Morton-interleave (user_id mod 256, floor(value))

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** The fluent curation builder on planted data: each stage removes
+  * exactly what it claims to. (The composed output is additionally
+  * hash-pinned against DuckDB via the q_curate_e2e oracle.)
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // disjoint vocabulary per seed: docs overlap only where a test
+  // plants the overlap explicitly
+  private def doc(n: Int, seed: Int): String =
+    (1 to n).map(t => s"s${seed}w$t").mkString(" ")
+
+  test("quality filter drops short, long, and degenerate docs") {
+    val docs = Seq(
+      (1L, doc(60, 1)),                       // keep
+      (2L, doc(5, 2)),                        // too short
+      (3L, doc(400, 3)),                      // too long
+      (4L, List.fill(60)("same").mkString(" ")) // no diversity
+    ).toDF("doc_id", "text")
+    val kept = Curation(docs, "doc_id", "text").qualityFilter()
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("nearDedup keeps the smallest id of a near-duplicate group") {
+    val a = doc(80, 5)
+    val nearA = a.split(" ").toSeq.updated(40, "zzz").mkString(" ") // ~1 word off
+    val docs = Seq((10L, a), (11L, nearA), (12L, doc(80, 9)))
+      .toDF("doc_id", "text")
+    val kept = Curation(docs, "doc_id", "text").qualityFilter().nearDedup()
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L))
+  }
+
+  test("decontaminate drops holdout members and 3-gram overlappers") {
+    val evalText = doc(70, 21)
+    val leaked = doc(35, 40) + " " + evalText.split(" ").take(10).mkString(" ")
+    val docs = Seq(
+      (1L, doc(60, 30)),   // clean -> survives
+      (2L, leaked),        // shares eval 3-grams -> dropped
+      (97L, evalText)      // the holdout member itself -> excluded
+    ).toDF("doc_id", "text")
+    val cur = Curation(docs, "doc_id", "text")
+    val eval = cur.docs.filter(col("doc_id") === 97L)
+    val kept = cur.qualityFilter().decontaminate(eval)
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("chunkStats totals equal the explode-form chunking") {
+    val docs = (0 until 20).map(i => (i.toLong, doc(30 + i * 13, i)))
+      .toDF("doc_id", "text")
+    val stats = Curation(docs, "doc_id", "text").chunkStats(shards = 4)
+      .agg(sum("sum_chunks"), sum("sum_tok")).head()
+    // independent count via the text_chunk explode over the same docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exploded = graft.queries.TextQueries.queries("text_chunk")(spark, dir)
+      .agg(count(lit(1)), sum("n_tokens")).head()
+    assert(stats.getLong(0) == exploded.getLong(0))
+    assert(stats.getLong(1) == exploded.getLong(1))
+  }
+}
