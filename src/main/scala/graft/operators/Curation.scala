@@ -16,11 +16,14 @@ import graft.functions.TextFunctions.words
   * // or .chunkStats(shards = 8)       // per-shard training-sequence stats
   * }}}
   *
-  * Each step narrows the carried frame; the corpus is tokenized
-  * EXACTLY ONCE on construction and every stage reads the same
-  * projected word array (regex/HOF expressions have no CSE — the
-  * repo-wide rule). Nothing materializes until the caller acts on
-  * the result, so the whole chain plans as one Spark job graph —
+  * Each step narrows the carried frame; the word array is projected
+  * once on construction and every stage consumes it instead of
+  * re-tokenizing internally (regex/HOF expressions have no CSE — the
+  * repo-wide rule). Plan branches that re-read the corpus (the
+  * survivor join-back, the eval holdout) re-evaluate the projection
+  * with the scan; pass a cached/persisted `docs` frame if that scan
+  * is expensive. Nothing materializes until the caller acts on the
+  * result, so the whole chain plans as one Spark job graph —
   * `q_curate_e2e` is this builder's output verbatim and carries the
   * DuckDB oracle for it.
   */

@@ -80,9 +80,10 @@ object PipelineQueries {
     // chunk statistics per shard. The full "raw documents to training
     // sequences" path, every stage exact and SQL-replayable.
     "q_curate_e2e" -> ((s, dir) => {
-      // the Curation builder verbatim: tokenize once, then quality
-      // filter -> winnow near-dedup components -> 3-gram holdout
-      // decontamination -> closed-form chunk stats, all one plan
+      // the Curation builder verbatim: one shared word-array
+      // projection feeds quality filter -> winnow near-dedup
+      // components -> 3-gram holdout decontamination -> closed-form
+      // chunk stats, all one plan
       val all = graft.operators.Curation(
         Tables(s, dir, "documents"), "doc_id", "text", col("n_chars"))
       val eval = all.docs.filter(col("doc_id") % 97 === 0)
