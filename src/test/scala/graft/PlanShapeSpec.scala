@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Mechanical enforcement of the scale claims the round-5 operators
+  * make in their scaladoc: the physical plans are asserted, not just
+  * printed into PLANS.md.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.length
+
+  test("PQ encode is a narrow projection: ZERO exchanges beyond the scan") {
+    val df = graft.SparkEntry.queries("q_pq")(spark, SF)
+    assert(shuffles(df) == 0,
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("ADC search adds no exchange before the TakeOrdered merge") {
+    val df = graft.SparkEntry.queries("knn_pq_adc")(spark, SF)
+    assert(shuffles(df) == 0,
+      df.queryExecution.executedPlan.toString.take(2000))
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("IVF+PQ probes via a filter, no join, no exchange before the merge") {
+    val df = graft.SparkEntry.queries("knn_ivfpq")(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffles(df) == 0, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("no curation stage degenerates to a nested-loop or cartesian product") {
+    val plan = graft.SparkEntry.queries("q_curate_e2e")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("LSH embedding dedup carries no vectors through the bucket join") {
+    // late materialization: the (t, b) self-join's own output columns
+    // are ids + signatures; vectors appear only via the id join-backs
+    val df = graft.operators.Similarity.embeddingNearDupPairsLSH(
+      spark.read.parquet(s"$SF/embeddings.parquet"),
+      "vec_id", "embedding", minCosine = 0.42, dim = 64)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the bucket join is the one whose keys include t/b; its output
+    // must not contain an array<float> column
+    val bucketJoins = joins.filter(_.output.map(_.name).contains("b"))
+    assert(bucketJoins.nonEmpty)
+    bucketJoins.foreach { j =>
+      val hasVec = j.output.exists(a =>
+        a.dataType.simpleString.contains("array<float>"))
+      assert(!hasVec, j.output.map(a => s"${a.name}:${a.dataType.simpleString}"))
+    }
+  }
+}
