@@ -46,6 +46,38 @@ object Sampling {
     df.filter(Packing.shardId(idCol, 10000) < threshold)
   }
 
+  /** Temperature-balanced class downsampling — the multilingual
+    * mixing rule (mT5/XLM-R style, alpha = 0.5): a class with N_c
+    * members keeps each row with probability min(1, k / sqrt(N_c)),
+    * so kept counts grow ~sqrt(N_c) and head classes stop dominating
+    * the mixture while tail classes pass through untouched.
+    *
+    * Engine-exact by construction: the per-class rate is computed
+    * ONLY from that class's exact count with correctly-rounded IEEE
+    * ops (sqrt, divide — both bit-identical across engines), floored
+    * to ppm; the keep decision compares the row's md5 shard against
+    * that integer. No cross-class float sum exists anywhere (a
+    * normalized softmax-style rate would sum floats in
+    * engine-dependent order), so the sample replays exactly in SQL.
+    *
+    * Scale shape: one map-combined count per class, the (tiny) rate
+    * table broadcast-joins back, then a narrow filter — the corpus
+    * never shuffles. */
+  def temperatureSample(df: DataFrame, idCol: String, classCol: String,
+                        k: Double): DataFrame = {
+    val rates = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rate_ppm",
+        floor(least(lit(1.0), lit(k) / sqrt(col("__n").cast("double")))
+          * 1000000).cast("long"))
+      .select(col(classCol), col("__rate_ppm"))
+    // 48-bit hash mod 1e6: residue bias 2^48/1e6 ~ 4e-9 (the 24-bit
+    // shardId would carry a 6% residue bias at this modulus)
+    df.join(broadcast(rates), classCol)
+      .filter(Packing.hash48(idCol) % 1000000 < col("__rate_ppm"))
+      .drop("__rate_ppm")
+  }
+
   /** Exact quota sampling: exactly min(n, |stratum|) rows per
     * stratum, chosen by md5 order of the id — "take N of each
     * source/language" with a result that is a pure function of the

@@ -110,6 +110,14 @@ object PipelineQueries {
     // deterministic weighted source mixing: the training-mixture
     // step — per-source keep rates (25/50/75/100% here) pinned by
     // the md5 shard of the doc id, so the mixture replays exactly
+    // temperature-balanced class downsampling (alpha = 0.5): keep
+    // rate min(1, k/sqrt(N_lang)) — per-class-only IEEE arithmetic,
+    // so the sampled SET replays exactly in SQL
+    "q_temp_sample" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+          Tables(s, dir, "documents"), "doc_id", "lang", k = 5.0)
+        .select(col("doc_id"), col("lang"))),
+
     "q_mix" -> ((s, dir) =>
       graft.operators.Sampling.hashStratified(
           Tables(s, dir, "documents"), "doc_id", "source", MIX_BP)
@@ -243,6 +251,16 @@ object PipelineQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BUDGET) AS BIGINT)
          |    AS pack_id
          |FROM d""".stripMargin,
+    "q_temp_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(least(1.0, 5.0 / sqrt(CAST(n AS DOUBLE)))
+        |             * 1000000) AS BIGINT) AS rate_ppm
+        |      FROM n)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+        |        AS BIGINT) % 1000000 < r.rate_ppm""".stripMargin,
+
     "q_mix" -> {
       val cases = MIX_BP.toSeq.sortBy(_._1)
         .map { case (k, bp) => s"WHEN '$k' THEN $bp" }.mkString(" ")

@@ -44,6 +44,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(ids.size - n * 3 / 16) < n * 0.1)
   }
 
+  test("temperature sampling: tail classes pass through, head classes thin to k/sqrt(N)") {
+    import spark.implicits._
+    // head class A: 400 rows; tail class B: 16 rows; k=4 ->
+    // rate_A = 4/20 = 0.2, rate_B = 4/4 = 1.0 (all kept)
+    val docs = ((1L to 400L).map(i => (i, "A")) ++
+      (1001L to 1016L).map(i => (i, "B"))).toDF("id", "cls")
+    val kept = graft.operators.Sampling.temperatureSample(docs, "id", "cls", k = 4.0)
+      .select("id", "cls").as[(Long, String)].collect()
+    val byCls = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCls("B") == (1001L to 1016L).toSet) // rate 1.0: every row
+    // class A: exactly the ids whose 48-bit md5 shard is under 200000
+    // ppm — recomputed independently here
+    val expectA = (1L to 400L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(6).map("%02x".format(_)).mkString, 16)
+      h % 1000000 < 200000
+    }.toSet
+    assert(byCls("A") == expectA)
+    // and the thinning is in the right ballpark (~80 of 400)
+    assert(expectA.size > 50 && expectA.size < 120)
+  }
+
   test("approx_count_distinct stays within its error bound") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val rows = li.groupBy("l_returnflag")
