@@ -22,8 +22,10 @@ import graft.functions.TextFunctions.words
   * repo-wide rule). Plan branches that re-read the corpus (the
   * survivor join-back, the eval holdout) re-evaluate the projection
   * with the scan; pass a cached/persisted `docs` frame if that scan
-  * is expensive. Nothing materializes until the caller acts on the
-  * result, so the whole chain plans as one Spark job graph —
+  * is expensive. The chain is lazy EXCEPT [[nearDedup]], whose
+  * component resolution is an iterative algorithm and therefore runs
+  * jobs at builder-call time (and persists its edge frame) —
+  * everything else defers until the caller acts on the result.
   * `q_curate_e2e` is this builder's output verbatim and carries the
   * DuckDB oracle for it.
   */
@@ -61,7 +63,9 @@ final case class Curation private (private val df: DataFrame,
     * (and holdout members themselves). `eval` needs (idCol, `__w`) —
     * build it from the same [[Curation.apply]] projection. */
   def decontaminate(eval: DataFrame, n: Int = 3): Curation = {
-    val evalIds = eval.select(col(idCol))
+    // eval holdouts are tiny by construction — broadcast the anti-join
+    // build side so the corpus never shuffles on id
+    val evalIds = broadcast(eval.select(col(idCol)))
     val train = df.join(evalIds, Seq(idCol), "left_anti")
     copy(df = Decontaminate.overlapReportOfWords(
         train, eval, idCol, "__w", n)
@@ -71,11 +75,15 @@ final case class Curation private (private val df: DataFrame,
   }
 
   /** Per-shard training-sequence statistics for the surviving docs:
-    * closed-form context-window chunk counts and token totals. */
+    * closed-form context-window chunk counts and token totals.
+    * Wordless docs (null/empty text — `wc <= 0`) contribute nothing,
+    * matching the explode-form chunker; with [[qualityFilter]] ahead
+    * of this the guard never fires. */
   def chunkStats(shards: Int, winSize: Int = 50, stride: Int = 25): DataFrame = {
     val nChunks = (greatest(ceil((col("wc") - winSize).cast("double") / stride)
       .cast("long"), lit(0L)) + 1L).as("n_chunks")
-    df.select(col(idCol), col("wc"), nChunks)
+    df.filter(col("wc") > 0)
+      .select(col(idCol), col("wc"), nChunks)
       .withColumn("sum_tok",
         aggregate(
           sequence(lit(0L), (col("n_chunks") - 1) * stride, lit(stride.toLong)),

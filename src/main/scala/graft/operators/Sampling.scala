@@ -71,8 +71,8 @@ object Sampling {
         floor(least(lit(1.0), lit(k) / sqrt(col("__n").cast("double")))
           * 1000000).cast("long"))
       .select(col(classCol), col("__rate_ppm"))
-    // 48-bit hash mod 1e6: residue bias 2^48/1e6 ~ 4e-9 (the 24-bit
-    // shardId would carry a 6% residue bias at this modulus)
+    // 48-bit hash mod 1e6: residue bias 1e6/2^48 ~ 3.6e-9 (the
+    // 24-bit shardId would carry a 6% residue bias at this modulus)
     df.join(broadcast(rates), classCol)
       .filter(Packing.hash48(idCol) % 1000000 < col("__rate_ppm"))
       .drop("__rate_ppm")

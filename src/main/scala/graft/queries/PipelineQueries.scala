@@ -107,9 +107,6 @@ object PipelineQueries {
           min(col("vy")).as("min_vy"), max(col("vy")).as("max_vy"))
     }),
 
-    // deterministic weighted source mixing: the training-mixture
-    // step — per-source keep rates (25/50/75/100% here) pinned by
-    // the md5 shard of the doc id, so the mixture replays exactly
     // temperature-balanced class downsampling (alpha = 0.5): keep
     // rate min(1, k/sqrt(N_lang)) — per-class-only IEEE arithmetic,
     // so the sampled SET replays exactly in SQL
@@ -118,6 +115,9 @@ object PipelineQueries {
           Tables(s, dir, "documents"), "doc_id", "lang", k = 5.0)
         .select(col("doc_id"), col("lang"))),
 
+    // deterministic weighted source mixing: the training-mixture
+    // step — per-source keep rates (25/50/75/100% here) pinned by
+    // the md5 shard of the doc id, so the mixture replays exactly
     "q_mix" -> ((s, dir) =>
       graft.operators.Sampling.hashStratified(
           Tables(s, dir, "documents"), "doc_id", "source", MIX_BP)

@@ -11,28 +11,40 @@ class PlanShapeSpec extends SparkSpec {
 
   private val SF = "/root/testdata/sf0.001"
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
+  // AQE wraps plans in AdaptiveSparkPlanExec — a LEAF node, which
+  // would make a collect{case ShuffleExchangeExec} vacuously zero.
+  // Count on the non-adaptive physical plan instead.
+  private def shuffles(mk: => org.apache.spark.sql.DataFrame): Int =
+    withoutAqe { mk.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeExec => e
-    }.length
+    }.length }
+
+  private def withoutAqe[T](f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  test("the shuffle counter is NOT vacuous: a groupBy shows its exchange") {
+    import spark.implicits._
+    assert(shuffles(Seq(1, 2, 2).toDF("x").groupBy("x").count()) > 0)
+  }
 
   test("PQ encode is a narrow projection: ZERO exchanges beyond the scan") {
-    val df = graft.SparkEntry.queries("q_pq")(spark, SF)
-    assert(shuffles(df) == 0,
-      df.queryExecution.executedPlan.toString.take(2000))
+    assert(shuffles(graft.SparkEntry.queries("q_pq")(spark, SF)) == 0)
   }
 
   test("ADC search adds no exchange before the TakeOrdered merge") {
-    val df = graft.SparkEntry.queries("knn_pq_adc")(spark, SF)
-    assert(shuffles(df) == 0,
-      df.queryExecution.executedPlan.toString.take(2000))
-    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(shuffles(graft.SparkEntry.queries("knn_pq_adc")(spark, SF)) == 0)
+    assert(graft.SparkEntry.queries("knn_pq_adc")(spark, SF)
+      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
   test("IVF+PQ probes via a filter, no join, no exchange before the merge") {
-    val df = graft.SparkEntry.queries("knn_ivfpq")(spark, SF)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(shuffles(df) == 0, plan.take(2000))
+    assert(shuffles(graft.SparkEntry.queries("knn_ivfpq")(spark, SF)) == 0)
+    val plan = graft.SparkEntry.queries("knn_ivfpq")(spark, SF)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
