@@ -116,12 +116,19 @@ object Bench {
     // tail window (2-decimal seconds, no probe block). If the query
     // count ever grows past what fits, drop the FASTEST queries into
     // an "omitted" count — the slow ones are the ones worth reading.
+    // CONTRACT NOTE: failed queries appear only in the errors count
+    // here (and by name in bench_detail.json) — they are NOT rows of
+    // the compact queries map, unlike the old -1 convention. The
+    // compact line carries "errors":N at most, never the name list,
+    // so many failures can't crowd the timing rows out of the window.
     def fmt(v: Double): String = f"$v%.2f"
+    val compactErrJson =
+      if (failed.isEmpty) "" else s""","errors":${failed.length}"""
     def compactLine(keep: Seq[(String, Double)], omitted: Int): String = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$errJson$om,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$compactErrJson$om,"detail":"bench_detail.json"}"""
     }
     val ok = results.collect { case (n, (v, true)) => (n, v) }
     val byTimeDesc = ok.sortBy(-_._2)

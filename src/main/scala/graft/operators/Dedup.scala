@@ -46,9 +46,11 @@ object Dedup {
                    minEstimate: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // the signature frame feeds three join sides; persist it so the
+    // the signature frame feeds three join sides; persist it
+    // (single-slot — the next invocation unpersists this copy) so the
     // shingle pipeline (the expensive part) runs once
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes).persist()
+    val sigs = PersistSlots.swap("dedup.minhashSigs",
+      minhashSignatures(df, idCol, textCol, numHashes))
 
     val bandKeys = sigs.select(
       col(idCol),
@@ -329,11 +331,12 @@ object Dedup {
     * per-id set sizes, shared-token self-join for intersections, and
     * the exact |A∩B| / (|A|+|B|-|A∩B|) ratio rounded to 4 dp (the
     * oracle-portable arithmetic). The relation is persisted because
-    * it feeds both join sides plus the count — the cache lives until
-    * session end, bounded by one relation per operator invocation.
+    * it feeds both join sides plus the count — single-slot, so the
+    * next jaccard invocation unpersists this copy instead of
+    * stacking caches until session end.
     */
   private def jaccardFromTokens(tokens: DataFrame, minJaccard: Double): DataFrame = {
-    val t = tokens.persist()
+    val t = PersistSlots.swap("dedup.jaccardTokens", tokens)
     val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = t.select(col("id").as("id_a"), col("tok"))
       .join(t.select(col("id").as("id_b"), col("tok")), Seq("tok"))

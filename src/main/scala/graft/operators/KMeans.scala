@@ -120,35 +120,24 @@ object KMeans {
     * ratio grows superlinearly with sf — a property of the frozen k,
     * not the operator; `dedup_embedding_lsh` remains the
     * fixed-parameter scale twin. */
-  // one persisted assignment frame per session at most (see
-  // semanticNearDupPairs); weak-ish by construction — an entry is
-  // replaced (and its frame unpersisted) on the session's next call
-  private val lastAssigned = scala.collection.mutable
-    .Map.empty[org.apache.spark.sql.SparkSession, DataFrame]
-
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, steps: Int = 2,
                            minCosE4: Long = 9000L): DataFrame = {
-    // persisted, single-slot: the self-join reads this frame as BOTH
-    // sides, and the assignment chain (scan + quantize + k codegen'd
-    // distance kernels per row) would otherwise run once per side.
-    // Each call recomputes (no memoization — a cache keyed on the
-    // logical plan would silently serve stale assignments if the
-    // files at a path were rewritten mid-session, and would hide the
-    // fit cost from repeated-trial benchmarks); the PREVIOUS
-    // invocation's frame is unpersisted instead, so repeated calls
-    // (bench median-of-3, the scale probe) never stack cached copies
-    // in the block manager.
+    // persisted, single-slot (PersistSlots): the self-join reads this
+    // frame as BOTH sides, and the assignment chain (scan + quantize
+    // + k codegen'd distance kernels per row) would otherwise run
+    // once per side. Each call recomputes (no memoization — a cache
+    // keyed on the logical plan would silently serve stale
+    // assignments if the files at a path were rewritten mid-session,
+    // and would hide the fit cost from repeated-trial benchmarks);
+    // the PREVIOUS invocation's frame is unpersisted by the swap, so
+    // repeated calls (bench median-of-3, the scale probe) never
+    // stack cached copies in the block manager.
     import graft.plans.VectorExpressions.dotLong
-    val assigned = synchronized {
-      lastAssigned.get(df.sparkSession).foreach(_.unpersist())
-      val a = fitAssigned(df, idCol, vecCol, k, steps)
+    val assigned = PersistSlots.swap("kmeans.assigned",
+      fitAssigned(df, idCol, vecCol, k, steps)
         .select(col(idCol).as("id"), col("cluster"), col("__q"))
-        .withColumn("__n", dotLong(col("__q"), col("__q")))
-        .persist()
-      lastAssigned(df.sparkSession) = a
-      a
-    }
+        .withColumn("__n", dotLong(col("__q"), col("__q"))))
     val a = assigned.select(col("id").as("id_a"), col("cluster"),
       col("__q").as("__qa"), col("__n").as("__na"))
     val b = assigned.select(col("id").as("id_b"), col("cluster"),

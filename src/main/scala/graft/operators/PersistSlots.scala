@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped single-slot persist registry — the shared form of
+  * the pattern KMeans pioneered: an operator whose plan reads one
+  * frame from several join sides persists that frame, and the NEXT
+  * invocation of the same operator (bench median-of-3, scale-probe
+  * repeats) unpersists the previous copy instead of stacking cached
+  * frames in the block manager until session end.
+  *
+  * Eviction: every swap also drops slots whose session's
+  * SparkContext has stopped (their cached blocks died with the
+  * executor store, so only the map entry needs removing) — many
+  * short-lived sessions in one JVM (test suites) no longer
+  * accumulate entries.
+  *
+  * Caveat (documented, accepted): slots are keyed (session, name),
+  * so two CONCURRENT invocations of one operator in one session
+  * thrash the slot — the later swap unpersists the earlier frame
+  * mid-flight. Results stay correct (Spark recomputes evicted
+  * blocks deterministically); only the caching benefit degrades.
+  * Pipelines that need concurrent reuse should persist their own
+  * input and pass it in.
+  */
+private[operators] object PersistSlots {
+
+  private val slots =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Persist `df` into slot (its session, `name`), unpersisting the
+    * slot's previous occupant first. Returns the persisted frame. */
+  def swap(name: String, df: DataFrame): DataFrame = synchronized {
+    slots.keys.filter(_._1.sparkContext.isStopped).toSeq
+      .foreach(slots.remove)
+    val key = (df.sparkSession, name)
+    slots.get(key).foreach { old =>
+      try old.unpersist() catch { case _: Throwable => }
+    }
+    val p = df.persist()
+    slots(key) = p
+    p
+  }
+}

@@ -226,14 +226,26 @@ object RelationalQueries {
     }),
 
     // sketch aggregates: HLL distinct counts — the 100 TB form of
-    // countDistinct (no exact-distinct shuffle explosion). Approximate
-    // by nature -> no SQL oracle; error bound pinned in SamplingSpec
-    "q_approx_distinct" -> ((s, dir) =>
+    // countDistinct (no exact-distinct shuffle explosion). The sketch
+    // value itself is approximate (no engine-portable replay), so the
+    // ORACLED columns are the exact distinct count plus a bound flag:
+    // within_bound = |approx - exact| / exact <= 3*rsd, which the
+    // oracle asserts as the constant 1 — the driver's hash compare
+    // thereby verifies the sketch landed inside its configured error
+    // envelope (the exact count rides along at bench scale purely to
+    // judge the sketch; production uses the sketch alone)
+    "q_approx_distinct" -> ((s, dir) => {
+      val rsd = 0.01
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01)
-          .as("approx_parts"),
-          count(lit(1)).as("n_rows"))),
+        .agg(approx_count_distinct(col("l_partkey"), rsd)
+          .as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= lit(3 * rsd)).cast("int").as("within_bound"))
+    }),
 
     // Bloom-filter pre-filtered join: probe-side rows drop BEFORE the
     // join exchange; the exact join then removes false positives, so
@@ -443,6 +455,15 @@ object RelationalQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the sketch's bound check: the oracle computes the exact distinct
+    // count and asserts within_bound as the constant 1 — a sketch
+    // outside 3*rsd of the exact count hash-mismatches
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  count(*) AS n_rows,
+        |  CAST(1 AS INTEGER) AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_salted_join" ->
       """SELECT o_custkey, round(sum(l_quantity), 2) AS sum_qty,

@@ -256,6 +256,26 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(20)),
 
+    // C4 line-level cleaning (LineFilter): the shipped documents
+    // carry no newlines, so a 5-line synthetic doc is built
+    // deterministically in both engines (text_pii's pattern) — two
+    // content lines with terminal punctuation that must survive, a
+    // too-short line, a cookie banner, and a brace-bearing code line
+    // that must all drop
+    "text_clean" -> ((s, dir) => {
+      val synth = concat(
+        substring(col("text"), 1, 60), lit(".\n"),
+        lit("short line\n"),
+        lit("We use cookies and javascript on this site.\n"),
+        substring(col("text"), 30, 50), lit("!\n"),
+        lit("function() { return 0; }"))
+      graft.operators.LineFilter(
+        Tables(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+        "text")
+        .select(col("doc_id"), col("clean_text"), col("n_lines"),
+          col("n_kept"), col("kept_chars"))
+    }),
+
     // inverted-index build: term -> document frequency + a content
     // address of the sorted posting list (the artifact a search/recall
     // stage consumes). Distinct (term, doc) then one aggregation.
@@ -482,6 +502,34 @@ object TextQueries {
         |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
         |SELECT pair, cnt FROM c
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "text_clean" ->
+      """WITH s AS (SELECT doc_id,
+        |    substr(text, 1, 60) || '.' || chr(10) ||
+        |    'short line' || chr(10) ||
+        |    'We use cookies and javascript on this site.' || chr(10) ||
+        |    substr(text, 30, 50) || '!' || chr(10) ||
+        |    'function() { return 0; }' AS synth
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |        list_transform(string_split(synth, chr(10)), x -> trim(x)) AS lines
+        |      FROM s),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, t ->
+        |          length(t) > 0
+        |          AND len(regexp_split_to_array(t, '\s+')) >= 3
+        |          AND regexp_matches(t, '[.!?"”'']$')
+        |          AND NOT contains(t, '{')
+        |          AND NOT contains(lower(t), 'lorem ipsum')
+        |          AND NOT contains(lower(t), 'javascript')
+        |          AND NOT contains(lower(t), 'cookies')) AS kept
+        |      FROM l)
+        |SELECT doc_id,
+        |  CASE WHEN len(kept) > 0 THEN array_to_string(kept, chr(10)) END AS clean_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(list_sum(list_transform(kept, t -> length(t))), 0) AS BIGINT)
+        |    AS kept_chars
+        |FROM k""".stripMargin,
     "q_inverted_index" ->
       """WITH t0 AS (SELECT doc_id,
         |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

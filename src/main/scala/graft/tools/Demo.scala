@@ -140,8 +140,6 @@ object Demo {
     println("audio decode n_samples=" +
       audio.select(col("decoded.n_samples")).head().getLong(0))
 
-    // C4 line-level cleaning over a synthetic multi-line doc (the
-    // shipped documents carry no newlines)
     // PQ: fit 4 subspace codebooks, encode, ADC-search
     val pqBooks = graft.operators.PQ.fit(emb5, "vec_id", "embedding",
       dim = 64, m = 4, k = 8)
@@ -156,6 +154,8 @@ object Demo {
         emb5.filter(col("vec_id") < 16), "vec_id", pqBooks, pqQuery, n = 3)
       .collect().map(r => r.getLong(0)).mkString(","))
 
+    // C4 line-level cleaning over a synthetic multi-line doc (the
+    // shipped documents carry no newlines)
     val lf = graft.operators.LineFilter(
       Seq((1L, "A good first sentence survives here.\ntoo short\n" +
         "We use cookies on this site.\nAnother keeper ends properly!"))

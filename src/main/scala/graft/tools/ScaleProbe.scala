@@ -61,8 +61,19 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (!Files.isDirectory(Paths.get(dest))) {
+    // A bare directory is NOT proof of a complete dataset — a run
+    // killed mid-replicate leaves partial parquet that later probes
+    // would silently measure. Only the completion marker (written
+    // after the last table lands) allows the skip; anything else is
+    // deleted and rebuilt.
+    val marker = Paths.get(dest, "_REPLICATED")
+    val expected = s"r=$r mode=$mode"
+    val complete = Files.isRegularFile(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim == expected
+    if (!complete) {
+      if (Files.isDirectory(Paths.get(dest))) deleteTree(dest)
       replicate(spark, src, dest, r, fresh = mode == "fresh")
+      Files.write(marker, (expected + "\n").getBytes("UTF-8"))
     }
 
     // The scale-sensitive set: candidate-join dedup, ANN, iterative
@@ -106,6 +117,12 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"probe":"scale","r":$r,"mode":"$mode","src":"$src","queries":$qs}""")
+  }
+
+  private def deleteTree(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(root)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
   }
 
   /** Key-shifted R-fold replication of the fact tables; dims copied
