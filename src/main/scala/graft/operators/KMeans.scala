@@ -31,6 +31,22 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
+  /** The k-means parameter-scaling discipline as CODE: cluster count
+    * for a target expected cluster size. Within-cluster comparison
+    * (semantic dedup's self-join) is quadratic in cluster size, so
+    * k ~ n / B keeps total compare work ~n * B — linear in n at
+    * fixed B, the IVF tradeoff. The driver holds k * dim centroid
+    * longs (e.g. k = 10^6 at dim 64 ≈ 512 MB), so the clamp keeps
+    * auto-k inside a sane driver budget; beyond that, raise
+    * `targetCluster` or supply k explicitly.
+    *
+    * n = 500 -> 8 at B=64; 50 k -> 782; 5 M -> 78 125. */
+  def autoK(n: Long, targetCluster: Long = 64L, maxK: Int = 1 << 20): Int = {
+    require(n > 0 && targetCluster > 0, "need positive n and target cluster")
+    val k = math.ceil(n.toDouble / targetCluster.toDouble).toLong
+    math.min(maxK.toLong, math.max(2L, k)).toInt
+  }
+
   /** Squared L2 distance to each centroid (exact integer), expanded
     * as |v|^2 - 2 v.c + |c|^2 so the per-centroid work is one
     * codegen'd [[graft.plans.DotProductLong]] kernel instead of an
@@ -115,14 +131,20 @@ object KMeans {
     * Scaling discipline: within-cluster comparison is quadratic in
     * cluster SIZE, so k must grow with the corpus — pick
     * k ~ n / B for a target bucket size B and the total work stays
-    * n * B (linear in n), exactly the IVF tradeoff. The bench query
-    * pins k = 8 for oracle determinism, which is why its scale-probe
+    * n * B (linear in n), exactly the IVF tradeoff — `k = 0` selects
+    * that discipline in code via [[autoK]]. The bench query pins
+    * k = 8 for oracle determinism, which is why its scale-probe
     * ratio grows superlinearly with sf — a property of the frozen k,
-    * not the operator; `dedup_embedding_lsh` remains the
-    * fixed-parameter scale twin. */
+    * not the operator; the `_auto` probe twin runs the auto path. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, steps: Int = 2,
-                           minCosE4: Long = 9000L): DataFrame = {
+                           minCosE4: Long = 9000L,
+                           nEstimate: Long = 0L): DataFrame = {
+    // k = 0 selects the scaling discipline in code: autoK from the
+    // corpus size (nEstimate if given, else one count() — a narrow
+    // scan, cheap next to the cluster-local self-join it right-sizes)
+    val kk = if (k > 0) k
+      else autoK(if (nEstimate > 0) nEstimate else df.count())
     // persisted, single-slot (PersistSlots): the self-join reads this
     // frame as BOTH sides, and the assignment chain (scan + quantize
     // + k codegen'd distance kernels per row) would otherwise run
@@ -135,7 +157,7 @@ object KMeans {
     // stack cached copies in the block manager.
     import graft.plans.VectorExpressions.dotLong
     val assigned = PersistSlots.swap("kmeans.assigned",
-      fitAssigned(df, idCol, vecCol, k, steps)
+      fitAssigned(df, idCol, vecCol, kk, steps)
         .select(col(idCol).as("id"), col("cluster"), col("__q"))
         .withColumn("__n", dotLong(col("__q"), col("__q"))))
     val a = assigned.select(col("id").as("id_a"), col("cluster"),

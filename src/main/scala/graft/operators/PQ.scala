@@ -34,18 +34,26 @@ object PQ {
                              centroids: Map[(Int, Int), Seq[Long]])
 
   /** Fit m independent codebooks over the quantized subvector
-    * slices. `dim` must be divisible by `m`. */
+    * slices. `dim` must be divisible by `m`.
+    *
+    * Seeding is ONE TakeOrdered scan: the k smallest ids' full
+    * quantized vectors collect once and every subspace slices its
+    * init centroids driver-side — identical codebooks to seeding
+    * each subspace with its own scan (the slice of a row is the row
+    * of a slice), minus m-1 corpus scans. */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
           m: Int = 4, k: Int = 16, steps: Int = 2): Codebooks = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
     val q = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qf"))
+    val seeds: Array[Seq[Long]] =
+      q.orderBy(col(idCol).asc).limit(k).collect()
+        .map(_.getSeq[Long](1).toSeq)
     val all = (0 until m).flatMap { j =>
       val qj = q.select(col(idCol),
         slice(col("__qf"), j * subDim + 1, subDim).as("__q"))
       val init: Map[Int, Seq[Long]] =
-        qj.orderBy(col(idCol).asc).limit(k).collect()
-          .map(_.getSeq[Long](1).toSeq).zipWithIndex
+        seeds.map(_.slice(j * subDim, (j + 1) * subDim)).zipWithIndex
           .map { case (v, i) => i -> v }.toMap
       var centroids = init
       for (_ <- 2 to steps) {

@@ -188,16 +188,22 @@ object Similarity {
     * n / 2^nPlanes, and the per-bucket self-join is quadratic in
     * occupancy — so nPlanes must grow ~log2(n/B) for a target bucket
     * size B, with recall recovered by adding tables (the standard
-    * hyperplane-LSH tradeoff). The bench query freezes nPlanes=6 for
-    * oracle determinism, which is why its scale-probe ratio grows
-    * superlinearly at 10x data (SCALE.md): 64 buckets per table
-    * cannot stay balanced at 50 k vectors. At that size use
-    * nPlanes≈9-10 (buckets of ~50-100), at 1 B vectors ~23-24.
+    * hyperplane-LSH tradeoff). `nPlanes = 0` selects exactly that:
+    * [[autoPlanes]] from the corpus size (`nEstimate` if given, else
+    * one `count()` of the input — a narrow scan, cheap next to the
+    * bucket join it right-sizes). The bench query keeps frozen
+    * nPlanes=6 for oracle determinism — its superlinear scale-probe
+    * ratio at 10x (SCALE.md) is the frozen parameter, not the
+    * operator; the `_auto` probe twin runs this auto path.
     */
   def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
                                minCosine: Double, dim: Int = 64,
-                               nPlanes: Int = 6, tables: Int = 4): DataFrame = {
-    val bud = bucketsUdf(dim, nPlanes, tables)
+                               nPlanes: Int = 6, tables: Int = 4,
+                               nEstimate: Long = 0L): DataFrame = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else autoPlanes(if (nEstimate > 0) nEstimate else df.count())
+    val bud = bucketsUdf(dim, planes, tables)
     // Late materialization: only (id, bucket-signature) rides through
     // the quadratic bucket join — at dim=64 floats a candidate row
     // carrying both vectors is ~35x wider than one carrying two ids,
@@ -236,6 +242,23 @@ object Similarity {
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** The LSH parameter-scaling discipline as CODE: hyperplane count
+    * for a target expected bucket occupancy. Buckets per table =
+    * 2^nPlanes and occupancy is n / 2^nPlanes, while the per-bucket
+    * self-join is quadratic in occupancy — so total candidate work is
+    * ~n * B when nPlanes = ceil(log2(n / B)), i.e. LINEAR in n at
+    * fixed B. Clamped to [1, 40] (2^40 buckets outruns any corpus).
+    * Recall lost to the finer buckets is recovered by adding tables,
+    * the standard hyperplane-LSH tradeoff.
+    *
+    * n = 500 -> 3 planes at B=64; 50 k -> 10; 1 B -> 24. */
+  def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
+    require(n > 0 && targetBucket > 0, "need positive n and target bucket")
+    val p = math.ceil(
+      math.log(n.toDouble / targetBucket.toDouble) / math.log(2.0)).toInt
+    math.min(40, math.max(1, p))
   }
 
   /** Spark `round` semantics (BigDecimal HALF_UP) so kernel-side

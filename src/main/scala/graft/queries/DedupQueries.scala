@@ -72,6 +72,17 @@ object DedupQueries {
       Similarity.embeddingNearDupPairsLSH(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = 0.42, dim = 64)),
 
+    // auto-parameter probe twin of dedup_embedding_lsh: nPlanes = 0
+    // selects autoPlanes(n) — bucket count tracks the corpus, so the
+    // scale probe measures the discipline-as-code path. No SQL oracle
+    // (the plane count varies with the dataset, so the inlined-plane
+    // replay can't be a static string) -> driver rows-only check;
+    // recall vs the frozen form is pinned in ExtensionOpsSpec.
+    "dedup_embedding_lsh_auto" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsLSH(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.42, dim = 64,
+        nPlanes = 0)),
+
     // fuzzy near-dup by edit distance over normalized prefixes,
     // length-bucket banded so candidates meet via an equi-join
     "dedup_editdist" -> ((s, dir) =>

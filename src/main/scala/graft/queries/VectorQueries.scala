@@ -63,6 +63,17 @@ object VectorQueries {
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, steps = 2, minCosE4 = 4200L)),
 
+    // auto-parameter probe twin of dedup_semantic: k = 0 selects
+    // autoK(n) — cluster count tracks the corpus, so the scale probe
+    // measures the discipline-as-code path. No SQL oracle (k varies
+    // with the dataset, so the k-means replay can't be a static
+    // string) -> driver rows-only check. At sf0.01 autoK(500) = 8,
+    // so results there coincide with the oracled frozen query.
+    "dedup_semantic_auto" -> ((s, dir) =>
+      graft.operators.KMeans.semanticNearDupPairs(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 0, steps = 2, minCosE4 = 4200L)),
+
     // product quantization (IVF+PQ's compression half): 4 subspace
     // codebooks fit with the same quantized-integer k-means
     // discipline, then ONE narrow projection encodes every vector as

@@ -164,6 +164,26 @@ class PQSpec extends SparkSpec {
     assert(selected < allParts)
   }
 
+  test("fit seeding: slicing the collected seed rows equals per-subspace seed scans") {
+    // fit now collects the k seed rows ONCE and slices all m
+    // subspaces driver-side; this pins that equal to the m-scan form
+    // (one TakeOrdered per subspace). The iteration after init is
+    // shared code, so init equality here + the q_pq DuckDB oracle
+    // (whole fit+encode) pin codebook identity.
+    val q = embeddings.select(col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qf"))
+    val single = q.orderBy(col("vec_id").asc).limit(K).collect()
+      .map(_.getSeq[Long](1).toSeq)
+    for (j <- 0 until M) {
+      val per = q.select(col("vec_id"),
+          slice(col("qf"), j * books.subDim + 1, books.subDim).as("s"))
+        .orderBy(col("vec_id").asc).limit(K).collect()
+        .map(_.getSeq[Long](1).toSeq)
+      assert(single.map(_.slice(j * books.subDim, (j + 1) * books.subDim)).toSeq
+        == per.toSeq, s"subspace $j seed mismatch")
+    }
+  }
+
   test("compression: codes fit in a byte each at k<=256") {
     assert(codes.forall(r => (0 until M).forall { j =>
       val c = r.getInt(1 + j); c >= 0 && c < K
