@@ -42,10 +42,17 @@ object PQ {
     * each subspace with its own scan (the slice of a row is the row
     * of a slice), minus m-1 corpus scans. */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-          m: Int = 4, k: Int = 16, steps: Int = 2): Codebooks = {
+          m: Int = 4, k: Int = 16, steps: Int = 2): Codebooks =
+    fitQuantized(
+      df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qf")),
+      idCol, dim, m, k, steps)
+
+  /** [[fit]] over an already-quantized long-array column `__qf` —
+    * the shared core that raw-vector and residual fits feed. */
+  private[operators] def fitQuantized(q: DataFrame, idCol: String, dim: Int,
+                                      m: Int, k: Int, steps: Int): Codebooks = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    val q = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__qf"))
     val seeds: Array[Seq[Long]] =
       q.orderBy(col(idCol).asc).limit(k).collect()
         .map(_.getSeq[Long](1).toSeq)
@@ -68,10 +75,18 @@ object PQ {
     * total squared quantization error — one narrow projection, codes
     * argmin'd against broadcast codebook literals. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             books: Codebooks, keep: Seq[String] = Nil): DataFrame = {
+             books: Codebooks, keep: Seq[String] = Nil): DataFrame =
+    encodeQuantized(
+      df.select(col(idCol) +: keep.map(col) :+
+        KMeans.quantize(col(vecCol)).as("__qf"): _*),
+      idCol, books, keep)
+
+  /** [[encode]] over an already-quantized long-array column `__qf` —
+    * the shared core that raw-vector and residual encodes feed. */
+  private[operators] def encodeQuantized(q: DataFrame, idCol: String,
+                                         books: Codebooks,
+                                         keep: Seq[String]): DataFrame = {
     import graft.plans.VectorExpressions.dotLong
-    val q = df.select(col(idCol) +: keep.map(col) :+
-      KMeans.quantize(col(vecCol)).as("__qf"): _*)
     val withSub = (0 until books.m).foldLeft(q) { (acc, j) =>
       acc.withColumn(s"__s$j",
         slice(col("__qf"), j * books.subDim + 1, books.subDim))
@@ -176,5 +191,127 @@ object PQ {
     codes.withColumn("adc_dist", adcDistExpr(books, query))
       .orderBy(col("adc_dist").asc, col(idCol).asc).limit(n)
       .select(col(idCol), col("adc_dist"), col("__cell").as("cell"))
+  }
+
+  // ---------- residual IVF+PQ (Jégou et al. 2011 §V, the actual
+  // FAISS IVFPQ recipe): PQ encodes the RESIDUAL v - centroid(cell),
+  // not the raw vector. The coarse quantizer here is the quantized
+  // Lloyd's k-means of [[KMeans]] (integer milliunit centroids, exact
+  // integer L2 assignment, smallest-cluster tiebreaks), NOT an
+  // arbitrary set of corpus vectors: residuals only shrink when the
+  // cells are variance-explaining cluster MEANS (law of total
+  // variance) — subtracting a cosine-nearest arbitrary vector can
+  // GROW the spread in high dimension and make PQ strictly worse,
+  // which PQSpec demonstrates residual-vs-raw on the fixture. All
+  // arithmetic stays exact integer (residual = milliunit v minus
+  // integer centroid), so the whole composed path — coarse fit, cell
+  // assignment, residual codebooks, per-cell ADC — replays
+  // bit-identically in SQL. ----------
+
+  /** A fitted residual IVF+PQ model: the coarse quantizer's integer
+    * centroids (cell id -> milliunit vector) plus the PQ codebooks
+    * fit on the residuals. Driver footprint: nlist*dim + m*k*subDim
+    * longs — centroids, never data. */
+  final case class IvfPqModel(coarse: Map[Int, Seq[Long]], books: Codebooks)
+
+  /** __qf = __q - coarse(cluster): exact integer residual, one
+    * narrow projection against the broadcast centroid map literal. */
+  private def residualFrame(assigned: DataFrame,
+                            coarse: Map[Int, Seq[Long]]): DataFrame =
+    assigned.withColumn("__qf",
+      zip_with(col("__q"), element_at(typedlit(coarse), col("cluster")),
+        (a, b) => a - b))
+
+  /** Fit the composed model: coarse k-means (init = nlist smallest
+    * ids, `steps` assignment passes — the [[KMeans.fit]] loop), then
+    * m PQ codebooks over the residuals. Pure function of the data. */
+  def fitResidual(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  nlist: Int = 16, m: Int = 4, k: Int = 16,
+                  steps: Int = 2): IvfPqModel = {
+    require(steps >= 1, "coarse k-means needs at least one assignment pass")
+    val q = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__q"))
+    val init: Map[Int, Seq[Long]] =
+      q.orderBy(col(idCol).asc).limit(nlist).collect()
+        .map(_.getSeq[Long](1).toSeq).zipWithIndex
+        .map { case (v, i) => i -> v }.toMap
+    var coarse = init
+    for (_ <- 2 to steps) {
+      coarse = KMeans.update(KMeans.assignTo(q, coarse))
+    }
+    val res = residualFrame(KMeans.assignTo(q, coarse), coarse)
+    val books = fitQuantized(res.select(col(idCol), col("__qf")),
+      idCol, dim, m, k, steps)
+    IvfPqModel(coarse, books)
+  }
+
+  /** Residual-encode the corpus: (idCol, cell, code_0..code_{m-1},
+    * pq_err) — the table a bucketed-by-cell layout writes to disk.
+    * Cell assignment + residual + m argmins are ONE narrow
+    * projection against broadcast literals, zero exchanges. */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+                     model: IvfPqModel): DataFrame = {
+    val q = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__q"))
+    val res = residualFrame(KMeans.assignTo(q, model.coarse), model.coarse)
+      .withColumnRenamed("cluster", "cell")
+    encodeQuantized(res.select(col(idCol), col("cell"), col("__qf")),
+      idCol, model.books, keep = Seq("cell"))
+  }
+
+  private def sqDist(a: Seq[Long], b: Seq[Long]): Long = {
+    var i = 0; var s = 0L
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Per-query, per-CELL ADC lookup table: the query's residual
+    * differs per probed cell (q - centroid(cell)), so the literal
+    * map keys on cell * 1024 + code — still O(1) per subspace and
+    * constant codegen size, nProbe * k entries per subspace. */
+  private def adcResidualDistExpr(model: IvfPqModel, qq: Seq[Long],
+                                  probed: Seq[Int]): Column = {
+    val books = model.books
+    require(books.centroids.keys.map(_._2).max < 1024,
+      "code ids must fit the key stride")
+    (0 until books.m).map { j =>
+      val table: Map[Long, Long] = (for {
+        cell <- probed
+        c <- subspaceCodes(books, j)
+      } yield {
+        val cent = model.coarse(cell)
+        val qres = qq.indices.map(i =>
+          qq(i) - (if (i < cent.length) cent(i) else 0L))
+        val qs = qres.slice(j * books.subDim, (j + 1) * books.subDim)
+        (cell.toLong * 1024L + c) -> sqDist(qs, books.centroids((j, c)))
+      }).toMap
+      element_at(typedlit(table),
+        col("cell").cast("long") * 1024L + col(s"code_$j"))
+    }.reduce(_ + _)
+  }
+
+  /** Residual IVF+PQ search: probe = the nProbe cells nearest the
+    * query by exact integer L2 (cell-id tiebreak, driver-side over
+    * the nlist centroids); assign + residual-encode of the probed
+    * cells' residents is one narrow projection BEHIND the cell
+    * filter; per-cell ADC literal maps; TakeOrdered. Zero exchanges
+    * beyond the final top-n merge — and with the code table written
+    * bucketed by cell, the filter becomes disk partition pruning. */
+  def ivfpqResidualTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                        model: IvfPqModel, query: Seq[Double],
+                        nProbe: Int = 4, n: Int = 10): DataFrame = {
+    val qq: Seq[Long] = query.map(x => math.floor(x * 1000).toLong)
+    val probed: Seq[Int] = model.coarse.toSeq
+      .map { case (c, cent) => (c, sqDist(qq, cent)) }
+      .sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+    val q = corpus.select(col(idCol), KMeans.quantize(col(vecCol)).as("__q"))
+    val res = residualFrame(KMeans.assignTo(q, model.coarse), model.coarse)
+      .filter(col("cluster").isin(probed: _*))
+      .withColumnRenamed("cluster", "cell")
+    val codes = encodeQuantized(
+      res.select(col(idCol), col("cell"), col("__qf")),
+      idCol, model.books, keep = Seq("cell"))
+    codes.withColumn("adc_dist", adcResidualDistExpr(model, qq, probed))
+      .orderBy(col("adc_dist").asc, col(idCol).asc).limit(n)
+      .select(col(idCol), col("adc_dist"), col("cell"))
   }
 }

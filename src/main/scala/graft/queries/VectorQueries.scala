@@ -111,6 +111,21 @@ object VectorQueries {
       graft.operators.PQ.ivfpqTopK(emb, "vec_id", "embedding",
         centroids = emb.filter(col("vec_id") < 16), cidCol = "vec_id",
         books, query, nProbe = 4, n = 10)
+    }),
+
+    // residual IVF+PQ (the actual FAISS recipe): coarse quantizer =
+    // quantized integer k-means (nlist=16), PQ codebooks fit over
+    // v - centroid(cell), per-cell ADC lookup tables — still
+    // exact-oracled, because coarse fit, assignment, residual and
+    // ADC are exact integer milliunit arithmetic end to end
+    "knn_ivfpq_res" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.PQ.fitResidual(emb, "vec_id", "embedding",
+        dim = DIM, nlist = 16, m = PQ_M, k = PQ_K, steps = 2)
+      val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.operators.PQ.ivfpqResidualTopK(emb, "vec_id", "embedding",
+        model, query, nProbe = 4, n = 10)
     })
   )
 
@@ -196,12 +211,22 @@ object VectorQueries {
   // sliced milliunit vectors (DuckDB list slicing v[lo:hi] is 1-based
   // inclusive, matching Spark's slice(v, lo, len)); the final join
   // stitches the m codes and sums the per-subspace min distances.
-  private def pqEncodeCtes: String = {
+  private def pqEncodeCtes: String = pqEncodeCtesOver(
+    """q AS (SELECT vec_id,
+      |             list_transform(CAST(embedding AS DOUBLE[]),
+      |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      |           FROM embeddings)""".stripMargin)
+
+  // the same per-subspace chains over ANY base CTE list whose final
+  // table (`base`, default q) has (vec_id, v BIGINT[]) — raw-vector
+  // and residual replays share it. ppos (not pos) to avoid colliding
+  // with kmeansBody's pos when both appear in one WITH.
+  private def pqEncodeCtesOver(qCte: String, base: String = "q"): String = {
     val sub = pqSub
     val chains = (0 until PQ_M).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
-      s"""q$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
+      s"""q$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM $base),
          |c0_$j AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
          |         AS c, v
          |       FROM (SELECT vec_id, v FROM q$j ORDER BY vec_id LIMIT $PQ_K)),
@@ -213,11 +238,11 @@ object VectorQueries {
          |         SELECT vec_id, c,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
          |         FROM d1_$j) WHERE rn = 1),
-         |m_$j AS (SELECT a1_$j.cluster, pos.i,
-         |        CAST(floor(CAST(sum(q$j.v[pos.i]) AS DOUBLE) / count(*)) AS BIGINT)
+         |m_$j AS (SELECT a1_$j.cluster, ppos.i,
+         |        CAST(floor(CAST(sum(q$j.v[ppos.i]) AS DOUBLE) / count(*)) AS BIGINT)
          |          AS m
-         |      FROM a1_$j JOIN q$j USING (vec_id) CROSS JOIN pos
-         |      GROUP BY a1_$j.cluster, pos.i),
+         |      FROM a1_$j JOIN q$j USING (vec_id) CROSS JOIN ppos
+         |      GROUP BY a1_$j.cluster, ppos.i),
          |c1_$j AS (SELECT cluster AS c, list(m ORDER BY i) AS v FROM m_$j
          |       GROUP BY cluster),
          |d2_$j AS (SELECT q$j.vec_id, c1_$j.c,
@@ -229,11 +254,8 @@ object VectorQueries {
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
          |         FROM d2_$j) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""q AS (SELECT vec_id,
-       |             list_transform(CAST(embedding AS DOUBLE[]),
-       |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
-       |           FROM embeddings),
-       |pos AS (SELECT unnest(range(1, ${sub + 1})) AS i),
+    s"""$qCte,
+       |ppos AS (SELECT unnest(range(1, ${sub + 1})) AS i),
        |$chains""".stripMargin
   }
 
@@ -281,11 +303,65 @@ object VectorQueries {
        |WHERE asg.cid IN (SELECT cid FROM probe)
        |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
 
+  // Residual IVF+PQ replay: cell assignment + quantized centroids
+  // (asg/qc) define the residual base table q = milliunit(v) -
+  // milliunit(centroid(cell)); the SAME per-subspace chains fit and
+  // code the residuals; the query's LUT is per probed CELL (its
+  // residual differs per cell), joined on (cell, code).
+  // Residual IVF+PQ replay: the coarse quantizer is kmeansBody(16)
+  // — integer milliunit k-means, init = 16 smallest ids, one update,
+  // second assign (a2 = cells, c1 = integer centroids). The residual
+  // base qr = q.v - c1(cell), fed to the SAME per-subspace PQ chains
+  // (base = qr); the probe is exact integer L2 to the c1 centroids
+  // (cell-id tiebreak); the query's LUT is per probed CELL, joined on
+  // (cell, code).
+  private def pqResidualOracle: String = {
+    val sub = pqSub
+    val resQ =
+      s"""${kmeansBody(16)},
+         |qr AS (SELECT q.vec_id, a2.cluster AS cell,
+         |        list_transform(range(1, ${DIM + 1}),
+         |          i -> q.v[i] - c1.v[i]) AS v
+         |      FROM q JOIN a2 USING (vec_id) JOIN c1 ON c1.c = a2.cluster)""".stripMargin
+    val rluts = (0 until PQ_M).map { j =>
+      val off = j * sub
+      s"""rlut_$j AS (SELECT qres.cell, c1_$j.c,
+         |         CAST(list_sum(list_transform(range(1, ${sub + 1}),
+         |           i -> (qres.v[$off + i] - c1_$j.v[i]) *
+         |                (qres.v[$off + i] - c1_$j.v[i]))) AS BIGINT) AS d
+         |       FROM c1_$j CROSS JOIN qres)""".stripMargin
+    }.mkString(",\n")
+    val rJoins = (0 until PQ_M).map(j =>
+      s"JOIN rlut_$j ON rlut_$j.cell = qr.cell AND rlut_$j.c = code_$j")
+      .mkString(" ")
+    val rSum = (0 until PQ_M).map(j => s"rlut_$j.d").mkString(" + ")
+    s"""WITH ${pqEncodeCtesOver(resQ, base = "qr")},
+       |qv0 AS (SELECT v FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       |pd AS (SELECT c1.c,
+       |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+       |           i -> (qv0.v[i] - c1.v[i]) * (qv0.v[i] - c1.v[i]))) AS BIGINT) AS d
+       |       FROM c1 CROSS JOIN qv0),
+       |probe AS (SELECT c FROM (
+       |    SELECT c, row_number() OVER (ORDER BY d, c) AS rn FROM pd)
+       |    WHERE rn <= 4),
+       |qres AS (SELECT c1.c AS cell,
+       |           list_transform(range(1, ${DIM + 1}),
+       |             i -> qv0.v[i] - c1.v[i]) AS v
+       |         FROM c1 CROSS JOIN qv0
+       |         WHERE c1.c IN (SELECT c FROM probe)),
+       |$rluts
+       |SELECT qr.vec_id, CAST($rSum AS BIGINT) AS adc_dist, qr.cell AS cell
+       |FROM qr $pqCodeJoins $rJoins
+       |WHERE qr.cell IN (SELECT c FROM probe)
+       |ORDER BY adc_dist, qr.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracle,
     "q_pq" -> pqOracle,
     "knn_pq_adc" -> pqAdcOracle,
     "knn_ivfpq" -> pqIvfpqOracle,
+    "knn_ivfpq_res" -> pqResidualOracle,
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings WHERE vec_id < 8),
@@ -354,14 +430,20 @@ object VectorQueries {
   // again (d2/a2). Every value is an exact integer or one IEEE
   // double divide of two exact integers — hash-identical across
   // engines. KMeans.fit with k=8, steps=2 is the Spark twin.
-  private def kmeansCtes: String =
-    s"""WITH q AS (SELECT vec_id,
+  private def kmeansCtes: String = "WITH " + kmeansBody(8)
+
+  /** The kmeans replay CTE list (no WITH prefix), parameterized by
+    * k: q (milliunit vectors), c0 (init = k smallest ids), d1/a1
+    * (first assign), pos/m/c1 (centroid update), d2/a2 (second
+    * assign). */
+  private def kmeansBody(k: Int): String =
+    s"""q AS (SELECT vec_id,
        |             list_transform(CAST(embedding AS DOUBLE[]),
        |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
        |           FROM embeddings),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
        |         AS c, v
-       |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+       |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
        |d1 AS (SELECT q.vec_id, c0.c,
        |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
        |           i -> (q.v[i] - c0.v[i]) * (q.v[i] - c0.v[i]))) AS BIGINT) AS d

@@ -184,6 +184,51 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("residual PQ: smaller total quantization error than raw") {
+    // the Jégou §V claim in its exact-integer form: the coarse
+    // k-means centroids explain between-cell variance first (law of
+    // total variance), so the same m*k codebook budget quantizes a
+    // smaller residual spread
+    val model = PQ.fitResidual(embeddings, "vec_id", "embedding",
+      DIM, nlist = 16, m = M, k = K)
+    val resErr = PQ.encodeResidual(embeddings, "vec_id", "embedding", model)
+      .agg(sum("pq_err")).head.getLong(0)
+    val rawErr = PQ.encode(embeddings, "vec_id", "embedding", books)
+      .agg(sum("pq_err")).head.getLong(0)
+    assert(resErr < rawErr, s"residual err $resErr !< raw err $rawErr")
+  }
+
+  test("residual IVF+PQ: recall@10 vs exact quantized L2 wins or ties raw") {
+    val model = PQ.fitResidual(embeddings, "vec_id", "embedding",
+      DIM, nlist = 16, m = M, k = K)
+    val centroids = embeddings.filter(col("vec_id") < 16)
+    val q = quantized
+    val queries = embeddings.orderBy(col("vec_id")).limit(8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+    def groundTruth(qv: Seq[Double]): Set[Long] = {
+      val qq = qv.map(x => math.floor(x * 1000).toLong)
+      q.toSeq.map { case (id, v) =>
+        id -> qq.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }
+    // full probe (nProbe = 16) isolates ENCODING quality from probe
+    // selection: both variants score every vector, so recall differs
+    // only through the codes
+    def recall(topk: Array[org.apache.spark.sql.Row], gt: Set[Long]): Double =
+      topk.map(_.getLong(0)).count(gt.contains).toDouble / gt.size
+    val (resR, rawR) = queries.map { case (_, qv) =>
+      val gt = groundTruth(qv)
+      val res = recall(PQ.ivfpqResidualTopK(embeddings, "vec_id", "embedding",
+        model, qv, nProbe = 16, n = 10).collect(), gt)
+      val raw = recall(PQ.ivfpqTopK(embeddings, "vec_id", "embedding",
+        centroids, "vec_id", books, qv, nProbe = 16, n = 10).collect(), gt)
+      (res, raw)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(resR >= rawR,
+      s"mean recall@10 residual ${resR / 8} < raw ${rawR / 8}")
+  }
+
   test("compression: codes fit in a byte each at k<=256") {
     assert(codes.forall(r => (0 until M).forall { j =>
       val c = r.getInt(1 + j); c >= 0 && c < K
