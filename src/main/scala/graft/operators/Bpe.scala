@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich et al. 2016): iterate the
+  * pair-count step to a merge list. Textbook scale shape — all work
+  * runs on the word-FREQUENCY table (vocabulary << corpus tokens),
+  * exactly like the reference pair-count query `q_bpe_step`:
+  *
+  *   - pair counts: one map-combined aggregation on (l, r) per
+  *     round, weighted by word frequency — the only shuffle, and it
+  *     carries counts over the vocabulary, not the corpus;
+  *   - top pair: TakeOrderedAndProject(1) with a deterministic
+  *     (count desc, pair asc) tiebreak;
+  *   - merge application: a narrow per-word fold — no shuffle;
+  *   - the growing merge list lives on the driver (it IS the model,
+  *     like k-means centroids: vocabSize rows, never data).
+  *
+  * Each round persists its rewritten symbol table and unpersists the
+  * previous one, so lineage stays one fold deep and the block
+  * manager holds exactly one copy — the same iterative-operator
+  * discipline as connected components.
+  */
+object Bpe {
+
+  /** One greedy left-to-right application of merge (l, r): fold the
+    * symbol array, fusing an (l, r) adjacency into l+r. A token
+    * merged in this pass never re-merges as the LEFT of another
+    * fusion (l+r != l since r is non-empty), which makes the fold
+    * equal to the standard single-pass greedy scan. try_element_at
+    * returns null on the empty accumulator (never matches l). */
+  private[operators] def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Initial symbol column: the word's characters (split("") can
+    * emit empty edge tokens; they are filtered, not symbols). */
+  private[operators] def charSymbols(word: Column): Column =
+    filter(split(word, ""), x => x =!= "")
+
+  /** Train `nMerges` BPE merges over a word-frequency table
+    * (wordCol, freqCol). Returns the merge list
+    * (rank, lhs, rhs, cnt) — rank 1 is the first merge learned.
+    * Stops early when no adjacent pair remains. */
+  def train(wordFreq: DataFrame, wordCol: String, freqCol: String,
+            nMerges: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var cur = wordFreq.select(col(freqCol).cast("long").as("__f"),
+      charSymbols(col(wordCol)).as("__s")).persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = cur.filter(size(col("__s")) >= 2)
+        .select(col("__f"),
+          explode(transform(sequence(lit(1), size(col("__s")) - 1),
+            i => struct(element_at(col("__s"), i).as("l"),
+              element_at(col("__s"), i + 1).as("r")))).as("__p"))
+        .groupBy(col("__p").getField("l").as("l"),
+          col("__p").getField("r").as("r"))
+        .agg(sum(col("__f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank, l, r, c))
+        val next = cur.select(col("__f"),
+          applyMerge(col("__s"), l, r).as("__s")).persist()
+        next.count() // materialize before dropping the parent's cache
+        cur.unpersist()
+        cur = next
+        rank += 1
+      }
+    }
+    cur.unpersist()
+    merges.result().toDF("rank", "lhs", "rhs", "cnt")
+  }
+}

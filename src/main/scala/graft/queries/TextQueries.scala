@@ -256,6 +256,17 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(20)),
 
+    // BPE tokenizer training: iterate the pair-count step with
+    // greedy rank-1 merges applied to the word-frequency table until
+    // 8 merges — completes the tokenizer-training story q_bpe_step
+    // started. All rounds run over the vocabulary, not the corpus.
+    "q_bpe_train" -> ((s, dir) => {
+      val wf = Tables(s, dir, "documents")
+        .select(explode(words(col("text"))).as("__wd"))
+        .groupBy(col("__wd")).agg(count(lit(1)).as("__wc"))
+      graft.operators.Bpe.train(wf, "__wd", "__wc", nMerges = 8)
+    }),
+
     // C4 line-level cleaning (LineFilter): the shipped documents
     // carry no newlines, so a 5-line synthetic doc is built
     // deterministically in both engines (text_pii's pattern) — two
@@ -290,7 +301,52 @@ object TextQueries {
             .as("postings_hash")))
   )
 
+  // q_bpe_train replay: V unrolled rounds. Each round counts
+  // adjacent symbol pairs over the word-frequency table (parallel
+  // unnest of the shifted slices zips positionally), takes the
+  // (cnt desc, l, r) top-1, and applies it greedily via a RECURSIVE
+  // first-occurrence rewrite on the space-delimited symbol string:
+  // each rewrite deletes exactly one space, so per word the shortest
+  // version is the fixpoint — and replace-first-until-none equals the
+  // single-pass greedy fold because a fused token (l||r, r non-empty)
+  // can never complete a ' l r ' pattern to its left.
+  private def bpeTrainOracle(v: Int): String = {
+    val steps = (0 until v).map { t =>
+      s"""w$t AS (SELECT f, string_split(trim(w), ' ') AS t FROM s$t),
+         |p$t AS (SELECT f, unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+         |      FROM w$t WHERE len(t) >= 2),
+         |c$t AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS cnt FROM p$t GROUP BY l, r),
+         |b$t AS MATERIALIZED (SELECT l, r, cnt FROM c$t ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |r$t AS (
+         |  SELECT wd, f, w FROM s$t
+         |  UNION ALL
+         |  SELECT wd, f,
+         |    substr(w, 1, pos - 1) || ' ' || ml || mr || ' ' ||
+         |      substr(w, pos + length(' ' || ml || ' ' || mr || ' '))
+         |  FROM (SELECT wd, f, w,
+         |          position((SELECT ' ' || l || ' ' || r || ' ' FROM b$t) IN w) AS pos,
+         |          (SELECT l FROM b$t) AS ml, (SELECT r FROM b$t) AS mr
+         |        FROM r$t) rr WHERE pos > 0),
+         |s${t + 1} AS MATERIALIZED (SELECT wd, f, w FROM (
+         |    SELECT wd, f, w,
+         |      row_number() OVER (PARTITION BY wd ORDER BY length(w)) AS rn
+         |    FROM r$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until v).map(t =>
+      s"SELECT CAST(${t + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE wf AS MATERIALIZED (
+       |  SELECT wd, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wd
+       |    FROM documents) GROUP BY wd),
+       |s0 AS MATERIALIZED (SELECT wd, f,
+       |         ' ' || regexp_replace(wd, '(.)', '\\1 ', 'g') AS w FROM wf),
+       |$steps
+       |$unions""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle(8),
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
