@@ -30,10 +30,42 @@ import graft.functions.TextFunctions.words
   * DuckDB oracle for it.
   */
 final case class Curation private (private val df: DataFrame,
-                                   idCol: String) {
+                                   idCol: String,
+                                   private val instrument: Boolean,
+                                   metrics: Seq[(String, Long)]) {
 
   /** Current surviving documents: (idCol, wc, __w word array). */
   def docs: DataFrame = df
+
+  /** Switch on per-stage observability: every subsequent stage
+    * materializes its survivors (localCheckpoint) with an
+    * [[org.apache.spark.sql.Observation]] riding the SAME job — the
+    * rows-in/rows-out monitoring surface a production curation run
+    * needs, with zero extra scans (the Dedup components pattern).
+    * The checkpoint is also what makes the counts safe: the carried
+    * frame feeds several join branches downstream (dedup pairs +
+    * join-back), and an un-checkpointed observe node duplicated
+    * across branches would be rejected by the analyzer. Costs one
+    * materialization per stage — the trade a monitored production
+    * pipeline makes anyway (each stage is its restart point).
+    * Records the current survivor count as stage "input". */
+  def instrumented(): Curation =
+    copy(instrument = true).stage("input", df)
+
+  /** Ordered (stage -> surviving rows) pairs; rows-in of stage N is
+    * rows-out of stage N-1. Empty unless [[instrumented]]. */
+  def stageMetrics: Seq[(String, Long)] = metrics
+
+  private def stage(name: String, out: DataFrame): Curation =
+    if (!instrument) copy(df = out)
+    else {
+      val o = org.apache.spark.sql.Observation()
+      val observed = out
+        .observe(o, count(lit(1)).as("rows_out"))
+        .localCheckpoint() // eager: the observation fires on this job
+      copy(df = observed,
+        metrics = metrics :+ (name -> o.get("rows_out").asInstanceOf[Long]))
+    }
 
   /** C4/Gopher-style document-level rules on the pre-projected
     * stats: word-count bounds, chars-per-word, lexical diversity. */
@@ -43,8 +75,9 @@ final case class Curation private (private val df: DataFrame,
       .cast("long")
     val divE4 = floor(col("dw").cast("double") / col("wc") * 10000)
       .cast("long")
-    copy(df = df.filter(col("wc") >= minWords && col("wc") <= maxWords &&
-      cpwE4 <= maxCpwE4 && divE4 >= minDivE4))
+    stage("quality_filter",
+      df.filter(col("wc") >= minWords && col("wc") <= maxWords &&
+        cpwE4 <= maxCpwE4 && divE4 >= minDivE4))
   }
 
   /** Near-duplicate removal: winnow-Jaccard candidate pairs over the
@@ -53,10 +86,11 @@ final case class Curation private (private val df: DataFrame,
                 minJaccard: Double = 0.3): Curation = {
     val pairs = Dedup.winnowJaccardPairsOfWords(
       df, idCol, "__w", shingleLen, window, minJaccard)
-    copy(df = Dedup.connectedComponents(pairs, df, idCol)
-      .filter(col("id") === col("component"))
-      .select(col("id").as(idCol))
-      .join(df, idCol))
+    stage("near_dedup",
+      Dedup.connectedComponents(pairs, df, idCol)
+        .filter(col("id") === col("component"))
+        .select(col("id").as(idCol))
+        .join(df, idCol))
   }
 
   /** Drop documents sharing any word n-gram with the eval holdout
@@ -67,11 +101,12 @@ final case class Curation private (private val df: DataFrame,
     // build side so the corpus never shuffles on id
     val evalIds = broadcast(eval.select(col(idCol)))
     val train = df.join(evalIds, Seq(idCol), "left_anti")
-    copy(df = Decontaminate.overlapReportOfWords(
-        train, eval, idCol, "__w", n)
-      .filter(col("contaminated") === 0)
-      .select(col(idCol))
-      .join(train, idCol))
+    stage("decontaminate",
+      Decontaminate.overlapReportOfWords(
+          train, eval, idCol, "__w", n)
+        .filter(col("contaminated") === 0)
+        .select(col(idCol))
+        .join(train, idCol))
   }
 
   /** Per-shard training-sequence statistics for the surviving docs:
@@ -108,6 +143,6 @@ object Curation {
         .select(col(idCol), col("n_chars"), col("__w"),
           size(col("__w")).cast("long").as("wc"),
           size(array_distinct(col("__w"))).cast("long").as("dw")),
-      idCol)
+      idCol, instrument = false, metrics = Nil)
   }
 }

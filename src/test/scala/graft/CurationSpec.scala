@@ -53,6 +53,38 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("instrumented pipeline reports per-stage survivor counts") {
+    val a = doc(80, 50)
+    val nearA = a.split(" ").toSeq.updated(40, "zzz").mkString(" ")
+    val evalText = doc(70, 60)
+    val leaked = doc(35, 61) + " " + evalText.split(" ").take(10).mkString(" ")
+    val docs = Seq(
+      (1L, doc(60, 51)),  // survives everything
+      (2L, doc(5, 52)),   // quality: too short
+      (10L, a),           // near-dup group survivor
+      (11L, nearA),       // near-dup: dropped
+      (20L, leaked),      // decontaminate: dropped
+      (97L, evalText)     // holdout member: excluded
+    ).toDF("doc_id", "text")
+    val cur = Curation(docs, "doc_id", "text")
+    val eval = cur.docs.filter(col("doc_id") === 97L)
+    val done = cur.instrumented()
+      .qualityFilter().nearDedup().decontaminate(eval)
+    // metrics ride the stage-materializing jobs (Observation +
+    // localCheckpoint); rows-in of stage N = rows-out of stage N-1
+    assert(done.stageMetrics == Seq(
+      "input" -> 6L,          // all docs
+      "quality_filter" -> 5L, // doc 2 dropped
+      "near_dedup" -> 4L,     // doc 11 dropped
+      "decontaminate" -> 2L)) // holdout 97 + leaked 20 dropped
+    assert(done.docs.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+    // uninstrumented: no metrics, identical survivors
+    val plain = Curation(docs, "doc_id", "text")
+      .qualityFilter().nearDedup().decontaminate(eval)
+    assert(plain.stageMetrics.isEmpty)
+    assert(plain.docs.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+  }
+
   test("chunkStats totals equal the explode-form chunking") {
     val docs = (0 until 20).map(i => (i.toLong, doc(30 + i * 13, i)))
       .toDF("doc_id", "text")
