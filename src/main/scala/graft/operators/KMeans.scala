@@ -47,30 +47,66 @@ object KMeans {
     math.min(maxK.toLong, math.max(2L, k)).toInt
   }
 
-  /** Squared L2 distance to each centroid (exact integer), expanded
-    * as |v|^2 - 2 v.c + |c|^2 so the per-centroid work is one
-    * codegen'd [[graft.plans.DotProductLong]] kernel instead of an
-    * interpreted zip_with fold — |v|^2 is computed once per row and
-    * |c|^2 folds to a literal on the driver. Identical integer
-    * result. */
-  private[operators] def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]]): DataFrame = {
+  /** Squared L2 distance to each centroid (exact integer). Two
+    * physically different, arithmetically identical forms:
+    *
+    *  - k <= exprMax: per-centroid expressions expanded as
+    *    |v|^2 - 2 v.c + |c|^2, each one codegen'd
+    *    [[graft.plans.DotProductLong]] kernel against centroid
+    *    literals — |v|^2 once per row, |c|^2 folded on the driver.
+    *    The oracle-replayable form.
+    *  - k > exprMax: ONE kernel udf against the broadcast centroid
+    *    matrix. Thousands of per-centroid expression branches would
+    *    blow generated-method size past codegen limits (autoK at
+    *    n = 10^5..10^9 wants k in the thousands-to-millions), while
+    *    the matrix stays a few MB broadcast. Same integer sums, same
+    *    smallest-id tiebreak (ids scanned sorted, strict <), so
+    *    results are bit-identical — pinned by KMeansSpec.
+    */
+  private[graft] def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]],
+                              exprMax: Int = 256): DataFrame = {
     import graft.plans.VectorExpressions.dotLong
     val ids = centroids.keys.toSeq.sorted
-    val q = q0.withColumn("__vn", dotLong(col("__q"), col("__q")))
-    val dists = array(ids.map { i =>
-      val c = centroids(i)
-      col("__vn") - lit(2L) * dotLong(col("__q"), typedlit(c)) +
-        lit(c.map(x => x * x).sum)
-    }: _*)
-    // ties assign to the smallest surviving cluster id:
-    // array_position takes the FIRST index of the minimum and `ids`
-    // is sorted, which is what the oracle's ORDER BY d, c replays
-    q.withColumn("__d", dists)
-      .withColumn("dist", array_min(col("__d")))
-      .withColumn("cluster",
-        element_at(typedlit(ids),
-          array_position(col("__d"), array_min(col("__d"))).cast("int")))
-      .drop("__d", "__vn")
+    if (ids.length <= exprMax) {
+      val q = q0.withColumn("__vn", dotLong(col("__q"), col("__q")))
+      val dists = array(ids.map { i =>
+        val c = centroids(i)
+        col("__vn") - lit(2L) * dotLong(col("__q"), typedlit(c)) +
+          lit(c.map(x => x * x).sum)
+      }: _*)
+      // ties assign to the smallest surviving cluster id:
+      // array_position takes the FIRST index of the minimum and `ids`
+      // is sorted, which is what the oracle's ORDER BY d, c replays
+      q.withColumn("__d", dists)
+        .withColumn("dist", array_min(col("__d")))
+        .withColumn("cluster",
+          element_at(typedlit(ids),
+            array_position(col("__d"), array_min(col("__d"))).cast("int")))
+        .drop("__d", "__vn")
+    } else {
+      val bc = q0.sparkSession.sparkContext.broadcast(
+        ids.map(i => (i, centroids(i).toArray)).toArray)
+      val assign = udf { (v: Seq[Long]) =>
+        val cs = bc.value
+        var bestC = -1
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val cent = cs(i)._2
+          var d = 0L
+          var j = 0
+          val n = math.min(v.length, cent.length)
+          while (j < n) { val t = v(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; bestC = cs(i)._1 }
+          i += 1
+        }
+        (bestC, bestD)
+      }
+      q0.withColumn("__a", assign(col("__q")))
+        .withColumn("cluster", col("__a").getField("_1"))
+        .withColumn("dist", col("__a").getField("_2"))
+        .drop("__a")
+    }
   }
 
   /** New centroid per surviving cluster: componentwise

@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   *     i.e. genuine corpus growth. Outputs and runtime should both
   *     grow ~linearly; a superlinear runtime here flags a real
   *     scale bug.
+  *   - mode `vocab`: every word of copy c > 0 is suffixed with a
+  *     copy marker, so the copies have DISJOINT vocabularies and the
+  *     total vocabulary grows linearly with the corpus — the
+  *     realistic-text regime for the gram/term operators. The sf0.1
+  *     corpus draws ~30 distinct words, so under `fresh` the eval
+  *     holdout's 3-gram set saturates at large R and decontamination
+  *     flags everything (a data artifact, SCALE.md round 5); under
+  *     `vocab` the holdout grams stay sparse relative to the corpus,
+  *     like real text. Within-copy duplicate/holdout structure is
+  *     preserved exactly (one deterministic rewrite per copy).
+  *     Embeddings rotate as in `fresh`.
   *
   * Usage: runMain graft.tools.ScaleProbe <R> [mode] [srcDir] [workDir]
   * Emits one JSON line per query with seconds at replication R, plus
@@ -72,7 +83,7 @@ object ScaleProbe {
       new String(Files.readAllBytes(marker), "UTF-8").trim == expected
     if (!complete) {
       if (Files.isDirectory(Paths.get(dest))) deleteTree(dest)
-      replicate(spark, src, dest, r, fresh = mode == "fresh")
+      replicate(spark, src, dest, r, mode)
       Files.write(marker, (expected + "\n").getBytes("UTF-8"))
     }
 
@@ -133,8 +144,9 @@ object ScaleProbe {
     */
   private[tools] def replicate(spark: SparkSession, src: String,
                                dest: String, r: Int,
-                               fresh: Boolean): Unit = {
+                               mode: String): Unit = {
     import spark.implicits._
+    val fresh = mode != "dup" // vocab rewrites embeddings like fresh
     val KEYSPAN = 100000000L
     Files.createDirectories(Paths.get(dest))
 
@@ -160,7 +172,15 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docText =
-      if (!fresh) col("text")
+      if (mode == "vocab")
+        // disjoint vocabulary per copy: suffix every word with the
+        // copy marker — total vocabulary grows linearly with the
+        // corpus while within-copy structure is untouched
+        when(col("copy_n") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), "\\s+"), wd =>
+              concat(wd, lit("x"), col("copy_n").cast("string")))))
+      else if (!fresh) col("text")
       else
         // every 5th word becomes a copy-specific token: ~60% of the
         // 3-word shingles change, so cross-copy Jaccard drops below

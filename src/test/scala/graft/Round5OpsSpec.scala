@@ -40,6 +40,23 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("kernel-form assignment (k > exprMax) is bit-identical to expressions") {
+    // autoK at production n wants thousands of clusters; past exprMax
+    // the per-centroid expression array gives way to one broadcast-
+    // matrix kernel udf. Same integer sums, same smallest-id
+    // tiebreak — both paths forced here over the same centroids.
+    val q = embeddings.select(col("vec_id"),
+      KMeans.quantize(col("embedding")).as("__q"))
+    val cents = q.orderBy(col("vec_id")).limit(12).collect()
+      .map(_.getSeq[Long](1).toSeq).zipWithIndex
+      .map { case (v, i) => i -> v }.toMap
+    def rows(exprMax: Int) =
+      KMeans.assignTo(q, cents, exprMax)
+        .select("vec_id", "cluster", "dist").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows(exprMax = 100) == rows(exprMax = 1))
+  }
+
   test("semantic near-dup pairs are a subset of exact near-dup pairs") {
     // superset computed at a slightly LOWER threshold: milliunit
     // quantization shifts a cosine by O(1e-3), so a 0.42 semantic
