@@ -77,7 +77,8 @@ object Bench {
       "dedup_jaccard_capped", "dedup_embedding_lsh", "knn_cosine", "knn_lsh",
       "knn_ivf", "pbd_source", "flatten_roundtrip", "q_kmeans",
       "dedup_semantic", "text_decontaminate", "q_pq", "knn_pq_adc",
-      "knn_ivfpq", "q_curate_e2e")
+      "knn_ivfpq", "q_curate_e2e", "knn_ivfpq_res",
+      "dedup_embedding_lsh_auto", "dedup_semantic_auto", "q_bpe_train")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

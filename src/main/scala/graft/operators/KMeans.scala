@@ -87,6 +87,13 @@ object KMeans {
       val bc = q0.sparkSession.sparkContext.broadcast(
         ids.map(i => (i, centroids(i).toArray)).toArray)
       val assign = udf { (v: Seq[Long]) =>
+        // unbox ONCE per row: the quantized array arrives as a boxed
+        // Seq (nullable element type), and indexing it inside the
+        // k*dim loop costs an unboxing per access — measured 6x on
+        // the whole assignment at k~2300
+        val vv = new Array[Long](v.length)
+        var t = 0
+        while (t < vv.length) { vv(t) = v(t); t += 1 }
         val cs = bc.value
         var bestC = -1
         var bestD = Long.MaxValue
@@ -95,8 +102,8 @@ object KMeans {
           val cent = cs(i)._2
           var d = 0L
           var j = 0
-          val n = math.min(v.length, cent.length)
-          while (j < n) { val t = v(j) - cent(j); d += t * t; j += 1 }
+          val n = math.min(vv.length, cent.length)
+          while (j < n) { val dt = vv(j) - cent(j); d += dt * dt; j += 1 }
           if (d < bestD) { bestD = d; bestC = cs(i)._1 }
           i += 1
         }

@@ -121,6 +121,9 @@ object ScaleProbe {
           (System.nanoTime() - t0) / 1e9
         }
         val med = times.sorted.apply(1)
+        // incremental progress on stderr: a long probe shows which
+        // query it is on, and a killed run still leaves its numbers
+        System.err.println(f"[scale] $name r$r$mode $med%.3f s rows=$rows")
         (name, med, rows)
       }
     }
