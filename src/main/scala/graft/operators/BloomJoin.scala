@@ -55,7 +55,9 @@ object BloomJoin {
   def join(probe: DataFrame, build: DataFrame,
            probeKey: String, buildKey: String,
            fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
-    val b = build.persist()
+    // single-slot: repeated invocations (bench trials) unpersist the
+    // previous call's build-side cache instead of stacking copies
+    val b = PersistSlots.swap("bloomjoin.build", build)
     val bloom = buildFilter(b, buildKey, fpp, expectedItems)
     filterProbe(probe, probeKey, bloom)
       .join(b, col(probeKey) === col(buildKey))
