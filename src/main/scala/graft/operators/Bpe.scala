@@ -81,4 +81,21 @@ object Bpe {
     cur.unpersist()
     merges.result().toDF("rank", "lhs", "rhs", "cnt")
   }
+
+  /** Tokenize a word table with a TRAINED merge list: start from
+    * characters and apply each merge greedily in rank order — the
+    * encode half of the tokenizer (what `train` learns, this
+    * applies). Returns (wordCol, syms array<string>). The fold runs
+    * per DISTINCT word, so corpus tokenization is this narrow
+    * vocabulary-table projection plus one equi-join of corpus tokens
+    * to it on the word (broadcastable while the vocabulary fits,
+    * shuffle join beyond — either way the expensive per-word fold
+    * runs |vocab| times, not |corpus| times). */
+  def segmentWords(words: DataFrame, wordCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      words.select(col(wordCol), charSymbols(col(wordCol)).as("syms"))) {
+      (acc, m) =>
+        acc.select(col(wordCol), applyMerge(col("syms"), m._1, m._2).as("syms"))
+    }
 }

@@ -267,6 +267,27 @@ object TextQueries {
       graft.operators.Bpe.train(wf, "__wd", "__wc", nMerges = 8)
     }),
 
+    // BPE encode with the trained merges: tokenize the corpus by
+    // applying the rank-ordered merge list — the per-word fold runs
+    // over the VOCABULARY (distinct words), corpus tokens just
+    // equi-join to it. Per-doc BPE token counts come out.
+    "q_bpe_encode" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("__wd"))
+      val wf = toks.groupBy(col("__wd")).agg(count(lit(1)).as("__wc"))
+      val merges = graft.operators.Bpe.train(wf, "__wd", "__wc", nMerges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = graft.operators.Bpe
+        .segmentWords(wf.select(col("__wd")), "__wd", merges)
+        .select(col("__wd"), size(col("syms")).cast("long").as("__n"))
+      toks.filter(length(col("__wd")) >= 1)
+        .join(seg, "__wd")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__n")).as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+    }),
+
     // C4 line-level cleaning (LineFilter): the shipped documents
     // carry no newlines, so a 5-line synthetic doc is built
     // deterministically in both engines (text_pii's pattern) — two
@@ -310,7 +331,7 @@ object TextQueries {
   // version is the fixpoint — and replace-first-until-none equals the
   // single-pass greedy fold because a fused token (l||r, r non-empty)
   // can never complete a ' l r ' pattern to its left.
-  private def bpeTrainOracle(v: Int): String = {
+  private def bpeChainCtes(v: Int): String = {
     val steps = (0 until v).map { t =>
       s"""w$t AS (SELECT f, string_split(trim(w), ' ') AS t FROM s$t),
          |p$t AS (SELECT f, unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
@@ -332,21 +353,43 @@ object TextQueries {
          |      row_number() OVER (PARTITION BY wd ORDER BY length(w)) AS rn
          |    FROM r$t) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val unions = (0 until v).map(t =>
-      s"SELECT CAST(${t + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, cnt FROM b$t")
-      .mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
        |  SELECT wd, CAST(count(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wd
        |    FROM documents) GROUP BY wd),
        |s0 AS MATERIALIZED (SELECT wd, f,
        |         ' ' || regexp_replace(wd, '(.)', '\\1 ', 'g') AS w FROM wf),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def bpeTrainOracle(v: Int): String = {
+    val unions = (0 until v).map(t =>
+      s"SELECT CAST(${t + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${bpeChainCtes(v)}
        |$unions""".stripMargin
   }
 
+  // encode replay: the same trained chain, final symbol table s$v,
+  // corpus tokens joined to per-word token counts
+  private def bpeEncodeOracle(v: Int): String =
+    s"""WITH RECURSIVE ${bpeChainCtes(v)},
+       |toks AS (SELECT doc_id,
+       |           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wd
+       |         FROM documents),
+       |seg AS (SELECT wd,
+       |          CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n
+       |        FROM s$v)
+       |SELECT doc_id,
+       |  CAST(sum(seg.n) AS BIGINT) AS n_bpe_tokens,
+       |  count(*) AS n_words
+       |FROM toks JOIN seg USING (wd)
+       |WHERE length(wd) >= 1
+       |GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,

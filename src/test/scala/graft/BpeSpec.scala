@@ -38,6 +38,21 @@ class BpeSpec extends SparkSpec {
     assert(merges.toSeq == Seq((1, "a", "a", 5L)))
   }
 
+  test("segmentWords applies trained merges in rank order") {
+    import spark.implicits._
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val merges = Bpe.train(wf, "word", "freq", nMerges = 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // after (e,s), (es,t), (l,o)
+    val seg = Bpe.segmentWords(wf.select("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(seg("newest") == Seq("n", "e", "w", "est"))
+    assert(seg("widest") == Seq("w", "i", "d", "est"))
+    assert(seg("low") == Seq("lo", "w"))
+    assert(seg("lower") == Seq("lo", "w", "e", "r"))
+  }
+
   test("early stop: single-char vocabulary yields no merges") {
     import spark.implicits._
     val wf = Seq(("a", 9L), ("b", 3L)).toDF("word", "freq")
