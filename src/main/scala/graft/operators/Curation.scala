@@ -32,7 +32,8 @@ import graft.functions.TextFunctions.words
 final case class Curation private (private val df: DataFrame,
                                    idCol: String,
                                    private val instrument: Boolean,
-                                   metrics: Seq[(String, Long)]) {
+                                   metrics: Seq[(String, Long)],
+                                   private val ckpts: Seq[org.apache.spark.rdd.RDD[_]]) {
 
   /** Current surviving documents: (idCol, wc, __w word array). */
   def docs: DataFrame = df
@@ -63,9 +64,26 @@ final case class Curation private (private val df: DataFrame,
       val observed = out
         .observe(o, count(lit(1)).as("rows_out"))
         .localCheckpoint() // eager: the observation fires on this job
+      // remember the checkpoint's cached RDD so release() can free it;
+      // it can't be unpersisted eagerly here — a localCheckpoint has
+      // no lineage, so a caller branching off an earlier builder value
+      // would fail, not recompute
+      val rdd = observed.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
       copy(df = observed,
-        metrics = metrics :+ (name -> o.get("rows_out").asInstanceOf[Long]))
+        metrics = metrics :+ (name -> o.get("rows_out").asInstanceOf[Long]),
+        ckpts = ckpts ++ rdd)
     }
+
+  /** Free the per-stage checkpoint blocks an [[instrumented]] chain
+    * accumulated (one MEMORY_AND_DISK RDD per stage). Call when done
+    * with the chain's frames: repeated monitored runs (bench trials,
+    * a production loop) would otherwise stack blocks until the driver
+    * GCs the references. After release(), `docs` of this and every
+    * ancestor builder value is invalid (checkpoints have no lineage
+    * to recompute from). No-op on uninstrumented chains. */
+  def release(): Unit = ckpts.foreach(_.unpersist(blocking = false))
 
   /** C4/Gopher-style document-level rules on the pre-projected
     * stats: word-count bounds, chars-per-word, lexical diversity. */
@@ -143,6 +161,6 @@ object Curation {
         .select(col(idCol), col("n_chars"), col("__w"),
           size(col("__w")).cast("long").as("wc"),
           size(array_distinct(col("__w"))).cast("long").as("dw")),
-      idCol, instrument = false, metrics = Nil)
+      idCol, instrument = false, metrics = Nil, ckpts = Nil)
   }
 }

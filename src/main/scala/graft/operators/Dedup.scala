@@ -335,8 +335,13 @@ object Dedup {
     * next jaccard invocation unpersists this copy instead of
     * stacking caches until session end.
     */
-  private def jaccardFromTokens(tokens: DataFrame, minJaccard: Double): DataFrame = {
-    val t = PersistSlots.swap("dedup.jaccardTokens", tokens)
+  private def jaccardFromTokens(tokens: DataFrame, minJaccard: Double,
+                                slot: String): DataFrame = {
+    // slot is per CALLING OPERATOR: winnow and the capped jaccard can
+    // appear in one composed pipeline before either is evaluated, and
+    // a shared slot would let the second swap evict the first's cache
+    // mid-build (silent 3x recompute of the shingle pipeline)
+    val t = PersistSlots.swap(slot, tokens)
     val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = t.select(col("id").as("id_a"), col("tok"))
       .join(t.select(col("id").as("id_b"), col("tok")), Seq("tok"))
@@ -380,7 +385,7 @@ object Dedup {
         .select(col("id"), shingleHashes48(col("__sh")).as("__hs"))
         .select(col("id"),
           explode(array_distinct(winnowedMins(col("__hs"), window))).as("tok")),
-      minJaccard)
+      minJaccard, "dedup.winnowTokens")
 
   /** Fuzzy near-dup pairs by Levenshtein distance over normalized
     * text prefixes, with length-bucket banding so candidates meet via
@@ -458,6 +463,6 @@ object Dedup {
         raw.withColumn("__df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
           .filter(col("__df") <= maxDocFreq).drop("__df")
-    jaccardFromTokens(capped, minJaccard)
+    jaccardFromTokens(capped, minJaccard, "dedup.ngramTokens")
   }
 }

@@ -79,14 +79,24 @@ object KMeans {
       // is sorted, which is what the oracle's ORDER BY d, c replays
       q.withColumn("__d", dists)
         .withColumn("dist", array_min(col("__d")))
+        // dist null (null input vector) -> cluster null too, matching
+        // the kernel path's null struct; unguarded, array_position
+        // over the all-null distance array resolves to position 1 and
+        // would emit cluster 0 with a null dist
         .withColumn("cluster",
-          element_at(typedlit(ids),
-            array_position(col("__d"), array_min(col("__d"))).cast("int")))
+          when(col("dist").isNotNull,
+            element_at(typedlit(ids),
+              array_position(col("__d"), array_min(col("__d"))).cast("int"))))
         .drop("__d", "__vn")
     } else {
       val bc = q0.sparkSession.sparkContext.broadcast(
         ids.map(i => (i, centroids(i).toArray)).toArray)
       val assign = udf { (v: Seq[Long]) =>
+        // null vector -> null struct, so cluster/dist come out null
+        // exactly as the expression form's null-propagating arithmetic
+        // does — the two paths must stay bit-identical on ALL inputs
+        if (v == null) null
+        else {
         // unbox ONCE per row: the quantized array arrives as a boxed
         // Seq (nullable element type), and indexing it inside the
         // k*dim loop costs an unboxing per access — measured 6x on
@@ -108,6 +118,7 @@ object KMeans {
           i += 1
         }
         (bestC, bestD)
+        }
       }
       q0.withColumn("__a", assign(col("__q")))
         .withColumn("cluster", col("__a").getField("_1"))
@@ -185,9 +196,14 @@ object KMeans {
                            nEstimate: Long = 0L): DataFrame = {
     // k = 0 selects the scaling discipline in code: autoK from the
     // corpus size (nEstimate if given, else one count() — a narrow
-    // scan, cheap next to the cluster-local self-join it right-sizes)
-    val kk = if (k > 0) k
-      else autoK(if (nEstimate > 0) nEstimate else df.count())
+    // scan, cheap next to the cluster-local self-join it right-sizes).
+    // An empty corpus short-circuits to an empty pair set: the frozen-k
+    // path returns empty there too, and autoK requires n > 0.
+    val n = if (k > 0) -1L else if (nEstimate > 0) nEstimate else df.count()
+    if (k <= 0 && n == 0)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0).as("cluster")).limit(0)
+    val kk = if (k > 0) k else autoK(n)
     // persisted, single-slot (PersistSlots): the self-join reads this
     // frame as BOTH sides, and the assignment chain (scan + quantize
     // + k codegen'd distance kernels per row) would otherwise run

@@ -200,9 +200,14 @@ object Similarity {
                                minCosine: Double, dim: Int = 64,
                                nPlanes: Int = 6, tables: Int = 4,
                                nEstimate: Long = 0L): DataFrame = {
-    val planes =
-      if (nPlanes > 0) nPlanes
-      else autoPlanes(if (nEstimate > 0) nEstimate else df.count())
+    // Empty corpus short-circuits to an empty pair set: the frozen
+    // nPlanes path returns empty there too, and autoPlanes needs n > 0.
+    val n = if (nPlanes > 0) -1L
+      else if (nEstimate > 0) nEstimate else df.count()
+    if (nPlanes <= 0 && n == 0)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("sim")).limit(0)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(n)
     val bud = bucketsUdf(dim, planes, tables)
     // Late materialization: only (id, bucket-signature) rides through
     // the quadratic bucket join — at dim=64 floats a candidate row

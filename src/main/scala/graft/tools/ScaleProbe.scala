@@ -57,6 +57,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val r = if (args.nonEmpty) args(0).toInt else 10
     val mode = if (args.length > 1) args(1) else "fresh"
+    // a typo'd mode must not silently measure the wrong regime and
+    // land in SCALE.md labeled as the intended one
+    require(Set("fresh", "dup", "vocab")(mode),
+      s"unknown mode '$mode' (expected fresh|dup|vocab)")
     val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val work = if (args.length > 3) args(3) else "/root/repo/tmp/scale"
     val dest = s"$work/r$r$mode"
@@ -136,8 +140,10 @@ object ScaleProbe {
 
   private def deleteTree(root: String): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(root)).iterator().asScala.toSeq
+    val walk = Files.walk(Paths.get(root)) // close: holds directory fds
+    try walk.iterator().asScala.toSeq
       .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
 
   /** Key-shifted R-fold replication of the fact tables; dims copied
@@ -179,10 +185,14 @@ object ScaleProbe {
         // disjoint vocabulary per copy: suffix every word with the
         // copy marker — total vocabulary grows linearly with the
         // corpus while within-copy structure is untouched
+        // leading/trailing whitespace splits to empty tokens — leave
+        // those alone, or copies c > 0 would gain bare marker words
+        // ("x3") copy 0 doesn't have and per-copy word counts diverge
         when(col("copy_n") === 0, col("text"))
           .otherwise(concat_ws(" ",
             transform(split(col("text"), "\\s+"), wd =>
-              concat(wd, lit("x"), col("copy_n").cast("string")))))
+              when(length(wd) === 0, wd).otherwise(
+                concat(wd, lit("x"), col("copy_n").cast("string"))))))
       else if (!fresh) col("text")
       else
         // every 5th word becomes a copy-specific token: ~60% of the
@@ -193,7 +203,7 @@ object ScaleProbe {
         when(col("copy_n") === 0, col("text"))
           .otherwise(concat_ws(" ",
             transform(split(col("text"), "\\s+"), (wd, i) =>
-              when(i % 5 === 2,
+              when(i % 5 === 2 && length(wd) > 0,
                 concat(lit("xq"), col("copy_n").cast("string"),
                   lit("p"), i.cast("string"))).otherwise(wd))))
     w(copies(docs)

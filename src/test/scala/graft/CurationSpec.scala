@@ -78,6 +78,11 @@ class CurationSpec extends SparkSpec {
       "near_dedup" -> 4L,     // doc 11 dropped
       "decontaminate" -> 2L)) // holdout 97 + leaked 20 dropped
     assert(done.docs.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+    // release frees the four per-stage checkpoint RDDs a monitored
+    // chain cached (repeated runs must not stack blocks)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    done.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore - 4)
     // uninstrumented: no metrics, identical survivors
     val plain = Curation(docs, "doc_id", "text")
       .qualityFilter().nearDedup().decontaminate(eval)

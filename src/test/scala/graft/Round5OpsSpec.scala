@@ -57,6 +57,41 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows(exprMax = 100) == rows(exprMax = 1))
   }
 
+  test("kernel and expression assignment agree on null vectors") {
+    // a null embedding must yield null cluster/dist on BOTH paths —
+    // the kernel udf null-guards where the expression form's
+    // arithmetic null-propagates; a corpus with one bad row must not
+    // crash only when autoK pushes k past exprMax
+    val q = embeddings.limit(3)
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("__q"))
+      .union(embeddings.limit(1)
+        .select(col("vec_id") + 1000000L,
+          lit(null).cast("array<bigint>").as("__q")))
+    val cents = Map(0 -> Seq.fill(64)(0L), 1 -> Seq.fill(64)(5L))
+    def rows(exprMax: Int) =
+      KMeans.assignTo(q, cents, exprMax)
+        .select("vec_id", "cluster", "dist").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val expr = rows(exprMax = 100)
+    assert(expr == rows(exprMax = 1))
+    assert(expr.count { case (_, c, d) => c.isEmpty && d.isEmpty } == 1)
+  }
+
+  test("auto-parameter paths return empty pairs on an empty corpus") {
+    // k = 0 / nPlanes = 0 feed a count() to autoK/autoPlanes, which
+    // require n > 0 — an upstream filter dropping every row must give
+    // the same empty pair set the frozen-parameter paths give, not an
+    // IllegalArgumentException
+    val none = embeddings.filter(lit(false))
+    assert(KMeans.semanticNearDupPairs(none, "vec_id", "embedding",
+      k = 0).count() == 0)
+    assert(graft.operators.Similarity.embeddingNearDupPairsLSH(none,
+      "vec_id", "embedding", minCosine = 0.9, nPlanes = 0).count() == 0)
+  }
+
   test("semantic near-dup pairs are a subset of exact near-dup pairs") {
     // superset computed at a slightly LOWER threshold: milliunit
     // quantization shifts a cosine by O(1e-3), so a 0.42 semantic
