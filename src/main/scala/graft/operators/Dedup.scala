@@ -465,4 +465,51 @@ object Dedup {
           .filter(col("__df") <= maxDocFreq).drop("__df")
     jaccardFromTokens(capped, minJaccard, "dedup.ngramTokens")
   }
+
+  /** Exact duplicated-span detection at token granularity: a run of
+    * `spanLen` consecutive words occurring more than once in the
+    * corpus (in another document, or again in the same one) is a
+    * duplicated span. This is the detection half of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated >= L-token substrings): every
+    * repeated substring of length >= L contains a repeated L-gram,
+    * and every repeated L-gram IS a repeated span of length exactly
+    * L, so L-gram occurrence counts detect spans exactly at
+    * granularity L — no suffix array needed. Returns one row per
+    * input document (total annotation, like
+    * [[Decontaminate.overlapReport]]): total spans, duplicated
+    * spans, and the duplicated fraction in floor-scaled basis points;
+    * filter on `dup_frac_e4` to drop boilerplate-heavy documents.
+    *
+    * Scale shape: spans hash to 48-bit keys scan-side; the occurrence
+    * count is a window count over the hash (ONE exchange on the
+    * span key), then per-doc stats are a map-combined aggregation on
+    * id. No self-join exists anywhere, so cost is linear in total
+    * span count REGARDLESS of how duplicated the corpus is — the
+    * pair-emitting dedup operators are inherently quadratic per
+    * duplicate group; counting is not. A 48-bit collision folds two
+    * spans together identically in the SQL replay (~2^-48 per pair).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   spanLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"), shinglesOfWords(col("__w"), spanLen).as("__sh"))
+      .select(col("id"), explode(shingleHashes48(col("__sh"))).as("h"))
+    val stats = spans
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("__occ") > 1).cast("long")).as("n_dup_spans"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac_e4",
+        when(col("n_spans") === 0, lit(0L))
+          .otherwise(floor(col("n_dup_spans").cast("double") /
+            col("n_spans") * 10000).cast("long")))
+  }
 }

@@ -110,4 +110,63 @@ object Sampling {
       .join(broadcast(picked), Seq("__k", idCol), "left_semi")
       .drop("__k")
   }
+
+  /** Importance-based data selection (the DSIR recipe — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score each raw document by whether its
+    * hashed-unigram profile looks more like a small target corpus
+    * (quality exemplars) than like the raw corpus itself, then keep
+    * high scorers. Features are hashed word buckets
+    * (`hash48(word) mod buckets`). DSIR's per-gram summand
+    * `log p_target(b) - log p_raw(b)` is replaced by its SIGN, so a
+    * word votes +1/0/-1 and a document's score is an exact integer:
+    * each bucket's vote is the cross-multiplied MLE comparison
+    * `tc_b * Nr <> rc_b * Nt`, computed in BigInt — no float log
+    * anywhere, where the float form can flip a keep/drop decision on
+    * the last ulp of a libm log and an SQL replay would diverge. No
+    * smoothing is needed for a sign: every SCORED bucket has
+    * `rc_b >= 1` (the word came from the raw corpus), and a
+    * target-absent bucket correctly votes -1 — while add-one
+    * smoothing would let the pseudo-counts drown the signal whenever
+    * the live vocabulary is much smaller than `buckets`. Output per
+    * raw document: word count, vote score, and `keep = score > 0`
+    * (more target-like than raw-like); resample/threshold downstream
+    * as needed.
+    *
+    * Scale shape: two map-combined aggregations each emit at most
+    * `buckets` rows (the ONLY driver data — two count tables of size
+    * B); the vote table becomes a broadcast literal array and scoring
+    * is a narrow fold over the word array at scan speed. The corpus
+    * is scanned twice (count pass, score pass) and never shuffles on
+    * text; the target side is tiny by construction. At 100 TB pass a
+    * persisted raw frame so the two scans share the decode.
+    */
+  def importanceVotes(raw: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, buckets: Int = 4096): DataFrame = {
+    import graft.functions.TextFunctions.words
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(words(col(textCol))).as("__wd"))
+        .select((Packing.hash48("__wd") % buckets).cast("int").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= B rows
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val nt = BigInt(tc.values.sum)
+    val nr = BigInt(rc.values.sum)
+    val votes: Seq[Long] = (0 until buckets).map { b =>
+      val t = BigInt(tc.getOrElse(b, 0L)) * nr
+      val r = BigInt(rc.getOrElse(b, 0L)) * nt
+      if (t > r) 1L else if (t < r) -1L else 0L
+    }
+    val votesLit = typedlit(votes)
+    raw
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(col("__w"), lit(0L), (acc, wd) =>
+          acc + element_at(votesLit,
+            ((conv(substring(md5(wd), 1, 12), 16, 10).cast("long") % buckets)
+              + 1).cast("int"))).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+  }
 }

@@ -95,7 +95,15 @@ object DedupQueries {
     // of the operator's exact semantics, so it oracle-checks too.
     "dedup_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40))
+        shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40)),
+
+    // exact duplicated-span stats (the Lee et al. exact-substring
+    // dedup signal): which part of each document is a word span that
+    // occurs elsewhere in the corpus — one window count on the span
+    // hash, no self-join, linear however duplicated the corpus is
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(Tables(s, dir, "documents"), "doc_id", "text",
+        spanLen = 8))
   )
 
   // ---- oracle SQL (generated to stay in lockstep with K/BANDS) ----
@@ -277,7 +285,37 @@ object DedupQueries {
       |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
       |WHERE levenshtein(a.p, b.p) <= 5""".stripMargin
 
+  // dedup_spans replay: same 48-bit span hashes, occurrence as a
+  // window count, per-doc stats, total annotation via left join
+  private val dupSpansOracle =
+    """WITH w AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(wl) >= 8 THEN
+      |           list_transform(range(1, len(wl) - 6),
+      |             i -> array_to_string(wl[i:i+7], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |       FROM w),
+      |pos AS (SELECT doc_id,
+      |          unnest(list_transform(s, x ->
+      |            CAST('0x' || substring(md5(x), 1, 12) AS BIGINT))) AS h
+      |        FROM sh),
+      |occ AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS occ FROM pos),
+      |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_dup_spans
+      |       FROM occ GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(st.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(CASE WHEN coalesce(st.n_spans, 0) = 0 THEN 0
+      |       ELSE floor(CAST(st.n_dup_spans AS DOUBLE) / st.n_spans * 10000)
+      |       END AS BIGINT) AS dup_frac_e4
+      |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> dupSpansOracle,
     "dedup_editdist" -> editdistOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,

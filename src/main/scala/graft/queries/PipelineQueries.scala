@@ -128,8 +128,24 @@ object PipelineQueries {
     "q_quota" -> ((s, dir) =>
       graft.operators.Sampling.quotaSample(
           Tables(s, dir, "documents"), "doc_id", "source", n = 10)
-        .select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"))),
+
+    // DSIR-style importance selection: hashed-unigram votes against a
+    // target exemplar set (docs with doc_id % 7 == 0 stand in for the
+    // quality corpus) — integer sign-of-log-ratio scoring, so the
+    // keep set replays exactly in SQL
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Sampling.importanceVotes(
+        docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        buckets = DSIR_B)
+    })
   )
+
+  /** q_dsir feature-bucket count (small enough that the vote literal
+    * array stays cheap to ship, large enough that the synthetic
+    * vocabulary doesn't all collide). */
+  private val DSIR_B = 1024
 
   /** Mixture weights in basis points: src0 -> 2500 ... cycling 25%,
     * 50%, 75%, 100% across the 20 synthetic sources. */
@@ -278,6 +294,40 @@ object PipelineQueries {
         |r AS (SELECT doc_id, source,
         |        row_number() OVER (PARTITION BY k ORDER BY h ASC, doc_id ASC) AS rn
         |      FROM d)
-        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
+    // q_dsir replay: rebuild both hashed-bucket count tables, decide
+    // each bucket's vote by the HUGEINT cross-multiplication (exact,
+    // like the operator's BigInt; unsmoothed MLE — the operator's
+    // documented sign rule), sum votes per document. tok is
+    // MATERIALIZED — it feeds three consumers and would otherwise
+    // inline into three full scans.
+    "q_dsir" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $DSIR_B
+         |      AS INTEGER) AS b
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents)),
+         |tc AS (SELECT b, count(*) AS n FROM tok WHERE doc_id % 7 = 0 GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS n FROM tok GROUP BY 1),
+         |tot AS (SELECT
+         |    (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) FROM tc) AS nt,
+         |    (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) FROM rc) AS nr),
+         |votes AS MATERIALIZED (
+         |  SELECT rc.b,
+         |    CASE WHEN CAST(coalesce(tc.n, 0) AS HUGEINT) * tot.nr
+         |            > CAST(rc.n AS HUGEINT) * tot.nt THEN 1
+         |         WHEN CAST(coalesce(tc.n, 0) AS HUGEINT) * tot.nr
+         |            < CAST(rc.n AS HUGEINT) * tot.nt THEN -1
+         |         ELSE 0 END AS v
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+         |SELECT tok.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(v) AS BIGINT) AS score,
+         |  CAST(CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM tok JOIN votes USING (b)
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+
+/** Planted-data behavior specs for the round-6 curation operators:
+  * duplicated-span detection and DSIR-style importance selection.
+  * (Both are additionally hash-pinned against DuckDB via the
+  * dedup_spans / q_dsir oracles.)
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def doc(n: Int, seed: Int): String =
+    (1 to n).map(t => s"s${seed}w$t").mkString(" ")
+
+  test("dupSpanStats counts exactly the planted shared spans") {
+    // doc 1 and doc 2 share one 10-word run embedded in otherwise
+    // disjoint text; doc 3 is fully unique; doc 4 is too short for
+    // any span. spanLen=8 -> a shared 10-word run contributes 3
+    // shared 8-grams per doc; border 8-grams mixing run and private
+    // words differ between the docs.
+    val run = (1 to 10).map(t => s"dupw$t").mkString(" ")
+    val docs = Seq(
+      (1L, doc(20, 1) + " " + run + " " + doc(20, 11)),
+      (2L, doc(20, 2) + " " + run + " " + doc(20, 12)),
+      (3L, doc(40, 3)),
+      (4L, doc(5, 4))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanStats(docs, "doc_id", "text", spanLen = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 50 words -> 43 spans of length 8; 3 of them lie inside the run
+    assert(rows(1L) == ((43L, 3L, math.floor(3.0 / 43 * 10000).toLong)))
+    assert(rows(2L) == ((43L, 3L, math.floor(3.0 / 43 * 10000).toLong)))
+    assert(rows(3L) == ((33L, 0L, 0L)))
+    // total annotation: the span-less doc still appears, with zeros
+    assert(rows(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("dupSpanStats counts within-document repetition as duplication") {
+    val run = (1 to 8).map(t => s"repw$t").mkString(" ")
+    // the same 8-gram occurs twice in ONE doc (boilerplate loop)
+    val docs = Seq(
+      (1L, run + " " + doc(10, 5) + " " + run),
+      (2L, doc(30, 6))
+    ).toDF("doc_id", "text")
+    val r1 = Dedup.dupSpanStats(docs, "doc_id", "text", spanLen = 8)
+      .filter(col("doc_id") === 1L).head()
+    assert(r1.getLong(2) == 2L, "both occurrences of the repeated span count")
+  }
+
+  test("importanceVotes prefers target-vocabulary documents") {
+    // target exemplars draw from vocabulary T; raw corpus mixes
+    // T-docs with B-docs. Every T word outvotes its raw frequency in
+    // the target table, so T-docs must score positive and keep=1,
+    // B-docs negative and keep=0.
+    val tDoc = (1 to 40).map(t => s"tw${t % 12}").mkString(" ")
+    val bDoc = (1 to 40).map(t => s"bw${t % 12}").mkString(" ")
+    val raw = Seq(
+      (1L, tDoc), (2L, tDoc), (3L, bDoc), (4L, bDoc), (5L, tDoc)
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, tDoc), (101L, tDoc)).toDF("doc_id", "text")
+    val rows = Sampling.importanceVotes(raw, target, "doc_id", "text",
+        buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    Seq(1L, 2L, 5L).foreach { id =>
+      assert(rows(id)._1 > 0 && rows(id)._2 == 1, s"doc $id should keep")
+    }
+    Seq(3L, 4L).foreach { id =>
+      assert(rows(id)._1 < 0 && rows(id)._2 == 0, s"doc $id should drop")
+    }
+    // n_words is the full token count
+    val nw = Sampling.importanceVotes(raw, target, "doc_id", "text", 256)
+      .filter(col("doc_id") === 1L).head().getLong(1)
+    assert(nw == 40L)
+  }
+}
