@@ -22,9 +22,10 @@ import graft.functions.TextFunctions.words
   * repo-wide rule). Plan branches that re-read the corpus (the
   * survivor join-back, the eval holdout) re-evaluate the projection
   * with the scan; pass a cached/persisted `docs` frame if that scan
-  * is expensive. The chain is lazy EXCEPT [[nearDedup]], whose
-  * component resolution is an iterative algorithm and therefore runs
-  * jobs at builder-call time (and persists its edge frame) —
+  * is expensive. The chain is lazy EXCEPT [[nearDedup]] (iterative
+  * component resolution runs jobs at builder-call time and persists
+  * its edge frame) and [[importanceSelect]] (two bucket-count
+  * aggregations collect at call time to build the vote table) —
   * everything else defers until the caller acts on the result.
   * `q_curate_e2e` is this builder's output verbatim and carries the
   * DuckDB oracle for it.
@@ -126,6 +127,30 @@ final case class Curation private (private val df: DataFrame,
         .select(col(idCol))
         .join(train, idCol))
   }
+
+  /** Drop documents whose duplicated-span fraction exceeds
+    * `maxDupFracE4` basis points — the boilerplate guard
+    * ([[Dedup.dupSpanStats]]: repeated `spanLen`-word runs, measured
+    * within the CURRENT survivor set, so earlier stages' removals
+    * don't count as duplication). */
+  def spanFilter(spanLen: Int = 8, maxDupFracE4: Long = 5000): Curation =
+    stage("span_filter",
+      Dedup.dupSpanStatsOfWords(df, idCol, "__w", spanLen)
+        .filter(col("dup_frac_e4") <= maxDupFracE4)
+        .select(col(idCol))
+        .join(df, idCol))
+
+  /** Keep only documents scoring target-like under DSIR importance
+    * votes ([[Sampling.importanceVotesOfWords]] against the current
+    * survivors as the raw distribution). `target` needs
+    * (idCol, `__w`) — build it from the same [[Curation.apply]]
+    * projection. */
+  def importanceSelect(target: DataFrame, buckets: Int = 4096): Curation =
+    stage("importance_select",
+      Sampling.importanceVotesOfWords(df, target, idCol, "__w", buckets)
+        .filter(col("keep") === 1)
+        .select(col(idCol))
+        .join(df, idCol))
 
   /** Per-shard training-sequence statistics for the surviving docs:
     * closed-form context-window chunk counts and token totals.

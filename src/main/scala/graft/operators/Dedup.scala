@@ -491,10 +491,19 @@ object Dedup {
     * spans together identically in the SQL replay (~2^-48 per pair).
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
-                   spanLen: Int = 8): DataFrame = {
+                   spanLen: Int = 8): DataFrame =
+    dupSpanStatsOfWords(
+      df.select(col(idCol), words(col(textCol)).as("__gdw")),
+      idCol, "__gdw", spanLen)
+
+  /** [[dupSpanStats]] over an already-projected word-array column —
+    * composed pipelines tokenize once (regex/HOF expressions have no
+    * CSE). */
+  def dupSpanStatsOfWords(df: DataFrame, idCol: String, wordsCol: String,
+                          spanLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = df
-      .select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col(idCol).as("id"), col(wordsCol).as("__w"))
       .select(col("id"), shinglesOfWords(col("__w"), spanLen).as("__sh"))
       .select(col("id"), explode(shingleHashes48(col("__sh"))).as("h"))
     val stats = spans

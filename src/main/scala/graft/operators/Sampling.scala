@@ -144,8 +144,19 @@ object Sampling {
   def importanceVotes(raw: DataFrame, target: DataFrame, idCol: String,
                       textCol: String, buckets: Int = 4096): DataFrame = {
     import graft.functions.TextFunctions.words
+    importanceVotesOfWords(
+      raw.select(col(idCol), words(col(textCol)).as("__gvw")),
+      target.select(col(idCol), words(col(textCol)).as("__gvw")),
+      idCol, "__gvw", buckets)
+  }
+
+  /** [[importanceVotes]] over already-projected word-array columns
+    * (both frames) — composed pipelines tokenize once (regex/HOF
+    * expressions have no CSE). */
+  def importanceVotesOfWords(raw: DataFrame, target: DataFrame, idCol: String,
+                             wordsCol: String, buckets: Int = 4096): DataFrame = {
     def bucketCounts(df: DataFrame): Map[Int, Long] =
-      df.select(explode(words(col(textCol))).as("__wd"))
+      df.select(explode(col(wordsCol)).as("__wd"))
         .select((Packing.hash48("__wd") % buckets).cast("int").as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= B rows
@@ -160,7 +171,7 @@ object Sampling {
     }
     val votesLit = typedlit(votes)
     raw
-      .select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol), col(wordsCol).as("__w"))
       .select(col(idCol),
         size(col("__w")).cast("long").as("n_words"),
         aggregate(col("__w"), lit(0L), (acc, wd) =>

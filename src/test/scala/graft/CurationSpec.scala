@@ -90,6 +90,41 @@ class CurationSpec extends SparkSpec {
     assert(plain.docs.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
   }
 
+  test("spanFilter drops boilerplate-heavy docs; importanceSelect keeps target-like docs") {
+    // docs 1/2 share a 40-word run on top of 40 private words
+    // (dup_frac ~ 33/73 > 2500 bp); docs 3/4/99 are clean: 2/3 of
+    // their words come from a small shared vocabulary (the importance
+    // signal — votes are per WORD) and every 3rd word is a unique
+    // per-doc filler, so every 8-gram contains fillers and no span
+    // ever duplicates (a purely cyclic vocab doc would span-filter
+    // itself away).
+    def vocabDoc(prefix: String, id: Int): String =
+      (1 to 60).map(t =>
+        if (t % 3 == 0) s"f${id}x$t" else s"$prefix${t % 9}").mkString(" ")
+    val run = (1 to 40).map(t => s"boiler$t").mkString(" ")
+    val docs = Seq(
+      (1L, doc(40, 70) + " " + run),
+      (2L, doc(40, 71) + " " + run),
+      (3L, vocabDoc("tw", 3)),
+      (4L, vocabDoc("bw", 4)),
+      (99L, vocabDoc("tw", 99)) // target exemplar
+    ).toDF("doc_id", "text")
+    val cur = Curation(docs, "doc_id", "text")
+    val target = cur.docs.filter(col("doc_id") === 99L)
+    val afterSpan = cur
+      .spanFilter(spanLen = 8, maxDupFracE4 = 2500)
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(afterSpan == Set(3L, 4L, 99L), "shared-run docs dropped")
+    val done = Curation(docs, "doc_id", "text").instrumented()
+      .spanFilter(spanLen = 8, maxDupFracE4 = 2500)
+      .importanceSelect(target)
+    // doc 3 and the exemplar itself are target-vocabulary; doc 4 is not
+    assert(done.docs.select("doc_id").as[Long].collect().toSet == Set(3L, 99L))
+    assert(done.stageMetrics == Seq(
+      "input" -> 5L, "span_filter" -> 3L, "importance_select" -> 2L))
+    done.release()
+  }
+
   test("chunkStats totals equal the explode-form chunking") {
     val docs = (0 until 20).map(i => (i.toLong, doc(30 + i * 13, i)))
       .toDF("doc_id", "text")
