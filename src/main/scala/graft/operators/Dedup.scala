@@ -521,4 +521,59 @@ object Dedup {
           .otherwise(floor(col("n_dup_spans").cast("double") /
             col("n_spans") * 10000).cast("long")))
   }
+
+  /** The rewrite half of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * after measuring duplication, REMOVE it): drop every word that
+    * lies inside a duplicated `spanLen`-word run (span hash occurs
+    * more than once corpus-wide, within-document repeats included —
+    * same duplication notion as [[dupSpanStats]]) and emit the
+    * scrubbed text. Boilerplate (headers, navigation, license
+    * blocks) disappears from every copy; unique prose survives.
+    * Output: (id, clean_text, n_words, n_kept).
+    *
+    * Scale shape: identical to [[dupSpanStats]] — one exchange on
+    * the span hash for the occurrence window, one aggregation on id
+    * collecting the duplicated span STARTS (bounded by spans/doc),
+    * then the rewrite is a doc-local array filter at scan speed. No
+    * self-join, so cost stays linear in span count however
+    * duplicated the corpus is. The in-doc filter tests each word
+    * against each duplicated start — O(words x dup-starts) per doc;
+    * fine for chunk-sized documents, and a fully-duplicated
+    * adversarial book would instead want the relational rewrite
+    * (explode covered indices, anti-join, re-aggregate: 3 more
+    * linear exchanges, no quadratic doc-local term).
+    */
+  def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
+                    spanLen: Int = 8): DataFrame =
+    dupSpanRemoveOfWords(
+      df.select(col(idCol), words(col(textCol)).as("__gdw")),
+      idCol, "__gdw", spanLen)
+
+  /** [[dupSpanRemove]] over an already-projected word-array column —
+    * composed pipelines tokenize once (regex/HOF expressions have no
+    * CSE). */
+  def dupSpanRemoveOfWords(df: DataFrame, idCol: String, wordsCol: String,
+                           spanLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(wordsCol).as("__w"))
+    val spans = base
+      .select(col("id"), shinglesOfWords(col("__w"), spanLen).as("__sh"))
+      .select(col("id"), posexplode(shingleHashes48(col("__sh"))))
+    val dupStarts = spans
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("col"))))
+      .filter(col("__occ") > 1)
+      .groupBy(col("id"))
+      .agg(collect_set(col("pos")).as("__starts"))
+    base
+      .join(dupStarts, Seq("id"), "left")
+      // 0-based starts; span p covers word indices [p, p + spanLen)
+      .withColumn("__st", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__w"), (wd, i) =>
+        !exists(col("__st"), p => p <= i && i < p + spanLen)))
+      .select(col("id").as(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__w")).cast("long").as("n_words"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
 }

@@ -180,4 +180,55 @@ object Sampling {
               + 1).cast("int"))).as("score"))
       .withColumn("keep", (col("score") > 0).cast("int"))
   }
+
+  /** Token-budget source mixing with epoch upsampling — the standard
+    * LLM mixture recipe stated in TOKENS, not document fractions:
+    * each source `s` gets a budget `B_s`; with `T_s` observed tokens
+    * the source runs `e_s = B_s / T_s` epochs. A row is emitted
+    * `floor(e_s)` times for the whole part (columns plus an `epoch`
+    * index 0..k-1) and once more with probability `frac(e_s)` decided
+    * by the row's md5 hash — so a source under budget downsamples and
+    * a scarce high-quality source upsamples (repeats epochs), and the
+    * realized token count concentrates tightly around `B_s`. Sources
+    * absent from `budgets` drop (curation default); rows with a null
+    * key drop.
+    *
+    * Engine-exact: per-source epoch rates are integer ppm computed by
+    * BigInt floor division of EXACT token totals, and the fractional
+    * keep compares the row's 48-bit md5 shard against the ppm
+    * remainder — no float anywhere, so the emitted multiset replays
+    * exactly in SQL (`budget * 1000000 // total`).
+    *
+    * Scale shape: one map-combined sum per source (the only driver
+    * data — one row per source), then a narrow literal-CASE rate
+    * lookup, hash filter, and sequence-explode. The corpus never
+    * shuffles. Token totals must fit a signed 64-bit sum
+    * (~9.2e18 — far past 100 TB of text).
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, keyCol: String,
+                     tokCol: String, budgets: Map[String, Long]): DataFrame = {
+    val totals = df.groupBy(col(keyCol)).agg(sum(col(tokCol)).as("__t"))
+      .collect()
+      .flatMap(r => Option(r.getAs[String](0)).map(_ -> r.getLong(1))).toMap
+    val ppm: Map[String, Long] = budgets.flatMap { case (k, b) =>
+      totals.get(k).filter(_ > 0).map { t =>
+        k -> (BigInt(b) * 1000000 / BigInt(t)).toLong
+      }
+    }
+    // literal rate table: sources are few (a mixture config, not
+    // data); -1 marks keys outside the budget map -> dropped
+    val ppmExpr = ppm.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (k, p)) => when(col(keyCol) === k, lit(p)).otherwise(acc)
+    }
+    val whole = (col("__ppm") - pmod(col("__ppm"), lit(1000000L))) / 1000000
+    df.withColumn("__ppm", ppmExpr)
+      .filter(col("__ppm") >= 0)
+      .withColumn("__copies",
+        whole.cast("long") +
+          (Packing.hash48(idCol) % 1000000 <
+            pmod(col("__ppm"), lit(1000000L))).cast("long"))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__ppm", "__copies")
+  }
 }

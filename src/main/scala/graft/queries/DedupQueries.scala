@@ -103,6 +103,13 @@ object DedupQueries {
     // hash, no self-join, linear however duplicated the corpus is
     "dedup_spans" -> ((s, dir) =>
       Dedup.dupSpanStats(Tables(s, dir, "documents"), "doc_id", "text",
+        spanLen = 8)),
+
+    // the rewrite half of exact-substring dedup: scrub every word
+    // inside a duplicated 8-word span — same window-count shape as
+    // dedup_spans plus a doc-local array filter, still no self-join
+    "dedup_span_remove" -> ((s, dir) =>
+      Dedup.dupSpanRemove(Tables(s, dir, "documents"), "doc_id", "text",
         spanLen = 8))
   )
 
@@ -314,8 +321,46 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
+  // dedup_span_remove replay: same span hashes and occurrence window
+  // as dedup_spans, duplicated span STARTS per doc, then the in-doc
+  // rewrite as a list filter. Indexing is 1-based on both sides of
+  // the covered test (DuckDB list lambdas/range) vs 0-based in Spark
+  // (posexplode/filter) — the [p, p+8) form is base-invariant.
+  private val dupSpanRemoveOracle =
+    """WITH w AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(wl) >= 8 THEN
+      |           list_transform(range(1, len(wl) - 6),
+      |             i -> array_to_string(wl[i:i+7], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |       FROM w),
+      |pos AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(s) + 1), i ->
+      |            {'p': i,
+      |             'h': CAST('0x' || substring(md5(s[i]), 1, 12) AS BIGINT)}),
+      |            recursive := true)
+      |        FROM sh),
+      |occ AS (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS occ
+      |        FROM pos),
+      |st AS (SELECT doc_id, list(p ORDER BY p) AS starts
+      |       FROM occ WHERE occ > 1 GROUP BY 1),
+      |k AS (SELECT w.doc_id, w.wl,
+      |        list_filter(w.wl, (wd, i) ->
+      |          len(list_filter(coalesce(st.starts, CAST([] AS BIGINT[])),
+      |                p -> p <= i AND i < p + 8)) = 0) AS kept
+      |      FROM w LEFT JOIN st USING (doc_id))
+      |SELECT doc_id,
+      |  -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
+      |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+      |  CAST(len(wl) AS BIGINT) AS n_words,
+      |  CAST(len(kept) AS BIGINT) AS n_kept
+      |FROM k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_spans" -> dupSpansOracle,
+    "dedup_span_remove" -> dupSpanRemoveOracle,
     "dedup_editdist" -> editdistOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,

@@ -139,8 +139,23 @@ object PipelineQueries {
       graft.operators.Sampling.importanceVotes(
         docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         buckets = DSIR_B)
-    })
+    }),
+
+    // token-budget mixing: char budgets per source, even sources get
+    // a small budget (downsample) and odd sources a large one (2+
+    // epoch upsample at sf0.01); src18/19 have no budget and drop
+    "q_token_mix" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetMix(
+        Tables(s, dir, "documents"), "doc_id", "source", "n_chars",
+        TOKEN_BUDGETS)
+        .select(col("doc_id"), col("source"), col("epoch")))
   )
+
+  /** Per-source char budgets for q_token_mix: absolute values chosen
+    * so sf0.01 exercises both regimes (source totals there are
+    * ~7-9 k chars: 4 k -> ~0.5 epoch, 20 k -> ~2.5 epochs). */
+  private val TOKEN_BUDGETS: Map[String, Long] =
+    (0 until 18).map(i => s"src$i" -> (if (i % 2 == 0) 4000L else 20000L)).toMap
 
   /** q_dsir feature-bucket count (small enough that the vote literal
     * array stays cheap to ship, large enough that the synthetic
@@ -328,6 +343,31 @@ object PipelineQueries {
          |  CAST(sum(v) AS BIGINT) AS score,
          |  CAST(CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM tok JOIN votes USING (b)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // q_token_mix replay: exact totals, HUGEINT floor-division ppm
+    // rates (matching the operator's BigInt), md5-shard fractional
+    // keep, range-expansion for whole epochs
+    "q_token_mix" -> {
+      val vals = TOKEN_BUDGETS.toSeq.sortBy(_._1)
+        .map { case (k, b) => s"('$k', $b)" }.mkString(", ")
+      s"""WITH b(source, budget) AS (VALUES $vals),
+         |t AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS tot
+         |      FROM documents GROUP BY 1),
+         |r AS (SELECT b.source,
+         |        CAST(CAST(b.budget AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+         |          AS ppm
+         |      FROM b JOIN t USING (source) WHERE t.tot > 0),
+         |k AS (SELECT d.doc_id, d.source,
+         |        r.ppm // 1000000
+         |          + CASE WHEN CAST('0x' ||
+         |                substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+         |                AS BIGINT) % 1000000 < r.ppm % 1000000
+         |              THEN 1 ELSE 0 END AS copies
+         |      FROM documents d JOIN r USING (source))
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+         |FROM k""".stripMargin
+    }
   )
 }

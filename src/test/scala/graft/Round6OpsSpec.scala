@@ -77,4 +77,87 @@ class Round6OpsSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).head().getLong(1)
     assert(nw == 40L)
   }
+
+  test("dupSpanRemove scrubs exactly the planted shared runs") {
+    // docs 1 and 2 share a 10-word run: the 3 interior 8-grams are
+    // duplicated and together cover all 10 run words; every 8-gram
+    // touching private vocabulary is unique. The scrub must remove
+    // the run from BOTH docs and nothing else.
+    val run = (1 to 10).map(t => s"dupw$t").mkString(" ")
+    val priv1a = doc(20, 1); val priv1b = doc(20, 11)
+    val priv2a = doc(20, 2); val priv2b = doc(20, 12)
+    val docs = Seq(
+      (1L, priv1a + " " + run + " " + priv1b),
+      (2L, priv2a + " " + run + " " + priv2b),
+      (3L, doc(40, 3)),
+      (4L, doc(5, 4))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanRemove(docs, "doc_id", "text", spanLen = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows(1L) == ((priv1a + " " + priv1b, 50L, 40L)))
+    assert(rows(2L) == ((priv2a + " " + priv2b, 50L, 40L)))
+    // unique doc passes through verbatim
+    assert(rows(3L) == ((doc(40, 3), 40L, 40L)))
+    // too short for any span -> untouched
+    assert(rows(4L) == ((doc(5, 4), 5L, 5L)))
+  }
+
+  test("dupSpanRemove scrubs within-document repetition") {
+    val run = (1 to 8).map(t => s"repw$t").mkString(" ")
+    val mid = doc(10, 5)
+    // the same 8-gram opens and closes ONE doc (boilerplate loop):
+    // both copies must go, the middle must survive
+    val docs = Seq(
+      (1L, run + " " + mid + " " + run),
+      (2L, doc(30, 6))
+    ).toDF("doc_id", "text")
+    val r1 = Dedup.dupSpanRemove(docs, "doc_id", "text", spanLen = 8)
+      .filter(col("doc_id") === 1L).head()
+    assert(r1.getString(1) == mid)
+    assert(r1.getLong(2) == 26L && r1.getLong(3) == 10L)
+  }
+
+  /** Test-side replica of Packing.hash48 (md5 hex prefix as long). */
+  private def hash48(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16)
+  }
+
+  test("tokenBudgetMix realizes exact per-row epoch counts") {
+    // source A: 4 docs x 25 tokens = 100 total, budget 250 -> ppm
+    // 2_500_000: every row twice plus a hash-decided third copy.
+    // source B: total 100, budget 50 -> 0 or 1 copies. source C has
+    // no budget -> dropped entirely.
+    val df = Seq(
+      (1L, "A", 25L), (2L, "A", 25L), (3L, "A", 25L), (4L, "A", 25L),
+      (5L, "B", 25L), (6L, "B", 25L), (7L, "B", 25L), (8L, "B", 25L),
+      (9L, "C", 25L)
+    ).toDF("doc_id", "source", "tok")
+    val out = Sampling.tokenBudgetMix(df, "doc_id", "source", "tok",
+        Map("A" -> 250L, "B" -> 50L))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        sort_array(collect_list(col("epoch"))).as("epochs"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    (1L to 4L).foreach { id =>
+      val expected = 2L + (if (hash48(id.toString) % 1000000 < 500000) 1L else 0L)
+      assert(out(id)._1 == expected, s"doc $id copies")
+      assert(out(id)._2 == (0L until expected), s"doc $id epoch indices")
+    }
+    (5L to 8L).foreach { id =>
+      val expected = if (hash48(id.toString) % 1000000 < 500000) 1L else 0L
+      assert(out.get(id).map(_._1).getOrElse(0L) == expected, s"doc $id copies")
+    }
+    assert(!out.contains(9L), "unbudgeted source must drop")
+    // realized totals concentrate around the budgets
+    val kept = Sampling.tokenBudgetMix(df, "doc_id", "source", "tok",
+      Map("A" -> 250L, "B" -> 50L))
+    val aTok = kept.filter(col("source") === "A")
+      .agg(sum(col("tok"))).head().getLong(0)
+    assert(aTok >= 200L && aTok <= 300L)
+  }
 }
