@@ -155,6 +155,40 @@ object PQ {
       .select(col(idCol), col("adc_dist"))
   }
 
+  /** ADC shortlist + exact re-rank — the FAISS refine stage
+    * (IndexRefineFlat): compressed ADC distances are rank-faithful
+    * only up to quantization error, so production search over-fetches
+    * a `shortlist` of candidates through the code table and re-scores
+    * JUST those rows against their original vectors with exact
+    * integer L2. Recall of the exact top-n at ADC scan cost plus a
+    * shortlist-sized join.
+    *
+    * Scale shape: the shortlist exits the narrow ADC projection
+    * through TakeOrdered (≤ shortlist rows on the driver — bounded by
+    * a parameter, not the data); the fetch-back joins that tiny frame
+    * BROADCAST against the corpus, so the corpus never shuffles and
+    * the scan reads only (id, vec). At 100 TB this is the standard
+    * two-tier layout: codes in fast storage for the scan, raw vectors
+    * fetched by id for the final n — and the exact arithmetic is the
+    * same milliunit integer discipline as the encode, so the whole
+    * composed path still replays in SQL.
+    */
+  def adcRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    codes: DataFrame, books: Codebooks, query: Seq[Double],
+                    shortlist: Int = 50, n: Int = 10): DataFrame = {
+    import graft.plans.VectorExpressions.dotLong
+    val qq: Seq[Long] = query.map(x => math.floor(x * 1000).toLong)
+    val short = adcTopK(codes, idCol, books, query, shortlist)
+    val raw = corpus.select(col(idCol), KMeans.quantize(col(vecCol)).as("__q"))
+    val qlit = typedlit(qq)
+    raw.join(broadcast(short), Seq(idCol))
+      .withColumn("exact_dist",
+        dotLong(col("__q"), col("__q")) - lit(2L) * dotLong(col("__q"), qlit) +
+          lit(qq.map(x => x * x).sum))
+      .orderBy(col("exact_dist").asc, col(idCol).asc).limit(n)
+      .select(col(idCol), col("exact_dist"), col("adc_dist"))
+  }
+
   /** IVF+PQ — the composed billion-vector recipe (FAISS IVFPQ, Jégou
     * et al. 2011 §V): corpus vectors are assigned to inverted-file
     * cells AND compressed to PQ codes; a query probes its `nProbe`

@@ -113,6 +113,21 @@ object VectorQueries {
         books, query, nProbe = 4, n = 10)
     }),
 
+    // ADC shortlist + exact re-rank (FAISS refine): over-fetch 50
+    // candidates through the code table, re-score only those against
+    // the original vectors with exact integer L2 — recovers exact-L2
+    // ranking at ADC cost plus a broadcast-sized join-back
+    "knn_pq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
+        dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
+      val codes = graft.operators.PQ.encode(emb, "vec_id", "embedding", books)
+      val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.operators.PQ.adcRerankTopK(emb, "vec_id", "embedding",
+        codes, books, query, shortlist = 50, n = 10)
+    }),
+
     // residual IVF+PQ (the actual FAISS recipe): coarse quantizer =
     // quantized integer k-means (nlist=16), PQ codebooks fit over
     // v - centroid(cell), per-cell ADC lookup tables — still
@@ -276,6 +291,24 @@ object VectorQueries {
        |FROM q $pqCodeJoins $pqLutJoins
        |ORDER BY adc_dist, q.vec_id LIMIT 10""".stripMargin
 
+  // Refine replay: the ADC prelude orders a 50-row shortlist; the
+  // exact re-rank joins those ids back to the milliunit vectors and
+  // scores Σ(v_i − q_i)² — identical integers to the operator's
+  // |v|² − 2v·q + |q|² form.
+  private def pqRerankOracle: String =
+    s"""WITH $pqEncodeCtes,
+       |$pqAdcCtes,
+       |short AS (SELECT q.vec_id, CAST($pqDistSum AS BIGINT) AS adc_dist
+       |          FROM q $pqCodeJoins $pqLutJoins
+       |          ORDER BY adc_dist, q.vec_id LIMIT 50)
+       |SELECT s.vec_id,
+       |  CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+       |    i -> (q.v[i] - qv.v[i]) * (q.v[i] - qv.v[i]))) AS BIGINT)
+       |    AS exact_dist,
+       |  s.adc_dist
+       |FROM short s JOIN q USING (vec_id) CROSS JOIN qv
+       |ORDER BY exact_dist, s.vec_id LIMIT 10""".stripMargin
+
   // IVF+PQ replay: the ADC prelude (codes, query lut) plus the
   // knn_ivf cell-assignment/probe windows; candidates = probed-cell
   // residents, scored through the lut joins.
@@ -360,6 +393,7 @@ object VectorQueries {
     "knn_lsh" -> lshOracle,
     "q_pq" -> pqOracle,
     "knn_pq_adc" -> pqAdcOracle,
+    "knn_pq_rerank" -> pqRerankOracle,
     "knn_ivfpq" -> pqIvfpqOracle,
     "knn_ivfpq_res" -> pqResidualOracle,
     "knn_cosine" ->

@@ -103,7 +103,7 @@ object ScaleProbe {
       "dedup_embedding_lsh_auto", "dedup_semantic_auto",
       "dedup_spans", "dedup_span_remove", "q_dsir",
       "knn_cosine", "knn_lsh", "knn_ivf", "q_kmeans",
-      "q_pq", "knn_pq_adc", "knn_ivfpq",
+      "q_pq", "knn_pq_adc", "knn_pq_rerank", "knn_ivfpq",
       "text_tfidf", "text_decontaminate", "text_chunk",
       "q_sessionize", "q_tumbling", "q_curate_e2e")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change

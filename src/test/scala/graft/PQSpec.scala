@@ -229,6 +229,54 @@ class PQSpec extends SparkSpec {
       s"mean recall@10 residual ${resR / 8} < raw ${rawR / 8}")
   }
 
+  test("rerank: full shortlist recovers the exact integer-L2 top-k") {
+    // shortlist = corpus size makes the refine stage a pure exact
+    // search: ids AND distances must equal brute-force ground truth
+    val query = embeddings.orderBy(col("vec_id"))
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val qq = query.map(x => math.floor(x * 1000).toLong)
+    val n = embeddings.count().toInt
+    val got = PQ.adcRerankTopK(embeddings, "vec_id", "embedding",
+      PQ.encode(embeddings, "vec_id", "embedding", books),
+      books, query, shortlist = n, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = quantized.toSeq.map { case (id, v) =>
+      id -> qq.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got.toSeq == expect)
+  }
+
+  test("rerank: shortlist refine beats or ties raw ADC recall, broadcast join") {
+    val q = quantized
+    val codesDf = PQ.encode(embeddings, "vec_id", "embedding", books)
+    val queries = embeddings.orderBy(col("vec_id")).limit(8)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    def gt(qv: Seq[Double]): Set[Long] = {
+      val qq = qv.map(x => math.floor(x * 1000).toLong)
+      q.toSeq.map { case (id, v) =>
+        id -> qq.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }
+    val plan = PQ.adcRerankTopK(embeddings, "vec_id", "embedding",
+      codesDf, books, queries.head, shortlist = 50, n = 10)
+      .queryExecution.executedPlan.toString
+    // the shortlist side must broadcast: the corpus never shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    val (rr, ar) = queries.map { qv =>
+      val truth = gt(qv)
+      def recall(ids: Array[Long]) =
+        ids.count(truth.contains).toDouble / truth.size
+      val re = recall(PQ.adcRerankTopK(embeddings, "vec_id", "embedding",
+        codesDf, books, qv, shortlist = 50, n = 10)
+        .collect().map(_.getLong(0)))
+      val ad = recall(PQ.adcTopK(codesDf, "vec_id", books, qv, n = 10)
+        .collect().map(_.getLong(0)))
+      (re, ad)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(rr >= ar, s"mean recall@10 rerank ${rr / 8} < adc ${ar / 8}")
+  }
+
   test("compression: codes fit in a byte each at k<=256") {
     assert(codes.forall(r => (0 until M).forall { j =>
       val c = r.getInt(1 + j); c >= 0 && c < K
