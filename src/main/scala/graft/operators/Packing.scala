@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,11 @@ object Packing {
   def hash48(c: String) =
     expr(s"conv(substring(md5(cast($c AS STRING)), 1, 12), 16, 10)")
       .cast("long")
+
+  /** [[hash48]] over a Column — the form HOF lambdas need (a lambda
+    * variable has no resolvable name for the expr() twin). */
+  def hash48c(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
   /** Offset-binned packing: documents are laid out in deterministic
     * order (by `idCol`) within each shard; a document's pack is

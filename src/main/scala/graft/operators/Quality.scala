@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear quality classifier — the fastText-style
+  * filtering recipe every large crawl pipeline runs (Joulin et al.
+  * 2016 for the model; CCNet / GPT-3's quality filter for the use:
+  * label curated sources positive, raw crawl negative, train a
+  * linear model over hashed unigram buckets, keep documents the
+  * model scores positive).
+  *
+  * Training is the BATCH perceptron in exact integer arithmetic: an
+  * epoch scores every document against the current weights (a narrow
+  * fold over the word array against a broadcast weight literal) and
+  * adds `label * bucket-count` over the MISCLASSIFIED documents
+  * (`label * score <= 0`) into a per-bucket delta. No learning rate,
+  * no float dot product — so the trained weights AND the downstream
+  * keep set are pure integer functions of the data that replay
+  * exactly in SQL, the same engine-portability discipline as
+  * [[Sampling.importanceVotesOfWords]] (which is the GENERATIVE
+  * twin of this DISCRIMINATIVE selector: DSIR votes by corpus-level
+  * frequency ratios, the perceptron fits per-bucket weights to
+  * labels).
+  *
+  * Scale shape: each epoch is ONE map-combined aggregation over the
+  * corpus whose output is at most `buckets` rows (the only driver
+  * data — a weight table bounded by a parameter, not the data);
+  * scoring computes inside the explode's input projection, so the
+  * corpus never shuffles on text. `buckets` bounds driver/broadcast
+  * memory (B longs), `epochs` bounds passes. At 100 TB train on a
+  * labeled SAMPLE (the standard recipe — the classifier needs
+  * thousands of exemplars, not the corpus) and let the narrow
+  * scoring pass be the only full-corpus touch.
+  */
+object Quality {
+  import graft.functions.TextFunctions.words
+
+  /** Bucket of one word: the audited engine-portable 48-bit md5 mod
+    * B (replay: `CAST('0x' || substring(md5(w),1,12) AS BIGINT) % B`). */
+  private def bucketOf(w: Column, buckets: Int): Column =
+    (Packing.hash48c(w) % buckets).cast("int")
+
+  /** Narrow integer score: Σ_w weight[bucket(w)], a fold against the
+    * broadcast dense weight literal. */
+  private def scoreExpr(wordsCol: Column, weights: Seq[Long]): Column = {
+    val wLit = typedlit(weights)
+    aggregate(wordsCol, lit(0L),
+      (acc, wd) => acc + element_at(wLit, bucketOf(wd, weights.length) + 1))
+  }
+
+  /** One batch perceptron epoch over a tokenized frame: returns
+    * `weights + Σ_{misclassified d} label_d * counts_d` as a new
+    * dense table. `labelCol` must be +1/-1. One aggregation job, at
+    * most `weights.length` result rows. */
+  def perceptronStep(toks: DataFrame, wordsCol: String, labelCol: String,
+                     weights: Seq[Long]): Seq[Long] = {
+    val deltas: Map[Int, Long] = toks
+      .select(col(labelCol).cast("long").as("__y"),
+        col(wordsCol).as("__w"), scoreExpr(col(wordsCol), weights).as("__s"))
+      .filter(col("__y") * col("__s") <= 0)
+      .select(col("__y"), explode(col("__w")).as("__wd"))
+      .groupBy(bucketOf(col("__wd"), weights.length).as("__b"))
+      .agg(sum(col("__y")).as("__d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    weights.zipWithIndex.map { case (w, i) => w + deltas.getOrElse(i, 0L) }
+  }
+
+  /** Train from zero weights for `epochs` passes. Tokenizes once and
+    * persists the (label, words) projection across epochs — each
+    * epoch scans it exactly once. */
+  def trainPerceptron(docs: DataFrame, textCol: String, labelCol: String,
+                      buckets: Int = 4096, epochs: Int = 2): Seq[Long] = {
+    val toks = docs
+      .select(col(labelCol), words(col(textCol)).as("__gqw")).persist()
+    try {
+      var w: Seq[Long] = Vector.fill(buckets)(0L)
+      for (_ <- 1 to epochs) w = perceptronStep(toks, "__gqw", labelCol, w)
+      w
+    } finally toks.unpersist()
+  }
+
+  /** Score the corpus with a trained weight table: (id, n_words,
+    * score, keep = score > 0) — one narrow projection, scan speed. */
+  def scoreLinear(docs: DataFrame, idCol: String, textCol: String,
+                  weights: Seq[Long]): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        scoreExpr(col("__w"), weights).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+}

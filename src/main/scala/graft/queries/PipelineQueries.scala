@@ -148,8 +148,25 @@ object PipelineQueries {
       graft.operators.Sampling.tokenBudgetMix(
         Tables(s, dir, "documents"), "doc_id", "source", "n_chars",
         TOKEN_BUDGETS)
-        .select(col("doc_id"), col("source"), col("epoch")))
+        .select(col("doc_id"), col("source"), col("epoch"))),
+
+    // fastText-style quality filter: label en docs positive, train a
+    // 2-epoch integer batch perceptron over hashed unigram buckets,
+    // score the corpus — trained weights AND keep set replay exactly
+    // in SQL (the whole train loop unrolls into CTEs)
+    "q_quality_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val w = graft.operators.Quality.trainPerceptron(
+        docs, "text", "__y", buckets = QUAL_B, epochs = 2)
+      graft.operators.Quality.scoreLinear(docs, "doc_id", "text", w)
+    })
   )
+
+  /** q_quality_filter feature buckets (same order of magnitude as
+    * DSIR's — enough to keep the synthetic vocabulary from
+    * colliding, small enough that the weight literal ships cheap). */
+  private val QUAL_B = 4096
 
   /** Per-source char budgets for q_token_mix: absolute values chosen
     * so sf0.01 exercises both regimes (source totals there are
@@ -368,6 +385,43 @@ object PipelineQueries {
          |SELECT doc_id, source,
          |  CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
          |FROM k""".stripMargin
-    }
+    },
+
+    // q_quality_filter replay: the 2-epoch batch perceptron unrolls
+    // into CTEs. Epoch 1 from zero weights misclassifies everything
+    // (y*0 <= 0), so w1 = per-bucket sum of labels over ALL word
+    // occurrences; epoch 2 gates the same sum on y*score_1 <= 0;
+    // final scoring joins occurrences to w2. tok/w1/s1 feed multiple
+    // consumers -> MATERIALIZED (inlining would rescan the parquet
+    // per consumer).
+    "q_quality_filter" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id,
+         |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |       regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
+         |     FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $QUAL_B
+         |      AS INTEGER) AS b
+         |  FROM (SELECT doc_id, y, unnest(wl) AS w FROM d)),
+         |w1 AS MATERIALIZED (
+         |  SELECT b, CAST(sum(y) AS BIGINT) AS w FROM tok GROUP BY 1),
+         |s1 AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(sum(w1.w) AS BIGINT) AS s
+         |  FROM tok t JOIN w1 USING (b) GROUP BY 1),
+         |d2 AS (SELECT t.b, CAST(sum(t.y) AS BIGINT) AS dw
+         |       FROM tok t JOIN s1 USING (doc_id)
+         |       WHERE t.y * s1.s <= 0 GROUP BY 1),
+         |w2 AS MATERIALIZED (
+         |  SELECT w1.b, w1.w + coalesce(d2.dw, 0) AS w
+         |  FROM w1 LEFT JOIN d2 USING (b)),
+         |s2 AS (SELECT t.doc_id, CAST(sum(w2.w) AS BIGINT) AS s
+         |       FROM tok t JOIN w2 USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(d.wl) AS BIGINT) AS n_words,
+         |  CAST(coalesce(s2.s, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(s2.s, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS keep
+         |FROM d LEFT JOIN s2 USING (doc_id)""".stripMargin
   )
 }

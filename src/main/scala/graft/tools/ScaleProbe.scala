@@ -101,7 +101,7 @@ object ScaleProbe {
       "dedup_jaccard_capped", "dedup_components", "dedup_components_stars",
       "dedup_embedding_lsh", "dedup_semantic",
       "dedup_embedding_lsh_auto", "dedup_semantic_auto",
-      "dedup_spans", "dedup_span_remove", "q_dsir",
+      "dedup_spans", "dedup_span_remove", "q_dsir", "q_quality_filter",
       "knn_cosine", "knn_lsh", "knn_ivf", "q_kmeans",
       "q_pq", "knn_pq_adc", "knn_pq_rerank", "knn_ivfpq",
       "text_tfidf", "text_decontaminate", "text_chunk",

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Quality, Sampling}
 
 /** Planted-data behavior specs for the round-6 curation operators:
   * duplicated-span detection and DSIR-style importance selection.
@@ -159,5 +159,39 @@ class Round6OpsSpec extends SparkSpec {
     val aTok = kept.filter(col("source") === "A")
       .agg(sum(col("tok"))).head().getLong(0)
     assert(aTok >= 200L && aTok <= 300L)
+  }
+
+  test("perceptron: epoch-1 weights are the per-bucket label sums") {
+    // zero init misclassifies everything (y*0 <= 0), so the first
+    // update must equal sum(label) per word-occurrence bucket —
+    // recomputed here independently of the operator
+    val B = 64
+    val toks = Seq((1, "aa bb aa"), (-1, "bb cc"))
+      .toDF("y", "text")
+      .select(col("y"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+    val got = Quality.perceptronStep(toks, "w", "y", Vector.fill(B)(0L))
+    val expect = Array.fill(B)(0L)
+    for ((wd, y) <- Seq(("aa", 1L), ("bb", 1L), ("aa", 1L),
+                        ("bb", -1L), ("cc", -1L)))
+      expect((hash48(wd) % B).toInt) += y
+    assert(got == expect.toVector)
+  }
+
+  test("quality filter: planted separable vocabularies classify perfectly") {
+    val pos = (1L to 20L).map(i =>
+      (i, 1, (1 to 30).map(t => s"pos${(i + t) % 17}").mkString(" ")))
+    val neg = (21L to 40L).map(i =>
+      (i, -1, (1 to 30).map(t => s"neg${(i + t) % 17}").mkString(" ")))
+    val docs = (pos ++ neg).toDF("doc_id", "y", "text")
+    val w = Quality.trainPerceptron(docs, "text", "y",
+      buckets = 4096, epochs = 2)
+    val out = Quality.scoreLinear(docs, "doc_id", "text", w).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) == (if (id <= 20L) 1 else 0),
+        s"doc $id score ${r.getLong(2)}")
+    }
   }
 }
