@@ -152,6 +152,24 @@ final case class Curation private (private val df: DataFrame,
         .select(col(idCol))
         .join(df, idCol))
 
+  /** Keep only documents the hashed-feature perceptron classifies
+    * positive ([[Quality]] — the fastText-style filter), trained at
+    * call time on a labeled exemplar frame. `labeled` needs
+    * (`__w`, `labelCol` = +1/-1) — build it from the same
+    * [[Curation.apply]] projection plus your label rule. Training
+    * collects one bounded weight table per epoch; scoring is a
+    * narrow fold over the carried word array. */
+  def classifierSelect(labeled: DataFrame, labelCol: String = "label",
+                       buckets: Int = 4096, epochs: Int = 2): Curation = {
+    val w = Quality.trainPerceptronOfWords(
+      labeled, "__w", labelCol, buckets, epochs)
+    stage("classifier_select",
+      Quality.scoreLinearOfWords(df, idCol, "__w", w)
+        .filter(col("keep") === 1)
+        .select(col(idCol))
+        .join(df, idCol))
+  }
+
   /** Per-shard training-sequence statistics for the surviving docs:
     * closed-form context-window chunk counts and token totals.
     * Wordless docs (null/empty text — `wc <= 0`) contribute nothing,

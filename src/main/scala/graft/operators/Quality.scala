@@ -70,23 +70,37 @@ object Quality {
     * persists the (label, words) projection across epochs — each
     * epoch scans it exactly once. */
   def trainPerceptron(docs: DataFrame, textCol: String, labelCol: String,
-                      buckets: Int = 4096, epochs: Int = 2): Seq[Long] = {
-    val toks = docs
-      .select(col(labelCol), words(col(textCol)).as("__gqw")).persist()
+                      buckets: Int = 4096, epochs: Int = 2): Seq[Long] =
+    trainPerceptronOfWords(
+      docs.select(col(labelCol), words(col(textCol)).as("__gqw")),
+      "__gqw", labelCol, buckets, epochs)
+
+  /** [[trainPerceptron]] over an already-projected word-array column
+    * — composed pipelines tokenize once. */
+  def trainPerceptronOfWords(toks: DataFrame, wordsCol: String,
+                             labelCol: String, buckets: Int = 4096,
+                             epochs: Int = 2): Seq[Long] = {
+    val t = toks.select(col(labelCol), col(wordsCol)).persist()
     try {
       var w: Seq[Long] = Vector.fill(buckets)(0L)
-      for (_ <- 1 to epochs) w = perceptronStep(toks, "__gqw", labelCol, w)
+      for (_ <- 1 to epochs) w = perceptronStep(t, wordsCol, labelCol, w)
       w
-    } finally toks.unpersist()
+    } finally t.unpersist()
   }
 
   /** Score the corpus with a trained weight table: (id, n_words,
     * score, keep = score > 0) — one narrow projection, scan speed. */
   def scoreLinear(docs: DataFrame, idCol: String, textCol: String,
                   weights: Seq[Long]): DataFrame =
-    docs.select(col(idCol), words(col(textCol)).as("__w"))
-      .select(col(idCol),
-        size(col("__w")).cast("long").as("n_words"),
-        scoreExpr(col("__w"), weights).as("score"))
+    scoreLinearOfWords(
+      docs.select(col(idCol), words(col(textCol)).as("__gqw")),
+      idCol, "__gqw", weights)
+
+  /** [[scoreLinear]] over an already-projected word-array column. */
+  def scoreLinearOfWords(docs: DataFrame, idCol: String, wordsCol: String,
+                         weights: Seq[Long]): DataFrame =
+    docs.select(col(idCol),
+        size(col(wordsCol)).cast("long").as("n_words"),
+        scoreExpr(col(wordsCol), weights).as("score"))
       .withColumn("keep", (col("score") > 0).cast("int"))
 }

@@ -125,6 +125,38 @@ class CurationSpec extends SparkSpec {
     done.release()
   }
 
+  test("classifierSelect keeps the docs the trained perceptron scores positive") {
+    // labeled exemplars use disjoint good/bad vocabularies; corpus
+    // docs draw from one side each — the trained filter must keep
+    // exactly the good-vocabulary docs, and the stage must equal the
+    // standalone operator's keep set
+    def vdoc(prefix: String, seed: Int): String =
+      (1 to 30).map(t => s"$prefix${(seed + t) % 13}").mkString(" ")
+    val docs = Seq(
+      (1L, vdoc("good", 1)), (2L, vdoc("good", 2)),
+      (3L, vdoc("bad", 3)), (4L, vdoc("bad", 4))
+    ).toDF("doc_id", "text")
+    val labeled = Seq(
+      (1, vdoc("good", 7)), (1, vdoc("good", 8)),
+      (-1, vdoc("bad", 7)), (-1, vdoc("bad", 8))
+    ).toDF("label", "text")
+      .select(col("label"),
+        graft.functions.TextFunctions.words(col("text")).as("__w"))
+    val done = Curation(docs, "doc_id", "text").instrumented()
+      .classifierSelect(labeled)
+    assert(done.docs.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(done.stageMetrics == Seq("input" -> 4L, "classifier_select" -> 2L))
+    done.release()
+    // stage == standalone operator on the same inputs
+    val w = graft.operators.Quality.trainPerceptronOfWords(
+      labeled, "__w", "label")
+    val standalone = graft.operators.Quality
+      .scoreLinear(docs, "doc_id", "text", w)
+      .filter(col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(standalone == Set(1L, 2L))
+  }
+
   test("chunkStats totals equal the explode-form chunking") {
     val docs = (0 until 20).map(i => (i.toLong, doc(30 + i * 13, i)))
       .toDF("doc_id", "text")
