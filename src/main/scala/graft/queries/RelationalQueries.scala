@@ -247,6 +247,31 @@ object RelationalQueries {
             col("exact_parts") <= lit(3 * rsd)).cast("int").as("within_bound"))
     }),
 
+    // KLL/GK-sketch quantiles, bound-checked like q_approx_distinct:
+    // approx_percentile guarantees rank error <= n/accuracy, so the
+    // sketch value must sit between the exact continuous percentiles
+    // at p +- 4/accuracy (monotone in p; 4x margin absorbs the
+    // floor/interpolation edge). The sketch value itself is NOT
+    // shipped — Greenwald-Khanna merges are partition-order dependent
+    // — only the deterministic exact values and the bound verdict.
+    "q_approx_quantile" -> ((s, dir) => {
+      val acc = 1000
+      val eps = 4.0 / acc
+      def bounded(c: String, p: Double) =
+        (expr(s"approx_percentile($c, $p, $acc)") >=
+          expr(s"percentile($c, ${math.max(0.0, p - eps)})") &&
+          expr(s"approx_percentile($c, $p, $acc)") <=
+            expr(s"percentile($c, ${math.min(1.0, p + eps)})")).cast("int")
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n_rows"),
+          (bounded("l_extendedprice", 0.5) * bounded("l_extendedprice", 0.9))
+            .as("within_bound"))
+    }),
+
     // Bloom-filter pre-filtered join: probe-side rows drop BEFORE the
     // join exchange; the exact join then removes false positives, so
     // the result equals the plain join while the shuffle carries only
@@ -462,6 +487,16 @@ object RelationalQueries {
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  count(*) AS n_rows,
+        |  CAST(1 AS INTEGER) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // within_bound replays as constant TRUE: the sketch guarantee is
+    // the claim under test on the Spark side (q_approx_distinct
+    // technique)
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  count(*) AS n_rows,
         |  CAST(1 AS INTEGER) AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

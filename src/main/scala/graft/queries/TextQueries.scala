@@ -308,6 +308,15 @@ object TextQueries {
           col("n_kept"), col("kept_chars"))
     }),
 
+    // Gopher document-rule table (Rae et al. 2021 App. A): exact
+    // integer statistics + the composite keep verdict, all narrow —
+    // the doc-level rule stage between C4 line cleaning (text_clean)
+    // and model filtering (q_quality_filter). minWords lowered to the
+    // fixture's doc scale so the verdict actually splits the corpus.
+    "q_gopher_rules" -> ((s, dir) =>
+      graft.operators.GopherRules(
+        Tables(s, dir, "documents"), "doc_id", "text", minWords = 20)),
+
     // inverted-index build: term -> document frequency + a content
     // address of the sorted posting list (the artifact a search/recall
     // stage consumes). Distinct (term, doc) then one aggregation.
@@ -629,6 +638,39 @@ object TextQueries {
         |  CAST(coalesce(list_sum(list_transform(kept, t -> length(t))), 0) AS BIGINT)
         |    AS kept_chars
         |FROM k""".stripMargin,
+    "q_gopher_rules" -> {
+      val sw = sqlStopwords("en")
+      s"""WITH w AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(ws), $sw)) AS BIGINT)
+        |      AS stop_hits,
+        |    CAST(len(list_filter(ws, x -> contains(x, '#')
+        |      OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS n_sym
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    (sum_len * 10000) // greatest(n_words, 1) AS mean_word_len_e4,
+        |    (n_alpha * 10000) // greatest(n_words, 1) AS alpha_ratio_e4,
+        |    stop_hits,
+        |    (n_sym * 10000) // greatest(n_words, 1) AS symbol_ratio_e4
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len_e4, alpha_ratio_e4,
+        |  stop_hits, symbol_ratio_e4,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+        |    AND mean_word_len_e4 BETWEEN 30000 AND 100000
+        |    AND alpha_ratio_e4 >= 8000 AND stop_hits >= 2
+        |    AND symbol_ratio_e4 <= 1000 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM r""".stripMargin
+    },
     "q_inverted_index" ->
       """WITH t0 AS (SELECT doc_id,
         |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
