@@ -327,6 +327,33 @@ object Dedup {
       .agg(coalesce(min(col("component")), first(col("id"))).as("component"))
   }
 
+  /** Fuzzy-dedup SURVIVOR selection: resolve near-duplicate clusters
+    * ([[connectedComponentsStars]] over `pairs`) and keep the best
+    * document of each cluster by `scoreCol` (ties → smallest id) —
+    * the "keep the highest-quality copy" policy real pipelines run
+    * instead of min-id-wins, which keeps an arbitrary copy.
+    *
+    * `docs` must carry `idCol` and an integral `scoreCol` (quality
+    * rank, word count, …). Scale shape: the component resolution is
+    * the star-contraction path (O(log n) rounds, one agg + one join
+    * each); the score lookup is an id equi-join at survivor scale
+    * (SMJ — both sides ≈ corpus size); the per-cluster argmax is the
+    * bounded [[TopK]] partial aggregate, ≤1 row per cluster per task
+    * crossing the exchange — never a cluster-partitioned window over
+    * the corpus. Output: (idCol, component, scoreCol), one row per
+    * cluster. */
+  def keepBestPerComponent(pairs: DataFrame, docs: DataFrame, idCol: String,
+                           scoreCol: String,
+                           aCol: String = "id_a", bCol: String = "id_b")
+  : DataFrame = {
+    val comp = connectedComponentsStars(pairs, docs, idCol, aCol, bCol)
+    val scored = comp.join(
+      docs.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+    TopK.perKey(scored, "component", "id", scoreCol, k = 1)
+      .select(col("id").as(idCol), col("component"),
+        col(scoreCol).cast("long"))
+  }
+
   /** Shared Jaccard tail over a distinct `(id, token)` relation:
     * per-id set sizes, shared-token self-join for intersections, and
     * the exact |A∩B| / (|A|+|B|-|A∩B|) ratio rounded to 4 dp (the

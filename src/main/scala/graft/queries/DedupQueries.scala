@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions.tokenCount
 
 /** Near-duplicate detection over documents/embeddings, each with an
   * arithmetically identical DuckDB oracle (seedless MD5-derived
@@ -56,6 +57,20 @@ object DedupQueries {
         shingleLen = 3, window = 4, minJaccard = 0.3)
       Dedup.connectedComponentsStars(pairs, docs, "doc_id")
         .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // fuzzy-dedup survivor selection: same clusters as
+    // dedup_components_stars, but each cluster keeps its
+    // highest-quality copy (word count, min-id tiebreak) via the
+    // bounded top-1 aggregate — the keep-best policy on top of the
+    // component resolution
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          tokenCount(col("text")).cast("long").as("n_words"))
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)
+      Dedup.keepBestPerComponent(pairs, docs, "doc_id", "n_words")
     }),
 
     // embedding cosine near-dup pairs (brute-force, oracle-checkable;
@@ -267,6 +282,29 @@ object DedupQueries {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  // dedup_keep_best replay: component labels as in componentsOracle,
+  // then the per-cluster argmax by (n_words desc, doc_id asc)
+  private val keepBestOracle: String =
+    s"""WITH RECURSIVE $winnowCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       |        UNION SELECT id_b, id_a FROM wpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       |nwt AS (SELECT doc_id,
+       |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |          AS n_words
+       |      FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(component AS BIGINT) AS component, n_words
+       |FROM (SELECT c.doc_id, c.component, nwt.n_words,
+       |        row_number() OVER (PARTITION BY c.component
+       |          ORDER BY nwt.n_words DESC, c.doc_id ASC) AS rn
+       |      FROM comp c JOIN nwt ON nwt.doc_id = c.doc_id) t
+       |WHERE rn = 1""".stripMargin
+
   private val cappedJaccardOracle: String =
     s"""WITH $shingleCte,
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 40),
@@ -369,6 +407,7 @@ object DedupQueries {
     "dedup_winnow" -> winnowOracle,
     "dedup_components" -> componentsOracle,
     "dedup_components_stars" -> componentsOracle,
+    "dedup_keep_best" -> keepBestOracle,
     "dedup_embedding" -> embeddingOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle
   )
