@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval (Robertson & Zaragoza 2009, the Okapi
+  * weighting every lexical search stack runs) — the query side of the
+  * inverted-index artifact `q_inverted_index` builds, and the recall
+  * stage a RAG-style training pipeline pairs with the ANN operators.
+  *
+  * Engine-portable scoring: every per-term contribution is quantized
+  * to integer micro-units BEFORE the per-document sum, so the sum is
+  * exact integer arithmetic — no float-addition-order dependence
+  * across partitions — and the whole ranking replays in SQL with the
+  * same expression tree (identical IEEE association, floor at the
+  * end).
+  *
+  * Scale shape: the corpus tokenizes once; only tokens matching the
+  * query term set survive the explode (a narrow `isin` filter on a
+  * literal — at 100 TB the posting rows crossing the tf/df exchanges
+  * are bounded by query-term document frequency, not corpus size);
+  * `N`/`avgdl` is one map-combined aggregate broadcast back as a
+  * single row (a production deployment precomputes it as a corpus
+  * statistic); the final top-k is TakeOrderedAndProject. Nothing
+  * shuffles the corpus text.
+  */
+object Retrieval {
+
+  /** Score `queryTerms` against `docs(textCol)`, returning the top
+    * `topK` documents as (idCol, n_terms, score_e6) — score in
+    * integer micro-units, ties broken by ascending id. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 requires at least one query term")
+    import graft.functions.TextFunctions.words
+    val toks = docs.select(col(idCol).as("id"),
+      words(col(textCol)).as("__w"))
+    val posts = toks
+      .select(col("id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = posts.groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = posts.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("__w")).cast("long")).as("sumdl"))
+    // identical association as the SQL replay: idf = ln(1 + (n - df
+    // + 0.5)/(df + 0.5)); sat = (tf*(k1+1)) / (tf + k1*((1-b) +
+    // b*(dl*n/sumdl))); s_e6 = floor((idf*sat)*1e6)
+    val idf = log(lit(1.0) +
+      ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val rel = (col("dl") * col("n")).cast("double") /
+      col("sumdl").cast("double")
+    // k1+1 stays an IEEE ADD of the two literals (not a pre-computed
+    // Scala constant): the SQL replay writes `(k1 + 1.0)` too, so
+    // both engines round the same operation, not the same decimal
+    val sat = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * rel))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        floor(idf * sat * lit(1000000.0)).cast("long").as("s_e6"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as(idCol), col("n_terms"), col("score_e6"))
+  }
+}

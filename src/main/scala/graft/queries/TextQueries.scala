@@ -317,6 +317,14 @@ object TextQueries {
       graft.operators.GopherRules(
         Tables(s, dir, "documents"), "doc_id", "text", minWords = 20)),
 
+    // BM25 ranked retrieval (the query side of q_inverted_index):
+    // integer micro-unit per-term scores summed exactly, top-20 with
+    // id tiebreak — posting rows crossing the exchanges are bounded
+    // by query-term document frequency, never corpus size
+    "q_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25(Tables(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "query", "join"))),
+
     // inverted-index build: term -> document frequency + a content
     // address of the sorted posting list (the artifact a search/recall
     // stage consumes). Distinct (term, doc) then one aggregation.
@@ -671,6 +679,32 @@ object TextQueries {
         |    AND symbol_ratio_e4 <= 1000 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM r""".stripMargin
     },
+    // q_bm25 replay: same expression tree, same association — `(1.2 +
+    // 1.0)` is an IEEE add in both engines, per-term floor-e6 before
+    // the (exact integer) per-document sum
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+        |m AS (SELECT * FROM t WHERE term IN ('spark', 'query', 'join')),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM m GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM m GROUP BY term),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor((ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |           ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))))
+        |           * 1000000.0) AS BIGINT) AS s_e6
+        |       FROM tf JOIN dft USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_inverted_index" ->
       """WITH t0 AS (SELECT doc_id,
         |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
