@@ -55,6 +55,71 @@ object Similarity {
       "query_id", "neighbor_id", "sim", k)
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * — the diversification pass retrieval stacks run AFTER the ANN
+    * shortlist, picking `k` results that balance query relevance
+    * against redundancy with what's already picked:
+    * `score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`.
+    *
+    * Greedy selection is inherently sequential in k, so the k rounds
+    * are unrolled LAZILY over two eagerly-checkpointed bounded
+    * frames — the shortlist (≤ `shortlist` rows/query) and its
+    * pairwise similarities (≤ shortlist² rows/query) — and each
+    * round's pick is re-checkpointed so the plan stays flat instead
+    * of growing 3^k (the Observation/localCheckpoint pattern from
+    * the components iteration). Per round: one anti-join, one
+    * penalty max-aggregate, one per-query argmax window — all on
+    * candidate-scale frames; the corpus is touched exactly once, by
+    * the shortlist scan. Scale: cost is queries × shortlist², with
+    * corpus size only in the (broadcast-probe) shortlist stage.
+    *
+    * Ties break by ascending id at every argmax; all arithmetic
+    * replays in SQL with identical IEEE association (λ and 1−λ stay
+    * literal subtraction, never a pre-computed Scala constant).
+    * @return (query_id, neighbor_id, rank 1..k, score 4dp) */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+                qidCol: String, idCol: String, vecCol: String,
+                shortlist: Int = 16, k: Int = 5,
+                lam: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    val sl = bruteForceTopK(queries, corpus, qidCol, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("sim").as("simq"))
+      .localCheckpoint()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val cv = sl.select(col("query_id"), col("id")).join(vecs, Seq("id"))
+      .select(col("query_id"), col("id"), col("__v"))
+    val cc = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.id") =!= col("b.id"))
+      .select(col("a.query_id").as("query_id"), col("a.id").as("ia"),
+        col("b.id").as("ib"),
+        round(cosine(col("a.__v"), col("b.__v")), 6).as("ccsim"))
+      .localCheckpoint()
+    val pickW = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("id").asc)
+    def argmax(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(pickW))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("id"), lit(rank.toLong).as("rank"),
+        round(col("__score"), 4).as("score"))
+    var sel = argmax(sl.withColumn("__score", col("simq")), 1)
+    for (t <- 2 to k) {
+      val rem = sl.join(sel.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      val pen = cc.join(sel.select(col("query_id"),
+          col("id").as("ib")), Seq("query_id", "ib"))
+        .groupBy(col("query_id"), col("ia").as("id"))
+        .agg(max(col("ccsim")).as("__mx"))
+      val scored = rem.join(pen, Seq("query_id", "id"))
+        .withColumn("__score", round(lit(lam) * col("simq") -
+          (lit(1.0) - lit(lam)) * col("__mx"), 6))
+      sel = sel.unionByName(argmax(scored, t)).localCheckpoint()
+    }
+    sel.select(col("query_id"), col("id").as("neighbor_id"),
+      col("rank"), col("score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: MD5 of
     * (plane, dim) → first 12 hex digits → uniform in [-1, 1).
     * Exposed within graft so the oracle generator can inline the

@@ -31,6 +31,17 @@ object VectorQueries {
         "vec_id", "vec_id", "embedding", dim = DIM, k = 10)
     }),
 
+    // MMR diversified re-rank on the brute shortlist: greedy λ=0.7
+    // balance of query relevance vs redundancy with already-picked
+    // results, ids break ties — the post-ANN diversification stage,
+    // unrolled k=5 and exactly replayed by the unrolled-CTE oracle
+    "knn_mmr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(
+        emb.filter(col("vec_id") === 0), emb,
+        "vec_id", "vec_id", "embedding", shortlist = 16, k = 5)
+    }),
+
     // IVF: deterministic centroids (vec_id < 16) make the whole
     // cell-probe path replayable in SQL — an ANN operator WITH an
     // exact oracle
@@ -389,7 +400,52 @@ object VectorQueries {
        |ORDER BY adc_dist, qr.vec_id LIMIT 10""".stripMargin
   }
 
+  // knn_mmr replay: shortlist exactly as knn_cosine's rank window,
+  // then the greedy rounds unrolled — pick t maximizes round6(0.7·simq
+  // − (1.0−0.7)·max ccsim-to-selected) over the not-yet-selected, id
+  // tiebreak. sl/cc are MATERIALIZED (each is referenced by every
+  // unrolled round — inlining would rescan the parquet per round).
+  private val mmrOracle: String = {
+    val steps = (2 to 5).map { t =>
+      s"""p$t AS (SELECT r.id, r.simq,
+         |  round(0.7 * r.simq - (1.0 - 0.7) * (
+         |    SELECT max(cc.ccsim) FROM cc JOIN s${t - 1} s ON cc.ib = s.id
+         |    WHERE cc.ia = r.id), 6) AS score
+         |FROM sl r WHERE r.id NOT IN (SELECT id FROM s${t - 1})
+         |ORDER BY score DESC, r.id LIMIT 1),
+         |s$t AS (SELECT id FROM s${t - 1} UNION ALL SELECT id FROM p$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (2 to 5).map(t =>
+      s"""UNION ALL SELECT CAST(0 AS BIGINT), id, CAST($t AS BIGINT),
+         |round(score, 4) FROM p$t""".stripMargin).mkString("\n")
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+       |            FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |         FROM embeddings WHERE vec_id <> 0),
+       |sl AS MATERIALIZED (
+       |  SELECT id, simq FROM (
+       |    SELECT c.vec_id AS id,
+       |      round(list_cosine_similarity(q.e, c.e), 4) AS simq,
+       |      row_number() OVER (ORDER BY
+       |        round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |        c.vec_id ASC) AS rn
+       |    FROM qv q CROSS JOIN cand c) WHERE rn <= 16),
+       |cv AS (SELECT sl.id, c.e FROM sl JOIN cand c ON c.vec_id = sl.id),
+       |cc AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    round(list_cosine_similarity(a.e, b.e), 6) AS ccsim
+       |  FROM cv a JOIN cv b ON a.id <> b.id),
+       |s1p AS (SELECT id, simq FROM sl ORDER BY simq DESC, id ASC LIMIT 1),
+       |s1 AS (SELECT id FROM s1p),
+       |$steps
+       |SELECT CAST(0 AS BIGINT) AS query_id, id AS neighbor_id,
+       |  CAST(1 AS BIGINT) AS rank, round(simq, 4) AS score FROM s1p
+       |$finals""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "knn_mmr" -> mmrOracle,
     "knn_lsh" -> lshOracle,
     "q_pq" -> pqOracle,
     "knn_pq_adc" -> pqAdcOracle,
