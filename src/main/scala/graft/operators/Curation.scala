@@ -99,6 +99,21 @@ final case class Curation private (private val df: DataFrame,
         cpwE4 <= maxCpwE4 && divE4 >= minDivE4))
   }
 
+  /** The full Gopher Appendix-A rule table ([[GopherRules]]) as a
+    * pipeline stage — exact integer rule statistics over the shared
+    * word array, keep = all rules pass. The heavier, literature-exact
+    * sibling of [[qualityFilter]]'s three-ratio heuristic. */
+  def gopherFilter(minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanLenE4: Long = 30000, maxMeanLenE4: Long = 100000,
+                   minAlphaE4: Long = 8000, minStopHits: Long = 2,
+                   maxSymbolE4: Long = 1000): Curation =
+    stage("gopher_filter",
+      GopherRules.ofWords(df, idCol, "__w", minWords, maxWords,
+          minMeanLenE4, maxMeanLenE4, minAlphaE4, minStopHits, maxSymbolE4)
+        .filter(col("keep") === 1)
+        .select(col(idCol))
+        .join(df, idCol))
+
   /** Near-duplicate removal: winnow-Jaccard candidate pairs over the
     * shared word arrays, connected components, survivor = min id. */
   def nearDedup(shingleLen: Int = 3, window: Int = 4,

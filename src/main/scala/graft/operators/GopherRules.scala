@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * shape as [[LineFilter]].
   */
 object GopherRules {
-  import graft.functions.TextFunctions.{words, stopwords, vocabHits}
+  import graft.functions.TextFunctions.{words, stopwords}
 
   /** Per-document rule statistics + `keep`. Thresholds default to the
     * paper's (word count 50..100k, mean word length 3..10 chars,
@@ -30,8 +30,19 @@ object GopherRules {
             minWords: Long = 50, maxWords: Long = 100000,
             minMeanLenE4: Long = 30000, maxMeanLenE4: Long = 100000,
             minAlphaE4: Long = 8000, minStopHits: Long = 2,
-            maxSymbolE4: Long = 1000): DataFrame = {
-    val w = words(col(textCol))
+            maxSymbolE4: Long = 1000): DataFrame =
+    ofWords(df.select(col(idCol), words(col(textCol)).as("__gw")),
+      idCol, "__gw", minWords, maxWords, minMeanLenE4, maxMeanLenE4,
+      minAlphaE4, minStopHits, maxSymbolE4)
+
+  /** [[apply]] over an already-projected word-array column — composed
+    * pipelines (the [[Curation]] builder) tokenize once. */
+  def ofWords(df: DataFrame, idCol: String, wordsCol: String,
+              minWords: Long = 50, maxWords: Long = 100000,
+              minMeanLenE4: Long = 30000, maxMeanLenE4: Long = 100000,
+              minAlphaE4: Long = 8000, minStopHits: Long = 2,
+              maxSymbolE4: Long = 1000): DataFrame = {
+    val w = col(wordsCol)
     // exact integer division (a - a%n)/n: the subtraction makes the
     // double division exact (quotient < 2^53), replaying as DuckDB
     // `//`; greatest(n,1) keeps zero out — the n_words bound rejects
@@ -52,7 +63,8 @@ object GopherRules {
         col(idCol), nW.as("n_words"),
         rate(sumLen, nW).as("mean_word_len_e4"),
         rate(nAlpha, nW).as("alpha_ratio_e4"),
-        vocabHits(col(textCol), stopwords("en")).cast("long")
+        size(array_intersect(array_distinct(w),
+          array(stopwords("en").map(lit): _*))).cast("long")
           .as("stop_hits"),
         rate(nSym, nW).as("symbol_ratio_e4"))
       .withColumn("keep",

@@ -28,6 +28,18 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("gopherFilter stage drops rule violators inside the chain") {
+    val good = ("the cat sat of the mat and then ran to the barn " * 5).trim
+    val docs = Seq(
+      (1L, good),                                // passes all rules
+      (2L, "the of short"),                      // word count
+      (3L, ("cat mat sat ran barn " * 10).trim)  // no stopwords
+    ).toDF("doc_id", "text")
+    val kept = Curation(docs, "doc_id", "text").gopherFilter(minWords = 10)
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("nearDedup keeps the smallest id of a near-duplicate group") {
     val a = doc(80, 5)
     val nearA = a.split(" ").toSeq.updated(40, "zzz").mkString(" ") // ~1 word off

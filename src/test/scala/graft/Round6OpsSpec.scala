@@ -178,6 +178,69 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == expect.toVector)
   }
 
+  test("gopher rules: each planted violation trips exactly its rule") {
+    import graft.operators.GopherRules
+    val good = ("the cat sat of the mat and then ran to the barn " * 5).trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "the of short"),                        // word count < minWords
+      (3L, ("the of " + "extraordinarily " * 48).trim), // mean len > 10
+      (4L, ("cat mat sat ran barn " * 10).trim),   // no stopwords
+      (5L, good + " " + ("#tag " * 20).trim)       // symbol ratio > 10%
+    ).toDF("doc_id", "text")
+    val r = GopherRules(docs, "doc_id", "text", minWords = 10)
+      .collect().map(x => x.getLong(0) -> x.getInt(6)).toMap
+    assert(r == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+  }
+
+  test("keepBestPerComponent keeps the highest-score copy per cluster") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L))
+      .toDF("doc_id", "n_words")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerComponent(pairs, docs, "doc_id", "n_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster {1,2,3} labeled by min id 1 keeps doc 2 (score 30);
+    // singleton 4 survives as its own component
+    assert(out == Set((2L, 1L, 30L), (4L, 4L, 5L)))
+  }
+
+  test("bm25 ranks by term frequency and drops term-free documents") {
+    import graft.operators.Retrieval
+    val filler = doc(40, 9)
+    val docs = Seq(
+      (1L, s"$filler spark spark spark join"),
+      (2L, s"$filler spark"),
+      (3L, filler)
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("spark", "join"), topK = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "doc 1 (3x spark + join) outranks doc 2 (1x spark); doc 3 absent")
+    assert(out.head.getLong(1) == 2L, "doc 1 matches both terms")
+  }
+
+  test("mmr trades the redundant second hit for the diverse one") {
+    import graft.operators.Similarity
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // unit vectors: 1 is the best hit; 2 is its near-duplicate
+    // (sim(1,2) ~ 0.9998) with relevance 0.89; 3 sits on the other
+    // side of the query (sim(1,3) ~ 0.54) with relevance 0.85, so
+    // 0.7*0.89 - 0.3*0.9998 = 0.32 loses to 0.7*0.85 - 0.3*0.54 = 0.43
+    val emb = Seq(
+      (0L, v(1, 0, 0)),            // query
+      (1L, v(0.9, 0.4359, 0)),     // best hit
+      (2L, v(0.89, 0.456, 0)),     // near-duplicate of 1
+      (3L, v(0.85, -0.5268, 0))    // diverse, slightly less relevant
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(
+      emb.filter(col("vec_id") === 0), emb,
+      "vec_id", "vec_id", "embedding", shortlist = 3, k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // plain top-2 is (1, 2); MMR's second pick pays the 0.3-weighted
+    // redundancy penalty and takes 3 instead
+    assert(out == Seq(1L, 3L))
+  }
+
   test("quality filter: planted separable vocabularies classify perfectly") {
     val pos = (1L to 20L).map(i =>
       (i, 1, (1 to 30).map(t => s"pos${(i + t) % 17}").mkString(" ")))
