@@ -42,8 +42,13 @@ object Retrieval {
       .filter(col("term").isin(queryTerms: _*))
     val tf = posts.groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfT = posts.select(col("id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df = rows of tf per term, as a WINDOW over the tf frame: one
+    // posting-scale exchange on the term key instead of a second
+    // corpus scan (a separate df aggregation re-reads the corpus —
+    // column pruning differentiates the two agg subtrees, so not
+    // even AQE's ReuseExchange can serve one from the other; probed)
+    val withDf = tf.withColumn("df", count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(size(col("__w")).cast("long")).as("sumdl"))
     // identical association as the SQL replay: idf = ln(1 + (n - df
@@ -58,7 +63,7 @@ object Retrieval {
     // both engines round the same operation, not the same decimal
     val sat = (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * rel))
-    tf.join(broadcast(dfT), Seq("term"))
+    withDf
       .crossJoin(broadcast(stats))
       .select(col("id"),
         floor(idf * sat * lit(1000000.0)).cast("long").as("s_e6"))
