@@ -317,6 +317,13 @@ object TextQueries {
       graft.operators.GopherRules(
         Tables(s, dir, "documents"), "doc_id", "text", minWords = 20)),
 
+    // heavy hitters: Misra-Gries candidate sketch (≤ 64 counters per
+    // task, mergeable) + exact second pass — output is the exact set
+    // of terms with count·64 > n, independent of sketch internals
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.functions.HeavyHitters.frequentTerms(
+        Tables(s, dir, "documents"), "text", k = 64)),
+
     // BM25 ranked retrieval (the query side of q_inverted_index):
     // integer micro-unit per-term scores summed exactly, top-20 with
     // id tiebreak — posting rows crossing the exchanges are bounded
@@ -679,6 +686,17 @@ object TextQueries {
         |    AND symbol_ratio_e4 <= 1000 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM r""".stripMargin
     },
+    // q_heavy_hitters replay: the guarantee argument (MG candidates ⊇
+    // terms with cnt·k > n) means the oracle is just the exact filter
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(
+        |             regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |           FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY term)
+        |SELECT term, cnt FROM c, n WHERE cnt * 64 > n""".stripMargin,
+
     // q_bm25 replay: same expression tree, same association — `(1.2 +
     // 1.0)` is an IEEE add in both engines, per-term floor-e6 before
     // the (exact integer) per-document sum

@@ -162,6 +162,18 @@ object Demo {
         .toDF("id", "text"), "text")
       .select(col("n_lines"), col("n_kept")).head()
     println(s"line filter lines=${lf.getLong(0)} kept=${lf.getLong(1)}")
+
+    println("== round-6 retrieval/selection operators ==")
+    println("gopher keep rate=" + graft.operators.GopherRules(
+      docs5, "doc_id", "text", minWords = 20)
+      .filter(col("keep") === 1).count() + "/" + docs5.count())
+    println("bm25 top-3 docs=" + graft.operators.Retrieval.bm25(
+      docs5, "doc_id", "text", Seq("spark", "query", "join"), topK = 3)
+      .collect().map(_.getLong(0)).mkString(","))
+    println("mmr picks=" + graft.operators.Similarity.mmrRerank(
+      emb5.filter(col("vec_id") === 0), emb5,
+      "vec_id", "vec_id", "embedding", shortlist = 8, k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).mkString(","))
     spark.stop()
   }
 }

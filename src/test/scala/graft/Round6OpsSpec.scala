@@ -241,6 +241,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(out == Seq(1L, 3L))
   }
 
+  test("heavy hitters: exact hot terms survive sketch eviction") {
+    import graft.functions.HeavyHitters
+    // two hot terms (30% / 20% of tokens) amid 200 singleton tail
+    // terms; k=8 counters force constant MG eviction, yet the exact
+    // second pass must return exactly the terms with cnt*8 > n
+    val body = (List.fill(60)("hot1") ++ List.fill(40)("hot2") ++
+      (1 to 100).map(i => s"tail$i")).mkString(" ")
+    val docs = Seq((1L, body), (2L, body.replace("tail", "cold")))
+      .toDF("doc_id", "text")
+    val out = HeavyHitters.frequentTerms(docs, "text", k = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hot1" -> 120L, "hot2" -> 80L))
+  }
+
   test("quality filter: planted separable vocabularies classify perfectly") {
     val pos = (1L to 20L).map(i =>
       (i, 1, (1 to 30).map(t => s"pos${(i + t) % 17}").mkString(" ")))

@@ -95,6 +95,33 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateless curation stages stream: gopher rule table equals batch") {
+    // document-level rule filtering is watermark-free (pure narrow
+    // expressions), so the same operator body runs unchanged on a
+    // stream — the property that lets a curation front-end filter
+    // documents on ingest instead of in nightly batches
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.GopherRules(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 20)
+      .writeStream.format("memory").queryName("eq_gopher")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM eq_gopher")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.GopherRules(
+        docRows.toDF("doc_id", "text"), "doc_id", "text", minWords = 20)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming windowedTopK equals the batch per-window rank window") {
     implicit val sqlCtx = spark.sqlContext
     val k = 3
