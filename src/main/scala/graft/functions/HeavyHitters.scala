@@ -31,35 +31,38 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  private[graft] case class MGBuf(items: Seq[(String, Long)])
+  private[graft] case class MGBuf(items: Map[String, Long])
 
   private[graft] class MisraGries(k: Int)
       extends Aggregator[String, MGBuf, MGBuf] {
-    override def zero: MGBuf = MGBuf(Vector.empty)
+    override def zero: MGBuf = MGBuf(Map.empty)
 
-    override def reduce(buf: MGBuf, term: String): MGBuf = {
-      val m = buf.items.toMap
-      if (m.contains(term)) MGBuf(buf.items.map {
-        case (t, c) => if (t == term) (t, c + 1L) else (t, c)
-      })
-      else if (m.size < k) MGBuf(buf.items :+ (term -> 1L))
-      // decrement-all: happens at most n/(k+1) times in a stream of
-      // n tokens (each event retires k+1 units of total count), so
-      // the O(k) scan amortizes to O(1) per token
-      else MGBuf(buf.items.collect {
-        case (t, c) if c > 1L => (t, c - 1L)
-      })
-    }
+    // the buffer object lives across rows (typed aggregation only
+    // serializes at partial-output boundaries), so the per-token cost
+    // is one hash lookup + one persistent-map update; the O(k)
+    // decrement-all fires at most n/(k+1) times in a stream of n
+    // tokens (each event retires k+1 units of total count) and
+    // amortizes to O(1)
+    override def reduce(buf: MGBuf, term: String): MGBuf =
+      buf.items.get(term) match {
+        case Some(c) => MGBuf(buf.items.updated(term, c + 1L))
+        case None if buf.items.size < k =>
+          MGBuf(buf.items.updated(term, 1L))
+        case None => MGBuf(buf.items.collect {
+          case (t, c) if c > 1L => (t, c - 1L)
+        })
+      }
 
     override def merge(a: MGBuf, b: MGBuf): MGBuf = {
-      val m = (a.items ++ b.items)
-        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      if (m.size <= k) MGBuf(m.toVector)
+      val m = b.items.foldLeft(a.items) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (m.size <= k) MGBuf(m)
       else {
         val cut = m.values.toVector.sorted(Ordering[Long].reverse)(k)
         MGBuf(m.collect {
           case (t, c) if c - cut > 0L => (t, c - cut)
-        }.toVector)
+        })
       }
     }
 
@@ -78,8 +81,7 @@ object HeavyHitters {
     val mg = udaf(new MisraGries(k), Encoders.STRING)
     val row = toks
       .agg(mg(col("term")).as("sketch"), count(lit(1)).as("n")).head()
-    val cands = row.getStruct(0).getSeq[org.apache.spark.sql.Row](0)
-      .map(_.getString(0))
+    val cands = row.getStruct(0).getMap[String, Long](0).keys.toSeq
     val n = row.getLong(1)
     if (cands.isEmpty) // empty corpus: nothing can exceed n/k
       return toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))

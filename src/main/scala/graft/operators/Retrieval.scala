@@ -40,6 +40,48 @@ object Retrieval {
       .select(col("id"), size(col("__w")).cast("long").as("dl"),
         explode(col("__w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
+    scorePosts(toks, posts, idCol, k1, b, topK, perQuery = false)
+  }
+
+  /** Batched BM25: many queries at once — the production retrieval
+    * workload. `queries` is (qidCol, termCol), one row per query
+    * term; the union of query terms filters the corpus explode (one
+    * broadcast semi-join instead of a literal `isin`), scores fan
+    * out per query via a broadcast equi-join on term, and the top-k
+    * is the bounded [[TopK]] aggregate PER QUERY — ≤ topK rows per
+    * query per task cross the final exchange however many documents
+    * match. One corpus scan total, any number of queries.
+    * @return (qidCol, idCol, score_e6, rank) */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, termCol: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                topK: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val q = queries.select(col(qidCol).as("qid"), col(termCol).as("term"))
+    val toks = docs.select(col(idCol).as("id"),
+      words(col(textCol)).as("__w"))
+    val posts = toks
+      .select(col("id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .join(broadcast(q.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+    val perTerm = scorePosts(toks, posts, idCol, k1, b,
+      topK, perQuery = true)
+    val scored = perTerm.join(broadcast(q), Seq("term"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("s_e6")).as("score_e6"))
+    TopK.perKey(scored, "qid", "id", "score_e6", topK)
+      .select(col("qid").as(qidCol), col("id").as(idCol),
+        col("score_e6").cast("long"), col("rank"))
+  }
+
+  /** Shared scoring tail: tf/df/length-normalized per-term integer
+    * micro-unit scores; `perQuery = false` sums per document and
+    * take-orders (single-query form), `perQuery = true` returns the
+    * per-(term, doc) score rows for the batch fan-out. */
+  private def scorePosts(toks: DataFrame, posts: DataFrame, idCol: String,
+                         k1: Double, b: Double, topK: Int,
+                         perQuery: Boolean): DataFrame = {
     val tf = posts.groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df = rows of tf per term, as a WINDOW over the tf frame: one
@@ -63,10 +105,12 @@ object Retrieval {
     // both engines round the same operation, not the same decimal
     val sat = (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * rel))
-    withDf
+    val base = withDf
       .crossJoin(broadcast(stats))
-      .select(col("id"),
+      .select(col("term"), col("id"),
         floor(idf * sat * lit(1000000.0)).cast("long").as("s_e6"))
+    if (perQuery) base
+    else base
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("s_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("id").asc)

@@ -332,6 +332,17 @@ object TextQueries {
       graft.operators.Retrieval.bm25(Tables(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "query", "join"))),
 
+    // batched BM25 — three queries in one pass: union of terms
+    // filters the corpus once, per-query fan-out is a broadcast term
+    // join, top-5 per query via the bounded TopK aggregate
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq((0L, "spark"), (0L, "query"), (0L, "join"),
+        (1L, "fast"), (1L, "table"), (2L, "data")).toDF("qid", "term")
+      graft.operators.Retrieval.bm25Batch(Tables(s, dir, "documents"),
+        "doc_id", "text", q, "qid", "term", topK = 5)
+    }),
+
     // inverted-index build: term -> document frequency + a content
     // address of the sorted posting list (the artifact a search/recall
     // stage consumes). Distinct (term, doc) then one aggregation.
@@ -723,6 +734,42 @@ object TextQueries {
         |  CAST(sum(s_e6) AS BIGINT) AS score_e6
         |FROM sc GROUP BY doc_id
         |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // q_bm25_batch replay: same per-term micro-unit scores, fan-out
+    // via the VALUES query table, rank window per qid (integer
+    // scores, doc_id tiebreak — TopK.perKey's exact ordering)
+    "q_bm25_batch" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+        |qq AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+        |         (0, 'join'), (1, 'fast'), (1, 'table'), (2, 'data'))
+        |       AS v(qid, term)),
+        |m AS (SELECT * FROM t WHERE term IN (SELECT term FROM qq)),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM m GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM m GROUP BY term),
+        |sc AS (SELECT doc_id, tf.term,
+        |         CAST(floor((ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |           ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))))
+        |           * 1000000.0) AS BIGINT) AS s_e6
+        |       FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |qs AS (SELECT qq.qid, sc.doc_id,
+        |         CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |       FROM sc JOIN qq ON qq.term = sc.term
+        |       GROUP BY qq.qid, sc.doc_id),
+        |r AS (SELECT qid, doc_id, score_e6,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score_e6 DESC, doc_id ASC) AS rn
+        |      FROM qs)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_e6,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q_inverted_index" ->
       """WITH t0 AS (SELECT doc_id,
         |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -219,6 +219,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == 2L, "doc 1 matches both terms")
   }
 
+  test("bm25Batch scores each query exactly as the single-query form") {
+    import graft.operators.Retrieval
+    val filler = doc(40, 9)
+    val docs = Seq(
+      (1L, s"$filler spark spark spark join"),
+      (2L, s"$filler spark fast"),
+      (3L, s"$filler fast fast")
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "spark"), (7L, "join"), (8L, "fast"))
+      .toDF("qid", "term")
+    val batch = Retrieval.bm25Batch(docs, "doc_id", "text",
+      q, "qid", "term", topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (qid <- Seq(7L, 8L)) {
+      val terms = if (qid == 7L) Seq("spark", "join") else Seq("fast")
+      val single = Retrieval.bm25(docs, "doc_id", "text", terms,
+        topK = 10).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(single.nonEmpty &&
+        single == batch.collect { case ((`qid`, d), s) => d -> s })
+    }
+  }
+
   test("mmr trades the redundant second hit for the diverse one") {
     import graft.operators.Similarity
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
