@@ -490,7 +490,11 @@ object Dedup {
         raw.withColumn("__df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
           .filter(col("__df") <= maxDocFreq).drop("__df")
-    jaccardFromTokens(capped, minJaccard, "dedup.ngramTokens")
+    // slot per parameterization: the capped and uncapped token
+    // relations are different plans, and a shared slot would thrash
+    // (evict each other) when both run in one session — e.g. the
+    // bench alternating them turned every median-of-3 run cold
+    jaccardFromTokens(capped, minJaccard, s"dedup.ngramTokens.df$maxDocFreq")
   }
 
   /** Exact duplicated-span detection at token granularity: a run of
