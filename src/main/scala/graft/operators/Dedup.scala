@@ -45,28 +45,44 @@ object Dedup {
                    numHashes: Int = 12, bands: Int = 4,
                    minEstimate: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // the signature frame feeds three join sides; persist it
     // (single-slot — the next invocation unpersists this copy) so the
     // shingle pipeline (the expensive part) runs once
     val sigs = PersistSlots.swap("dedup.minhashSigs",
       minhashSignatures(df, idCol, textCol, numHashes))
 
-    val bandKeys = sigs.select(
-      col(idCol),
-      explode(array((0 until bands).map { b =>
-        md5(concat_ws("#", lit(b.toString) +: (b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
-      }: _*)).as("band_key"))
-
+    val bandKeys = bandKeysOf(sigs, idCol, numHashes, bands)
     val a = bandKeys.select(col(idCol).as("id_a"), col("band_key"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("band_key"))
     val candidates = a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    estimateFromSignatures(candidates, sigs, sigs, idCol,
+      numHashes, minEstimate)
+  }
 
-    val sa = sigs.select(col(idCol).as("id_a") +:
+  /** LSH band keys of a signature frame: `bands` MD5 keys per row,
+    * each hashing that band's signature slice. */
+  private def bandKeysOf(sigs: DataFrame, idCol: String,
+                         numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sigs.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws("#", lit(b.toString) +: (b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
+      }: _*)).as("band_key"))
+  }
+
+  /** Shared estimate tail: join candidate (id_a, id_b) pairs back to
+    * their signatures and keep pairs whose component-agreement
+    * fraction clears `minEstimate`. */
+  private def estimateFromSignatures(candidates: DataFrame,
+                                     sigsA: DataFrame, sigsB: DataFrame,
+                                     idCol: String, numHashes: Int,
+                                     minEstimate: Double): DataFrame = {
+    val sa = sigsA.select(col(idCol).as("id_a") +:
       (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
-    val sb = sigs.select(col(idCol).as("id_b") +:
+    val sb = sigsB.select(col(idCol).as("id_b") +:
       (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
     val matches = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
@@ -75,6 +91,94 @@ object Dedup {
       .withColumn("est_jaccard", round(matches.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Narrow (per-row, shuffle-free) MinHash band keys: the
+    * higher-order-function form of [[minhashSignatures]] +
+    * [[bandKeysOf]] — each h_i is `array_min` over the MD5-seeded
+    * shingle transforms, computed inside one projection. Same values
+    * as the explode/groupBy signature path (min over the distinct
+    * shingle set equals min over the multiset), but usable where a
+    * stateful aggregation isn't: streaming micro-batches, map-only
+    * stages. Docs with no shingles emit nothing (same dropout rule
+    * as the aggregate form). Emits (idCol, band_key), `bands` rows
+    * per doc. */
+  def bandKeysNarrow(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 12, bands: Int = 4,
+                     shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val hs = (0 until numHashes).map(i =>
+      array_min(transform(col("__sh"),
+        s => md5(concat(lit(s"$i|"), s)))).as(s"h$i"))
+    val sigs = df
+      .select(col(idCol),
+        array_distinct(shinglesOfWords(words(col(textCol)), shingleLen))
+          .as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol) +: hs: _*)
+    bandKeysOf(sigs, idCol, numHashes, bands)
+  }
+
+  /** The stored-index half of incremental dedup: (band_key,
+    * corpus_id) rows for every corpus document — at 100 TB this is
+    * computed once per document on corpus entry and persisted as a
+    * table bucketed by band_key, so ingest-time probes are bucket
+    * lookups. */
+  def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 12, bands: Int = 4): DataFrame =
+    bandKeysOf(minhashSignatures(corpus, idCol, textCol, numHashes),
+      idCol, numHashes, bands)
+      .select(col("band_key"), col(idCol).as("corpus_id"))
+
+  /** Incremental near-dup detection: MinHash-LSH pairs for a NEW
+    * batch of documents against an EXISTING corpus — the daily-ingest
+    * shape of fuzzy dedup. Returns exactly the pairs of
+    * [[minhashPairs]] over `corpus` union `batch` that involve at
+    * least one batch document (id_a < id_b, same columns), but never
+    * generates a corpus x corpus candidate: batch band keys probe the
+    * corpus band index and self-join only within the batch.
+    *
+    * Scale shape: the corpus side is ONE narrow
+    * signature/band-key projection feeding an equi-join — at 100 TB
+    * the (id, h0..h{k-1}) signature index is a few hundred bytes per
+    * document, computed once when a document enters the corpus and
+    * stored as a table bucketed by band_key, so ingesting a batch
+    * touches |batch| x bands bucket partitions instead of re-pairing
+    * the corpus (this method recomputes corpus signatures from text
+    * because the fixture has no signature store; the plan from the
+    * signature frame onward is the production plan). Candidate volume
+    * is bounded by batch-side band-bucket occupancy, and the
+    * agreement verification joins signatures, never text.
+    *
+    * `corpus` and `batch` must have disjoint ids. */
+  def incrementalMinhashPairs(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 12, bands: Int = 4,
+                              minEstimate: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigsC = PersistSlots.swap("dedup.incrSigsCorpus",
+      minhashSignatures(corpus, idCol, textCol, numHashes))
+    val sigsB = PersistSlots.swap("dedup.incrSigsBatch",
+      minhashSignatures(batch, idCol, textCol, numHashes))
+    val bandsC = bandKeysOf(sigsC, idCol, numHashes, bands)
+    val bandsB = bandKeysOf(sigsB, idCol, numHashes, bands)
+    // batch -> corpus probes (ids disjoint, so no self-pair can
+    // arise) plus batch-internal pairs; both normalized to
+    // id_a < id_b so the output is order-canonical like minhashPairs
+    val cross = bandsB.select(col(idCol).as("bid"), col("band_key"))
+      .join(bandsC.select(col(idCol).as("cid"), col("band_key")),
+        Seq("band_key"))
+      .select(least(col("bid"), col("cid")).as("id_a"),
+        greatest(col("bid"), col("cid")).as("id_b"))
+    val within = bandsB.select(col(idCol).as("id_a"), col("band_key"))
+      .join(bandsB.select(col(idCol).as("id_b"), col("band_key")),
+        Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candidates = cross.unionByName(within).distinct()
+    val sigsAll = sigsC.unionByName(sigsB)
+    estimateFromSignatures(candidates, sigsAll, sigsAll, idCol,
+      numHashes, minEstimate)
   }
 
   /** Per-document 16-bit SimHash over the distinct word set (votes

@@ -22,6 +22,18 @@ object DedupQueries {
         numHashes = K, bands = BANDS, minEstimate = 0.5)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))),
 
+    // incremental ingest dedup: docs with doc_id % 10 = 7 are "the
+    // new batch", the rest "the existing corpus"; pairs touching the
+    // batch are found by probing the corpus band index — never a
+    // corpus x corpus candidate
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", numHashes = K, bands = BANDS, minEstimate = 0.5)
+    }),
+
     // per-document 16-bit simhash value
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")),
@@ -138,7 +150,11 @@ object DedupQueries {
       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       |       FROM w WHERE len(w) >= 3)""".stripMargin
 
-  private val minhashOracle: String = {
+  /** Full-corpus minhash pair replay, optionally restricted by an
+    * extra predicate over (id_a, id_b) — the incremental query is by
+    * construction the full pair set filtered to batch-touching
+    * pairs. */
+  private def minhashOracleWhere(extra: String): String = {
     val r = K / BANDS
     val sigCols = (0 until K).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
     val bandExprs = (0 until BANDS).map { b =>
@@ -156,8 +172,13 @@ object DedupQueries {
        |SELECT id_a, id_b,
        |  round(($matchSum) / $K.0, 4) AS est_jaccard
        |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-       |WHERE round(($matchSum) / $K.0, 4) >= 0.5""".stripMargin
+       |WHERE round(($matchSum) / $K.0, 4) >= 0.5$extra""".stripMargin
   }
+
+  private val minhashOracle: String = minhashOracleWhere("")
+
+  private val incrementalOracle: String =
+    minhashOracleWhere(" AND (id_a % 10 = 7 OR id_b % 10 = 7)")
 
   private val simhashOracle: String = {
     val votes = (0 until 16).map { j =>
@@ -401,6 +422,7 @@ object DedupQueries {
     "dedup_span_remove" -> dupSpanRemoveOracle,
     "dedup_editdist" -> editdistOracle,
     "dedup_minhash" -> minhashOracle,
+    "dedup_incremental" -> incrementalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_jaccard_capped" -> cappedJaccardOracle,

@@ -215,4 +215,28 @@ object StreamOps {
           }
       }
   }
+
+  /** Stream-static incremental dedup: flags streamed documents whose
+    * MinHash band keys hit a PRECOMPUTED corpus band index
+    * ([[graft.operators.Dedup.corpusBandIndex]], or the same rows
+    * loaded from a stored table bucketed by band_key). The stream
+    * side is entirely narrow — [[graft.operators.Dedup.bandKeysNarrow]]
+    * computes the signature with per-row array expressions, no
+    * stateful aggregation — so each micro-batch costs one equi-join
+    * against the static index: the streaming form of
+    * `incrementalMinhashPairs`' probe half, filtering near-dups on
+    * ingest instead of in nightly batches.
+    *
+    * Output: one (idCol, corpus_id, band_key) row per index hit; a
+    * pair sharing several bands repeats per band (distinct-ing needs
+    * cross-batch state — run dropDuplicatesWithinWatermark downstream
+    * when an event-time column is available, or let the downstream
+    * sink dedup on (idCol, corpus_id)). */
+  def dedupAgainstCorpus(docs: DataFrame, idCol: String, textCol: String,
+                         corpusIndex: DataFrame,
+                         numHashes: Int = 12, bands: Int = 4): DataFrame =
+    graft.operators.Dedup
+      .bandKeysNarrow(docs, idCol, textCol, numHashes, bands)
+      .join(corpusIndex, Seq("band_key"))
+      .select(col(idCol), col("corpus_id"), col("band_key"))
 }

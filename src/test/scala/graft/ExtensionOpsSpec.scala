@@ -165,6 +165,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(jac.subsetOf(found), s"missing ${jac -- found}")
   }
 
+  test("incrementalMinhashPairs = full pairs minus corpus-internal pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inBatch = (id: Long) => id % 10 == 7
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = Dedup.incrementalMinhashPairs(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7),
+        "doc_id", "text", minEstimate = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) => inBatch(a) || inBatch(b) }
+    assert(incr == expected, s"extra=${incr -- expected} missing=${expected -- incr}")
+    assert(expected.nonEmpty) // the fixture has batch-touching near-dups
+  }
+
   test("LSH near-dup pairs find planted true near-duplicates") {
     // plant pairs at cosine ~0.99 (tiny noise around base vectors) —
     // the regime the operator exists for; the corpus's own random

@@ -122,6 +122,45 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("stream-static incremental dedup equals the batch band-index probe") {
+    // the narrow HOF band keys must equal the explode/groupBy form
+    // (same MD5 mins), and the streamed join against the static
+    // corpus index must produce exactly the batch join's rows
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 7)
+
+    val narrow = graft.operators.Dedup
+      .bandKeysNarrow(batchDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaAgg = graft.operators.Dedup
+      .corpusBandIndex(batchDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(narrow == viaAgg && narrow.nonEmpty)
+
+    val index = graft.operators.Dedup
+      .corpusBandIndex(corpus, "doc_id", "text")
+    val rows = batchDocs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", index)
+      .writeStream.format("memory").queryName("eq_incr_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM eq_incr_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = StreamOps.dedupAgainstCorpus(
+        batchDocs, "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming windowedTopK equals the batch per-window rank window") {
     implicit val sqlCtx = spark.sqlContext
     val k = 3
