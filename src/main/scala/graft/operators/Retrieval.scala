@@ -75,6 +75,35 @@ object Retrieval {
         col("score_e6").cast("long"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard way to combine a lexical ranking with a vector ranking
+    * (hybrid search) without score calibration: each list contributes
+    * `1 / (k + rank)` per document, summed across lists. Quantized to
+    * integer micro-units the contribution is `1000000 div (k + rank)`
+    * — pure integer division on integer ranks, so the fused score is
+    * EXACT in any engine (no float at any point; the knn/BM25 legs'
+    * own determinism carries through their integer ranks).
+    *
+    * Inputs are already-bounded top-N lists (each ≤ N rows per
+    * query) — the corpus-scale work lives in the legs ([[bm25]],
+    * `Similarity.bruteForceTopK`/`lshTopK`); fusion itself touches
+    * only lists-size rows, one small aggregation. `rankings` frames
+    * need (idCol, rankCol); ranks start at 1. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse requires at least one ranking")
+    val unioned = rankings
+      .map(_.select(col(idCol).as("id"), col(rankCol).cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    unioned
+      .withColumn("contrib", expr(s"1000000 div ($kRrf + rank)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as(idCol), col("n_lists"), col("rrf_e6"))
+  }
+
   /** Shared scoring tail: tf/df/length-normalized per-term integer
     * micro-unit scores; `perQuery = false` sums per document and
     * take-orders (single-query form), `perQuery = true` returns the

@@ -343,6 +343,27 @@ object TextQueries {
         "doc_id", "text", q, "qid", "term", topK = 5)
     }),
 
+    // hybrid retrieval: BM25 lexical top-20 fused with embedding
+    // cosine top-20 (query vector = vec_id 0, the doc_id-aligned
+    // embedding table) by reciprocal-rank fusion — all-integer
+    // contributions, exact in both engines. The legs carry the
+    // corpus-scale work; fusion touches 40 rows.
+    "q_rrf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e6").desc, col("doc_id").asc)
+      val lex = graft.operators.Retrieval.bm25(Tables(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "query", "join"), topK = 20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select("doc_id", "rank")
+      val emb = Tables(s, dir, "embeddings")
+      val vec = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0L), emb,
+          "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rank",
+        kRrf = 60, topK = 10)
+    }),
+
     // inverted-index build: term -> document frequency + a content
     // address of the sorted posting list (the artifact a search/recall
     // stage consumes). Distinct (term, doc) then one aggregation.
@@ -770,6 +791,53 @@ object TextQueries {
         |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_e6,
         |  CAST(rn AS BIGINT) AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    // q_rrf replay: the q_bm25 lexical top-20 (identical CTE chain)
+    // and the knn_cosine top-20 for query vector 0 (same round-6
+    // rank key TopK uses), fused with integer-division contributions
+    "q_rrf" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+        |m AS (SELECT * FROM t WHERE term IN ('spark', 'query', 'join')),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM m GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM m GROUP BY term),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor((ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |           ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))))
+        |           * 1000000.0) AS BIGINT) AS s_e6
+        |       FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |lexs AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |         FROM sc GROUP BY doc_id
+        |         ORDER BY score_e6 DESC, doc_id ASC LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+        |            AS rank
+        |        FROM lexs),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |       WHERE vec_id = 0),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings),
+        |vs AS (SELECT cv.vec_id AS doc_id,
+        |         list_cosine_similarity(qv.e, cv.e) AS sim
+        |       FROM qv CROSS JOIN cv WHERE cv.vec_id <> 0),
+        |vr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY round(sim, 6) DESC,
+        |                            doc_id ASC) AS rank
+        |       FROM vs),
+        |u AS (SELECT doc_id, rank FROM lex
+        |      UNION ALL
+        |      SELECT doc_id, rank FROM vr WHERE rank <= 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_inverted_index" ->
       """WITH t0 AS (SELECT doc_id,
         |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

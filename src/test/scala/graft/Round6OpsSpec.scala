@@ -294,4 +294,19 @@ class Round6OpsSpec extends SparkSpec {
         s"doc $id score ${r.getLong(2)}")
     }
   }
+
+  test("rrfFuse: exact integer contributions, cross-list sum, id tiebreak") {
+    // list A ranks docs 1,2,3; list B ranks 3,2,4. k=60.
+    // doc 3: 1000000/63 + 1000000/61 = 15873 + 16393 = 32266
+    // doc 2: 1000000/62 + 1000000/62 = 16129 + 16129 = 32258
+    // doc 1: 1000000/61 = 16393 ; doc 4: 1000000/63 = 15873
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (2L, 2L), (4L, 3L)).toDF("doc_id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuse(Seq(a, b), "doc_id", "rank", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (3L, 2L, 32266L), (2L, 2L, 32258L), (1L, 1L, 16393L),
+      (4L, 1L, 15873L)))
+  }
 }
