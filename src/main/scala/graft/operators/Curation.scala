@@ -167,6 +167,20 @@ final case class Curation private (private val df: DataFrame,
         .select(col(idCol))
         .join(df, idCol))
 
+  /** Keep only documents whose bigram stupid-backoff NLL against a
+    * trusted reference ([[LanguageModel.bigramNllOfWords]]) stays at
+    * or under `maxAvgNllE6` micro-nats per token — the CCNet
+    * perplexity gate. `ref` needs `__w` — build it from the same
+    * [[Curation.apply]] projection. Documents with fewer than 2
+    * words have no scored positions and are dropped (they carry no
+    * LM evidence either way). */
+  def perplexityFilter(ref: DataFrame, maxAvgNllE6: Long): Curation =
+    stage("perplexity_filter",
+      LanguageModel.bigramNllOfWords(df, idCol, "__w", ref, "__w")
+        .filter(col("avg_nll_e6") <= maxAvgNllE6)
+        .select(col(idCol))
+        .join(df, idCol))
+
   /** Keep only documents the hashed-feature perceptron classifies
     * positive ([[Quality]] — the fastText-style filter), trained at
     * call time on a labeled exemplar frame. `labeled` needs

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity filtering — the CCNet recipe
+  * (Wenzek et al. 2020): score every document against a language
+  * model trained on a trusted reference corpus and keep the
+  * low-perplexity (reference-like) documents. CCNet uses a pruned
+  * KenLM 5-gram; this is the same signal as a bigram model with
+  * stupid backoff (Brants et al. 2007 — no normalization, a fixed
+  * 0.4 backoff factor), which needs no smoothing machinery and
+  * replays exactly in SQL.
+  *
+  * Engine-portable scoring: probabilities are ratios of integer
+  * counts evaluated in double precision with one fixed association,
+  * each token's cost is floored to integer micro-nats BEFORE the
+  * per-document sum (no float-accumulation-order dependence), and
+  * the per-document average is integer division. Same discipline as
+  * BM25's micro-unit scores ([[Retrieval]]).
+  *
+  * Scale shape: training is two map-combined aggregations over the
+  * reference (bigram and unigram counts — posting-scale exchanges on
+  * the gram key, reference-sized, and the reference is a curated
+  * sample orders of magnitude smaller than the corpus). Scoring
+  * explodes each document into (prev, cur) pairs and equi-joins the
+  * count tables on the gram keys — the corpus never shuffles on
+  * anything wider than a token pair, and the count tables broadcast
+  * when pruned to memory size (the KenLM deployment shape; AQE picks
+  * broadcast automatically under the threshold). One aggregation on
+  * the doc id finishes. No driver materialization anywhere.
+  */
+object LanguageModel {
+
+  import graft.functions.TextFunctions.words
+
+  /** Per-document bigram NLL against a stupid-backoff model trained
+    * on `ref`: positions 2..n score -ln of
+    *   c(prev,cur)/c(prev)            when the bigram was seen,
+    *   0.4 * c(cur)/total             when only the word was seen,
+    *   0.4 / (total * 10)             for unknown words.
+    * Documents with fewer than 2 words drop out (no scored
+    * positions — the shingle dropout rule).
+    *
+    * @return (idCol, n_scored, nll_e6, avg_nll_e6) — micro-nat
+    *         totals; filter on avg_nll_e6 for the CCNet keep/drop. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                ref: DataFrame, refTextCol: String): DataFrame =
+    bigramNllOfWords(
+      docs.select(col(idCol), words(col(textCol)).as("__gpw")),
+      idCol, "__gpw",
+      ref.select(words(col(refTextCol)).as("__gpw")), "__gpw")
+
+  /** [[bigramNll]] over already-projected word-array columns —
+    * composed pipelines tokenize once (regex/HOF expressions have no
+    * CSE). */
+  def bigramNllOfWords(docs: DataFrame, idCol: String, wordsCol: String,
+                       ref: DataFrame, refWordsCol: String): DataFrame = {
+    val refToks = ref.select(col(refWordsCol).as("__w"))
+    val uni = refToks.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val big = refToks.select(explode(pairsOf(col("__w"))).as("p"))
+      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c12"))
+    val total = refToks.agg(sum(size(col("__w"))).cast("long").as("total"))
+
+    val pairs = docs
+      .select(col(idCol).as("id"), col(wordsCol).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("id"), explode(pairsOf(col("__w"))).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+
+    val scored = pairs
+      .join(big, Seq("prev", "cur"), "left")
+      .join(uni.select(col("w").as("prev"), col("c").as("c1")),
+        Seq("prev"), "left")
+      .join(uni.select(col("w").as("cur"), col("c").as("c2")),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("cost_e6", floor(lit(1000000.0) * -log(
+        when(col("c12").isNotNull,
+          col("c12").cast("double") / col("c1").cast("double"))
+        .otherwise(when(col("c2").isNotNull,
+          lit(0.4) * (col("c2").cast("double") / col("total").cast("double")))
+        .otherwise(lit(0.4) / (col("total").cast("double") * lit(10.0)))))))
+
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("cost_e6")).as("nll_e6"))
+      .select(col("id").as(idCol), col("n_scored"), col("nll_e6"),
+        expr("nll_e6 div n_scored").as("avg_nll_e6"))
+  }
+
+  /** (prev, cur) struct pairs of consecutive words — the scored
+    * positions 2..n as one narrow array expression. */
+  private def pairsOf(w: org.apache.spark.sql.Column) =
+    zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => struct(a.as("prev"), b.as("cur")))
+}

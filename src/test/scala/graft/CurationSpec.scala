@@ -40,6 +40,20 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("perplexityFilter keeps reference-like docs, drops junk") {
+    val sent = "the quick fox jumps over the lazy dog"
+    val ref = Curation((1L to 5L).map(i => (i, sent)).toDF("doc_id", "text"),
+      "doc_id", "text").docs
+    val docs = Seq(
+      (1L, sent + " " + sent),          // in-model bigrams: low nll
+      (2L, "zzz yyy xxx www vvv uuu")   // all-unknown: ~6.9 nats/token
+    ).toDF("doc_id", "text")
+    val kept = Curation(docs, "doc_id", "text")
+      .perplexityFilter(ref, maxAvgNllE6 = 3000000L)
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("nearDedup keeps the smallest id of a near-duplicate group") {
     val a = doc(80, 5)
     val nearA = a.split(" ").toSeq.updated(40, "zzz").mkString(" ") // ~1 word off

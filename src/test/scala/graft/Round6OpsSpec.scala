@@ -295,6 +295,30 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramNll: reference-like text scores far below junk, costs exact") {
+    // reference = repetitions of one sentence; doc 1 repeats it
+    // (every bigram seen), doc 2 is all-unknown words, doc 3 uses
+    // seen words in unseen order (unigram backoff)
+    val sent = "the quick fox jumps over the lazy dog"
+    val ref = (1L to 5L).map(i => (i, sent)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, sent + " " + sent),
+      (2L, "zzz yyy xxx www vvv uuu"),
+      (3L, "dog the over fox quick jumps the lazy")
+    ).toDF("doc_id", "text")
+    val byId = graft.operators.LanguageModel
+      .bigramNll(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    // doc 1: 15 scored positions; 'dog the' (the seam) is the only
+    // unseen bigram; 'the quick'/'the lazy' split c('the')=10 -> all
+    // in-model costs are small; doc 2: every token unknown ->
+    // cost = -ln(0.4/(total*10)) = -ln(0.4/400) each
+    assert(byId(1L)._1 == 15L && byId(2L)._1 == 5L && byId(3L)._1 == 7L)
+    val unkCost = math.floor(1e6 * -math.log(0.4 / (40.0 * 10.0))).toLong
+    assert(byId(2L)._2 == unkCost) // every position identical -> avg exact
+    assert(byId(1L)._2 < byId(3L)._2 && byId(3L)._2 < byId(2L)._2)
+  }
+
   test("rrfFuse: exact integer contributions, cross-list sum, id tiebreak") {
     // list A ranks docs 1,2,3; list B ranks 3,2,4. k=60.
     // doc 3: 1000000/63 + 1000000/61 = 15873 + 16393 = 32266
