@@ -95,4 +95,75 @@ object LanguageModel {
   private def pairsOf(w: org.apache.spark.sql.Column) =
     zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (a, b) => struct(a.as("prev"), b.as("cur")))
+
+  /** A trained bigram model held in memory — the deployment shape of
+    * KenLM-style filtering: CCNet ships a PRUNED model to every
+    * worker and scores with lookups, never a join. Bigram keys are
+    * space-joined ("prev cur" — unambiguous, words contain no
+    * whitespace by construction of the tokenizer). */
+  final case class BigramModel(uni: Map[String, Long],
+                               big: Map[String, Long], total: Long)
+
+  /** Collect the reference counts into a [[BigramModel]]. Bounded by
+    * the reference vocabulary — prune upstream (min-count filter on
+    * `ref`'s grams) to hold the KenLM memory contract at scale. */
+  def trainBigrams(ref: DataFrame, refTextCol: String): BigramModel = {
+    val toks = ref.select(words(col(refTextCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = toks
+      .select(explode(graft.functions.TextFunctions
+        .shinglesOfWords(col("__w"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = toks.agg(sum(size(col("__w"))).cast("long"))
+      .collect().head.getLong(0)
+    BigramModel(uni, big, total)
+  }
+
+  /** [[bigramNll]] against an in-memory model: scoring is ONE narrow
+    * projection — per-token costs come from map-literal lookups
+    * (O(1) per token, the ADC-LUT pattern) folded inside the row, so
+    * it runs shuffle-free on a 100 TB scan AND unchanged on a
+    * stream (no stateful aggregation anywhere; see the
+    * streaming↔batch equivalence spec). Same arithmetic as
+    * [[bigramNll]]: identical association, per-token floor, integer
+    * average. */
+  def bigramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
+                      model: BigramModel): DataFrame =
+    bigramNllNarrowOfWords(
+      docs.select(col(idCol), words(col(textCol)).as("__gpw")),
+      idCol, "__gpw", model)
+
+  /** [[bigramNllNarrow]] over an already-projected word-array column
+    * (transform lambdas must read an attribute, not an inline split —
+    * see TextFunctions.shinglesOfWords). */
+  def bigramNllNarrowOfWords(docs: DataFrame, idCol: String,
+                             wordsCol: String,
+                             model: BigramModel): DataFrame = {
+    val uniMap = typedLit(model.uni)
+    val bigMap = typedLit(model.big)
+    val totalD = lit(model.total.toDouble)
+    val w = col(wordsCol)
+    val costs = transform(
+      graft.functions.TextFunctions.shinglesOfWords(w, 2),
+      (bg, i) => {
+        val c12 = element_at(bigMap, bg)
+        val c1 = element_at(uniMap, element_at(w, i + 1))
+        val c2 = element_at(uniMap, element_at(w, i + 2))
+        floor(lit(1000000.0) * -log(
+          when(c12.isNotNull, c12.cast("double") / c1.cast("double"))
+            .otherwise(when(c2.isNotNull,
+              lit(0.4) * (c2.cast("double") / totalD))
+              .otherwise(lit(0.4) / (totalD * lit(10.0))))))
+      })
+    docs
+      .select(col(idCol), costs.as("__c"))
+      .filter(size(col("__c")) > 0)
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("n_scored"),
+        aggregate(col("__c"), lit(0L), (acc, x) => acc + x).as("nll_e6"))
+      .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
+  }
 }

@@ -353,6 +353,17 @@ object TextQueries {
         docs.filter(col("doc_id") % 5 === 0), "text")
     }),
 
+    // the broadcast-model form of q_perplexity: counts collected into
+    // map literals (the pruned-KenLM deployment shape), scoring one
+    // narrow stream-safe projection — same arithmetic, same oracle
+    "q_perplexity_bcast" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainBigrams(
+        docs.filter(col("doc_id") % 5 === 0), "text")
+      graft.operators.LanguageModel.bigramNllNarrow(
+        docs, "doc_id", "text", model)
+    }),
+
     // hybrid retrieval: BM25 lexical top-20 fused with embedding
     // cosine top-20 (query vector = vec_id 0, the doc_id-aligned
     // embedding table) by reciprocal-rank fusion — all-integer
@@ -452,6 +463,44 @@ object TextQueries {
        |FROM toks JOIN seg USING (wd)
        |WHERE length(wd) >= 1
        |GROUP BY doc_id""".stripMargin
+
+  // q_perplexity replay: bigram/unigram counts from the reference
+  // split, zipped-unnest (prev, cur) pairs, the same CASE ladder with
+  // one fixed association, per-token floor to micro-nats. Shared by
+  // q_perplexity (join form) and q_perplexity_bcast (broadcast-model
+  // form) — same arithmetic, byte-identical result.
+  private val perplexityOracle: String =
+    """WITH wd AS (SELECT doc_id,
+      |              regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |            FROM documents),
+      |wr AS (SELECT ws FROM wd WHERE doc_id % 5 = 0),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |          SELECT unnest(ws) AS w FROM wr) GROUP BY w),
+      |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |          SELECT unnest(ws[1:len(ws)-1]) AS prev,
+      |                 unnest(ws[2:len(ws)]) AS cur
+      |          FROM wr WHERE len(ws) >= 2) GROUP BY prev, cur),
+      |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS total FROM wr),
+      |dp AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
+      |         unnest(ws[2:len(ws)]) AS cur
+      |       FROM wd WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id,
+      |        CAST(floor(1000000.0 * (-ln(
+      |          CASE WHEN c12 IS NOT NULL
+      |                 THEN CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |               WHEN c2 IS NOT NULL
+      |                 THEN 0.4 * (CAST(c2 AS DOUBLE) / CAST(total AS DOUBLE))
+      |               ELSE 0.4 / (CAST(total AS DOUBLE) * 10.0)
+      |          END))) AS BIGINT) AS cost_e6
+      |      FROM dp
+      |      LEFT JOIN big USING (prev, cur)
+      |      LEFT JOIN (SELECT w AS prev, c AS c1 FROM uni) USING (prev)
+      |      LEFT JOIN (SELECT w AS cur, c AS c2 FROM uni) USING (cur)
+      |      CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
+      |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+      |FROM c GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
@@ -804,38 +853,7 @@ object TextQueries {
     // q_perplexity replay: bigram/unigram counts from the reference
     // split, zipped-unnest (prev, cur) pairs, the same CASE ladder
     // with one fixed association, per-token floor to micro-nats
-    "q_perplexity" ->
-      """WITH wd AS (SELECT doc_id,
-        |              regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-        |            FROM documents),
-        |wr AS (SELECT ws FROM wd WHERE doc_id % 5 = 0),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
-        |          SELECT unnest(ws) AS w FROM wr) GROUP BY w),
-        |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12 FROM (
-        |          SELECT unnest(ws[1:len(ws)-1]) AS prev,
-        |                 unnest(ws[2:len(ws)]) AS cur
-        |          FROM wr WHERE len(ws) >= 2) GROUP BY prev, cur),
-        |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS total FROM wr),
-        |dp AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
-        |         unnest(ws[2:len(ws)]) AS cur
-        |       FROM wd WHERE len(ws) >= 2),
-        |c AS (SELECT doc_id,
-        |        CAST(floor(1000000.0 * (-ln(
-        |          CASE WHEN c12 IS NOT NULL
-        |                 THEN CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |               WHEN c2 IS NOT NULL
-        |                 THEN 0.4 * (CAST(c2 AS DOUBLE) / CAST(total AS DOUBLE))
-        |               ELSE 0.4 / (CAST(total AS DOUBLE) * 10.0)
-        |          END))) AS BIGINT) AS cost_e6
-        |      FROM dp
-        |      LEFT JOIN big USING (prev, cur)
-        |      LEFT JOIN (SELECT w AS prev, c AS c1 FROM uni) USING (prev)
-        |      LEFT JOIN (SELECT w AS cur, c AS c2 FROM uni) USING (cur)
-        |      CROSS JOIN tot)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
-        |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
-        |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
-        |FROM c GROUP BY doc_id""".stripMargin,
+    "q_perplexity" -> perplexityOracle,
     // q_rrf replay: the q_bm25 lexical top-20 (identical CTE chain)
     // and the knn_cosine top-20 for query vector 0 (same round-6
     // rank key TopK uses), fused with integer-division contributions
@@ -891,5 +909,8 @@ object TextQueries {
         |SELECT term, count(*) AS df,
         |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_hash
         |FROM t GROUP BY term""".stripMargin
-  )
+  ) ++ Map(
+    // the broadcast-model form computes byte-identical results to the
+    // join form, so it replays with the same SQL
+    "q_perplexity_bcast" -> perplexityOracle)
 }

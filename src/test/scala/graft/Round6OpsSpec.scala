@@ -319,6 +319,21 @@ class Round6OpsSpec extends SparkSpec {
     assert(byId(1L)._2 < byId(3L)._2 && byId(3L)._2 < byId(2L)._2)
   }
 
+  test("bigramNll join form == broadcast-model narrow form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val joinForm = graft.operators.LanguageModel
+      .bigramNll(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val model = graft.operators.LanguageModel.trainBigrams(ref, "text")
+    val narrowForm = graft.operators.LanguageModel
+      .bigramNllNarrow(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(joinForm == narrowForm && joinForm.nonEmpty)
+  }
+
   test("rrfFuse: exact integer contributions, cross-list sum, id tiebreak") {
     // list A ranks docs 1,2,3; list B ranks 3,2,4. k=60.
     // doc 3: 1000000/63 + 1000000/61 = 15873 + 16393 = 32266

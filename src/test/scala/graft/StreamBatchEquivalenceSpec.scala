@@ -161,6 +161,34 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateless perplexity gate streams: broadcast-model scoring equals batch") {
+    // the narrow LM scorer is one projection (map-literal lookups,
+    // in-row fold) — no watermark, no state; the model trains batch-
+    // side once and ships as literals, so a curation front-end can
+    // perplexity-gate documents on ingest
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.operators.LanguageModel.trainBigrams(
+      docs.filter(col("doc_id") % 5 === 0), "text")
+    val rows = docs.select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.LanguageModel.bigramNllNarrow(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("eq_perplexity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM eq_perplexity")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.LanguageModel.bigramNllNarrow(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming windowedTopK equals the batch per-window rank window") {
     implicit val sqlCtx = spark.sqlContext
     val k = 3
