@@ -117,9 +117,8 @@ object LanguageModel {
         .shinglesOfWords(col("__w"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = toks.agg(sum(size(col("__w"))).cast("long"))
-      .collect().head.getLong(0)
-    BigramModel(uni, big, total)
+    // total corpus tokens = sum of the unigram counts — no third scan
+    BigramModel(uni, big, uni.values.sum)
   }
 
   /** [[bigramNll]] against an in-memory model: scoring is ONE narrow
@@ -145,7 +144,7 @@ object LanguageModel {
     val uniMap = typedLit(model.uni)
     val bigMap = typedLit(model.big)
     val totalD = lit(model.total.toDouble)
-    val w = col(wordsCol)
+    val w = col("__gpnw")
     val costs = transform(
       graft.functions.TextFunctions.shinglesOfWords(w, 2),
       (bg, i) => {
@@ -159,8 +158,14 @@ object LanguageModel {
               .otherwise(lit(0.4) / (totalD * lit(10.0))))))
       })
     docs
+      // the <2-words dropout filters on the CHEAP word-array size
+      // BEFORE the cost expression exists: a filter on size(__c)
+      // would be pushed below the projection by substituting the
+      // whole interpreted HOF chain into the predicate — one extra
+      // full evaluation per row (measured ~2x end-to-end at sf0.1)
+      .select(col(idCol), col(wordsCol).as("__gpnw"))
+      .filter(size(col("__gpnw")) >= 2)
       .select(col(idCol), costs.as("__c"))
-      .filter(size(col("__c")) > 0)
       .select(col(idCol),
         size(col("__c")).cast("long").as("n_scored"),
         aggregate(col("__c"), lit(0L), (acc, x) => acc + x).as("nll_e6"))
