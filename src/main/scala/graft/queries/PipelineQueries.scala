@@ -91,6 +91,20 @@ object PipelineQueries {
         .chunkStats(shards = SHARDS)
     }),
 
+    // the round-6 curation composition: Gopher document rules ->
+    // bigram-LM perplexity gate (model from the doc_id%5 reference
+    // split, threshold at ~the corpus median) -> context-window chunk
+    // statistics per shard, one plan. The RefinedWeb-flavored sibling
+    // of q_curate_e2e's quality->near-dedup->decontaminate path.
+    "q_curate_rw" -> ((s, dir) => {
+      val all = graft.operators.Curation(
+        Tables(s, dir, "documents"), "doc_id", "text", col("n_chars"))
+      val ref = all.docs.filter(col("doc_id") % 5 === 0)
+      all.gopherFilter(minWords = 20)
+        .perplexityFilter(ref, maxAvgNllE6 = 3500000L)
+        .chunkStats(shards = SHARDS)
+    }),
+
     // z-order layout: Morton-interleave (user_id mod 256, floor(value))
     // and bucket the curve — per-bucket min/max of BOTH dimensions stay
     // narrow, which is exactly the parquet-stats-pruning property the
@@ -245,8 +259,74 @@ object PipelineQueries {
        |  CAST(sum(sum_tok) AS BIGINT) AS sum_tok
        |FROM cs GROUP BY 1""".stripMargin
 
+  // the round-6 composition replay: gopher rule keeps ∩ perplexity
+  // keeps (per-doc scores are model-fixed, so scoring all docs and
+  // intersecting equals scoring the survivors), then chunk stats
+  private val curateRwOracle: String = {
+    val sw = TextQueries.sqlStopwords("en")
+    s"""WITH w AS (SELECT doc_id,
+       |        regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |      FROM documents),
+       |gm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS wc,
+       |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+       |      AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct(ws), $sw)) AS BIGINT)
+       |      AS stop_hits,
+       |    CAST(len(list_filter(ws, x -> contains(x, '#')
+       |      OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS n_sym
+       |  FROM w),
+       |gk AS (SELECT doc_id, wc FROM gm
+       |  WHERE wc BETWEEN 20 AND 100000
+       |    AND (sum_len * 10000) // greatest(wc, 1) BETWEEN 30000 AND 100000
+       |    AND (n_alpha * 10000) // greatest(wc, 1) >= 8000
+       |    AND stop_hits >= 2
+       |    AND (n_sym * 10000) // greatest(wc, 1) <= 1000),
+       |wr AS (SELECT ws FROM w WHERE doc_id % 5 = 0),
+       |uni AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM (
+       |          SELECT unnest(ws) AS u FROM wr) GROUP BY u),
+       |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |          SELECT unnest(ws[1:len(ws)-1]) AS prev,
+       |                 unnest(ws[2:len(ws)]) AS cur
+       |          FROM wr WHERE len(ws) >= 2) GROUP BY prev, cur),
+       |tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS total FROM wr),
+       |dp AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
+       |         unnest(ws[2:len(ws)]) AS cur
+       |       FROM w WHERE len(ws) >= 2),
+       |pc AS (SELECT doc_id,
+       |        CAST(floor(1000000.0 * (-ln(
+       |          CASE WHEN c12 IS NOT NULL
+       |                 THEN CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+       |               WHEN c2 IS NOT NULL
+       |                 THEN 0.4 * (CAST(c2 AS DOUBLE) / CAST(total AS DOUBLE))
+       |               ELSE 0.4 / (CAST(total AS DOUBLE) * 10.0)
+       |          END))) AS BIGINT) AS cost_e6
+       |      FROM dp
+       |      LEFT JOIN big USING (prev, cur)
+       |      LEFT JOIN (SELECT u AS prev, c AS c1 FROM uni) USING (prev)
+       |      LEFT JOIN (SELECT u AS cur, c AS c2 FROM uni) USING (cur)
+       |      CROSS JOIN tot),
+       |pk AS (SELECT doc_id FROM pc GROUP BY doc_id
+       |       HAVING CAST(sum(cost_e6) // count(*) AS BIGINT) <= 3500000),
+       |clean AS (SELECT gk.doc_id, gk.wc FROM gk JOIN pk USING (doc_id)),
+       |ct AS (SELECT doc_id, wc,
+       |         greatest(CAST(ceil((wc - 50) / 25.0) AS BIGINT), 0) + 1
+       |           AS n_chunks
+       |       FROM clean),
+       |cs AS (SELECT doc_id, n_chunks,
+       |         CAST(list_sum(list_transform(range(0, n_chunks),
+       |           i -> least(50, wc - 25 * i))) AS BIGINT) AS sum_tok
+       |       FROM ct)
+       |SELECT $SHARD_SQL AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_chunks) AS BIGINT) AS sum_chunks,
+       |  CAST(sum(sum_tok) AS BIGINT) AS sum_tok
+       |FROM cs GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_curate_e2e" -> curateOracle,
+    "q_curate_rw" -> curateRwOracle,
     "q_pipeline_e2e" ->
       s"""WITH m AS (
          |  SELECT doc_id, n_chars,

@@ -12,7 +12,7 @@ import graft.operators.Dedup
   */
 object TextQueries {
 
-  private def sqlStopwords(lang: String): String =
+  private[queries] def sqlStopwords(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
