@@ -439,8 +439,9 @@ object Dedup {
     *
     * `docs` must carry `idCol` and an integral `scoreCol` (quality
     * rank, word count, …). Scale shape: the component resolution is
-    * the star-contraction path (O(log n) rounds, one agg + one join
-    * each); the score lookup is an id equi-join at survivor scale
+    * size-adaptive ([[connectedComponents]]: driver union-find for
+    * tiny pair graphs, star-contraction rounds beyond the
+    * threshold); the score lookup is an id equi-join at survivor scale
     * (SMJ — both sides ≈ corpus size); the per-cluster argmax is the
     * bounded [[TopK]] partial aggregate, ≤1 row per cluster per task
     * crossing the exchange — never a cluster-partitioned window over
@@ -450,7 +451,10 @@ object Dedup {
                            scoreCol: String,
                            aCol: String = "id_a", bCol: String = "id_b")
   : DataFrame = {
-    val comp = connectedComponentsStars(pairs, docs, idCol, aCol, bCol)
+    // size-adaptive component resolution (driver union-find when the
+    // pair graph is tiny, star-contraction when it isn't) — both
+    // paths produce the same min-id labels, pinned by spec
+    val comp = connectedComponents(pairs, docs, idCol, aCol, bCol)
     val scored = comp.join(
       docs.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
     TopK.perKey(scored, "component", "id", scoreCol, k = 1)
