@@ -169,11 +169,119 @@ object Multimodal {
       length(col(binCol)).cast("long").as("n_bytes"),
       sha2(col(binCol), 256).as("sha256")))
 
-  /** STUB decode for codec-less media (audio/video — the JDK has no
-    * codecs for those; images use the REAL [[decodeImage]]):
-    * deterministic fake dimensions derived from payload length
-    * (`1 + n % 64`). The column types and null behavior match what a
-    * real decoder would produce. */
+  final case class VideoInfo(n_frames: Long, width: Long, height: Long)
+  final case class FrameFeature(frame_idx: Long,
+                                f_r: Float, f_g: Float, f_b: Float)
+
+  /** REAL animated-GIF encoder: one palette-indexed solid-color
+    * frame per (r, g, b) entry, all `w` x `h`. GIF is the one
+    * multi-frame container the JDK ships a codec for, and indexed
+    * palettes round-trip colors byte-exactly (no quantization drift
+    * between writer and reader). The writer half of the video
+    * round-trip — [[decodeVideo]]/[[sampleFrameFeatures]] must
+    * recover frame count and per-frame colors exactly. */
+  def encodeGifFrames(w: Int, h: Int,
+                      frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (r, g, b) =>
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        // the raster is zero-initialized: every pixel = palette
+        // index 0 = (r, g, b) exactly
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Run `f` over an ImageIO reader positioned on `b`'s container;
+    * None for null/undecodable payloads (the corrupt-payload
+    * contract of [[decodeImage]]). */
+  private def withReader[T](b: Array[Byte])(
+      f: javax.imageio.ImageReader => T): Option[T] =
+    if (b == null) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some(f(r)) }
+        catch { case _: Exception => None }
+        finally { r.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL video decode via the JDK's multi-frame ImageIO path
+    * (animated GIF): emits a `decoded` struct of (n_frames, width,
+    * height); null or undecodable payloads yield a null struct.
+    * Real-world codecs (H.264/VP9) have no JDK decoder — plug them
+    * in through [[mapBatches]], which amortizes codec-context setup
+    * per partition; the schema and null contract here are what such
+    * a decoder must produce. */
+  def decodeVideo(df: DataFrame, binCol: String): DataFrame = {
+    val decode = udf { (b: Array[Byte]) =>
+      withReader(b) { r =>
+        val n = r.getNumImages(true)
+        val f0 = r.read(0)
+        VideoInfo(n.toLong, f0.getWidth.toLong, f0.getHeight.toLong)
+      }
+    }
+    df.withColumn("decoded", decode(col(binCol)))
+  }
+
+  /** REAL frame sampling + per-frame features: decode every
+    * `stride`-th frame and emit its mean-RGB feature (the same
+    * minimal honest embedding [[pixelFeatures]] computes for
+    * images) as an array of (frame_idx, f_r, f_g, f_b) structs —
+    * explode downstream for per-frame rows. One narrow UDF per
+    * payload; only sampled frames are decoded. */
+  def sampleFrameFeatures(df: DataFrame, binCol: String,
+                          stride: Int = 2): DataFrame = {
+    val sample = udf { (b: Array[Byte]) =>
+      withReader(b) { r =>
+        val n = r.getNumImages(true)
+        (0 until n by stride).map { i =>
+          val img = r.read(i)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var rr = 0L; var gg = 0L; var bb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rr += (p >> 16) & 0xff; gg += (p >> 8) & 0xff; bb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val d = (w.toLong * h).toDouble * 255.0
+          FrameFeature(i.toLong,
+            (rr / d).toFloat, (gg / d).toFloat, (bb / d).toFloat)
+        }
+      }
+    }
+    df.withColumn("frames", sample(col(binCol)))
+  }
+
+  /** STUB decode for codec-less media (formats with no JDK codec —
+    * e.g. H.264/MP4; images use the REAL [[decodeImage]], WAV audio
+    * the REAL [[decodeAudio]], animated GIF the REAL
+    * [[decodeVideo]]): deterministic fake dimensions derived from
+    * payload length (`1 + n % 64`). The column types and null
+    * behavior match what a real decoder would produce. */
   def decodeStub(df: DataFrame, binCol: String): DataFrame = {
     val n = length(col(binCol)).cast("long")
     df.withColumn("decoded", struct(

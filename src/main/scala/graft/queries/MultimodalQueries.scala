@@ -61,7 +61,50 @@ object MultimodalQueries {
         .select(col("doc_id"), col("embedding"))
         .persist())
 
+  /** Deterministic animated-GIF payloads: doc_id decides frame
+    * count, frame geometry, and each frame's solid palette color —
+    * every field the video queries emit replays as arithmetic over
+    * doc_id in the oracle, while the bytes run through the REAL JDK
+    * GIF codec on both write and read. */
+  private def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = 1 + (id % 11).toInt
+      val h = 1 + ((id * 3) % 13).toInt
+      val nf = 2 + (id % 7).toInt
+      Multimodal.encodeGifFrames(w, h, (0 until nf).map { f =>
+        (1 + ((id + 11 * f) % 255).toInt,
+         1 + ((id * 7 + 3 * f) % 253).toInt,
+         1 + ((id * 13 + 5 * f) % 251).toInt)
+      })
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL multi-frame decode of real animated-GIF bytes: frame
+    // count and geometry come out of the codec, the oracle restates
+    // them from the generator arithmetic
+    "mm_video" -> ((s, dir) =>
+      Multimodal.decodeVideo(syntheticVideos(s, dir), "payload")
+        .select(col("doc_id"),
+          col("decoded.n_frames").as("n_frames"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"))),
+
+    // REAL frame sampling (every 2nd frame) + REAL per-frame pixel
+    // features; indexed GIF palettes make the colors byte-exact, so
+    // the mean-RGB features replay as c/255 IEEE division
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrameFeatures(syntheticVideos(s, dir),
+          "payload", stride = 2)
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"),
+          col("f.frame_idx").as("frame_idx"),
+          col("f.f_r").as("f_r"),
+          col("f.f_g").as("f_g"),
+          col("f.f_b").as("f_b"))),
+
     "mm_meta" -> ((s, dir) => {
       val withBin = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -142,6 +185,20 @@ object MultimodalQueries {
       | CAST(CAST(1 + (doc_id * 13) % 251 AS DOUBLE) / 255 AS REAL)]""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm_video" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+        |  CAST(1 + doc_id % 11 AS BIGINT) AS width,
+        |  CAST(1 + (doc_id * 3) % 13 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(CAST(1 + (doc_id + 11 * f) % 255 AS DOUBLE) / 255 AS REAL) AS f_r,
+        |  CAST(CAST(1 + (doc_id * 7 + 3 * f) % 253 AS DOUBLE) / 255 AS REAL) AS f_g,
+        |  CAST(CAST(1 + (doc_id * 13 + 5 * f) % 251 AS DOUBLE) / 255 AS REAL) AS f_b
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 7, 2)) AS f
+        |      FROM documents)""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

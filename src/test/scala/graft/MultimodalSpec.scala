@@ -139,4 +139,34 @@ class MultimodalSpec extends SparkSpec {
     assert(d.getLong(2) == samples.length.toLong)
     assert(d.getSeq[Int](3) == samples) // byte order normalized, not swapped
   }
+
+  test("GIF video round-trip: frame count, geometry, exact frame colors") {
+    val colors = Seq((200, 10, 30), (40, 120, 5), (7, 8, 9), (255, 1, 128))
+    val gif = Multimodal.encodeGifFrames(6, 4, colors)
+    val df = Seq((1L, gif)).toDF("id", "payload")
+    val d = Multimodal.decodeVideo(df, "payload")
+      .select($"decoded").head().getStruct(0)
+    assert((d.getLong(0), d.getLong(1), d.getLong(2)) == ((4L, 6L, 4L)))
+    // stride 2 samples frames 0 and 2; solid indexed colors make the
+    // mean exactly c/255
+    val frames = Multimodal.sampleFrameFeatures(df, "payload", stride = 2)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.f_r", $"f.f_g", $"f.f_b")
+      .collect().map(r => (r.getLong(0), r.getFloat(1), r.getFloat(2), r.getFloat(3)))
+    assert(frames.map(_._1).toSeq == Seq(0L, 2L))
+    assert(frames(0)._2 == (200.0 / 255).toFloat &&
+      frames(0)._3 == (10.0 / 255).toFloat &&
+      frames(0)._4 == (30.0 / 255).toFloat)
+    assert(frames(1)._2 == (7.0 / 255).toFloat &&
+      frames(1)._3 == (8.0 / 255).toFloat &&
+      frames(1)._4 == (9.0 / 255).toFloat)
+  }
+
+  test("decodeVideo yields null struct for null and undecodable payloads") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeVideo(df, "payload")
+      .select($"decoded").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
 }
