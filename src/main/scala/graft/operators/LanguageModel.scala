@@ -118,6 +118,9 @@ object LanguageModel {
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // total corpus tokens = sum of the unigram counts — no third scan
+    require(uni.nonEmpty,
+      "trainBigrams: empty reference corpus (every backoff probability " +
+        "would divide by zero)")
     BigramModel(uni, big, uni.values.sum)
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Multimodal columns exercised end to end.
   *
@@ -105,6 +105,24 @@ object MultimodalQueries {
           col("f.f_g").as("f_g"),
           col("f.f_b").as("f_b"))),
 
+    // exact dedup of REAL media bytes: payloads generated from
+    // doc_id % 100 so every GIF has ~5 byte-identical copies; groups
+    // form on sha256 of the actual encoded bytes (the media-dedup
+    // pass a multimodal corpus runs before any decode), the oracle
+    // replays the group structure arithmetically
+    "mm_dedup" -> ((s, dir) => {
+      val gen = udf { (id: Long) =>
+        Multimodal.encodeGifFrames(
+          1 + (id % 11).toInt, 1 + ((id * 3) % 13).toInt,
+          Seq((1 + (id % 255).toInt, 1 + ((id * 7) % 253).toInt,
+            1 + ((id * 13) % 251).toInt)))
+      }
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id") % 100).as("payload"))
+      Dedup.exact(payloads, "doc_id", sha2(col("payload"), 256))
+        .select(col("keep_id"), col("cnt"))
+    }),
+
     "mm_meta" -> ((s, dir) => {
       val withBin = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -185,6 +203,10 @@ object MultimodalQueries {
       | CAST(CAST(1 + (doc_id * 13) % 251 AS DOUBLE) / 255 AS REAL)]""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY doc_id % 100""".stripMargin,
     "mm_video" ->
       """SELECT doc_id,
         |  CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
