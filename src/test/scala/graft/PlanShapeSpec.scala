@@ -55,6 +55,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("broadcast-model LM scoring is one narrow pass: zero exchanges, zero joins") {
+    def mk = graft.SparkEntry.queries("q_perplexity_bcast")(spark, SF)
+    assert(shuffles(mk) == 0)
+    val plan = withoutAqe { mk.queryExecution.executedPlan.toString }
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("incremental dedup never self-joins the corpus band keys") {
+    // structural claim: every band-key candidate join has the BATCH
+    // side (subtree filtered to doc_id % 10 = 7) on at least one
+    // side — a corpus x corpus band join would have neither
+    val df = graft.SparkEntry.queries("dedup_incremental")(spark, SF)
+    // the batch filter ((doc_id % 10) = 7) may sit inside a persisted
+    // InMemoryRelation's cached plan; the corpus side carries the
+    // NEGATED form (NOT (... = 7)), excluded by the lookbehind
+    val positiveBatch = """(?<!NOT )\(\(doc_id#\d+L? % 10\) = 7\)""".r
+    def hasBatchFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if positiveBatch.findFirstIn(f.condition.toString).isDefined => true
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if positiveBatch.findFirstIn(im.cachedPlan.toString).isDefined => true
+      }.nonEmpty
+    val bandJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.toString.contains("band_key")) => j
+    }
+    assert(bandJoins.nonEmpty)
+    bandJoins.foreach { j =>
+      assert(hasBatchFilter(j.left) || hasBatchFilter(j.right),
+        s"corpus x corpus band join:\n$j")
+    }
+  }
+
   test("LSH embedding dedup carries no vectors through the bucket join") {
     // late materialization: the (t, b) self-join's own output columns
     // are ids + signatures; vectors appear only via the id join-backs
