@@ -66,6 +66,8 @@ object MultimodalQueries {
     * every field the video queries emit replays as arithmetic over
     * doc_id in the oracle, while the bytes run through the REAL JDK
     * GIF codec on both write and read. */
+  private val videoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
     val gen = udf { (id: Long) =>
       val w = 1 + (id % 11).toInt
@@ -77,8 +79,13 @@ object MultimodalQueries {
          1 + ((id * 13 + 5 * f) % 251).toInt)
       })
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+    // persisted + memoized like pixelVectors: mm_video and mm_frames
+    // both read these payloads (and the bench re-invokes each query),
+    // and the GIF ENCODE UDF is the cost — not the few-KB payloads
+    videoCache.getOrElseUpdate((s, dir),
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+        .persist())
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -174,6 +174,41 @@ object Demo {
       emb5.filter(col("vec_id") === 0), emb5,
       "vec_id", "vec_id", "embedding", shortlist = 8, k = 3)
       .orderBy(col("rank")).collect().map(_.getLong(1)).mkString(","))
+
+    println("== round-6 ingest/fusion/LM/video operators ==")
+    // incremental ingest dedup: the %10=7 batch probes the corpus index
+    println("incremental near-dup pairs=" + graft.operators.Dedup
+      .incrementalMinhashPairs(
+        docs5.filter(col("doc_id") % 10 =!= 7),
+        docs5.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", minEstimate = 0.3).count())
+    // RRF: fuse the bm25 list with the vector list
+    val lexW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+    val lex = graft.operators.Retrieval.bm25(
+        docs5, "doc_id", "text", Seq("spark", "query", "join"), topK = 10)
+      .withColumn("rank", row_number().over(lexW).cast("long"))
+      .select("doc_id", "rank")
+    val vecl = graft.operators.Similarity.bruteForceTopK(
+        emb5.filter(col("vec_id") === 0L), emb5,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    println("rrf top-3=" + graft.operators.Retrieval
+      .rrfFuse(Seq(lex, vecl), "doc_id", "rank", topK = 3)
+      .collect().map(_.getLong(0)).mkString(","))
+    // LM perplexity gate: broadcast model, narrow scoring
+    val lm = graft.operators.LanguageModel.trainBigrams(
+      docs5.filter(col("doc_id") % 5 === 0), "text")
+    println("perplexity keep rate=" + graft.operators.LanguageModel
+      .bigramNllNarrow(docs5, "doc_id", "text", lm)
+      .filter(col("avg_nll_e6") <= 3500000L).count() + "/" + docs5.count())
+    // REAL video: animated-GIF round-trip through the JDK codec
+    val gif = graft.operators.Multimodal.encodeGifFrames(4, 3,
+      Seq((250, 5, 5), (5, 250, 5), (5, 5, 250)))
+    val vid = graft.operators.Multimodal.decodeVideo(
+      Seq((1L, gif)).toDF("id", "payload"), "payload")
+      .select(col("decoded.n_frames")).head().getLong(0)
+    println(s"gif video frames=$vid")
     spark.stop()
   }
 }
