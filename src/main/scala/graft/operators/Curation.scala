@@ -121,7 +121,7 @@ final case class Curation private (private val df: DataFrame,
     val pairs = Dedup.winnowJaccardPairsOfWords(
       df, idCol, "__w", shingleLen, window, minJaccard)
     stage("near_dedup",
-      Dedup.connectedComponents(pairs, df, idCol)
+      Dedup.connectedComponentsAuto(pairs, df, idCol)
         .filter(col("id") === col("component"))
         .select(col("id").as(idCol))
         .join(df, idCol))

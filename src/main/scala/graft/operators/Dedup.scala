@@ -339,6 +339,29 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Size-adaptive component resolution for COMPOSITE operators
+    * (survivor selection, pipelines) whose pair-graph shape is
+    * unknown: driver union-find when the graph is tiny (via
+    * [[connectedComponents]]' fast path), large-star/small-star
+    * contraction beyond ([[connectedComponentsStars]] — O(log n)
+    * rounds regardless of diameter). Min-label propagation is NOT in
+    * this chooser: its round count is the component diameter, and a
+    * chain-shaped near-dup component would abort it at maxIter where
+    * stars converges. Both branches emit identical min-id labels. */
+  def connectedComponentsAuto(pairs: DataFrame, ids: DataFrame, idCol: String,
+                              aCol: String = "id_a", bCol: String = "id_b",
+                              driverThreshold: Long = 1L << 16): DataFrame = {
+    // directed-edge count is <= 2x the pair count, so this bound is
+    // conservative: under it, connectedComponents provably takes its
+    // driver fast path (long ids — the id contract of the composite
+    // callers); over it, go straight to stars
+    val nPairs = pairs.count()
+    if (2 * nPairs <= driverThreshold)
+      connectedComponents(pairs, ids, idCol, aCol, bCol,
+        driverThreshold = driverThreshold)
+    else connectedComponentsStars(pairs, ids, idCol, aCol, bCol)
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond") — the O(log n)-round upgrade over
@@ -439,9 +462,10 @@ object Dedup {
     *
     * `docs` must carry `idCol` and an integral `scoreCol` (quality
     * rank, word count, …). Scale shape: the component resolution is
-    * size-adaptive ([[connectedComponents]]: driver union-find for
-    * tiny pair graphs, star-contraction rounds beyond the
-    * threshold); the score lookup is an id equi-join at survivor scale
+    * size-adaptive ([[connectedComponentsAuto]]: driver union-find
+    * for tiny pair graphs, star-contraction beyond — never the
+    * diameter-bounded min-label form, whose round cap a chain-shaped
+    * component would hit); the score lookup is an id equi-join at survivor scale
     * (SMJ — both sides ≈ corpus size); the per-cluster argmax is the
     * bounded [[TopK]] partial aggregate, ≤1 row per cluster per task
     * crossing the exchange — never a cluster-partitioned window over
@@ -451,10 +475,7 @@ object Dedup {
                            scoreCol: String,
                            aCol: String = "id_a", bCol: String = "id_b")
   : DataFrame = {
-    // size-adaptive component resolution (driver union-find when the
-    // pair graph is tiny, star-contraction when it isn't) — both
-    // paths produce the same min-id labels, pinned by spec
-    val comp = connectedComponents(pairs, docs, idCol, aCol, bCol)
+    val comp = connectedComponentsAuto(pairs, docs, idCol, aCol, bCol)
     val scored = comp.join(
       docs.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
     TopK.perKey(scored, "component", "id", scoreCol, k = 1)
@@ -598,11 +619,16 @@ object Dedup {
         raw.withColumn("__df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
           .filter(col("__df") <= maxDocFreq).drop("__df")
-    // slot per parameterization: the capped and uncapped token
-    // relations are different plans, and a shared slot would thrash
-    // (evict each other) when both run in one session — e.g. the
-    // bench alternating them turned every median-of-3 run cold
-    jaccardFromTokens(capped, minJaccard, s"dedup.ngramTokens.df$maxDocFreq")
+    // two slots, not one and not one-per-cap: capped and uncapped
+    // token relations are different plans, so a SHARED slot thrashes
+    // (the bench alternating them turned every median-of-3 run
+    // cold), while a slot per cap VALUE would stack a persisted
+    // corpus-scale relation per setting in a cap-tuning sweep. A
+    // sweep over caps reuses the single "capped" slot (each new cap
+    // evicts the previous — recompute, never accumulation).
+    val slot = if (maxDocFreq == Int.MaxValue) "dedup.ngramTokens.uncapped"
+               else "dedup.ngramTokens.capped"
+    jaccardFromTokens(capped, minJaccard, slot)
   }
 
   /** Exact duplicated-span detection at token granularity: a run of

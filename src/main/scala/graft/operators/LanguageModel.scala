@@ -62,7 +62,16 @@ object LanguageModel {
     val big = refToks.select(explode(pairsOf(col("__w"))).as("p"))
       .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c12"))
-    val total = refToks.agg(sum(size(col("__w"))).cast("long").as("total"))
+    // an EMPTY reference would make total NULL, every cost NULL, and
+    // a downstream threshold filter silently drop the whole corpus —
+    // fail loudly instead (runtime check: the emptiness isn't known
+    // until the plan executes)
+    val total = refToks
+      .agg(sum(size(col("__w"))).cast("long").as("__t"))
+      .select(when(col("__t").isNull, raise_error(lit(
+        "bigramNll: empty reference corpus (every backoff " +
+          "probability would divide by zero)")).cast("long"))
+        .otherwise(col("__t")).as("total"))
 
     val pairs = docs
       .select(col(idCol).as("id"), col(wordsCol).as("__w"))

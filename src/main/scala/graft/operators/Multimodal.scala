@@ -234,9 +234,10 @@ object Multimodal {
   def decodeVideo(df: DataFrame, binCol: String): DataFrame = {
     val decode = udf { (b: Array[Byte]) =>
       withReader(b) { r =>
-        val n = r.getNumImages(true)
-        val f0 = r.read(0)
-        VideoInfo(n.toLong, f0.getWidth.toLong, f0.getHeight.toLong)
+        // getWidth/getHeight parse the frame header only — a
+        // metadata query never pays for pixel decode
+        VideoInfo(r.getNumImages(true).toLong,
+          r.getWidth(0).toLong, r.getHeight(0).toLong)
       }
     }
     df.withColumn("decoded", decode(col(binCol)))
@@ -250,6 +251,11 @@ object Multimodal {
     * payload; only sampled frames are decoded. */
   def sampleFrameFeatures(df: DataFrame, binCol: String,
                           stride: Int = 2): DataFrame = {
+    // validated HERE: inside the UDF the withReader catch (broad by
+    // design — corrupt GIFs make ImageIO throw RuntimeExceptions,
+    // not just IIOException) would turn the bug into null rows
+    // indistinguishable from corrupt payloads
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val sample = udf { (b: Array[Byte]) =>
       withReader(b) { r =>
         val n = r.getNumImages(true)

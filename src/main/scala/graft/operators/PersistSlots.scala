@@ -41,8 +41,17 @@ private[operators] object PersistSlots {
       .foreach(slots.remove)
     val key = (df.sparkSession, name)
     slots.get(key) match {
-      case Some(old) if old.queryExecution.analyzed
-          .sameResult(df.queryExecution.analyzed) =>
+      // the reuse branch also requires the occupant to STILL be
+      // persisted — an external cacheManager.clearCache()/unpersist
+      // would otherwise pin an uncached frame in the slot forever
+      // (every later call reusing it, none re-persisting). Same
+      // staleness contract as Spark's own cache: if the files behind
+      // an identical plan are rewritten in place mid-session, the
+      // cached rows win until evicted.
+      case Some(old) if old.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE &&
+          old.queryExecution.analyzed
+            .sameResult(df.queryExecution.analyzed) =>
         old
       case prev =>
         prev.foreach { old =>
