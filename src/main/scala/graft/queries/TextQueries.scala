@@ -288,6 +288,22 @@ object TextQueries {
           count(lit(1)).as("n_words"))
     }),
 
+    // tokenizer fertility: BPE tokens per word by language — the
+    // standard multilingual-tokenizer health metric (a lang whose
+    // fertility balloons is under-served by the merge table). Reuses
+    // the q_bpe_encode per-doc counts; the ratio is integer e4
+    // fixed-point, so the per-lang rows replay exactly
+    "q_fertility" -> ((s, dir) =>
+      queries("q_bpe_encode")(s, dir)
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("sum_tokens"),
+          sum(col("n_words")).as("sum_words"))
+        .withColumn("fertility_e4",
+          expr("sum_tokens * 10000 div sum_words"))),
+
     // C4 line-level cleaning (LineFilter): the shipped documents
     // carry no newlines, so a 5-line synthetic doc is built
     // deterministically in both engines (text_pii's pattern) — two
@@ -464,6 +480,31 @@ object TextQueries {
        |WHERE length(wd) >= 1
        |GROUP BY doc_id""".stripMargin
 
+  // q_fertility replay: the q_bpe_encode per-doc counts (same merge
+  // chain) joined to the lang column, per-lang integer sums and the
+  // e4 fixed-point ratio
+  private def fertilityOracle(v: Int): String =
+    s"""WITH RECURSIVE ${bpeChainCtes(v)},
+       |toks AS (SELECT doc_id,
+       |           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wd
+       |         FROM documents),
+       |seg AS (SELECT wd,
+       |          CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n
+       |        FROM s$v),
+       |perdoc AS (SELECT doc_id,
+       |             CAST(sum(seg.n) AS BIGINT) AS n_bpe_tokens,
+       |             count(*) AS n_words
+       |           FROM toks JOIN seg USING (wd)
+       |           WHERE length(wd) >= 1
+       |           GROUP BY doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |  CAST(sum(n_bpe_tokens) * 10000 // sum(n_words) AS BIGINT)
+       |    AS fertility_e4
+       |FROM perdoc JOIN documents USING (doc_id)
+       |GROUP BY lang""".stripMargin
+
   // q_perplexity replay: bigram/unigram counts from the reference
   // split, zipped-unnest (prev, cur) pairs, the same CASE ladder with
   // one fixed association, per-token floor to micro-nats. Shared by
@@ -505,6 +546,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    "q_fertility" -> fertilityOracle(8),
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
