@@ -104,6 +104,33 @@ object Retrieval {
       .select(col("id").as(idCol), col("n_lists"), col("rrf_e6"))
   }
 
+  /** Batched [[rrfFuse]]: fuse per-query ranked lists for MANY
+    * queries at once — the production hybrid-retrieval shape pairing
+    * [[bm25Batch]] with a multi-query ANN leg. Same all-integer
+    * contributions; the per-query top-k is the bounded
+    * [[TopK]] aggregate (≤ topK rows per query per task cross the
+    * final exchange). `rankings` frames need (qidCol, idCol,
+    * rankCol); ranks start at 1 within each query.
+    * @return (qidCol, idCol, rrf_e6, rank) */
+  def rrfFuseBatch(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+                   rankCol: String, kRrf: Int = 60,
+                   topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuseBatch requires at least one ranking")
+    val unioned = rankings
+      .map(_.select(col(qidCol).as("qid"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val scored = unioned
+      .withColumn("contrib", expr(s"1000000 div ($kRrf + rank)"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("contrib")).as("rrf_e6"))
+    // TopK's double order key is exact here: fused scores are
+    // integers far below 2^53
+    TopK.perKey(scored, "qid", "id", "rrf_e6", topK)
+      .select(col("qid").as(qidCol), col("id").as(idCol),
+        col("rrf_e6").cast("long"), col("rank"))
+  }
+
   /** Shared scoring tail: tf/df/length-normalized per-term integer
     * micro-unit scores; `perQuery = false` sums per document and
     * take-orders (single-query form), `perQuery = true` returns the

@@ -401,6 +401,28 @@ object TextQueries {
         kRrf = 60, topK = 10)
     }),
 
+    // batched hybrid retrieval: three BM25 queries (the q_bm25_batch
+    // table) fused with three vector queries (vec_id 0/1/2) in one
+    // plan — bounded TopK per query, all-integer fusion
+    "q_rrf_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq((0L, "spark"), (0L, "query"), (0L, "join"),
+        (1L, "fast"), (1L, "table"), (2L, "data")).toDF("qid", "term")
+      val lex = graft.operators.Retrieval.bm25Batch(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          q, "qid", "term", topK = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val emb = Tables(s, dir, "embeddings")
+      val vec = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 3), emb,
+          "vec_id", "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuseBatch(Seq(lex, vec),
+        "qid", "doc_id", "rank", kRrf = 60, topK = 5)
+        .select(col("qid"), col("doc_id"), col("rrf_e6"), col("rank"))
+    }),
+
     // inverted-index build: term -> document frequency + a content
     // address of the sorted posting list (the artifact a search/recall
     // stage consumes). Distinct (term, doc) then one aggregation.
@@ -943,6 +965,63 @@ object TextQueries {
         |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6
         |FROM u GROUP BY doc_id
         |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // q_rrf_batch replay: the q_bm25_batch per-query lexical top-10
+    // and the per-query cosine top-10 (vec_id 0/1/2), fused with
+    // integer-division contributions, top-5 per query
+    "q_rrf_batch" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+        |qq AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+        |         (0, 'join'), (1, 'fast'), (1, 'table'), (2, 'data'))
+        |       AS v(qid, term)),
+        |m AS (SELECT * FROM t WHERE term IN (SELECT term FROM qq)),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM m GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM m GROUP BY term),
+        |sc AS (SELECT doc_id, tf.term,
+        |         CAST(floor((ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |           ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 *
+        |             (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))))
+        |           * 1000000.0) AS BIGINT) AS s_e6
+        |       FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |qs AS (SELECT qq.qid, sc.doc_id,
+        |         CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |       FROM sc JOIN qq ON qq.term = sc.term
+        |       GROUP BY qq.qid, sc.doc_id),
+        |lex AS (SELECT qid, doc_id, rn AS rank FROM (
+        |          SELECT qid, doc_id,
+        |            row_number() OVER (PARTITION BY qid
+        |              ORDER BY score_e6 DESC, doc_id ASC) AS rn
+        |          FROM qs) WHERE rn <= 10),
+        |qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings WHERE vec_id < 3),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings),
+        |vs AS (SELECT qv.vec_id AS qid, cv.vec_id AS doc_id,
+        |         list_cosine_similarity(qv.e, cv.e) AS sim
+        |       FROM qv JOIN cv ON qv.vec_id <> cv.vec_id),
+        |vr AS (SELECT qid, doc_id, rn AS rank FROM (
+        |         SELECT qid, doc_id,
+        |           row_number() OVER (PARTITION BY qid
+        |             ORDER BY round(sim, 6) DESC, doc_id ASC) AS rn
+        |         FROM vs) WHERE rn <= 10),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vr),
+        |f AS (SELECT qid, doc_id,
+        |        CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6
+        |      FROM u GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, rrf_e6,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY rrf_e6 DESC, doc_id ASC) AS rn
+        |      FROM f)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_e6,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q_inverted_index" ->
       """WITH t0 AS (SELECT doc_id,
         |              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
