@@ -165,6 +165,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(jac.subsetOf(found), s"missing ${jac -- found}")
   }
 
+  test("band index maintenance: append batch keys == recompute whole index") {
+    // the stored-index update rule at ingest: the new batch's band
+    // keys (computed with the narrow HOF form on the ingest path)
+    // appended to the existing index equal a from-scratch rebuild —
+    // signatures are per-doc independent, so the index never needs
+    // recomputation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7)
+    val appended = Dedup.corpusBandIndex(corpus, "doc_id", "text")
+      .unionByName(Dedup.bandKeysNarrow(batch, "doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("band_key"),
+          org.apache.spark.sql.functions.col("doc_id").as("corpus_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.corpusBandIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(appended == rebuilt && appended.nonEmpty)
+  }
+
   test("incrementalMinhashPairs = full pairs minus corpus-internal pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val inBatch = (id: Long) => id % 10 == 7
