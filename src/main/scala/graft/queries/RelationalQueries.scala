@@ -13,7 +13,58 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** q_profile's column table — ONE list drives both the Spark
+    * aggregation and the generated oracle SQL, so the two can't
+    * drift. kind: num (cast to double), str (string min/max), ts
+    * (epoch-us as double — exact below 2^53). */
+  private val PROFILE_COLS: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // single-pass exact data profiling (the summary() analog a data
+    // engineer points at a new table): per column — non-null count,
+    // null count, exact distinct count, min/max (numeric/time as
+    // double, strings as strings). ONE aggregation job; the exact
+    // COUNT(DISTINCT)s expand the plan per column, which is the
+    // correct trade at audit time — at 100 TB swap in
+    // approx_count_distinct per column for a single-expand pass.
+    "q_profile" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val aggs = count(lit(1)).as("__total") +: PROFILE_COLS.flatMap {
+        case (c, kind) =>
+          val (mn, mx) = kind match {
+            case "num" => (min(col(c)).cast("double"),
+              max(col(c)).cast("double"))
+            // TIMESTAMP_NTZ -> timestamp is the identity under the
+            // pinned UTC session timezone (Tables scaladoc)
+            case "ts" => (
+              unix_micros(min(col(c)).cast("timestamp")).cast("double"),
+              unix_micros(max(col(c)).cast("timestamp")).cast("double"))
+            case _ => (lit(null).cast("double"), lit(null).cast("double"))
+          }
+          val (ms, xs) =
+            if (kind == "str") (min(col(c)), max(col(c)))
+            else (lit(null).cast("string"), lit(null).cast("string"))
+          Seq(count(col(c)).as(s"${c}__n"),
+            countDistinct(col(c)).as(s"${c}__d"),
+            mn.as(s"${c}__mn"), mx.as(s"${c}__mx"),
+            ms.as(s"${c}__ms"), xs.as(s"${c}__xs"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = array(PROFILE_COLS.map { case (c, _) =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__n").as("n_notnull"),
+          (col("__total") - col(s"${c}__n")).as("n_nulls"),
+          col(s"${c}__d").as("n_distinct"),
+          col(s"${c}__mn").as("min_num"), col(s"${c}__mx").as("max_num"),
+          col(s"${c}__ms").as("min_str"), col(s"${c}__xs").as("max_str"))
+      }: _*)
+      one.select(explode(rows).as("r")).select(col("r.*"))
+    }),
+
     // TPC-H Q1 shape: scan-side filter pushdown + hash aggregate
     "q1_agg" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -368,7 +419,30 @@ object RelationalQueries {
     })
   )
 
+  // q_profile replay: one UNION ALL branch per profiled column,
+  // generated from the same PROFILE_COLS table as the Spark side
+  private val profileOracle: String =
+    PROFILE_COLS.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "num" => (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        case "ts" => (s"CAST(epoch_us(min($c)) AS DOUBLE)",
+          s"CAST(epoch_us(max($c)) AS DOUBLE)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (ms, xs) =
+        if (kind == "str") (s"min($c)", s"max($c)")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count($c) AS BIGINT) AS n_notnull,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num,
+         |  $ms AS min_str, $xs AS max_str
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
+    "q_profile" -> profileOracle,
     "q_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
