@@ -202,4 +202,29 @@ class PropertySpec extends SparkSpec {
       assert(covered == (1 to n).toSet, s"n=$n coverage gap")
     }
   }
+
+  test("RRF fusion: list-order invariant, equals the brute-force recomputation") {
+    import spark.implicits._
+    val rng = new Random(11)
+    (1 to 10).foreach { _ =>
+      // two random top-N lists over a small id space
+      def list(): Seq[(Long, Long)] = {
+        val ids = rng.shuffle((0L until 20L).toList).take(1 + rng.nextInt(10))
+        ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+      }
+      val (la, lb) = (list(), list())
+      val (a, b) = (la.toDF("doc_id", "rank"), lb.toDF("doc_id", "rank"))
+      def run(ls: Seq[org.apache.spark.sql.DataFrame]) =
+        graft.operators.Retrieval
+          .rrfFuse(ls, "doc_id", "rank", kRrf = 60, topK = 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val ab = run(Seq(a, b))
+      assert(ab == run(Seq(b, a))) // fusion is symmetric in its lists
+      // brute-force recomputation: integer division contributions
+      val expected = (la ++ lb).groupBy(_._1).map { case (id, rs) =>
+        (id, rs.size.toLong, rs.map(r => 1000000L / (60L + r._2)).sum)
+      }.toSeq.sortBy(t => (-t._3, t._1))
+      assert(ab == expected, s"la=$la lb=$lb")
+    }
+  }
 }
