@@ -43,7 +43,9 @@ object KMeans {
     * n = 500 -> 8 at B=64; 50 k -> 782; 5 M -> 78 125. */
   def autoK(n: Long, targetCluster: Long = 64L, maxK: Int = 1 << 20): Int = {
     require(n > 0 && targetCluster > 0, "need positive n and target cluster")
-    val k = math.ceil(n.toDouble / targetCluster.toDouble).toLong
+    // Exact integer ceil-divide (no double rounding at huge n) so the
+    // oracle's `(count(*) + B - 1) // B` resolves the identical k.
+    val k = n / targetCluster + (if (n % targetCluster == 0) 0L else 1L)
     math.min(maxK.toLong, math.max(2L, k)).toInt
   }
 

@@ -326,9 +326,19 @@ object Similarity {
     * n = 500 -> 3 planes at B=64; 50 k -> 10; 1 B -> 24. */
   def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
     require(n > 0 && targetBucket > 0, "need positive n and target bucket")
-    val p = math.ceil(
-      math.log(n.toDouble / targetBucket.toDouble) / math.log(2.0)).toInt
-    math.min(40, math.max(1, p))
+    // Exact integer form of clamp(ceil(log2(n / B)), 1, 40): the
+    // smallest p >= 1 with B * 2^p >= n. Integer doubling (not a
+    // float log) so the DuckDB oracle's threshold CASE over count(*)
+    // resolves the IDENTICAL plane count — a power-of-two boundary
+    // can't straddle an ULP.
+    var p = 1
+    var cap = if (targetBucket > Long.MaxValue / 2) Long.MaxValue
+              else targetBucket * 2
+    while (p < 40 && cap < n) {
+      p += 1
+      cap = if (cap > Long.MaxValue / 2) Long.MaxValue else cap * 2
+    }
+    p
   }
 
   /** Spark `round` semantics (BigDecimal HALF_UP) so kernel-side

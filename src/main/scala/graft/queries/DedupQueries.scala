@@ -101,10 +101,11 @@ object DedupQueries {
 
     // auto-parameter probe twin of dedup_embedding_lsh: nPlanes = 0
     // selects autoPlanes(n) — bucket count tracks the corpus, so the
-    // scale probe measures the discipline-as-code path. No SQL oracle
-    // (the plane count varies with the dataset, so the inlined-plane
-    // replay can't be a static string) -> driver rows-only check;
-    // recall vs the frozen form is pinned in ExtensionOpsSpec.
+    // scale probe measures the discipline-as-code path. Oracled like
+    // the frozen form: the plane count is a pure integer function of
+    // count(*), so the SQL resolves it itself (threshold CASE over
+    // the same doubling ladder autoPlanes walks) and gates each
+    // bucket bit on p < np — static string, any sf.
     "dedup_embedding_lsh_auto" -> ((s, dir) =>
       Similarity.embeddingNearDupPairsLSH(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = 0.42, dim = 64,
@@ -228,6 +229,44 @@ object DedupQueries {
       s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (
+       |$buckets),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
+       |           AND a.vec_id < c.vec_id),
+       |s AS (SELECT cand.id_a, cand.id_b,
+       |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |                JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.42""".stripMargin
+  }
+
+  // dedup_embedding_lsh_auto oracle: same inlined-plane replay, but
+  // the plane count is resolved IN SQL from count(*) — `np` walks the
+  // identical doubling ladder as Similarity.autoPlanes (exact integer
+  // thresholds, no float log), and every bucket bit p is gated on
+  // np >= p+1 so coarser corpora use fewer bits. Planes are inlined
+  // up to LSH_AUTO_MAXP (covers 64 * 2^16 = 4.2 M rows — far past any
+  // sf the oracle gate runs at; the Spark operator itself is uncapped).
+  private val LSH_AUTO_MAXP = 16
+
+  private def embeddingLshAutoOracle: String = {
+    def dot(t: Int, p: Int): String =
+      (0 until LSH_DIM).map { d =>
+        s"coalesce(v[${d + 1}], 0) * ${Similarity.planeComponent(100 * t + p, d)}"
+      }.mkString("(", " + ", ")")
+    def bucket(t: Int): String =
+      (0 until LSH_AUTO_MAXP).map { p =>
+        s"(CASE WHEN np >= ${p + 1} AND ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val npCase = (1 until LSH_AUTO_MAXP).map { p =>
+      s"WHEN cnt <= ${64L << p} THEN $p"
+    }.mkString("CASE ", " ", s" ELSE $LSH_AUTO_MAXP END")
+    val buckets = (0 until LSH_TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e CROSS JOIN np"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |np AS (SELECT $npCase AS np FROM (SELECT count(*) AS cnt FROM embeddings)),
        |bk AS (
        |$buckets),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -431,6 +470,7 @@ object DedupQueries {
     "dedup_components_stars" -> componentsOracle,
     "dedup_keep_best" -> keepBestOracle,
     "dedup_embedding" -> embeddingOracle,
-    "dedup_embedding_lsh" -> embeddingLshOracle
+    "dedup_embedding_lsh" -> embeddingLshOracle,
+    "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle
   )
 }

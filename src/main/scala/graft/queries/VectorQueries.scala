@@ -76,10 +76,9 @@ object VectorQueries {
 
     // auto-parameter probe twin of dedup_semantic: k = 0 selects
     // autoK(n) — cluster count tracks the corpus, so the scale probe
-    // measures the discipline-as-code path. No SQL oracle (k varies
-    // with the dataset, so the k-means replay can't be a static
-    // string) -> driver rows-only check. At sf0.01 autoK(500) = 8,
-    // so results there coincide with the oracled frozen query.
+    // measures the discipline-as-code path. Oracled like the frozen
+    // form: k is a pure integer function of count(*), so the SQL
+    // resolves it itself (same exact ceil-divide as KMeans.autoK).
     "dedup_semantic_auto" -> ((s, dir) =>
       graft.operators.KMeans.semanticNearDupPairs(
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
@@ -493,27 +492,39 @@ object VectorQueries {
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
         |FROM r WHERE rank <= 10""".stripMargin,
     "q_kmeans" -> (kmeansCtes + "\nSELECT vec_id, cluster, dist FROM a2"),
-    "dedup_semantic" -> (kmeansCtes +
-      """,
-        |n AS (SELECT vec_id,
-        |        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
-        |      FROM q),
-        |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
-        |        CAST(list_sum(list_transform(range(1, DIMP1),
-        |          i -> qa.v[i] * qb.v[i])) AS BIGINT) AS dot,
-        |        na.nn AS na, nb.nn AS nb
-        |      FROM a2 a JOIN a2 b ON a.cluster = b.cluster
-        |        AND a.vec_id < b.vec_id
-        |      JOIN q qa ON qa.vec_id = a.vec_id
-        |      JOIN q qb ON qb.vec_id = b.vec_id
-        |      JOIN n na ON na.vec_id = a.vec_id
-        |      JOIN n nb ON nb.vec_id = b.vec_id)
-        |SELECT id_a, id_b, cluster FROM j
-        |WHERE dot > 0
-        |  AND CAST(dot AS HUGEINT) * dot * 100000000
-        |      >= CAST(17640000 AS HUGEINT) * na * nb""".stripMargin
-        .replace("DIMP1", (DIM + 1).toString))
+    "dedup_semantic" -> (kmeansCtes + semanticPairsTail),
+    // the auto twin's only delta: k is resolved IN SQL from count(*)
+    // with the same exact integer ceil-divide KMeans.autoK computes —
+    // so one static string oracles the discipline-as-code path at any
+    // sf (at sf0.01, autoK(500) = 8 = the frozen query's k).
+    "dedup_semantic_auto" ->
+      ("WITH " + kmeansBody(
+        "(SELECT least(1048576, greatest(2, (count(*) + 63) // 64)) FROM embeddings)") +
+        semanticPairsTail)
   )
+
+  // cluster-local exact-integer cosine-threshold pairs over the a2
+  // assignment — shared by the frozen and auto semantic dedup oracles
+  private def semanticPairsTail: String =
+    """,
+      |n AS (SELECT vec_id,
+      |        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+      |      FROM q),
+      |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+      |        CAST(list_sum(list_transform(range(1, DIMP1),
+      |          i -> qa.v[i] * qb.v[i])) AS BIGINT) AS dot,
+      |        na.nn AS na, nb.nn AS nb
+      |      FROM a2 a JOIN a2 b ON a.cluster = b.cluster
+      |        AND a.vec_id < b.vec_id
+      |      JOIN q qa ON qa.vec_id = a.vec_id
+      |      JOIN q qb ON qb.vec_id = b.vec_id
+      |      JOIN n na ON na.vec_id = a.vec_id
+      |      JOIN n nb ON nb.vec_id = b.vec_id)
+      |SELECT id_a, id_b, cluster FROM j
+      |WHERE dot > 0
+      |  AND CAST(dot AS HUGEINT) * dot * 100000000
+      |      >= CAST(17640000 AS HUGEINT) * na * nb""".stripMargin
+      .replace("DIMP1", (DIM + 1).toString)
 
   // Quantized k-means replay: integer milliunit vectors, init = k
   // smallest ids, assign (d1/a1), centroid update (m/c1), assign
@@ -522,11 +533,14 @@ object VectorQueries {
   // engines. KMeans.fit with k=8, steps=2 is the Spark twin.
   private def kmeansCtes: String = "WITH " + kmeansBody(8)
 
+  private def kmeansBody(k: Int): String = kmeansBody(k.toString)
+
   /** The kmeans replay CTE list (no WITH prefix), parameterized by
     * k: q (milliunit vectors), c0 (init = k smallest ids), d1/a1
     * (first assign), pos/m/c1 (centroid update), d2/a2 (second
-    * assign). */
-  private def kmeansBody(k: Int): String =
+    * assign). `k` is any SQL scalar expression — a literal for the
+    * frozen queries, a count(*)-derived subquery for the auto twin. */
+  private def kmeansBody(k: String): String =
     s"""q AS (SELECT vec_id,
        |             list_transform(CAST(embedding AS DOUBLE[]),
        |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
