@@ -39,8 +39,12 @@ object Bench {
     // shared box injects, which min-of-2 only partially damped. A
     // trial that throws is recorded as failed (time-to-failure is NOT
     // a measurement) and the query reports -1 with an error marker.
+    // trial list rides along so bench_detail.json records the
+    // cold/warm split — a slot-reuse or cache regression shows up as
+    // trials 2-3 matching trial 1 instead of dropping well below it
+    val trialLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              dir: String): (Double, Boolean) = {
+              dir: String, logAs: String = ""): (Double, Boolean) = {
       val times = Seq.newBuilder[Double]
       var failed = false
       var trial = 0
@@ -50,11 +54,12 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         trial += 1
       }
+      if (logAs.nonEmpty) trialLog(logAs) = times.result()
       if (failed) (-1.0, false)
       else (times.result().sorted.apply(1), true)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, timed(fn, sfDir))
+      (name, timed(fn, sfDir, logAs = name))
     }
     val failed = results.collect { case (n, (_, false)) => n }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
@@ -102,8 +107,12 @@ object Bench {
         }
         s""","scale_probe":{"base_sf":"$baseDir","queries":${probes.mkString("{", ",", "}")}}"""
       }
+    val (slotHits, slotMisses) = graft.operators.PersistSlots.stats
+    val trialsJson = trialLog.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that

@@ -23,10 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Pipelines that need concurrent reuse should persist their own
   * input and pass it in.
   */
-private[operators] object PersistSlots {
+private[graft] object PersistSlots {
 
   private val slots =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  // Observability for the reuse path (bench_detail.json reports
+  // these per run): a healthy median-of-3 bench shows ~2 hits per
+  // slot-using query (trial 1 misses, 2-3 reuse); misses == swaps on
+  // every trial means canonicalization broke and the cache thrashes.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  def stats: (Long, Long) = (hitCount.get, missCount.get)
 
   /** Persist `df` into slot (its session, `name`), unpersisting the
     * slot's previous occupant first — UNLESS the occupant's analyzed
@@ -52,8 +60,10 @@ private[operators] object PersistSlots {
           org.apache.spark.storage.StorageLevel.NONE &&
           old.queryExecution.analyzed
             .sameResult(df.queryExecution.analyzed) =>
+        hitCount.incrementAndGet()
         old
       case prev =>
+        missCount.incrementAndGet()
         prev.foreach { old =>
           try old.unpersist() catch { case _: Throwable => }
         }
