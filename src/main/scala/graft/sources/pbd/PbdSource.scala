@@ -19,8 +19,10 @@ import PbdDescriptors._
   * + varint-delimited message payloads.
   *
   * Spark-first shape: the (small) descriptor header parses on the
-  * driver; record payload boundaries are found with one cheap varint
-  * scan; the byte slices then parallelize so the actual protobuf
+  * driver from a buffered stream; record-aligned chunk boundaries are
+  * found with one streaming varint walk per file (O(chunks) driver
+  * memory — never the file bytes), concurrently across the files of a
+  * directory; the byte ranges then parallelize so the actual protobuf
   * decode — the expensive part — runs on executors. Decoding follows
   * the reference's semantics: include/exclude prune to a field subset
   * and everything else is skipped at wire level without parsing
@@ -71,6 +73,116 @@ object PbdSource {
     PbdFile(registry, root, records)
   }
 
+  /** Streaming varint cursor over an InputStream — the driver-side
+    * boundary scan's view of a PBD file. Unlike [[ProtoWire]] it
+    * never holds file bytes beyond the stream's own buffer, so the
+    * scan's memory is O(1) in file size (the r6 form fed
+    * Files.readAllBytes to ProtoWire: driver memory = file size, the
+    * one scale-killer a multi-GB PBD would hit). */
+  private[graft] final class VarintStream(in: java.io.InputStream) {
+    var pos: Long = 0L
+    def readByte(): Int = {
+      val b = in.read()
+      if (b < 0) throw new IllegalArgumentException(
+        s"truncated input at stream offset $pos")
+      pos += 1
+      b
+    }
+    /** -1 at clean EOF on the FIRST byte; throws mid-varint. */
+    def readVarintOrEof(): Long = {
+      var shift = 0
+      var value = 0L
+      var first = true
+      while (true) {
+        val b = in.read()
+        if (b < 0) {
+          if (first) return -1L
+          throw new IllegalArgumentException(
+            s"truncated varint at stream offset $pos")
+        }
+        pos += 1
+        first = false
+        value |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return value
+        shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint too long")
+      }
+      value
+    }
+    def readVarint(): Long = {
+      val v = readVarintOrEof()
+      if (v < 0) throw new IllegalArgumentException(
+        s"truncated input: varint expected at stream offset $pos")
+      v
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      require(len >= 0, s"negative length $len at stream offset $pos")
+      val out = new Array[Byte](len)
+      var off = 0
+      while (off < len) {
+        val n = in.read(out, off, len - off)
+        if (n < 0) throw new IllegalArgumentException(
+          s"truncated input: need $len bytes at stream offset $pos")
+        off += n
+      }
+      pos += len
+      out
+    }
+    def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s > 0) left -= s
+        else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
+        else throw new IllegalArgumentException(
+          s"truncated input: $left bytes short at stream offset ${pos + n - left}")
+      }
+      pos += n
+    }
+  }
+
+  /** Header parse from a stream: descriptors + root name + the byte
+    * offset where record payloads begin. Reads exactly the header —
+    * record bytes are never touched. */
+  private[graft] def parseHeaderStream(s: VarintStream): (Registry, PMessage, Long) = {
+    val magic = (s.readByte() << 24) | (s.readByte() << 16) |
+      (s.readByte() << 8) | s.readByte()
+    require(magic == MAGIC, f"not a PBD file (magic 0x$magic%08x)")
+    val version = s.readVarint()
+    require(version == 0, s"unsupported PBD version $version")
+    val nFiles = s.readVarint().toInt
+    val files = (0 until nFiles).map(_ => s.readBytes())
+    val registry = PbdDescriptors.parseFiles(files)
+    val rootName = new String(s.readBytes(), "UTF-8")
+    (registry, registry.message(rootName), s.pos)
+  }
+
+  /** Record-aligned chunk boundaries from the stream positioned at
+    * the first record: one buffered varint walk, skipping payload
+    * bytes, emitting a split point whenever a chunk reaches
+    * `targetChunkBytes`. Driver memory is O(number of chunks) — the
+    * per-record boundary list the r6 scan kept is gone. Returns
+    * (chunks as [start, end) byte ranges, record count). */
+  private[graft] def scanChunks(s: VarintStream, start: Long,
+                              targetChunkBytes: Long): (Seq[(Long, Long)], Long) = {
+    val chunks = Seq.newBuilder[(Long, Long)]
+    var chunkStart = start
+    var nRecords = 0L
+    var len = s.readVarintOrEof()
+    while (len >= 0) {
+      s.skipFully(len)
+      nRecords += 1
+      if (s.pos - chunkStart >= targetChunkBytes) {
+        chunks += ((chunkStart, s.pos))
+        chunkStart = s.pos
+      }
+      len = s.readVarintOrEof()
+    }
+    if (s.pos > chunkStart) chunks += ((chunkStart, s.pos))
+    (chunks.result(), nRecords)
+  }
+
   /** Spark schema of a message (full, before clusion pruning). */
   def schemaOf(m: PMessage, reg: Registry): StructType =
     StructType(m.fields.map { f =>
@@ -95,42 +207,88 @@ object PbdSource {
       StructField(f.name, if (f.repeated) ArrayType(base) else base)
     })
 
+  private final case class FileScan(file: String, registry: Registry,
+                                    root: PMessage, chunks: Seq[(Long, Long)])
+
   def read(spark: SparkSession, path: String,
            include: ClusionInput = ClusionInput.Empty,
            exclude: ClusionInput = ClusionInput.Empty): DataFrame = {
-    val localPath = path.stripPrefix("file:")
-    val bytes = Files.readAllBytes(Paths.get(localPath))
-    val (registry, rootMsg, start) = parseHeader(bytes)
-    val full = schemaOf(rootMsg, registry)
+    val root = Paths.get(path.stripPrefix("file:"))
+    // a directory reads every .pbd inside it (sorted for determinism)
+    // — the multi-file layout any real corpus lands in, scanned one
+    // driver pass PER FILE (bounded), decoded fully parallel
+    val files: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(root)) {
+        val s = Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".pbd"))
+            .toSeq.sortBy(_.toString)
+        } finally s.close()
+      } else Seq(root)
+    require(files.nonEmpty, s"no .pbd files under $path")
+
+    // One buffered streaming pass per file: header, then the varint
+    // boundary walk emitting record-aligned ~targetChunk byte ranges.
+    // Driver memory is O(chunks), NOT O(file size) — the r6 form
+    // (Files.readAllBytes) made driver memory = file size, the one
+    // remaining source-side scale killer. Files scan concurrently.
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    def scanOne(f: java.nio.file.Path): FileScan = {
+      val size = Files.size(f)
+      val in = new java.io.BufferedInputStream(Files.newInputStream(f), 1 << 16)
+      try {
+        val s = new VarintStream(in)
+        val (reg, rootMsg, start) = parseHeaderStream(s)
+        // >= 256 KB so tiny files don't shatter into per-record tasks,
+        // <= 256 MB so an executor chunk buffer stays far inside Int
+        // range and one task's memory is bounded
+        val target = math.min(256L << 20,
+          math.max(256L << 10, (size - start) / parallelism))
+        val (chunks, _) = scanChunks(s, start, target)
+        FileScan(f.toAbsolutePath.toString, reg, rootMsg, chunks)
+      } finally in.close()
+    }
+    val scans: Seq[FileScan] = {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(files)(f => Future(scanOne(f))), Duration.Inf)
+    }
+
+    // every file must present the same schema — the reference refuses
+    // to mix mismatched sources (columns.cpp:22-32); a silent union of
+    // different layouts would decode garbage
+    val full = schemaOf(scans.head.root, scans.head.registry)
+    scans.drop(1).foreach { sc =>
+      require(schemaOf(sc.root, sc.registry) == full,
+        s"PBD schema mismatch: ${sc.file} does not match ${scans.head.file}")
+    }
     val pruned = Sources.pruneSchema(full,
       Sources.validatedFilter(full, include, exclude))
 
-    // Tasks receive only contiguous byte ranges (record-aligned, found
-    // by the driver's cheap varint scan) and re-read the file
-    // themselves through the Hadoop filesystem for `path` — so the
-    // same code works when executors live on other hosts (HDFS/S3/
-    // shared FS), not just against the driver's local disk. The
+    // Tasks receive only contiguous byte ranges (record-aligned) and
+    // re-read the file themselves through the Hadoop filesystem — so
+    // the same code works when executors live on other hosts (HDFS/
+    // S3/shared FS), not just against the driver's local disk. The
     // payload never ships through the scheduler.
-    val w = new ProtoWire(bytes)
-    w.pos = start
-    val boundaries = scala.collection.mutable.ArrayBuffer[Int](w.pos)
-    while (w.hasMore) { w.skip(2); boundaries += w.pos }
-    val nChunks = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (boundaries.size - 1) / 1024 + 1))
-    val per = math.max(1, (boundaries.size - 1 + nChunks - 1) / nChunks)
-    val chunks = (0 until boundaries.size - 1 by per).map { i =>
-      (boundaries(i), boundaries(math.min(i + per, boundaries.size - 1)))
-    }
-
-    val pathStr = path
+    val decoderInfo: Map[String, (PMessage, Registry)] =
+      scans.map(sc => sc.file -> ((sc.root, sc.registry))).toMap
+    val chunks = scans.flatMap(sc => sc.chunks.map {
+      case (a, b) => (sc.file, a, b)
+    })
     val rdd = spark.sparkContext.parallelize(chunks, math.max(1, chunks.size))
-      .flatMap { case (chunkStart, chunkEnd) =>
-        val hPath = new org.apache.hadoop.fs.Path(
-          if (pathStr.contains(":")) pathStr else "file:" + pathStr)
+      .flatMap { case (file, chunkStart, chunkEnd) =>
+        val len = chunkEnd - chunkStart
+        require(len <= Int.MaxValue - 8,
+          s"PBD chunk of $len bytes exceeds a task buffer; " +
+            "records this large need a smaller targetChunk")
+        val hPath = new org.apache.hadoop.fs.Path("file:" + file)
         val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val in = fs.open(hPath)
-        val buf = new Array[Byte](chunkEnd - chunkStart)
-        try { in.seek(chunkStart.toLong); in.readFully(buf) } finally in.close()
+        val buf = new Array[Byte](len.toInt)
+        try { in.seek(chunkStart); in.readFully(buf) } finally in.close()
+        val (rootMsg, registry) = decoderInfo(file)
         val decoder = new PbdRowDecoder(rootMsg, pruned, registry)
         val cw = new ProtoWire(buf)
         Iterator.unfold(())(_ =>

@@ -119,4 +119,71 @@ class PbdSourceSpec extends SparkSpec {
     assert(sec < 20.0, s"decode too slow: $sec s")
     info(f"100k records in $sec%.2f s")
   }
+
+  test("boundary scan is streaming: a virtual file bigger than the heap") {
+    // A synthetic record region (2-byte varint prefix + 1000 payload
+    // bytes per record) totalling ~2x the JVM max heap, served by a
+    // virtual stream. The r6 scan (Files.readAllBytes -> ProtoWire)
+    // could not even allocate the array; the streaming walk must
+    // finish in O(chunks) memory with exact record alignment.
+    val payload = 1000
+    val recBytes = 2L + payload
+    val maxHeap = Runtime.getRuntime.maxMemory()
+    val n = maxHeap * 2 / recBytes + 1
+    val total = n * recBytes
+    assert(total > maxHeap, "virtual file must exceed the heap")
+    val in = new java.io.InputStream {
+      var off = 0L
+      override def read(): Int =
+        if (off >= total) -1
+        else {
+          val r = (off % recBytes) match {
+            case 0 => 0xe8 // varint(1000) low byte
+            case 1 => 0x07 // varint(1000) high byte
+            case _ => 0x41
+          }
+          off += 1; r
+        }
+      override def skip(k: Long): Long = {
+        val s = math.min(k, total - off); off += s; s
+      }
+    }
+    val s = new PbdSource.VarintStream(in)
+    val (chunks, nRec) = PbdSource.scanChunks(s, 0L, 64L << 20)
+    assert(nRec == n)
+    assert(chunks.head._1 == 0L && chunks.last._2 == total)
+    chunks.sliding(2).foreach {
+      case Seq((_, e), (s2, _)) => assert(e == s2, "chunks must be contiguous")
+      case _ =>
+    }
+    chunks.foreach { case (a, b) =>
+      assert(a % recBytes == 0 && b % recBytes == 0, "chunks must be record-aligned")
+    }
+    info(f"scanned ${total / (1 << 20)}%d MiB virtual into ${chunks.size}%d chunks")
+  }
+
+  test("a directory of .pbd files reads as one union; mismatched schema refuses") {
+    import graft.sources.pbd.{PbdWriter, PbdDescriptors}
+    val fields = Seq(
+      PbdWriter.Field("id", 1, PbdDescriptors.T.INT64),
+      PbdWriter.Field("s", 2, PbdDescriptors.T.STRING))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbd_dir")
+    def writeRange(name: String, ids: Range): Unit =
+      PbdWriter.write(dir.resolve(name).toString, "graft", "Rt", fields,
+        ids.iterator.map { i => out =>
+          out.writeVarintField(1, i.toLong)
+          out.writeStringField(2, s"row$i")
+        })
+    writeRange("a.pbd", 0 until 10)
+    writeRange("b.pbd", 10 until 30)
+    val got = PbdSource.read(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == (0 until 30).map(i => (i.toLong, s"row$i")))
+    // a file with a different schema poisons the union -> refuse, like
+    // the reference's mixed-source check (columns.cpp:22-32)
+    PbdWriter.write(dir.resolve("c.pbd").toString, "graft", "Rt",
+      Seq(PbdWriter.Field("z", 1, PbdDescriptors.T.DOUBLE)),
+      Iterator.single(out => out.writeDoubleField(1, 1.0)))
+    assertThrows[IllegalArgumentException](PbdSource.read(spark, dir.toString))
+  }
 }
