@@ -113,24 +113,58 @@ object LanguageModel {
   final case class BigramModel(uni: Map[String, Long],
                                big: Map[String, Long], total: Long)
 
-  /** Collect the reference counts into a [[BigramModel]]. Bounded by
-    * the reference vocabulary — prune upstream (min-count filter on
-    * `ref`'s grams) to hold the KenLM memory contract at scale. */
-  def trainBigrams(ref: DataFrame, refTextCol: String): BigramModel = {
+  /** Collect the reference counts into a [[BigramModel]], pruned
+    * KenLM-style BEFORE the driver collect — the discipline the
+    * deployment shape requires: an unpruned reference vocabulary is
+    * bounded only by the corpus, and CCNet's production models ship
+    * pruned (KenLM `--prune`). Two knobs, applied per count table on
+    * the executors so the driver only ever receives the survivors:
+    *
+    *  - `minCount`: drop grams seen fewer times (count floor);
+    *  - `maxEntries`: keep the most frequent M per table
+    *    (TakeOrdered — bounded driver memory even against an
+    *    adversarial reference), count-desc with a lexicographic
+    *    tiebreak for determinism.
+    *
+    * `total` stays the EXACT unpruned token count (one narrow scan):
+    * pruning must not shrink the backoff denominator, or every
+    * unknown-word cost would drift with the prune level. A pruned
+    * gram scores through the backoff path — exactly how a pruned
+    * KenLM degrades. Bigrams whose `prev` lost its unigram entry are
+    * dropped too (the seen-bigram path divides by c(prev); KenLM
+    * enforces the same lower-order consistency).
+    *
+    * Defaults (1, MaxValue) reproduce the unpruned model bit-for-bit.
+    */
+  def trainBigrams(ref: DataFrame, refTextCol: String,
+                   minCount: Long = 1L,
+                   maxEntries: Int = Int.MaxValue): BigramModel = {
     val toks = ref.select(words(col(refTextCol)).as("__w"))
-    val uni = toks.select(explode(col("__w")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = toks
+    def prunedCounts(grams: DataFrame): Map[String, Long] = {
+      val counts = grams.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val floored = if (minCount > 1) counts.filter(col("c") >= minCount)
+                    else counts
+      val capped = if (maxEntries == Int.MaxValue) floored
+                   else floored.orderBy(col("c").desc, col("k").asc)
+                     .limit(maxEntries)
+      capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")))
+    val bigAll = prunedCounts(toks
       .select(explode(graft.functions.TextFunctions
-        .shinglesOfWords(col("__w"), 2)).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // total corpus tokens = sum of the unigram counts — no third scan
-    require(uni.nonEmpty,
+        .shinglesOfWords(col("__w"), 2)).as("k")))
+    // lower-order consistency: a surviving bigram needs its prev's
+    // unigram count for the c12/c1 probability
+    val big = bigAll.filter { case (k, _) =>
+      uni.contains(k.substring(0, k.indexOf(' '))) }
+    // exact UNpruned token total from a narrow scan — the backoff
+    // denominator is corpus mass, not surviving-entry mass
+    val total = toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
+      .cast("long").as("t")).head().getLong(0)
+    require(total > 0,
       "trainBigrams: empty reference corpus (every backoff probability " +
         "would divide by zero)")
-    BigramModel(uni, big, uni.values.sum)
+    BigramModel(uni, big, total)
   }
 
   /** [[bigramNll]] against an in-memory model: scoring is ONE narrow

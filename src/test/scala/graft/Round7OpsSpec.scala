@@ -32,6 +32,41 @@ class Round7OpsSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("trainBigrams pruning: exact survivor maps, stable backoff total, bounded drift") {
+    import graft.operators.LanguageModel
+    // skewed reference: "a b" repeats heavily, "x y" appears once
+    val ref = (Seq.fill(10)("a b a b a b") ++ Seq("x y a b")).toDF("text")
+    val unpruned = LanguageModel.trainBigrams(ref, "text")
+    val floored = LanguageModel.trainBigrams(ref, "text", minCount = 2)
+    // the floor keeps exactly the unpruned entries with c >= 2, and
+    // the exact token total survives pruning (backoff mass is corpus
+    // mass, not surviving-entry mass)
+    assert(floored.uni == unpruned.uni.filter(_._2 >= 2))
+    assert(floored.big == unpruned.big.filter(_._2 >= 2))
+    assert(floored.total == unpruned.total)
+    assert(!floored.big.contains("x y") && unpruned.big.contains("x y"))
+    // top-M cap: TakeOrdered by (count desc, gram asc) — the two
+    // heaviest unigrams are a and b
+    val capped = LanguageModel.trainBigrams(ref, "text", maxEntries = 2)
+    assert(capped.uni.keySet == Set("a", "b"))
+    // scoring drift: documents built only of surviving grams score
+    // IDENTICALLY; a doc with a pruned bigram drifts by at most the
+    // per-token worst case |ln(c12/c1) - ln(0.4 c2/total)|
+    val docs = Seq((1L, "a b a b"), (2L, "x y")).toDF("doc_id", "text")
+    def score(m: LanguageModel.BigramModel) =
+      LanguageModel.bigramNllNarrow(docs, "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val s0 = score(unpruned)
+    val s1 = score(floored)
+    assert(s0(1L) == s1(1L), "surviving-gram docs must score unchanged")
+    // "x y" unpruned: c12=1, c1=1 -> cost -ln(1) = 0. After the floor
+    // both the bigram AND y's unigram are gone, so the position takes
+    // the unknown-word path exactly: floor(1e6 * -ln(0.4/(total*10)))
+    assert(s0(2L) == 0L)
+    assert(s1(2L) ==
+      math.floor(1e6 * -math.log(0.4 / (unpruned.total * 10.0))).toLong)
+  }
+
   test("rebuilding a dedup query hits the token slot (bench trial shape)") {
     val docs = (1 to 40)
       .map(i => (i.toLong, (1 to 30).map(t => s"d${i % 7}w$t").mkString(" ")))
