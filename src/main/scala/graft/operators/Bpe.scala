@@ -44,9 +44,107 @@ object Bpe {
   /** Train `nMerges` BPE merges over a word-frequency table
     * (wordCol, freqCol). Returns the merge list
     * (rank, lhs, rhs, cnt) — rank 1 is the first merge learned.
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains.
+    *
+    * Routing: the word-frequency table is vocabulary-sized by
+    * construction, and the merge loop is a MODEL FIT — so when the
+    * vocabulary fits on the driver (`maxLocalVocab` rows), collect it
+    * once and run the loop in memory: one Spark job total, against
+    * 2 jobs per merge for the distributed loop (at a realistic 30 k
+    * merges that is 60 k scheduler round-trips of pure fixed cost —
+    * the r6 bench showed ~0.3 s/merge of overhead at 8 merges).
+    * Vocabularies past the cap take [[trainDistributed]], which never
+    * materializes the table. Both paths produce IDENTICAL merge
+    * lists (same greedy fold, same (count desc, pair asc) tiebreak —
+    * local compares strings as UTF-8 bytes to match Spark/DuckDB
+    * binary collation); pinned by BpeSpec. */
   def train(wordFreq: DataFrame, wordCol: String, freqCol: String,
-            nMerges: Int): DataFrame = {
+            nMerges: Int, maxLocalVocab: Long = 4000000L): DataFrame =
+    if (wordFreq.count() <= maxLocalVocab)
+      trainLocal(wordFreq, wordCol, freqCol, nMerges)
+    else
+      trainDistributed(wordFreq, wordCol, freqCol, nMerges)
+
+  /** The in-memory merge loop over a collected vocabulary. */
+  private[graft] def trainLocal(wordFreq: DataFrame, wordCol: String,
+                                    freqCol: String, nMerges: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val rows = wordFreq
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .collect()
+    val freqs = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] =
+      rows.map(_.getString(0).split("").filter(_.nonEmpty))
+    // Spark's string sort is binary over UTF-8; Java String.compareTo
+    // is UTF-16 code units — they diverge on supplementary planes, so
+    // tiebreak on the raw bytes
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val f = freqs(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.reduceLeft { (a, b) =>
+          if (b._2 > a._2 ||
+            (b._2 == a._2 && (byteLt(b._1._1, a._1._1) ||
+              (b._1._1 == a._1._1 && byteLt(b._1._2, a._1._2))))) b else a
+        }
+        merges += ((rank, l, r, c))
+        // same single-pass greedy scan as applyMerge's fold
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            has = s(i) == l && s(i + 1) == r; i += 1
+          }
+          if (has) {
+            val out = Array.newBuilder[String]
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            syms(wi) = out.result()
+          }
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** The distributed merge loop — every round on the cluster, for
+    * vocabularies too large to collect. */
+  def trainDistributed(wordFreq: DataFrame, wordCol: String, freqCol: String,
+                       nMerges: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var cur = wordFreq.select(col(freqCol).cast("long").as("__f"),

@@ -67,6 +67,26 @@ class Round7OpsSpec extends SparkSpec {
       math.floor(1e6 * -math.log(0.4 / (unpruned.total * 10.0))).toLong)
   }
 
+  test("BPE local and distributed training produce identical merge lists") {
+    import graft.operators.Bpe
+    // adversarial vocab: overlap runs, ties (forcing the byte-order
+    // tiebreak), multi-char fused symbols re-merging in later rounds
+    val wf = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("aaaa", 4L), ("abab", 4L), ("zz", 1L), ("Zz", 1L)
+    ).toDF("word", "freq")
+    def lst(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val local = lst(Bpe.trainLocal(wf, "word", "freq", nMerges = 10))
+    val dist = lst(Bpe.trainDistributed(wf, "word", "freq", nMerges = 10))
+    assert(local == dist)
+    assert(local.size == 10)
+    // the public entry routes vocab-sized tables to the local loop
+    assert(lst(Bpe.train(wf, "word", "freq", nMerges = 10)) == local)
+  }
+
   test("rebuilding a dedup query hits the token slot (bench trial shape)") {
     val docs = (1 to 40)
       .map(i => (i.toLong, (1 to 30).map(t => s"d${i % 7}w$t").mkString(" ")))
