@@ -106,6 +106,21 @@ object FlattenQueries {
     "pbd_source" -> ((s, dir) =>
       graft.sources.pbd.PbdSource.read(s, Fixtures.pbdLineitem(s, dir))),
 
+    // Arrow IPC round-trip: a deterministic lineitem subset writes to
+    // a multi-batch IPC stream on the driver and reads back through
+    // the batch-parallel source — closing the one reference source
+    // that was pinned by ScalaTest alone (arrow.cpp:289-326)
+    "arrow_source" -> ((s, dir) => {
+      val sample = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 47 === 0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      val path = java.nio.file.Files.createTempDirectory("graft_arrow_q")
+        .resolve("li.arrows").toString
+      // small batches force the multi-batch read path
+      graft.sources.ArrowSource.toArrowStream(sample, path, batchRows = 256)
+      graft.sources.ArrowSource.fromArrowStream(s, path)
+    }),
+
     // ORC round-trip: the second columnar storage format (Spark
     // built-in), same deterministic-subset pattern as avro_source
     "orc_source" -> ((s, dir) => {
@@ -171,6 +186,9 @@ object FlattenQueries {
     "pbd_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem""".stripMargin,
+    "arrow_source" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 47 = 0""".stripMargin,
     "orc_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 41 = 0""".stripMargin,

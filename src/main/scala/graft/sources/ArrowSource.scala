@@ -97,4 +97,62 @@ object ArrowSource {
       alloc.close()
     }
   }
+
+  /** Write a flat-schema DataFrame to an Arrow IPC *stream* file —
+    * the sink half of the source (and the fixture builder for the
+    * arrow_source oracle query). Collects on the driver: IPC streams
+    * are sequential by design, so this is a fixture/interchange
+    * writer, not a data-at-rest sink (that's parquet). Supported
+    * leaf types: long/int/double/float/string/boolean, null-safe. */
+  def toArrowStream(df: DataFrame, path: String, batchRows: Int = 1 << 14): Unit = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.spark.sql.types._
+    val arrowSchema = ArrowBridge.toArrowSchema(df.schema, "UTC")
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(arrowSchema, alloc)
+    val out = new java.io.FileOutputStream(path.stripPrefix("file:"))
+    val writer = new ArrowStreamWriter(root, null, out.getChannel)
+    try {
+      writer.start()
+      df.collect().grouped(batchRows).foreach { rows =>
+        root.allocateNew()
+        rows.zipWithIndex.foreach { case (row, i) =>
+          df.schema.fields.zipWithIndex.foreach { case (f, j) =>
+            val v = root.getVector(j)
+            val isNull = row.isNullAt(j)
+            f.dataType match {
+              case LongType =>
+                val vv = v.asInstanceOf[BigIntVector]
+                if (isNull) vv.setNull(i) else vv.setSafe(i, row.getLong(j))
+              case IntegerType =>
+                val vv = v.asInstanceOf[IntVector]
+                if (isNull) vv.setNull(i) else vv.setSafe(i, row.getInt(j))
+              case DoubleType =>
+                val vv = v.asInstanceOf[Float8Vector]
+                if (isNull) vv.setNull(i) else vv.setSafe(i, row.getDouble(j))
+              case FloatType =>
+                val vv = v.asInstanceOf[Float4Vector]
+                if (isNull) vv.setNull(i) else vv.setSafe(i, row.getFloat(j))
+              case StringType =>
+                val vv = v.asInstanceOf[VarCharVector]
+                if (isNull) vv.setNull(i)
+                else vv.setSafe(i, row.getString(j).getBytes("UTF-8"))
+              case BooleanType =>
+                val vv = v.asInstanceOf[BitVector]
+                if (isNull) vv.setNull(i)
+                else vv.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+              case other => throw new IllegalArgumentException(
+                s"toArrowStream: unsupported type $other for column ${f.name}")
+            }
+          }
+        }
+        root.setRowCount(rows.size)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      writer.close(); out.close(); root.close(); alloc.close()
+    }
+  }
 }

@@ -15,6 +15,10 @@ object ArrowBridge {
   def schemaFromArrow(schema: ArrowSchema): StructType =
     ArrowUtils.fromArrowSchema(schema)
 
+  def toArrowSchema(schema: StructType, timeZoneId: String): ArrowSchema =
+    ArrowUtils.toArrowSchema(schema, timeZoneId,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+
   def toDataFrame(batches: Iterator[Array[Byte]], schema: StructType,
                   spark: SparkSession): DataFrame =
     ArrowConverters.toDataFrame(batches, schema.json,

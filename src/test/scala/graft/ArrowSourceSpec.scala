@@ -142,4 +142,22 @@ class ArrowSourceSpec extends SparkSpec {
     val flat = graft.operators.Flatten.flatten(df)
     assert(flat.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("toArrowStream round-trip: every leaf type, nulls, multi-batch") {
+    import spark.implicits._
+    val src = (1 to 700).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"s$i",
+        i * 0.5,
+        i % 2 == 0,
+        if (i % 11 == 0) None else Some(i))
+    }.toDF("id", "s", "x", "b", "oi")
+    val p = java.nio.file.Files.createTempDirectory("graft_arrow_rt")
+      .resolve("rt.arrows").toString
+    ArrowSource.toArrowStream(src, p, batchRows = 100) // 7 batches
+    val back = ArrowSource.fromArrowStream(spark, p)
+    assert(back.schema == src.schema)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(back.collect().sortBy(key).toSeq == src.collect().sortBy(key).toSeq)
+  }
 }
