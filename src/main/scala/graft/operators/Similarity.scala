@@ -201,11 +201,23 @@ object Similarity {
     * 64-float arrays per candidate row measured ~60x slower).
     * Rounding replicates Spark's `round` (BigDecimal HALF_UP), so
     * results stay oracle-exact.
+    *
+    * `maxRows` fail-fast: the collect is the broadcast join's own,
+    * but pointing this operator at a production corpus must be an
+    * ERROR naming the scale path, not a driver OOM an hour in — the
+    * guard counts first (a narrow scan) and refuses past the cap.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            minCosine: Double): DataFrame = {
+                            minCosine: Double,
+                            maxRows: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val n = df.count()
+    require(n <= maxRows,
+      s"embeddingNearDupPairs is the brute-force oracle baseline and " +
+        s"collects the corpus to the driver: $n rows exceeds maxRows=" +
+        s"$maxRows. Use embeddingNearDupPairsLSH (the bucketed 100 TB " +
+        "path), or raise maxRows deliberately.")
     val data = df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     val corpus = data.collect() // = the broadcast join's own collect

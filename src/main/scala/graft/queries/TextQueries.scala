@@ -395,8 +395,12 @@ object TextQueries {
     // contributions, exact in both engines. The legs carry the
     // corpus-scale work; fusion touches 40 rows.
     "q_rrf" -> ((s, dir) => {
+      // constant-key partition: the frame is the bm25 leg's <= topK
+      // rows, but an unpartitioned Window.orderBy pattern-matches a
+      // scale-killer (and WARNs in every bench tail) — pinning one
+      // partition says "bounded by construction" in the plan itself
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score_e6").desc, col("doc_id").asc)
+        .partitionBy(lit(0)).orderBy(col("score_e6").desc, col("doc_id").asc)
       val lex = graft.operators.Retrieval.bm25(Tables(s, dir, "documents"),
           "doc_id", "text", Seq("spark", "query", "join"), topK = 20)
         .withColumn("rank", row_number().over(w).cast("long"))

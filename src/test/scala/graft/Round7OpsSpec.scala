@@ -67,6 +67,19 @@ class Round7OpsSpec extends SparkSpec {
       math.floor(1e6 * -math.log(0.4 / (unpruned.total * 10.0))).toLong)
   }
 
+  test("brute-force embedding dedup refuses oversized corpora, naming the LSH twin") {
+    import graft.operators.Similarity
+    val df = (1 to 50)
+      .map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Similarity.embeddingNearDupPairs(df, "id", "v",
+        minCosine = 0.9, maxRows = 10))
+    assert(e.getMessage.contains("embeddingNearDupPairsLSH"))
+    // under the cap it still runs
+    assert(Similarity.embeddingNearDupPairs(df, "id", "v",
+      minCosine = 0.99, maxRows = 100).count() > 0)
+  }
+
   test("BPE local and distributed training produce identical merge lists") {
     import graft.operators.Bpe
     // adversarial vocab: overlap runs, ties (forcing the byte-order
