@@ -86,10 +86,56 @@ object Sources {
     */
   def readAvro(spark: SparkSession, path: String,
                include: ClusionInput = Empty,
-               exclude: ClusionInput = Empty): DataFrame = {
+               exclude: ClusionInput = Empty,
+               strictEnums: Boolean = false): DataFrame = {
+    if (strictEnums) requireIdenticalAvroEnums(path)
     val full = spark.read.format("graft-avro").load(path).schema
     val pruned = pruneSchema(full, validatedFilter(full, include, exclude))
     spark.read.schema(pruned).format("graft-avro").load(path)
+  }
+
+  /** Reference-parity enum identity check (columns.cpp:22-32) for a
+    * multi-file Avro read: an enum type (by full name) appearing in
+    * several files must carry the identical symbol list in each —
+    * enums decode as strings, so nothing downstream would catch a
+    * renumbered or reworded table. */
+  private def requireIdenticalAvroEnums(path: String): Unit = {
+    import org.apache.avro.Schema
+    import scala.jdk.CollectionConverters._
+    def enumsOf(s: Schema,
+                seen: java.util.IdentityHashMap[Schema, Unit]
+                ): Map[String, Seq[String]] = {
+      if (seen.containsKey(s)) Map.empty
+      else {
+        seen.put(s, ())
+        s.getType match {
+          case Schema.Type.ENUM =>
+            Map(s.getFullName -> s.getEnumSymbols.asScala.toSeq)
+          case Schema.Type.RECORD =>
+            s.getFields.asScala.map(f => enumsOf(f.schema(), seen))
+              .foldLeft(Map.empty[String, Seq[String]])(_ ++ _)
+          case Schema.Type.ARRAY => enumsOf(s.getElementType, seen)
+          case Schema.Type.MAP => enumsOf(s.getValueType, seen)
+          case Schema.Type.UNION =>
+            s.getTypes.asScala.map(enumsOf(_, seen))
+              .foldLeft(Map.empty[String, Seq[String]])(_ ++ _)
+          case _ => Map.empty
+        }
+      }
+    }
+    val files = graft.sources.avro.GraftAvroSource.listFiles(Seq(path))
+    val tables = files.map { f =>
+      f -> enumsOf(graft.sources.avro.GraftAvroSource.writerSchema(f),
+        new java.util.IdentityHashMap[Schema, Unit]())
+    }
+    tables.drop(1).foreach { case (f, em) =>
+      val (f0, base) = tables.head
+      (base.keySet intersect em.keySet).foreach { en =>
+        require(base(en) == em(en),
+          s"strictEnums: enum $en has different symbol tables in " +
+            s"$f0 (${base(en)}) and $f (${em(en)})")
+      }
+    }
   }
 
   /** from_object analog (core.py:30-33): typed local collections via

@@ -36,8 +36,9 @@ import PbdDescriptors._
   * unless their value tables are identical (columns.cpp:22-32);
   * graft's enum-as-string representation makes cross-source unions
   * legal by construction — two enums union as their value NAMES,
-  * with no identity check. Callers needing the reference's strict
-  * behavior must compare descriptor enum tables themselves.
+  * with no identity check. The reference's strict behavior is the
+  * `strictEnums = true` opt-in on [[read]] (and on
+  * `Sources.readAvro` for the Avro twin).
   */
 object PbdSource {
   private val MAGIC = 0x000010bd
@@ -210,9 +211,18 @@ object PbdSource {
   private final case class FileScan(file: String, registry: Registry,
                                     root: PMessage, chunks: Seq[(Long, Long)])
 
+  /** @param strictEnums reference-parity enum identity check
+    *   (columns.cpp:22-32): when true, an enum type appearing in
+    *   several files of a directory read must carry the IDENTICAL
+    *   value table in each, or the read refuses — graft's
+    *   enum-as-string representation otherwise makes mixed-table
+    *   unions silently legal (two "RED"s from incompatible
+    *   numberings would merge). Off by default: string semantics are
+    *   graft's documented divergence. */
   def read(spark: SparkSession, path: String,
            include: ClusionInput = ClusionInput.Empty,
-           exclude: ClusionInput = ClusionInput.Empty): DataFrame = {
+           exclude: ClusionInput = ClusionInput.Empty,
+           strictEnums: Boolean = false): DataFrame = {
     val root = Paths.get(path.stripPrefix("file:"))
     // a directory reads every .pbd inside it (sorted for determinism)
     // — the multi-file layout any real corpus lands in, scanned one
@@ -263,6 +273,22 @@ object PbdSource {
     scans.drop(1).foreach { sc =>
       require(schemaOf(sc.root, sc.registry) == full,
         s"PBD schema mismatch: ${sc.file} does not match ${scans.head.file}")
+    }
+    // enums flatten to strings, so schema equality can't see a value
+    // TABLE divergence — the strict mode compares the descriptor
+    // tables themselves, like the reference's mixed-source refusal
+    if (strictEnums) {
+      val base = scans.head
+      scans.drop(1).foreach { sc =>
+        (base.registry.enums.keySet intersect sc.registry.enums.keySet)
+          .foreach { en =>
+            require(
+              base.registry.enums(en).byNumber == sc.registry.enums(en).byNumber,
+              s"strictEnums: enum $en has different value tables in " +
+                s"${base.file} (${base.registry.enums(en).byNumber}) and " +
+                s"${sc.file} (${sc.registry.enums(en).byNumber})")
+          }
+      }
     }
     val pruned = Sources.pruneSchema(full,
       Sources.validatedFilter(full, include, exclude))

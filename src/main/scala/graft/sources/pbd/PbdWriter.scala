@@ -45,15 +45,22 @@ final class ProtoOut {
   */
 object PbdWriter {
 
-  /** (name, field number, PbdDescriptors.T type constant). */
-  final case class Field(name: String, number: Int, ptype: Int)
+  /** (name, field number, PbdDescriptors.T type constant, and for
+    * ENUM/MESSAGE fields the referenced type's full name). */
+  final case class Field(name: String, number: Int, ptype: Int,
+                         typeName: String = "")
+
+  /** (enum simple name, (value name, value number) table). */
+  final case class EnumDef(name: String, values: Seq[(String, Int)])
 
   /** Encode a FileDescriptorProto carrying one flat message
     * (descriptor.proto layout: file.name=1, file.package=2,
-    * file.message_type=4; message.name=1, message.field=2;
-    * field.name=1, .number=3, .label=4, .type=5). */
-  def fileDescriptor(pkg: String, msgName: String,
-                     fields: Seq[Field]): Array[Byte] = {
+    * file.message_type=4, file.enum_type=5; message.name=1,
+    * message.field=2; field.name=1, .number=3, .label=4, .type=5,
+    * .type_name=6; enum.name=1, enum.value=2 with value.name=1,
+    * value.number=2). */
+  def fileDescriptor(pkg: String, msgName: String, fields: Seq[Field],
+                     enums: Seq[EnumDef] = Nil): Array[Byte] = {
     val msg = new ProtoOut
     msg.writeStringField(1, msgName)
     fields.foreach { f =>
@@ -62,19 +69,32 @@ object PbdWriter {
       fd.writeVarintField(3, f.number)
       fd.writeVarintField(4, 1) // LABEL_OPTIONAL
       fd.writeVarintField(5, f.ptype)
+      if (f.typeName.nonEmpty) fd.writeStringField(6, f.typeName)
       msg.writeBytesField(2, fd.toBytes)
     }
     val file = new ProtoOut
     file.writeStringField(1, s"$pkg.proto")
     file.writeStringField(2, pkg)
     file.writeBytesField(4, msg.toBytes)
+    enums.foreach { e =>
+      val ed = new ProtoOut
+      ed.writeStringField(1, e.name)
+      e.values.foreach { case (vn, num) =>
+        val vd = new ProtoOut
+        vd.writeStringField(1, vn)
+        vd.writeVarintField(2, num)
+        ed.writeBytesField(2, vd.toBytes)
+      }
+      file.writeBytesField(5, ed.toBytes)
+    }
     file.toBytes
   }
 
   /** Stream records into a PBD file; `encode` writes one record's
     * fields into the supplied ProtoOut. */
   def write(path: String, pkg: String, msgName: String, fields: Seq[Field],
-            records: Iterator[ProtoOut => Unit]): Unit = {
+            records: Iterator[ProtoOut => Unit],
+            enums: Seq[EnumDef] = Nil): Unit = {
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20)
     try {
@@ -82,7 +102,7 @@ object PbdWriter {
       val head = new ProtoOut
       head.writeVarint(0) // version
       head.writeVarint(1) // one descriptor file
-      val fd = fileDescriptor(pkg, msgName, fields)
+      val fd = fileDescriptor(pkg, msgName, fields, enums)
       head.writeVarint(fd.length)
       head.writeRaw(fd)
       val root = s"$pkg.$msgName".getBytes("UTF-8")

@@ -119,4 +119,39 @@ class GraftAvroSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       graft.sources.avro.AvroSchemas.toSpark(rec))
   }
+
+  test("strictEnums: matching symbol tables union, a reworded table refuses") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_avro_enum")
+    def writeOne(name: String, symbols: Seq[String], n: Int): Unit = {
+      val enum_ = ASchema.createEnum("Color", null, "graft", symbols.asJava)
+      val rec = ASchema.createRecord("Rt", null, "graft", false,
+        Seq(new ASchema.Field("id", ASchema.create(ASchema.Type.LONG), null, null),
+          new ASchema.Field("color", enum_, null, null)).asJava)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](rec))
+      w.create(rec, dir.resolve(name).toFile)
+      (0 until n).foreach { i =>
+        val r = new GenericData.Record(rec)
+        r.put("id", i.toLong)
+        r.put("color", new GenericData.EnumSymbol(enum_, symbols(i % symbols.size)))
+        w.append(r)
+      }
+      w.close()
+    }
+    writeOne("a.avro", Seq("RED", "BLUE"), 4)
+    writeOne("b.avro", Seq("RED", "BLUE"), 4)
+    val ok = Sources.readAvro(spark, dir.toString, strictEnums = true)
+    assert(ok.count() == 8)
+    // same enum full name, different symbol table -> strict refuses;
+    // the default read keeps the documented enum-as-string divergence
+    writeOne("c.avro", Seq("BLUE", "RED"), 2)
+    assert(Sources.readAvro(spark, dir.toString).count() == 10)
+    val e = intercept[IllegalArgumentException](
+      Sources.readAvro(spark, dir.toString, strictEnums = true))
+    assert(e.getMessage.contains("graft.Color"))
+  }
 }

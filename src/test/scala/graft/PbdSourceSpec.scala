@@ -186,4 +186,33 @@ class PbdSourceSpec extends SparkSpec {
       Iterator.single(out => out.writeDoubleField(1, 1.0)))
     assertThrows[IllegalArgumentException](PbdSource.read(spark, dir.toString))
   }
+
+  test("strictEnums: identical tables union, a renumbered table refuses (columns.cpp:22-32)") {
+    import graft.sources.pbd.{PbdWriter, PbdDescriptors}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbd_enum")
+    val fields = Seq(
+      PbdWriter.Field("id", 1, PbdDescriptors.T.INT64),
+      PbdWriter.Field("color", 2, PbdDescriptors.T.ENUM, ".graft.Color"))
+    def writeOne(name: String, table: Seq[(String, Int)], ids: Range): Unit =
+      PbdWriter.write(dir.resolve(name).toString, "graft", "Rt", fields,
+        ids.iterator.map { i => out =>
+          out.writeVarintField(1, i.toLong)
+          out.writeVarintField(2, i % 2)
+        },
+        enums = Seq(PbdWriter.EnumDef("Color", table)))
+    val tableA = Seq("RED" -> 0, "BLUE" -> 1)
+    writeOne("a.pbd", tableA, 0 until 4)
+    writeOne("b.pbd", tableA, 4 until 8)
+    // identical tables: strict mode reads fine, enums decode as names
+    val ok = PbdSource.read(spark, dir.toString, strictEnums = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(ok.length == 8 && ok(0)._2 == "RED" && ok(1)._2 == "BLUE")
+    // a renumbered table in one file: default mode unions silently
+    // (documented string divergence), strict mode refuses
+    writeOne("c.pbd", Seq("BLUE" -> 0, "RED" -> 1), 8 until 10)
+    assert(PbdSource.read(spark, dir.toString).count() == 10)
+    val e = intercept[IllegalArgumentException](
+      PbdSource.read(spark, dir.toString, strictEnums = true))
+    assert(e.getMessage.contains("graft.Color"))
+  }
 }
