@@ -175,7 +175,13 @@ object Dedup {
         Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val candidates = cross.unionByName(within).distinct()
+    // defensive: the disjoint-ids precondition is the caller's
+    // contract, but a violated one would otherwise emit least/greatest
+    // SELF-pairs (id_a == id_b, est 1.0) silently — drop them here.
+    // Duplicate ids across inputs still duplicate signature rows (and
+    // thus result rows); that stays the caller's responsibility.
+    val candidates = cross.unionByName(within)
+      .filter(col("id_a") =!= col("id_b")).distinct()
     val sigsAll = sigsC.unionByName(sigsB)
     estimateFromSignatures(candidates, sigsAll, sigsAll, idCol,
       numHashes, minEstimate)
@@ -351,15 +357,26 @@ object Dedup {
   def connectedComponentsAuto(pairs: DataFrame, ids: DataFrame, idCol: String,
                               aCol: String = "id_a", bCol: String = "id_b",
                               driverThreshold: Long = 1L << 16): DataFrame = {
+    // The size probe MATERIALIZES the pair plan, and the routed
+    // component run reads it again to build edges — slot-persist it
+    // so both share one execution of the (winnow-join-scale) pair
+    // subtree instead of running it twice per call.
+    val p = PersistSlots.swap("dedup.autoPairs", pairs)
     // directed-edge count is <= 2x the pair count, so this bound is
     // conservative: under it, connectedComponents provably takes its
-    // driver fast path (long ids — the id contract of the composite
-    // callers); over it, go straight to stars
-    val nPairs = pairs.count()
-    if (2 * nPairs <= driverThreshold)
-      connectedComponents(pairs, ids, idCol, aCol, bCol,
+    // driver fast path — but ONLY for Long ids (other id types skip
+    // the union-find collect and would fall through to exactly the
+    // diameter-bounded min-label iteration this router exists to
+    // avoid), so non-Long ids go straight to stars at any size
+    val nPairs = p.count()
+    val longIds =
+      p.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
+      p.schema(bCol).dataType == org.apache.spark.sql.types.LongType &&
+      ids.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    if (longIds && 2 * nPairs <= driverThreshold)
+      connectedComponents(p, ids, idCol, aCol, bCol,
         driverThreshold = driverThreshold)
-    else connectedComponentsStars(pairs, ids, idCol, aCol, bCol)
+    else connectedComponentsStars(p, ids, idCol, aCol, bCol)
   }
 
   /** Connected components by alternating large-star / small-star

@@ -248,7 +248,16 @@ object Multimodal {
     * minimal honest embedding [[pixelFeatures]] computes for
     * images) as an array of (frame_idx, f_r, f_g, f_b) structs —
     * explode downstream for per-frame rows. One narrow UDF per
-    * payload; only sampled frames are decoded. */
+    * payload; only sampled frames are decoded.
+    *
+    * Decode contract (like the pluggable-codec note on
+    * [[decodeVideo]]): frames are read INDEPENDENTLY via r.read(i),
+    * which yields the raw stored raster — exact for full-frame GIFs
+    * (the fixtures, and what [[Fixtures]]-style encoders emit), but a
+    * GIF using frame disposal/partial (delta) frames would need
+    * compositing per its disposal metadata before the mean is the
+    * DISPLAYED frame's. A production codec plugged in through
+    * [[mapBatches]] must hand this operator composited frames. */
   def sampleFrameFeatures(df: DataFrame, binCol: String,
                           stride: Int = 2): DataFrame = {
     // validated HERE: inside the UDF the withReader catch (broad by
