@@ -231,4 +231,38 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__ppm", "__copies")
   }
+
+  /** Leakage-safe train/val/test split: assign whole NEAR-DUP
+    * COMPONENTS to splits, never individual documents — a random
+    * per-doc split puts one copy of a duplicated document in train
+    * and another in test, and the eval leaks (the document-level
+    * form of the contamination [[graft.operators.Decontaminate]]
+    * removes at the n-gram level). Components come from the caller's
+    * near-dup pair graph (winnow/minhash/embedding — any of the
+    * Dedup candidate generators), resolved by the size-adaptive
+    * router; the split is then the md5 bucket of the COMPONENT
+    * label, so every member of a component lands together by
+    * construction, and the assignment is an engine-portable pure
+    * function of the data ([[hashSample]]'s discipline lifted from
+    * doc ids to component labels).
+    *
+    * Scale shape: component resolution is the dominant cost (see
+    * [[Dedup.connectedComponentsAuto]]); the bucket assignment is
+    * one narrow md5 projection. `trainUpTo`/`valUpTo` are bucket
+    * thresholds out of `buckets` (defaults: 80/10/10).
+    */
+  def leakageSafeSplit(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       buckets: Int = 10, trainUpTo: Int = 8,
+                       valUpTo: Int = 9): DataFrame = {
+    require(0 < trainUpTo && trainUpTo <= valUpTo && valUpTo <= buckets,
+      s"need 0 < trainUpTo <= valUpTo <= buckets, got " +
+        s"$trainUpTo/$valUpTo/$buckets")
+    val comp = Dedup.connectedComponentsAuto(pairs, docs, idCol)
+      .select(col("id").as(idCol), col("component"))
+    comp.withColumn("__b", Packing.shardId("component", buckets))
+      .select(col(idCol), col("component"),
+        when(col("__b") < trainUpTo, "train")
+          .when(col("__b") < valUpTo, "val")
+          .otherwise("test").as("split"))
+  }
 }

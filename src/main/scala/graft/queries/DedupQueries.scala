@@ -138,7 +138,18 @@ object DedupQueries {
     // dedup_spans plus a doc-local array filter, still no self-join
     "dedup_span_remove" -> ((s, dir) =>
       Dedup.dupSpanRemove(Tables(s, dir, "documents"), "doc_id", "text",
-        spanLen = 8))
+        spanLen = 8)),
+
+    // leakage-safe train/val/test split: near-dup COMPONENTS (winnow
+    // pair graph, as dedup_components) are assigned to splits whole
+    // via the md5 bucket of the component label — no duplicated
+    // document can straddle train and test. 80/10/10 buckets.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)
+      graft.operators.Sampling.leakageSafeSplit(pairs, docs, "doc_id")
+    })
   )
 
   // ---- oracle SQL (generated to stay in lockstep with K/BANDS) ----
@@ -342,6 +353,28 @@ object DedupQueries {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  // q_split_leakage replay: component labels as in componentsOracle,
+  // then the split is the width-6 md5 bucket of the label string —
+  // Spark conv(substring(md5)) == DuckDB CAST('0x'||substring(md5))
+  private val splitLeakageOracle: String =
+    s"""WITH RECURSIVE $winnowCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       |        UNION SELECT id_b, id_a FROM wpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+       |         FROM reach GROUP BY a),
+       |bkt AS (SELECT doc_id, component,
+       |          CAST('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 6)
+       |            AS BIGINT) % 10 AS b
+       |        FROM comp)
+       |SELECT doc_id, component,
+       |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END
+       |    AS split
+       |FROM bkt""".stripMargin
+
   // dedup_keep_best replay: component labels as in componentsOracle,
   // then the per-cluster argmax by (n_words desc, doc_id asc)
   private val keepBestOracle: String =
@@ -471,6 +504,7 @@ object DedupQueries {
     "dedup_keep_best" -> keepBestOracle,
     "dedup_embedding" -> embeddingOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
-    "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle
+    "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle,
+    "q_split_leakage" -> splitLeakageOracle
   )
 }

@@ -174,8 +174,57 @@ object PipelineQueries {
       val w = graft.operators.Quality.trainPerceptron(
         docs, "text", "__y", buckets = QUAL_B, epochs = 2)
       graft.operators.Quality.scoreLinear(docs, "doc_id", "text", w)
+    }),
+
+    // source-quality PageRank: nodes are (source, lang) corpora,
+    // edges link nodes whose documents share a normalized 6-word
+    // opening (the shared-boilerplate/copy signal a host-quality
+    // ranker keys on at web scale); 5 damped iterations in integer
+    // fixed point, so the whole iteration replays exactly in SQL
+    "q_pagerank" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        concat_ws("/", col("source"), col("lang")).as("node"),
+        concat_ws(" ", slice(
+          graft.functions.TextFunctions.words(col("text")), 1, 6)).as("pfx"))
+      val nodes = d.select(col("node"))
+      val e = d.alias("a").join(d.alias("b"),
+          col("a.pfx") === col("b.pfx") && col("a.node") =!= col("b.node"))
+        .select(col("a.node").as("src"), col("b.node").as("dst"))
+      graft.operators.PageRank.ranks(e, "src", "dst", nodes, "node",
+        iters = PR_ITERS)
+    }),
+
+    // count-min sketch point queries: one bounded-memory pass builds
+    // the d x w grid, then the 15 heaviest terms (exact) are checked
+    // against the sketch's estimate — est >= exact always, and
+    // est <= exact + eps*n on this grid (the q_approx_distinct
+    // bound-check discipline for the CMS guarantee)
+    "q_cms" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(
+          graft.functions.TextFunctions.words(col("text"))).as("term"))
+      val cms = graft.functions.CountMin.sketch(toks, "term",
+        eps = CMS_EPS, delta = 0.02)
+      // every grid row sums to n (each token adds 1 per row) — the
+      // bound's n needs no extra pass
+      val n = cms.counters.take(cms.w).sum
+      val cap = math.ceil(CMS_EPS * n).toLong
+      val est = udf((t: String) => cms.estimate(t))
+      toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(15)
+        .select(col("term"), col("cnt"),
+          (est(col("term")) >= col("cnt") &&
+            est(col("term")) <= col("cnt") + lit(cap)).cast("int")
+            .as("within_bound"))
     })
   )
+
+  /** q_pagerank iteration count (constant by design — rank consumers
+    * threshold, they don't chase a fixpoint). */
+  private val PR_ITERS = 5
+
+  /** q_cms overestimate bound (fraction of total token count). */
+  private val CMS_EPS = 0.001
 
   /** q_quality_filter feature buckets (same order of magnitude as
     * DSIR's — enough to keep the synthetic vocabulary from
@@ -324,9 +373,53 @@ object PipelineQueries {
        |FROM cs GROUP BY 1""".stripMargin
   }
 
+  // q_pagerank replay: the same integer fixed-point iteration
+  // unrolled into chained CTEs — damping base and per-edge floor
+  // divisions are exact BIGINT arithmetic on both engines (DuckDB
+  // `//` == Spark `div` for non-negative operands), so all 5 rounds
+  // replay bit-identically
+  private val pagerankOracle: String = {
+    val scale = graft.operators.PageRank.SCALE
+    val base = scale * 15 / 100 // damping 85%
+    val iterCtes = (1 to PR_ITERS).map { k =>
+      s"""r$k AS (SELECT nd.node,
+         |  ($base // (SELECT n FROM nn)) + (85 * coalesce(c.s, 0)) // 100 AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, sum(r.r // dg.deg) AS s
+         |    FROM e JOIN r${k - 1} r ON r.node = e.src
+         |           JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT source || '/' || lang AS node,
+       |    array_to_string(
+       |      (regexp_split_to_array(trim(lower(text)), '\\s+'))[1:6], ' ')
+       |      AS pfx
+       |  FROM documents),
+       |nodes AS (SELECT DISTINCT node FROM d),
+       |e AS (SELECT DISTINCT a.node AS src, b.node AS dst
+       |      FROM d a JOIN d b ON a.pfx = b.pfx AND a.node <> b.node),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $scale // (SELECT n FROM nn) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r$PR_ITERS""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_curate_e2e" -> curateOracle,
     "q_curate_rw" -> curateRwOracle,
+    "q_pagerank" -> pagerankOracle,
+    // the CMS bound is the claim under test on the Spark side
+    // (q_approx_distinct technique); the oracle pins the exact top-15
+    // and asserts within_bound as the constant 1
+    "q_cms" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |             '\s+')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
+        |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(1 AS INTEGER) AS within_bound
+        |FROM c ORDER BY cnt DESC, term ASC LIMIT 15""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH m AS (
          |  SELECT doc_id, n_chars,

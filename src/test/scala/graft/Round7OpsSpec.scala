@@ -100,6 +100,84 @@ class Round7OpsSpec extends SparkSpec {
     assert(lst(Bpe.train(wf, "word", "freq", nMerges = 10)) == local)
   }
 
+  test("PageRank: integer fixed point matches the hand-computed star graph") {
+    import graft.operators.PageRank
+    // 3-node star: both a and c point at b; b points at a. One
+    // isolated node d keeps the damping base.
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("s", "t")
+    val nodes = Seq("a", "b", "c", "d").toDF("n")
+    val r = PageRank.ranks(edges, "s", "t", nodes, "n", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val S = PageRank.SCALE
+    val base = (S * 15 / 100) / 4
+    val r0 = S / 4
+    // after one round: b receives a+c (deg 1 each), a receives b
+    assert(r("b") == base + 85 * (r0 + r0) / 100)
+    assert(r("a") == base + 85 * r0 / 100)
+    assert(r("c") == base, "c has no in-edges: damping base only")
+    assert(r("d") == base, "isolated node keeps the damping base")
+    // mass never exceeds SCALE (conservation-or-leak), all ranks > 0
+    val r5 = PageRank.ranks(edges, "s", "t", nodes, "n", iters = 5)
+      .collect().map(_.getLong(1))
+    assert(r5.sum <= S && r5.forall(_ > 0))
+  }
+
+  test("leakage-safe split keeps every near-dup pair inside one split") {
+    import graft.operators.Sampling
+    val docs = (1 to 60)
+      .map(i => (i.toLong, (1 to 25).map(t => s"g${i % 9}t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 3, window = 4, minJaccard = 0.3)
+    val split = Sampling.leakageSafeSplit(pairs, docs, "doc_id")
+    assert(split.count() == 60, "every doc gets a split")
+    // the leakage property: no candidate pair straddles two splits
+    val straddlers = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddlers.count() == 0, "near-dup pair straddled splits")
+    // the assignment is the deterministic md5 bucket of the component
+    // label — recompute it driver-side and compare exactly (groups
+    // are i%9, so component labels are the min ids 1..9)
+    def bucket(label: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(label.toString.getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val expected = (1L to 60L).map { id =>
+      val comp = ((id - 1) % 9) + 1 // min doc id of id's group
+      id -> (bucket(comp) match {
+        case b if b < 8 => "train"
+        case 8 => "val"
+        case _ => "test"
+      })
+    }.toMap
+    val got = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == expected)
+  }
+
+  test("count-min sketch: lower bound exact, upper bound eps*n, merge-order free") {
+    import graft.functions.CountMin
+    val keys = (1 to 2000).map(i => s"k${i % 37}") // skewed 37-key vocab
+    val df = keys.toDF("k")
+    val cms = CountMin.sketch(df.repartition(13), "k", eps = 0.01, delta = 0.02)
+    val cms2 = CountMin.sketch(df.repartition(3), "k", eps = 0.01, delta = 0.02)
+    // element-wise-sum merges: the grid is partition-layout free
+    assert(cms.counters.sameElements(cms2.counters))
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = keys.size
+    exact.foreach { case (k, c) =>
+      val est = cms.estimate(k)
+      assert(est >= c, s"CMS underestimated $k")
+      assert(est <= c + math.ceil(0.01 * n).toLong, s"CMS blew its bound on $k")
+    }
+    // an unseen key estimates at most the collision mass, bounded too
+    assert(cms.estimate("never-seen") <= math.ceil(0.01 * n).toLong)
+  }
+
   test("rebuilding a dedup query hits the token slot (bench trial shape)") {
     val docs = (1 to 40)
       .map(i => (i.toLong, (1 to 30).map(t => s"d${i % 7}w$t").mkString(" ")))
