@@ -109,7 +109,8 @@ object ScaleProbe {
       "q_bm25", "dedup_keep_best", "q_gopher_rules", "knn_mmr",
       "dedup_incremental", "q_perplexity", "q_rrf",
       "q_perplexity_bcast", "q_rrf_batch",
-      "q_bm25_batch", "q_heavy_hitters")
+      "q_bm25_batch", "q_heavy_hitters",
+      "q_pagerank", "q_cms", "q_split_leakage")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

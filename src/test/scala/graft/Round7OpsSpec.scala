@@ -178,6 +178,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(cms.estimate("never-seen") <= math.ceil(0.01 * n).toLong)
   }
 
+  test("streaming CMS ingest is bit-identical to the batch sketch") {
+    import graft.functions.CountMin
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 900).map(i => s"t${i % 23}")
+    val acc = new CountMin.SketchAccumulator(eps = 0.01, delta = 0.02)
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("k").writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        acc.ingest(b, "k", id))
+      .start()
+    try {
+      keys.grouped(300).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = CountMin.sketch(keys.toDF("k"), "k", eps = 0.01, delta = 0.02)
+    assert(acc.snapshot.counters.sameElements(batch.counters),
+      "micro-batched grid must equal the one-pass batch grid")
+    // replaying an already-seen batchId must not double-count
+    acc.ingest(keys.take(10).toDF("k"), "k", 0L)
+    assert(acc.snapshot.counters.sameElements(batch.counters))
+  }
+
   test("rebuilding a dedup query hits the token slot (bench trial shape)") {
     val docs = (1 to 40)
       .map(i => (i.toLong, (1 to 30).map(t => s"d${i % 7}w$t").mkString(" ")))
