@@ -704,6 +704,61 @@ object Dedup {
             col("n_spans") * 10000).cast("long")))
   }
 
+  /** Segment-granularity duplication stats: split each document at
+    * NATURAL boundaries (sentences via ". ", or paragraphs via a
+    * newline separator) and measure, per document, what fraction of
+    * its distinct segments also appear in at least one OTHER
+    * document. This is the C4-style boilerplate signal at its native
+    * granularity — [[dupSpanStats]] counts repeated fixed-length
+    * token runs (Lee et al. exact-substring), while navigation bars,
+    * cookie banners and license blocks repeat as whole SENTENCES, so
+    * a sentence-level count both catches them with no length tuning
+    * and never flags a doc for re-using a common 8-token phrase.
+    * Within-document repeats deliberately do NOT count (that is
+    * [[dupSpanStats]]'s job); a segment is duplicated iff >= 2
+    * distinct documents contain it.
+    *
+    * Scale shape: explode + distinct on (doc, segment-hash), one
+    * window count over the hash for document frequency (one
+    * exchange), then a map-combined per-doc aggregation. No
+    * self-join — linear in total segment count regardless of
+    * corpus duplication.
+    *
+    * @param sepRegex segment boundary regex (default sentence-ish
+    *                 `"\\. "`); segments shorter than `minChars`
+    *                 after trim are ignored (fragments, empties).
+    * @return (idCol, n_segs, n_dup_segs, dup_frac_e4) — one row per
+    *         input doc; filter on `dup_frac_e4` to drop
+    *         boilerplate-heavy documents. */
+  def segmentDupStats(df: DataFrame, idCol: String, textCol: String,
+                      sepRegex: String = "\\. ",
+                      minChars: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), sepRegex)).as("__s"))
+      .select(col("id"), trim(lower(col("__s"))).as("__s"))
+      .filter(length(col("__s")) >= minChars)
+      .select(col("id"), md5(col("__s")).as("h"))
+      .distinct()
+    val stats = segs
+      // document frequency of the segment: distinct (id, h) upstream
+      // makes the plain window count a doc count
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum((col("__df") > 1).cast("long")).as("n_dup_segs"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dup_segs"), lit(0L)).as("n_dup_segs"))
+      .withColumn("dup_frac_e4",
+        when(col("n_segs") === 0, lit(0L))
+          .otherwise(floor(col("n_dup_segs").cast("double") /
+            col("n_segs") * 10000).cast("long")))
+  }
+
   /** The rewrite half of exact-substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better":
     * after measuring duplication, REMOVE it): drop every word that

@@ -140,6 +140,14 @@ object DedupQueries {
       Dedup.dupSpanRemove(Tables(s, dir, "documents"), "doc_id", "text",
         spanLen = 8)),
 
+    // sentence-granularity duplication stats: what fraction of each
+    // document's sentences also appear in another document — the
+    // C4-style boilerplate signal at natural boundaries (dedup_spans
+    // is the fixed-length token-run form); window count on the
+    // sentence hash, no self-join
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.segmentDupStats(Tables(s, dir, "documents"), "doc_id", "text")),
+
     // leakage-safe train/val/test split: near-dup COMPONENTS (winnow
     // pair graph, as dedup_components) are assigned to splits whole
     // via the md5 bucket of the component label — no duplicated
@@ -489,7 +497,30 @@ object DedupQueries {
       |  CAST(len(kept) AS BIGINT) AS n_kept
       |FROM k""".stripMargin
 
+  // dedup_segments replay: same sentence split / trim / lower / md5,
+  // document frequency over distinct (doc, hash), total annotation
+  private val segmentsOracle =
+    """WITH segs AS (
+      |  SELECT DISTINCT doc_id, md5(s) AS h FROM (
+      |    SELECT doc_id,
+      |      trim(lower(unnest(regexp_split_to_array(text, '\. ')))) AS s
+      |    FROM documents)
+      |  WHERE length(s) >= 10),
+      |occ AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS dfc FROM segs),
+      |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      |         CAST(sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_dup_segs
+      |       FROM occ GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(st.n_segs, 0) AS BIGINT) AS n_segs,
+      |  CAST(coalesce(st.n_dup_segs, 0) AS BIGINT) AS n_dup_segs,
+      |  CAST(CASE WHEN coalesce(st.n_segs, 0) = 0 THEN 0
+      |       ELSE floor(CAST(st.n_dup_segs AS DOUBLE) / st.n_segs * 10000)
+      |       END AS BIGINT) AS dup_frac_e4
+      |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_segments" -> segmentsOracle,
     "dedup_spans" -> dupSpansOracle,
     "dedup_span_remove" -> dupSpanRemoveOracle,
     "dedup_editdist" -> editdistOracle,

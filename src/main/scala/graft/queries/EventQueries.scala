@@ -102,6 +102,28 @@ object EventQueries {
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"))),
 
+    // numeric drift: PSI of the value distribution between two
+    // snapshot halves (event_id parity stands in for old/new crawl).
+    // Per-bucket ln terms floor to micro-units before the sum, so the
+    // drift statistic is an exact integer artifact (Drift.scala)
+    "q_drift_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Drift.psiNumeric(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", bucketWidth = 25.0)
+    }),
+
+    // categorical drift: Jensen-Shannon divergence of the event-type
+    // mix between the same two snapshot halves
+    "q_drift_js" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Drift.jsCategorical(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "event_type")
+    }),
+
     // rank statistics: ntile / percent_rank / cume_dist over a
     // deterministic total order; ratios ship floor-scaled e4 (floor of
     // identical IEEE doubles is bit-exact where round can disagree)
@@ -168,6 +190,45 @@ object EventQueries {
         |  count(*) AS n, round(sum(value), 2) AS sum_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+    "q_drift_psi" ->
+      """WITH r AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |             count(*) AS ref_n
+        |           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |        count(*) AS cur_n
+        |      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |t AS (SELECT sum(ref_n) AS nr, sum(cur_n) AS nc, count(*) AS b FROM j)
+        |SELECT bucket, CAST(ref_n AS BIGINT) AS ref_n,
+        |  CAST(cur_n AS BIGINT) AS cur_n,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) -
+        |     CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE)) *
+        |    ln((CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)) /
+        |       (CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE))))
+        |    AS BIGINT) AS contrib_e6
+        |FROM j CROSS JOIN t""".stripMargin,
+    "q_drift_js" ->
+      """WITH r AS (SELECT event_type AS key, count(*) AS ref_n
+        |           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT event_type AS key, count(*) AS cur_n
+        |      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(r.key, c.key) AS key,
+        |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |      FROM r FULL OUTER JOIN c ON r.key = c.key),
+        |t AS (SELECT sum(ref_n) AS nr, sum(cur_n) AS nc, count(*) AS b FROM j),
+        |s AS (SELECT key, ref_n, cur_n,
+        |        CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) AS p,
+        |        CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE) AS q
+        |      FROM j CROSS JOIN t)
+        |SELECT key, CAST(ref_n AS BIGINT) AS ref_n,
+        |  CAST(cur_n AS BIGINT) AS cur_n,
+        |  CAST(floor(500000.0 * p * ln(p / ((p + q) / 2.0))) +
+        |       floor(500000.0 * q * ln(q / ((p + q) / 2.0)))
+        |    AS BIGINT) AS contrib_e6
+        |FROM s""".stripMargin,
     "q_rank_stats" ->
       """SELECT event_id, event_type,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -24,6 +24,25 @@ object RelationalQueries {
     "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // keyed snapshot diff (SnapshotDiff.scala): the corpus-versioning
+    // audit. Two synthetic versions of orders derive deterministically
+    // from one table — v_old drops keys ≡3 (mod 10), v_new drops ≡7
+    // and bumps the price-cents of keys ≡0 (mod 9) — so the diff has
+    // all three statuses and replays exactly in SQL. Output is
+    // bounded by the churn, never the table.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      val vOld = base.filter(col("o_orderkey") % 10 =!= 3)
+      val vNew = base.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_cents", col("o_cents") +
+          when(col("o_orderkey") % 9 === 0, 1L).otherwise(0L))
+      graft.operators.SnapshotDiff.diff(vOld, vNew,
+        keyCols = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_cents"))
+    }),
+
     // single-pass exact data profiling (the summary() analog a data
     // engineer points at a new table): per column — non-null count,
     // null count, exact distinct count, min/max (numeric/time as
@@ -441,7 +460,31 @@ object RelationalQueries {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // q_snapshot_diff replay: same \x01-separated md5 fingerprints,
+  // full outer join, unchanged rows dropped
+  private val snapshotDiffOracle =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |o AS (SELECT o_orderkey,
+      |    md5(o_orderstatus || chr(1) || CAST(cents AS VARCHAR)) AS old_fp
+      |  FROM base WHERE o_orderkey % 10 <> 3),
+      |n AS (SELECT o_orderkey,
+      |    md5(o_orderstatus || chr(1) ||
+      |        CAST(cents + CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END
+      |             AS VARCHAR)) AS new_fp
+      |  FROM base WHERE o_orderkey % 10 <> 7)
+      |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.old_fp IS NULL THEN 'added'
+      |       WHEN n.new_fp IS NULL THEN 'removed'
+      |       WHEN o.old_fp <> n.new_fp THEN 'changed' END AS status,
+      |  o.old_fp, n.new_fp
+      |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      |WHERE o.old_fp IS NULL OR n.new_fp IS NULL
+      |   OR o.old_fp <> n.new_fp""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" -> snapshotDiffOracle,
     "q_profile" -> profileOracle,
     "q_stats" ->
       """WITH m AS (

@@ -214,4 +214,95 @@ class Round7OpsSpec extends SparkSpec {
     val (h1, _) = PersistSlots.stats
     assert(h1 - h0 >= 1, "re-trial must reuse the persisted token relation")
   }
+
+  // ---- snapshot drift (Drift.scala) ----
+
+  test("PSI of a snapshot against itself is exactly zero") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = graft.operators.Drift.psiNumeric(ev, ev, "value", 25.0)
+      .agg(sum(col("contrib_e6")), count(lit(1))).collect()(0)
+    // p == q in every bucket -> ln 1 == 0 exactly, floor(0) == 0
+    assert(out.getLong(0) == 0L)
+    assert(out.getLong(1) > 1, "needs multiple occupied buckets")
+  }
+
+  test("PSI flags a genuinely shifted numeric distribution") {
+    import spark.implicits._
+    val ref = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val cur = (1 to 2000).map(i => (i % 100).toDouble + 150.0).toDF("v")
+    val psi = graft.operators.Drift.psiNumeric(ref, cur, "v", 25.0)
+      .agg(sum(col("contrib_e6"))).collect()(0).getLong(0)
+    // disjoint supports: PSI far above the 0.25 "re-tune" rule of thumb
+    assert(psi > 250000L, s"got $psi")
+  }
+
+  test("JS divergence is zero on identical mixes, bounded by ln 2, symmetric") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert(graft.operators.Drift.jsCategorical(ev, ev, "event_type")
+      .agg(sum(col("contrib_e6"))).collect()(0).getLong(0) == 0L)
+    val a = (1 to 500).map(_ => "x").toDF("k")
+    val b = (1 to 500).map(_ => "y").toDF("k")
+    val ab = graft.operators.Drift.jsCategorical(a, b, "k")
+      .agg(sum(col("contrib_e6"))).collect()(0).getLong(0)
+    val ba = graft.operators.Drift.jsCategorical(b, a, "k")
+      .agg(sum(col("contrib_e6"))).collect()(0).getLong(0)
+    assert(ab == ba, "JS is symmetric")
+    // disjoint categories: close to the ln 2 ceiling, never above it
+    // (per-key floors can undershoot by up to one micro-unit each)
+    assert(ab <= 693148L && ab > 600000L, s"got $ab")
+  }
+
+  // ---- sentence-granularity duplication (Dedup.segmentDupStats) ----
+
+  test("segment dup stats count cross-doc sentences, not in-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the shared cookie banner sentence. unique alpha prose here."),
+      (2L, "the shared cookie banner sentence. unique beta narrative text."),
+      (3L, "entirely original content with nothing repeated anywhere."),
+      // in-doc repeat only: must NOT count as duplicated
+      (4L, "repeat me exactly once more. repeat me exactly once more. " +
+        "repeat me exactly once more. closing words stay unique.")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDupStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 1L, 5000L)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 5000L)))
+    assert(out(3L)._2 == 0L)
+    // distinct (doc, hash) collapses the in-doc triple repeat to one
+    // segment; no other doc contains it, so nothing is duplicated
+    assert(out(4L) == ((2L, 0L, 0L)), s"got ${out(4L)}")
+  }
+
+  test("segment dup stats keep every input doc (total annotation)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.segmentDupStats(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    assert(out.filter(col("dup_frac_e4") > 0).count() >= 0) // shape only
+  }
+
+  // ---- keyed snapshot diff (SnapshotDiff.scala) ----
+
+  test("snapshot diff emits added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val cur = Seq((1L, "a", 10L), (2L, "b", 99L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val out = graft.operators.SnapshotDiff
+      .diff(old, cur, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshot diff fingerprint distinguishes null position") {
+    import spark.implicits._
+    val old = Seq((1L, Some("x"), Option.empty[String])).toDF("k", "a", "b")
+    val cur = Seq((1L, Option.empty[String], Some("x"))).toDF("k", "a", "b")
+    val out = graft.operators.SnapshotDiff
+      .diff(old, cur, Seq("k"), Seq("a", "b")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "changed")
+  }
 }
