@@ -157,10 +157,16 @@ object LanguageModel {
     // unigram count for the c12/c1 probability
     val big = bigAll.filter { case (k, _) =>
       uni.contains(k.substring(0, k.indexOf(' '))) }
-    // exact UNpruned token total from a narrow scan — the backoff
-    // denominator is corpus mass, not surviving-entry mass
-    val total = toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
-      .cast("long").as("t")).head().getLong(0)
+    // exact UNpruned token total — the backoff denominator is corpus
+    // mass, not surviving-entry mass. Unpruned, the unigram map IS
+    // the full count table, so its sum is the total and the third
+    // corpus scan (re-tokenize + agg, the most expensive job here)
+    // is pure waste; only a pruning run pays for it.
+    val unpruned = minCount <= 1L && maxEntries == Int.MaxValue
+    val total =
+      if (unpruned) uni.valuesIterator.sum
+      else toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
+        .cast("long").as("t")).head().getLong(0)
     require(total > 0,
       "trainBigrams: empty reference corpus (every backoff probability " +
         "would divide by zero)")
