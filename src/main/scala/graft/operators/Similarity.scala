@@ -55,6 +55,33 @@ object Similarity {
       "query_id", "neighbor_id", "sim", k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each query, the top-k most-similar corpus vectors whose LABEL
+    * differs from the query's — the "close but wrong" examples that
+    * dominate training signal (in-batch random negatives are mostly
+    * trivial). Same broadcast-probe shape as [[bruteForceTopK]]
+    * with the label inequality folded into the join predicate, so
+    * mismatched pairs are dropped before the dot product ever runs;
+    * top-k is the bounded partial aggregate. At 100 TB: one corpus
+    * scan per mining pass, queries broadcast, no all-pairs stage.
+    * @return (query_id, neighbor_id, sim 4dp, rank) */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    qidCol: String, idCol: String, vecCol: String,
+                    labelCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      col(labelCol).as("__ql"),
+      col(vecCol).as("__qv"), dotF(col(vecCol), col(vecCol)).as("__sqq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"),
+      col(vecCol).as("__cv"), dotF(col(vecCol), col(vecCol)).as("__sqc"))
+    val sims = q.join(c, col("query_id") =!= col("neighbor_id") &&
+        col("__ql") =!= col("__cl"))
+      .withColumn("sim",
+        dotF(col("__qv"), col("__cv")) / sqrt(col("__sqq") * col("__sqc")))
+    TopK.perKey(sims.select(col("query_id"), col("neighbor_id"), col("sim")),
+      "query_id", "neighbor_id", "sim", k)
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
     * — the diversification pass retrieval stacks run AFTER the ANN
     * shortlist, picking `k` results that balance query relevance

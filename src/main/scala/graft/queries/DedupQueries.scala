@@ -125,6 +125,15 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40)),
 
+    // TF-IDF-weighted cosine pairs (Bayardo all-pairs similarity with
+    // DISCO-style df-cap pruning): the term-weighted complement of
+    // the set-based Jaccard family — rare shared vocabulary counts
+    // more than boilerplate
+    "dedup_tfidf_cosine" -> ((s, dir) =>
+      graft.operators.SparseSim.tfidfCosinePairs(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        minCos = 0.6, maxDocFreq = 40)),
+
     // exact duplicated-span stats (the Lee et al. exact-substring
     // dedup signal): which part of each document is a word span that
     // occurs elsewhere in the corpus — one window count on the span
@@ -519,7 +528,37 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
+  // dedup_tfidf_cosine replay: same whitespace tokens as text_tfidf,
+  // df as a window count, e4 integer weights over the df-capped
+  // vocabulary, term-key self-join dot products, one float boundary
+  // at the final round(cos, 4)
+  private val tfidfCosineOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |d AS (SELECT doc_id, term, tf,
+      |        count(*) OVER (PARTITION BY term) AS df FROM tf),
+      |w AS (SELECT doc_id, term,
+      |        CAST(floor(tf * ln((SELECT n FROM n) * 1.0 / df) * 10000)
+      |          AS BIGINT) AS w
+      |      FROM d WHERE df <= 40),
+      |w2 AS (SELECT * FROM w WHERE w > 0),
+      |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w2 GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dotp
+      |      FROM w2 a JOIN w2 b ON a.term = b.term AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(dotp * 1.0 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4)
+      |    AS cos
+      |FROM p JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+      |WHERE round(dotp * 1.0 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4)
+      |      >= 0.6""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_tfidf_cosine" -> tfidfCosineOracle,
     "dedup_segments" -> segmentsOracle,
     "dedup_spans" -> dupSpansOracle,
     "dedup_span_remove" -> dupSpanRemoveOracle,

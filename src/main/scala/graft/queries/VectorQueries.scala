@@ -151,6 +151,41 @@ object VectorQueries {
         .head().getSeq[Float](0).map(_.toDouble)
       graft.operators.PQ.ivfpqResidualTopK(emb, "vec_id", "embedding",
         model, query, nProbe = 4, n = 10)
+    }),
+
+    // int8 scalar quantization (FAISS ScalarQuantizer / Lucene int8
+    // discipline): one-scan per-dim bounds, integer floor-division
+    // codes — emitted long-form (vec_id, i, code) so the oracle
+    // compares scalars, not arrays
+    "q_sq8" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.SQ.fit(emb, "embedding", DIM)
+      graft.operators.SQ.encode(emb, "vec_id", "embedding", bounds)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").as("code"))
+    }),
+
+    // ADC top-k over the int8 codes: integer midpoint reconstruction
+    // dotted with the milliunit query — an ANN search with NO float
+    // boundary at all, every score a plain long
+    "knn_sq8" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.SQ.fit(emb, "embedding", DIM)
+      val coded = graft.operators.SQ.encode(emb, "vec_id", "embedding", bounds)
+      graft.operators.SQ.adcTopK(emb.filter(col("vec_id") < 8), coded,
+          "vec_id", "vec_id", "embedding", bounds, k = 10)
+        .withColumn("score", col("score").cast("long"))
+    }),
+
+    // hard-negative mining: nearest neighbors with a DIFFERENT label
+    // — the contrastive-training pair generator; knn_cosine's shape
+    // with the label inequality folded into the join predicate
+    "knn_hard_neg" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "vec_id", "embedding", "label", k = 10)
     })
   )
 
@@ -443,7 +478,66 @@ object VectorQueries {
        |$finals""".stripMargin
   }
 
+  // ---- SQ replay: milliunit grid, per-dim min/max bounds (parallel
+  // unnest zips value with its 1-based dim index), integer
+  // floor-division codes, integer midpoint reconstruction. The ADC
+  // score is a pure BIGINT sum — no float boundary anywhere.
+  private val sqBoundsCtes: String =
+    s"""m AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> CAST(floor(x * 1000) AS BIGINT)) AS q FROM embeddings),
+       |u AS (SELECT vec_id, unnest(q) AS v, unnest(range(1, ${DIM + 1})) AS i
+       |      FROM m),
+       |b AS (SELECT i, min(v) AS lo, max(v) AS hi FROM u GROUP BY 1)""".stripMargin
+
+  private val sqCodeExpr: String =
+    """CASE WHEN b.hi = b.lo THEN 0
+      |     ELSE least(255, greatest(0, CAST(floor(
+      |       CAST((u.v - b.lo) * 255 AS DOUBLE) / (b.hi - b.lo))
+      |       AS BIGINT))) END""".stripMargin
+
+  private def sqEncodeOracle: String =
+    s"""WITH $sqBoundsCtes
+       |SELECT u.vec_id, CAST(u.i AS BIGINT) AS i,
+       |  $sqCodeExpr AS code
+       |FROM u JOIN b USING (i)""".stripMargin
+
+  private def sqAdcOracle: String =
+    s"""WITH $sqBoundsCtes,
+       |cr AS (SELECT u.vec_id, u.i,
+       |         CASE WHEN b.hi = b.lo THEN b.lo
+       |              ELSE b.lo + CAST(floor(CAST(
+       |                (($sqCodeExpr) * 2 + 1) * (b.hi - b.lo) AS DOUBLE)
+       |                / 510) AS BIGINT) END AS r
+       |       FROM u JOIN b USING (i)),
+       |qv AS (SELECT vec_id AS query_id, i, v FROM u WHERE vec_id < 8),
+       |s AS (SELECT qv.query_id, cr.vec_id AS neighbor_id,
+       |        sum(qv.v * cr.r) AS score
+       |      FROM qv JOIN cr ON qv.i = cr.i AND qv.query_id <> cr.vec_id
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id ASC) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sq8" -> sqEncodeOracle,
+    "knn_sq8" -> sqAdcOracle,
+    "knn_hard_neg" ->
+      """WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.e, c.e) AS sim
+        |      FROM q JOIN c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+        |FROM r WHERE rank <= 10""".stripMargin,
     "knn_mmr" -> mmrOracle,
     "knn_lsh" -> lshOracle,
     "q_pq" -> pqOracle,

@@ -305,4 +305,93 @@ class Round7OpsSpec extends SparkSpec {
       .diff(old, cur, Seq("k"), Seq("a", "b")).collect()
     assert(out.length == 1 && out(0).getString(1) == "changed")
   }
+
+  // ---- scalar quantization (SQ.scala) ----
+
+  test("SQ codes stay in 0..255 and reconstruct within one half-step") {
+    import graft.operators.SQ
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bounds = SQ.fit(emb, "embedding", 64)
+    assert(bounds.dim == 64)
+    assert(bounds.lo.zip(bounds.hi).forall { case (l, h) => l <= h })
+    val coded = SQ.encode(emb, "vec_id", "embedding", bounds)
+    val flat = coded.select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(flat.getLong(0) >= 0L && flat.getLong(1) <= 255L)
+    // reconstruction error bound: |v - recon| <= ceil(step/2) + 1
+    // per dimension (integer midpoint of the code's cell)
+    val r = SQ.reconstruct(coded, bounds)
+      .join(emb.select(col("vec_id"),
+        graft.operators.KMeans.quantize(col("embedding")).as("__q")), "vec_id")
+      .select(explode(arrays_zip(col("__q"), col("__r"))).as("z"))
+      .select(abs(col("z.__q") - col("z.__r")).as("err"))
+      .agg(max(col("err"))).head().getLong(0)
+    val maxStep = bounds.lo.zip(bounds.hi).map { case (l, h) => h - l }.max
+    assert(r <= maxStep / 510 + 2, s"recon err $r vs step bound")
+  }
+
+  test("SQ ADC top-1 recall vs exact cosine is high on the fixture") {
+    import graft.operators.{SQ, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 16)
+    val bounds = SQ.fit(emb, "embedding", 64)
+    val coded = SQ.encode(emb, "vec_id", "embedding", bounds)
+    val adc = SQ.adcTopK(q, coded, "vec_id", "vec_id", "embedding", bounds,
+        k = 5).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("adc_nn"))
+    // ADC ranks by raw dot (unnormalized), so compare against the
+    // exact top-5 dot-product shortlist, not cosine rank-1
+    val exactTop = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = adc.join(exactTop,
+      adc("query_id") === exactTop("query_id") &&
+        adc("adc_nn") === exactTop("neighbor_id")).count()
+    assert(hit >= 12, s"ADC top-1 in exact top-5 for only $hit/16 queries")
+  }
+
+  // ---- hard-negative mining (Similarity.hardNegatives) ----
+
+  test("hard negatives never share the query's label") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.hardNegatives(
+      emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "vec_id", "embedding", "label", k = 10)
+    assert(out.count() == 80)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val shared = out
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") === col("nl")).count()
+    assert(shared == 0)
+  }
+
+  // ---- sparse TF-IDF cosine pairs (SparseSim.scala) ----
+
+  test("tfidf cosine pairs are symmetric-canonical and bounded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.SparseSim.tfidfCosinePairs(
+      docs, "doc_id", "text", minCos = 0.5, maxDocFreq = 40)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "expected some near-pairs on the fixture")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r =>
+      val c = r.getDouble(2); c >= 0.5 && c <= 1.0001 })
+  }
+
+  test("identical documents score tfidf cosine 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare alpha beta gamma delta unique"),
+      (2L, "rare alpha beta gamma delta unique"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SparseSim.tfidfCosinePairs(
+      docs, "doc_id", "text", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
 }
