@@ -178,6 +178,18 @@ object VectorQueries {
         .withColumn("score", col("score").cast("long"))
     }),
 
+    // top principal component by integer power iteration (the
+    // PCAMatrix/OPQ whitening stage): scatter fit is one scan, the
+    // 64x64 iteration lives on the driver, the projection is a
+    // narrow 64-term sum — and because every step is long
+    // arithmetic with truncate-toward-zero division, the whole
+    // chain unrolls into exact SQL
+    "q_pca" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val v = graft.operators.PCA.fitTop(emb, "embedding", DIM, iters = 4)
+      graft.operators.PCA.project(emb, "vec_id", "embedding", v)
+    }),
+
     // hard-negative mining: nearest neighbors with a DIFFERENT label
     // — the contrastive-training pair generator; knn_cosine's shape
     // with the label inequality folded into the join predicate
@@ -521,7 +533,46 @@ object VectorQueries {
        |SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  // ---- q_pca replay: integer scatter matrix (self-join on vec_id),
+  // T=4 unrolled power steps in e4 fixed point, truncate-toward-zero
+  // division everywhere as sign(x)·(|x| div d), final sign fixed by
+  // the largest-|component| (smallest index on ties). Every value a
+  // BIGINT — no float boundary in the whole chain.
+  private def pcaOracle: String = {
+    val iters = 4
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS (SELECT sc.i, sum(sc.mm * $prev.v) AS w
+         |        FROM sc JOIN $prev ON $prev.i = sc.j GROUP BY 1),
+         |d$t AS (SELECT greatest(1, max(abs(w)) // 10000) AS d FROM w$t),
+         |v$t AS (SELECT i, CAST(sign(w) AS BIGINT) * (abs(w) // d) AS v
+         |        FROM w$t CROSS JOIN d$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> CAST(floor(x * 1000) AS BIGINT)) AS q FROM embeddings),
+       |u AS (SELECT vec_id, unnest(q) AS v, unnest(range(1, ${DIM + 1})) AS i
+       |      FROM m),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |su AS (SELECT i, sum(v) AS s FROM u GROUP BY 1),
+       |sp AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS p
+       |       FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+       |sc AS (SELECT sp.i, sp.j,
+       |         sp.p - CAST(sign(sa.s * sb.s) AS BIGINT)
+       |                * (abs(sa.s * sb.s) // nn.n) AS mm
+       |       FROM sp JOIN su sa ON sa.i = sp.i
+       |       JOIN su sb ON sb.i = sp.j CROSS JOIN nn),
+       |v0 AS (SELECT unnest(range(1, ${DIM + 1})) AS i,
+       |         CAST(10000 AS BIGINT) AS v),
+       |$steps,
+       |sg AS (SELECT CASE WHEN (SELECT v FROM v$iters
+       |                         ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+       |              THEN -1 ELSE 1 END AS g)
+       |SELECT u.vec_id, CAST(sum(u.v * v$iters.v * sg.g) AS BIGINT) AS proj
+       |FROM u JOIN v$iters USING (i) CROSS JOIN sg GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pca" -> pcaOracle,
     "q_sq8" -> sqEncodeOracle,
     "knn_sq8" -> sqAdcOracle,
     "knn_hard_neg" ->

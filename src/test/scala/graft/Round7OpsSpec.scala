@@ -382,6 +382,39 @@ class Round7OpsSpec extends SparkSpec {
       val c = r.getDouble(2); c >= 0.5 && c <= 1.0001 })
   }
 
+  // ---- PCA power iteration (PCA.scala) ----
+
+  test("PCA finds the dominant-variance axis") {
+    import spark.implicits._
+    import graft.operators.PCA
+    // dim 0 carries all the variance; others are constant or tiny
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array(i.toFloat - 20f, 0.001f * (i % 3), 0.5f, -0.25f))
+    }
+    val df = rows.toDF("id", "vec")
+    val v = PCA.fitTop(df, "vec", 4, iters = 4)
+    assert(math.abs(v(0)) > 100 * math.max(1L, math.abs(v(1))),
+      s"dim0 should dominate: $v")
+    assert(v(0) > 0, "sign convention: dominant component positive")
+    // projection order matches the dominant axis order
+    val proj = PCA.project(df, "id", "vec", v)
+      .orderBy(col("proj")).select(col("id")).as[Long].collect()
+    assert(proj.toSeq == (0L until 40L), s"got ${proj.toSeq}")
+  }
+
+  test("PCA moments accumulate across partitions exactly") {
+    import spark.implicits._
+    import graft.operators.PCA
+    val df = (1 to 100).map(i => (i.toLong, Array(i.toFloat, -i.toFloat)))
+      .toDF("id", "vec").repartition(7)
+    val m = PCA.moments(df, "vec", 2)
+    val qs = (1 to 100).map(i => (i * 1000L, math.floor(-i * 1000.0).toLong))
+    assert(m.n == 100)
+    assert(m.sums == Seq(qs.map(_._1).sum, qs.map(_._2).sum))
+    assert(m.scatter(0) == qs.map(q => q._1 * q._1).sum)
+    assert(m.scatter(1) == qs.map(q => q._1 * q._2).sum)
+  }
+
   test("identical documents score tfidf cosine 1.0") {
     import spark.implicits._
     val docs = Seq(
