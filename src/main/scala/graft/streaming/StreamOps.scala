@@ -239,4 +239,76 @@ object StreamOps {
       .bandKeysNarrow(docs, idCol, textCol, numHashes, bands)
       .join(corpusIndex, Seq("band_key"))
       .select(col(idCol), col("corpus_id"), col("band_key"))
+
+  final case class DriftEvent(ts: Timestamp, key: String)
+  final case class DriftRow(window_start_us: Long, key: String,
+                            ref_n: Long, cur_n: Long, contrib_e6: Long)
+  final case class DriftCounts(counts: Map[String, Long])
+
+  /** Streaming drift monitor — the continuous form of
+    * [[graft.operators.Drift.jsCategorical]]: per event-time tumbling
+    * window, the categorical distribution of `key` is compared
+    * against a STATIC reference distribution, and one JS-divergence
+    * contribution row per category is emitted when the watermark
+    * closes the window. The alert a re-crawl ingest pipeline wants
+    * ("this hour's language mix shifted") without waiting for the
+    * nightly batch.
+    *
+    * Two streaming aggregations can't chain in append mode (the
+    * per-window total needs the same window's per-key counts), so
+    * the operator is per-window custom state: key = window start,
+    * state = the category count map (bounded by the category
+    * vocabulary — langs, sources, labels — not by events), finalize
+    * + evict on event-time timeout. Reference counts ride the
+    * closure (model-sized, the broadcast-LM pattern).
+    *
+    * Arithmetic is IDENTICAL to the batch operator — same add-one
+    * smoothing over the union category set, same left-associated
+    * `500000·p·ln(p/m)` per-half floors — so a window's emitted rows
+    * equal `jsCategorical(ref, windowSlice)` exactly (pinned in
+    * StreamOpsSpec). Shuffles once on the window key. */
+  def windowedDriftJs(events: Dataset[DriftEvent],
+                      refCounts: Map[String, Long],
+                      windowMinutes: Int = 10,
+                      lateMinutes: Int = 10): Dataset[DriftRow] = {
+    import events.sparkSession.implicits._
+    val winUs = windowMinutes * 60L * 1000000L
+    val watermarked = events.toDF()
+      .withWatermark("ts", s"$lateMinutes minutes").as[DriftEvent]
+    watermarked
+      .groupByKey(e => Math.floorDiv(e.ts.getTime * 1000L, winUs) * winUs)
+      .flatMapGroupsWithState[DriftCounts, DriftRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (winStartUs, evs, state: GroupState[DriftCounts]) =>
+          if (state.hasTimedOut) {
+            val cur = state.getOption.map(_.counts).getOrElse(Map.empty)
+            state.remove()
+            // replicate jsCategorical's full-outer join + smoothing
+            // over the union category set, bit for bit
+            val keys = (refCounts.keySet ++ cur.keySet).toSeq.sorted
+            val b = keys.size.toDouble
+            val nr = refCounts.valuesIterator.sum.toDouble
+            val nc = cur.valuesIterator.sum.toDouble
+            keys.iterator.map { k =>
+              val rn = refCounts.getOrElse(k, 0L)
+              val cn = cur.getOrElse(k, 0L)
+              val p = (rn + 1).toDouble / (nr + b)
+              val q = (cn + 1).toDouble / (nc + b)
+              val m = (p + q) / 2.0
+              val contrib = math.floor(500000.0 * p * math.log(p / m)).toLong +
+                math.floor(500000.0 * q * math.log(q / m)).toLong
+              DriftRow(winStartUs, k, rn, cn, contrib)
+            }
+          } else {
+            val counts = scala.collection.mutable.Map.empty[String, Long] ++=
+              state.getOption.map(_.counts).getOrElse(Map.empty)
+            evs.foreach(e => counts(e.key) = counts.getOrElse(e.key, 0L) + 1L)
+            state.update(DriftCounts(counts.toMap))
+            // finalize once the watermark passes the window end
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, (winStartUs + winUs) / 1000L))
+            Iterator.empty
+          }
+      }
+  }
 }

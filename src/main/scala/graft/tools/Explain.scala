@@ -58,7 +58,13 @@ object Explain {
                          // the cached previous round (flat lineage)
     "q_cms",             // shown plan = exact top-15 check (the sketch pass
                          // is one map-combined grid agg at build time)
-    "q_split_leakage"    // components + narrow md5-bucket projection
+    "q_split_leakage",   // components + narrow md5-bucket projection
+    "q_sq8",             // int8 encode: dim codegen'd exprs, zero exchanges
+    "knn_sq8",           // integer ADC: broadcast probes + long-dot kernel
+    "knn_hard_neg",      // label-pruned broadcast join before the dot
+    "q_pca",             // shown plan = the narrow 64-term projection (the
+                         // scatter fit is one mapPartitions scan at build)
+    "dedup_tfidf_cosine" // df window -> term self-join reusing partitioning
     // (knn_mmr omitted: the greedy rounds run over checkpointed
     // candidate-scale RDD scans — the corpus-touching plan is the
     // shortlist stage, knn_cosine's shape)

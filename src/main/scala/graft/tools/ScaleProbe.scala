@@ -111,7 +111,8 @@ object ScaleProbe {
       "q_perplexity_bcast", "q_rrf_batch",
       "q_bm25_batch", "q_heavy_hitters",
       "q_pagerank", "q_cms", "q_split_leakage",
-      "dedup_segments", "q_drift_psi", "q_drift_js", "q_snapshot_diff")
+      "dedup_segments", "q_drift_psi", "q_drift_js", "q_snapshot_diff",
+      "q_sq8", "knn_sq8", "knn_hard_neg", "q_pca", "dedup_tfidf_cosine")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

@@ -206,4 +206,52 @@ class StreamOpsSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM anomalies").head().getLong(0) == 1L)
     } finally q.stop()
   }
+
+  test("windowedDriftJs emits batch-identical JS rows when a window closes") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.DriftEvent
+    implicit val sqlCtx = spark.sqlContext
+    val refCounts = Map("en" -> 60L, "de" -> 30L, "fr" -> 10L)
+    val input = MemoryStream[DriftEvent]
+    val q = StreamOps.windowedDriftJs(input.toDS(), refCounts,
+        windowMinutes = 10, lateMinutes = 5)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [0,10): a shifted mix (heavy de, a category ref lacks)
+      input.addData(
+        DriftEvent(ts(1), "en"), DriftEvent(ts(2), "de"),
+        DriftEvent(ts(3), "de"), DriftEvent(ts(4), "de"),
+        DriftEvent(ts(5), "zh"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM drift").head().getLong(0) == 0L,
+        "window must stay open until the watermark passes")
+      // watermark advances at END of a batch; the timeout fires on
+      // the NEXT trigger — so one batch to move it, one to reap
+      input.addData(DriftEvent(ts(40), "en"))
+      q.processAllAvailable()
+      input.addData(DriftEvent(ts(41), "en"))
+      q.processAllAvailable()
+      val win0 = {
+        val us = ts(0).getTime * 1000L
+        val w = 10L * 60L * 1000000L
+        Math.floorDiv(us, w) * w
+      }
+      val got = spark.sql(
+        s"""SELECT key, ref_n, cur_n, contrib_e6 FROM drift
+           |WHERE window_start_us = $win0 ORDER BY key""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toList
+      // batch twin on the same window slice
+      val ref = refCounts.toSeq.flatMap { case (k, n) =>
+        Seq.fill(n.toInt)(k) }.toDF("key")
+      val cur = Seq("en", "de", "de", "de", "zh").toDF("key")
+      val want = graft.operators.Drift.jsCategorical(ref, cur, "key")
+        .orderBy("key")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toList
+      assert(got == want, s"streaming $got vs batch $want")
+      assert(got.map(_._1) == List("de", "en", "fr", "zh"))
+    } finally q.stop()
+  }
 }
