@@ -160,8 +160,12 @@ object VectorQueries {
     "q_sq8" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val bounds = graft.operators.SQ.fit(emb, "embedding", DIM)
+      // posexplode_outer: the non-outer form makes Catalyst guard the
+      // Generate with a size(codes) > 0 filter that RECOMPUTES the
+      // whole 64-expression code array per row; codes is always
+      // dim-length, so outer skips the guard (seen in PLANS.md)
       graft.operators.SQ.encode(emb, "vec_id", "embedding", bounds)
-        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), posexplode_outer(col("codes")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
           col("col").as("code"))
     }),
