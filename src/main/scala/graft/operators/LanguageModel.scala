@@ -223,4 +223,59 @@ object LanguageModel {
         aggregate(col("__c"), lit(0L), (acc, x) => acc + x).as("nll_e6"))
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
   }
+
+  /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020,
+    * §4.3): score every document's average NLL against the reference
+    * LM, then split the corpus at the NLL TERCILES — "head" is the
+    * lowest-perplexity (most reference-like) third the high-quality
+    * mix samples from, "tail" the noisiest. The published recipe
+    * keeps the split as a labeled column rather than a filter so
+    * downstream mixing can weight the buckets (e.g. head 70 / middle
+    * 25 / tail 5).
+    *
+    * Thresholds are exact ORDER STATISTICS, not interpolated
+    * percentiles: t1 = the smallest avg-NLL v with
+    * |{docs: avg <= v}| * 3 >= n (and t2 likewise at 2n) — pure
+    * integer comparisons on the micro-nat grid, so the bucket
+    * assignment replays bit-identically in SQL (interpolated
+    * percentiles differ in association across engines; order
+    * statistics cannot).
+    *
+    * Scale shape: scoring is the narrow broadcast-model pass
+    * ([[bigramNllNarrow]], zero exchanges); the tercile computation
+    * runs on the VALUE HISTOGRAM (one map-combined count per
+    * distinct micro-nat average — the exact-quantile-via-histogram
+    * tradeoff q_histogram already takes; its global cumulative
+    * window orders distinct values, not documents); thresholds ride
+    * back as a one-row broadcast. The corpus itself is touched by
+    * exactly one scan plus one narrow CASE projection.
+    *
+    * @return (idCol, avg_nll_e6, bucket) for every scored doc */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   model: BigramModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramNllNarrow(docs, idCol, textCol, model)
+      .select(col(idCol), col("avg_nll_e6"))
+    val s = PersistSlots.swap("lm.ccnetScored", scored)
+    // constant-key partition: the cumulative window runs over the
+    // value histogram (bounded by distinct micro-nat averages, not
+    // docs) — one partition is the point, but an UNPARTITIONED spec
+    // trips the WindowExec warning that pattern-matches a
+    // scale-killer. The key must be non-foldable (Catalyst strips a
+    // literal partition spec): value * 0 survives as a real key
+    val hist = s.groupBy(col("avg_nll_e6")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.partitionBy(col("avg_nll_e6") * 0)
+          .orderBy(col("avg_nll_e6"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = s.agg(count(lit(1)).as("__n"))
+    val thresholds = hist.crossJoin(broadcast(n)).agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("avg_nll_e6"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("avg_nll_e6"))).as("__t2"))
+    s.crossJoin(broadcast(thresholds))
+      .select(col(idCol), col("avg_nll_e6"),
+        when(col("avg_nll_e6") <= col("__t1"), "head")
+          .when(col("avg_nll_e6") <= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -389,6 +389,17 @@ object TextQueries {
         docs, "doc_id", "text", model)
     }),
 
+    // CCNet §4.3 head/middle/tail corpus partition: NLL terciles as
+    // exact integer order statistics (no interpolated percentile —
+    // engine-portable by construction)
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainBigrams(
+        docs.filter(col("doc_id") % 5 === 0), "text")
+      graft.operators.LanguageModel.ccnetBuckets(
+        docs, "doc_id", "text", model)
+    }),
+
     // hybrid retrieval: BM25 lexical top-20 fused with embedding
     // cosine top-20 (query vector = vec_id 0, the doc_id-aligned
     // embedding table) by reciprocal-rank fusion — all-integer
@@ -398,9 +409,13 @@ object TextQueries {
       // constant-key partition: the frame is the bm25 leg's <= topK
       // rows, but an unpartitioned Window.orderBy pattern-matches a
       // scale-killer (and WARNs in every bench tail) — pinning one
-      // partition says "bounded by construction" in the plan itself
+      // partition says "bounded by construction" in the plan itself.
+      // The key must be NON-FOLDABLE: Catalyst strips a literal
+      // partition spec, reinstating the warning — doc_id * 0 survives
+      // optimization as a real (constant-valued) key
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0)).orderBy(col("score_e6").desc, col("doc_id").asc)
+        .partitionBy(col("doc_id") * 0)
+        .orderBy(col("score_e6").desc, col("doc_id").asc)
       val lex = graft.operators.Retrieval.bm25(Tables(s, dir, "documents"),
           "doc_id", "text", Seq("spark", "query", "join"), topK = 20)
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -545,8 +560,11 @@ object TextQueries {
   // one fixed association, per-token floor to micro-nats. Shared by
   // q_perplexity (join form) and q_perplexity_bcast (broadcast-model
   // form) — same arithmetic, byte-identical result.
-  private val perplexityOracle: String =
-    """WITH wd AS (SELECT doc_id,
+  // shared by q_perplexity / q_perplexity_bcast / q_ccnet_buckets:
+  // train the bigram model on the doc_id%5 reference slice, score
+  // every >= 2-word doc's per-bigram micro-nat costs
+  private val perplexityCtes: String =
+    """wd AS (SELECT doc_id,
       |              regexp_split_to_array(trim(lower(text)), '\s+') AS ws
       |            FROM documents),
       |wr AS (SELECT ws FROM wd WHERE doc_id % 5 = 0),
@@ -572,11 +590,35 @@ object TextQueries {
       |      LEFT JOIN big USING (prev, cur)
       |      LEFT JOIN (SELECT w AS prev, c AS c1 FROM uni) USING (prev)
       |      LEFT JOIN (SELECT w AS cur, c AS c2 FROM uni) USING (cur)
-      |      CROSS JOIN tot)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
-      |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
-      |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
-      |FROM c GROUP BY doc_id""".stripMargin
+      |      CROSS JOIN tot)""".stripMargin
+
+  private val perplexityOracle: String =
+    s"""WITH $perplexityCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
+       |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |FROM c GROUP BY doc_id""".stripMargin
+
+  // ccnet replay: per-doc averages, value histogram, cumulative
+  // count, order-statistic terciles, CASE bucket — all integer
+  private val ccnetBucketsOracle: String =
+    s"""WITH $perplexityCtes,
+       |sc AS (SELECT doc_id,
+       |         CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |       FROM c GROUP BY doc_id),
+       |h AS (SELECT avg_nll_e6, count(*) AS hc FROM sc GROUP BY 1),
+       |cu AS (SELECT avg_nll_e6, sum(hc) OVER (ORDER BY avg_nll_e6
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM h),
+       |n AS (SELECT count(*) AS n FROM sc),
+       |t AS (SELECT min(CASE WHEN cum * 3 >= n THEN avg_nll_e6 END) AS t1,
+       |             min(CASE WHEN cum * 3 >= 2 * n THEN avg_nll_e6 END) AS t2
+       |      FROM cu CROSS JOIN n)
+       |SELECT doc_id, avg_nll_e6,
+       |  CASE WHEN avg_nll_e6 <= t1 THEN 'head'
+       |       WHEN avg_nll_e6 <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc CROSS JOIN t""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
@@ -1046,5 +1088,6 @@ object TextQueries {
   ) ++ Map(
     // the broadcast-model form computes byte-identical results to the
     // join form, so it replays with the same SQL
-    "q_perplexity_bcast" -> perplexityOracle)
+    "q_perplexity_bcast" -> perplexityOracle,
+    "q_ccnet_buckets" -> ccnetBucketsOracle)
 }

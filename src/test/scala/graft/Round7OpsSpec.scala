@@ -369,6 +369,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(shared == 0)
   }
 
+  // ---- CCNet head/middle/tail buckets (LanguageModel.ccnetBuckets) ----
+
+  test("ccnet buckets split at exact NLL terciles, head lowest") {
+    import graft.operators.LanguageModel
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = LanguageModel.trainBigrams(
+      docs.filter(col("doc_id") % 5 === 0), "text")
+    val out = LanguageModel.ccnetBuckets(docs, "doc_id", "text", model)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == docs.count())
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // ordering: every head NLL <= every middle NLL <= every tail NLL
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // tercile sizes: each bucket within one value-tie of n/3
+    val n = rows.length
+    assert(byBucket("head").length >= n / 4 &&
+      byBucket("head").length <= n / 2,
+      s"head=${byBucket("head").length} of $n")
+  }
+
   // ---- sparse TF-IDF cosine pairs (SparseSim.scala) ----
 
   test("tfidf cosine pairs are symmetric-canonical and bounded") {
