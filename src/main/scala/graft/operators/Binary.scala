@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions
+
+/** 1-bit (binary sign-hash) embedding quantization + Hamming-distance
+  * search — the extreme end of the compression ladder this library
+  * already carries (PQ at ~8 bits/subspace, SQ at 8 bits/dim, here
+  * 1 bit/dim): 64 random-hyperplane sign bits packed into ONE long,
+  * a 256x shrink of a float32 64-d vector. By the hyperplane-LSH
+  * identity, E[Hamming(sig_a, sig_b)] / BITS = angle(a,b) / pi, so
+  * Hamming distance on the packed signatures is an unbiased angular
+  * estimate — the classic Charikar sketch that production retrieval
+  * stacks use as a first-pass filter before exact or ADC re-ranking.
+  *
+  * Discipline matches the SQ/PQ family so everything replays
+  * bit-identically in SQL: vectors quantize to integer milliunits
+  * ([[KMeans.quantize]]), the hyperplane components are *integers*
+  * derived from MD5 (no float dot products anywhere), the packed
+  * signature is a sum of disjoint powers of two, and the distance is
+  * `bit_count(xor(a, b))` — every value a long.
+  *
+  * Scale shape: [[signature]] is one narrow projection (64 codegen'd
+  * long dot products against literal plane arrays — no UDF, no
+  * shuffle, nothing grows with the corpus); a 100 TB corpus becomes
+  * 8 bytes/vector of signatures. [[hammingTopK]] broadcasts the
+  * (tiny) query signatures and runs one scan over the corpus
+  * signatures with a bounded [[TopK]] partial aggregate — xor +
+  * popcount per pair, the cheapest candidate-scoring primitive that
+  * exists. Re-rank the survivors with [[Similarity.bruteForceTopK]]
+  * or [[SQ.adcTopK]] when exact order matters.
+  */
+object Binary {
+
+  /** Signature width: one packed long. */
+  val BITS = 64
+
+  /** Deterministic integer hyperplane component: MD5 of ("B" bit:dim)
+    * -> first 48 bits -> signed 32-bit integer in [-2^31, 2^31). The
+    * "B" prefix keeps the family independent of [[Similarity]]'s LSH
+    * planes. Integer weights x milliunit values stay ~2^43 over 64
+    * dims — exact in longs, and inlined verbatim by the SQL oracle. */
+  private[graft] def planeInt(bit: Int, d: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"B$bit:$d".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) >> 16) - (1L << 31)
+  }
+
+  private def planeLit(bit: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(planeInt(bit, d))): _*)
+
+  /** Sign bit p of the packed signature: 2^p when the integer
+    * projection is >= 0 (bit 63's power is Long.MIN_VALUE — summing
+    * disjoint powers is carry-free, so + is bitwise-or here). */
+  private def bitTerm(q: Column, p: Int, dim: Int): Column =
+    when(VectorExpressions.dotLong(q, planeLit(p, dim)) >= 0, lit(1L << p))
+      .otherwise(lit(0L))
+
+  /** Pack every vector into its 64-bit sign signature — one narrow
+    * projection of 64 native long-dot-product expressions.
+    * Output: (idCol, sig). */
+  def signature(df: DataFrame, idCol: String, vecCol: String,
+                dim: Int): DataFrame =
+    df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__q"))
+      .select(col(idCol),
+        (0 until BITS).map(p => bitTerm(col("__q"), p, dim)).reduce(_ + _)
+          .as("sig"))
+
+  /** Hamming top-k over packed signatures: score = BITS − popcount of
+    * the xor (higher = closer in angle), rank desc with id-asc ties.
+    * Queries broadcast; the corpus side is one scan of 8-byte
+    * signatures through a bounded per-key TopK — no shuffle of the
+    * corpus, no join fan-out beyond |queries| × |corpus| scoring
+    * rows that never materialize past the partial aggregate.
+    * @return (query_id, neighbor_id, score, rank) */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+                  qidCol: String, idCol: String, vecCol: String,
+                  dim: Int, k: Int = 10): DataFrame = {
+    val cs = signature(corpus, idCol, vecCol, dim)
+      .select(col(idCol).as("neighbor_id"), col("sig").as("__cs"))
+    val qs = broadcast(signature(queries, qidCol, vecCol, dim)
+      .select(col(qidCol).as("query_id"), col("sig").as("__qs")))
+    val scored = qs.join(cs, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(BITS.toLong) - bit_count(col("__qs").bitwiseXOR(col("__cs"))))
+          .as("score"))
+    TopK.perKey(scored, "query_id", "neighbor_id", "score", k)
+      .withColumn("score", col("score").cast("long"))
+  }
+}

@@ -99,4 +99,50 @@ object Salting {
       .agg(count(lit(1)).as("partial"))
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("cnt"))
+
+  /** Exact skew diagnostic for a join/group key — the measurement
+    * half of [[autoSaltedJoin]]'s sampling heuristic, run when you
+    * want the real numbers before committing a 100 TB shuffle: the
+    * `topN` heaviest keys with their exact count, corpus share in
+    * e4 fixed point (integer 10000ths — no float boundary), and the
+    * salt bucket count that would bound any one (key, salt) task at
+    * `targetPerBucket` rows (ceil-divide, min 1).
+    *
+    * Scale shape: ONE map-combined count aggregation over the key
+    * (the shuffle carries one row per distinct key), slot-persisted
+    * so the total and the top-N ride one materialization; the top-N
+    * is TakeOrdered (bounded), and the rank window runs over those
+    * `topN` rows with a non-foldable constant partition key — bounded
+    * by construction, no unpartitioned-window scale pattern.
+    * @return (rank, key, cnt, share_e4, salt) */
+  def skewStats(df: DataFrame, key: String, topN: Int = 20,
+                targetPerBucket: Long = 10000L): DataFrame = {
+    require(topN >= 1 && targetPerBucket >= 1)
+    val counts = PersistSlots.swap("skewStats",
+      df.select(col(key)).filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    // constant-valued but NON-FOLDABLE partition key (cnt is
+    // non-nullable, so `cnt * 0` folds to a literal and Catalyst
+    // strips the spec, reinstating the unpartitioned-window warning;
+    // there is no x % 1 simplification) — the frame is the <= topN
+    // TakeOrdered rows, bounded by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("cnt"), lit(1L)))
+      .orderBy(col("cnt").desc, col(key).asc)
+    // exact integer floor division (GopherRules' e4 idiom): the
+    // double `/` would round 53-bit-plus products at real-corpus
+    // totals
+    def idiv(a: Column, n: Column): Column =
+      ((a - (a % n)) / n).cast("long")
+    counts
+      .orderBy(col("cnt").desc, col(key).asc).limit(topN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(key), col("cnt"),
+        idiv(col("cnt") * lit(10000L), lit(math.max(1L, total)))
+          .as("share_e4"),
+        greatest(lit(1L),
+          idiv(col("cnt") + lit(targetPerBucket - 1), lit(targetPerBucket)))
+          .as("salt"))
+  }
 }

@@ -194,6 +194,16 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // exact skew diagnostic — the measurement half of the salting
+    // story: top-10 heaviest event keys with exact counts, e4 corpus
+    // share and the per-key salt factor that bounds any (key, salt)
+    // task at 32 rows. One map-combined count agg + bounded
+    // TakeOrdered; all-integer, so the replay is exact.
+    "q_skew_stats" -> ((s, dir) =>
+      graft.operators.Salting.skewStats(
+        Tables(s, dir, "events"), "user_id",
+        topN = 10, targetPerBucket = 32L)),
+
     // range join done scale-right: day-bucketed equi-join + residual
     // predicate instead of a BroadcastNestedLoopJoin (see RangeJoin)
     "q_range_join" -> ((s, dir) => {
@@ -622,6 +632,16 @@ object RelationalQueries {
         |  count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey""".stripMargin,
+    "q_skew_stats" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, user_id ASC)
+        |        AS rank, user_id, cnt FROM c)
+        |SELECT rank, user_id, cnt,
+        |  CAST((cnt * 10000) // total AS BIGINT) AS share_e4,
+        |  CAST(greatest(1, (cnt + 31) // 32) AS BIGINT) AS salt
+        |FROM r CROSS JOIN t WHERE rank <= 10""".stripMargin,
     "q_range_join" ->
       """WITH iv AS (SELECT o_orderkey, o_orderdate AS s,
         |              o_orderdate + INTERVAL 7 DAY AS e

@@ -202,6 +202,25 @@ object VectorQueries {
       Similarity.hardNegatives(
         emb.filter(col("vec_id") < 8), emb,
         "vec_id", "vec_id", "embedding", "label", k = 10)
+    }),
+
+    // 1-bit binary quantization (Charikar sign sketch): 64 integer
+    // hyperplane sign bits packed into ONE long — a 256x shrink,
+    // the extreme end of the PQ -> SQ8 ladder. Integer planes +
+    // milliunit vectors mean the packed signature replays
+    // bit-identically in SQL
+    "q_binsig" -> ((s, dir) =>
+      graft.operators.Binary.signature(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", DIM)),
+
+    // Hamming top-k over the packed signatures: xor + popcount per
+    // pair, score = 64 - distance — the cheapest first-pass ANN
+    // filter there is, still exact-oracled
+    "knn_hamming" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Binary.hammingTopK(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "vec_id", "embedding", DIM, k = 10)
     })
   )
 
@@ -575,7 +594,57 @@ object VectorQueries {
        |FROM u JOIN v$iters USING (i) CROSS JOIN sg GROUP BY 1""".stripMargin
   }
 
+  // ---- binary signature replay: the integer hyperplanes inline as a
+  // 64x64 VALUES weight table (exact longs — nothing to round), the
+  // per-bit projection is an integer sum over the milliunit grid, and
+  // the pack is a sum of disjoint power-of-two literals (bit 63's
+  // power is BIGINT min — carry-free, so + is bitwise-or). DuckDB's
+  // 1<<63 errors on overflow, hence the literal powers table.
+  private def binPlaneValues: String =
+    (0 until graft.operators.Binary.BITS).flatMap { p =>
+      (0 until DIM).map(d =>
+        s"($p,${d + 1},${graft.operators.Binary.planeInt(p, d)})")
+    }.mkString(", ")
+
+  private def binPowerValues: String =
+    (0 until graft.operators.Binary.BITS)
+      .map(p => s"($p,CAST(${1L << p} AS BIGINT))").mkString(", ")
+
+  private def binSigCtes: String =
+    s"""m AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> CAST(floor(x * 1000) AS BIGINT)) AS q FROM embeddings),
+       |u AS (SELECT vec_id, unnest(q) AS v, unnest(range(1, ${DIM + 1})) AS i
+       |      FROM m),
+       |pl(p, i, w) AS (VALUES $binPlaneValues),
+       |pj AS (SELECT u.vec_id, pl.p, sum(u.v * pl.w) AS d
+       |       FROM u JOIN pl USING (i) GROUP BY 1, 2),
+       |pw(p, pw) AS (VALUES $binPowerValues),
+       |sg AS (SELECT pj.vec_id,
+       |         CAST(sum(CASE WHEN pj.d >= 0 THEN pw.pw ELSE 0 END)
+       |              AS BIGINT) AS sig
+       |       FROM pj JOIN pw USING (p) GROUP BY 1)""".stripMargin
+
+  private def binSigOracle: String =
+    s"""WITH $binSigCtes
+       |SELECT vec_id, sig FROM sg""".stripMargin
+
+  private def binHammingOracle: String =
+    s"""WITH $binSigCtes,
+       |qs AS (SELECT vec_id AS query_id, sig AS q_sig FROM sg
+       |       WHERE vec_id < 8),
+       |sc AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+       |         64 - bit_count(xor(qs.q_sig, c.sig)) AS score
+       |       FROM qs JOIN sg c ON c.vec_id <> qs.query_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id ASC) AS rank
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_binsig" -> binSigOracle,
+    "knn_hamming" -> binHammingOracle,
     "q_pca" -> pcaOracle,
     "q_sq8" -> sqEncodeOracle,
     "knn_sq8" -> sqAdcOracle,

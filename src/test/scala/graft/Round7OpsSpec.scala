@@ -450,4 +450,63 @@ class Round7OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
+
+  test("binary signature: identical vectors share sigs, opposite vectors complement") {
+    import spark.implicits._
+    import graft.operators.Binary
+    val v = Array.tabulate(8)(i => (0.1f * (i + 1)) * (if (i % 2 == 0) 1 else -1))
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_)))
+      .toDF("id", "vec")
+    val sigs = Binary.signature(df, "id", "vec", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical vectors must share a signature")
+    // the negated vector flips every strict sign; ties (projection
+    // exactly 0) would break the complement, but these projections
+    // are nonzero — distance must be the full 64 bits
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) == 64)
+  }
+
+  test("hamming top-k ranks the near-duplicate first") {
+    import spark.implicits._
+    import graft.operators.Binary
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = base.map(-_)
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "vec")
+    val top = Binary.hammingTopK(df.filter(col("id") === 0), df,
+        "id", "id", "vec", 16, k = 2)
+      .orderBy(col("rank")).collect()
+    assert(top(0).getLong(1) == 1L, "near-dup must rank first")
+    assert(top(0).getLong(2) == 64L, "a 0.001 nudge should not flip a bit here")
+    assert(top(1).getLong(1) == 2L)
+  }
+
+  test("hamming distance tracks angle: E[dist]/64 ~ angle/pi (Charikar)") {
+    import spark.implicits._
+    import graft.operators.Binary
+    // orthogonal pair: angle pi/2 -> expected Hamming ~ 32 of 64
+    val a = Array.tabulate(32)(i => if (i < 16) 1.0f else 0.0f)
+    val b = Array.tabulate(32)(i => if (i >= 16) 1.0f else 0.0f)
+    val sigs = Binary.signature(Seq((1L, a), (2L, b)).toDF("id", "vec"),
+        "id", "vec", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(d >= 20 && d <= 44, s"orthogonal vectors should land near 32, got $d")
+  }
+
+  test("skewStats: exact counts, shares and ceil-divide salts") {
+    import spark.implicits._
+    import graft.operators.Salting
+    // key 7 appears 65x, key 1..5 once each -> total 70
+    val df = (Seq.fill(65)(7L) ++ (1L to 5L)).toDF("k")
+    val out = Salting.skewStats(df, "k", topN = 3, targetPerBucket = 32L)
+      .orderBy(col("rank")).collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 7L && out(0).getLong(2) == 65L)
+    assert(out(0).getLong(3) == 65L * 10000L / 70L, "share_e4 exact floor")
+    assert(out(0).getLong(4) == 3L, "ceil(65/32) = 3 salt buckets")
+    assert(out(1).getLong(2) == 1L && out(1).getLong(4) == 1L)
+    // ties broken by key asc
+    assert(out(1).getLong(1) == 1L && out(2).getLong(1) == 2L)
+  }
 }
