@@ -759,6 +759,74 @@ object Dedup {
             col("n_segs") * 10000).cast("long")))
   }
 
+  /** Content-defined chunking (CDC) duplication stats — the
+    * storage-layer dedup notion (LBFS/rsync, Gear/FastCDC) applied
+    * to document text: a chunk boundary falls at character position
+    * `i` (the END of the `window`-char gram) whenever the md5 of
+    * that gram lands in the boundary mask (last hex digit in
+    * `maskHex`, so P(boundary) = |maskHex|/16 and expected chunk
+    * length ≈ 16/|maskHex| chars at fixture scale; a production
+    * deployment widens the mask to ~log2(target chunk) bits). Unlike
+    * [[segmentDupStats]]'s natural-boundary segments, CDC boundaries
+    * move WITH the content: inserting a word re-chunks only the
+    * neighborhood of the edit, so shared chunks between near-copies
+    * survive arbitrary local edits — the property that makes
+    * storage dedup robust where fixed-size blocks shatter.
+    * A chunk is duplicated iff >= 2 distinct documents contain it.
+    *
+    * Scale shape: boundary detection and chunk hashing are pure
+    * narrow higher-order array expressions per document (no
+    * shuffle); then the [[segmentDupStats]] tail — explode +
+    * distinct on (doc, chunk-hash), ONE window count for document
+    * frequency, one map-combined per-doc aggregation. No self-join,
+    * linear in total chunk count however duplicated the corpus.
+    * Every arithmetic step replays verbatim in SQL.
+    *
+    * @return (idCol, n_chunks, n_dup_chunks, dup_frac_e4) — one row
+    *         per input doc (zero-chunk annotation for empty text). */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 16, maskHex: String = "0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && maskHex.nonEmpty)
+    val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
+    val w = window
+    // internal boundaries stop at len-1: the final chunk always ends
+    // at len, so position len never needs testing (and a doc shorter
+    // than the gram window is one whole-doc chunk)
+    val bnds =
+      s"""concat(
+         |  CASE WHEN length(__t) >= ${w + 1}
+         |       THEN filter(sequence($w, length(__t) - 1),
+         |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
+         |                   IN $inMask)
+         |       ELSE array() END,
+         |  array(length(__t)))""".stripMargin
+    val chunkHashes =
+      """transform(__b, (b, j) -> md5(substring(__t,
+        |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
+        |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
+    val chunks = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .withColumn("__b", expr(bnds))
+      .select(col("id"), explode(expr(chunkHashes)).as("h"))
+      .distinct()
+    val stats = chunks
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("__df") > 1).cast("long")).as("n_dup_chunks"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac_e4",
+        when(col("n_chunks") === 0, lit(0L))
+          .otherwise(floor(col("n_dup_chunks").cast("double") /
+            col("n_chunks") * 10000).cast("long")))
+  }
+
   /** The rewrite half of exact-substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better":
     * after measuring duplication, REMOVE it): drop every word that

@@ -55,6 +55,32 @@ object Similarity {
       "query_id", "neighbor_id", "sim", k)
   }
 
+  /** Recall@k of an approximate kNN result against the exact one —
+    * the evaluation loop every ANN deployment runs before trusting
+    * its index parameters (FAISS's `eval_recall`, Lucene's
+    * hnsw-recall bench), here as a first-class operator over two
+    * (query_id, neighbor_id, …) result frames: per query, the
+    * fraction of the exact top-k the approximate method retrieved,
+    * in exact e4 fixed point.
+    *
+    * Scale shape: both inputs are top-k frames (k rows per query —
+    * bounded by construction, never corpus-sized), so the left join
+    * and per-query aggregation touch k·|queries| rows however big
+    * the corpus behind them was. All-integer output.
+    * @return (query_id, hits, recall_e4) */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val hit = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(hit, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+    val a = col("hits") * lit(10000L)
+    hits.select(col("query_id"), col("hits"),
+      ((a - (a % lit(k.toLong))) / lit(k.toLong)).cast("long").as("recall_e4"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: for
     * each query, the top-k most-similar corpus vectors whose LABEL
     * differs from the query's — the "close but wrong" examples that

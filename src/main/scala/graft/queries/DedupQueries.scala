@@ -157,6 +157,13 @@ object DedupQueries {
     "dedup_segments" -> ((s, dir) =>
       Dedup.segmentDupStats(Tables(s, dir, "documents"), "doc_id", "text")),
 
+    // content-defined chunking (LBFS/FastCDC storage dedup on text):
+    // boundaries where the 16-gram's md5 ends in hex '0', so edits
+    // only re-chunk their neighborhood; same no-self-join tail as
+    // dedup_segments
+    "dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcChunkStats(Tables(s, dir, "documents"), "doc_id", "text")),
+
     // leakage-safe train/val/test split: near-dup COMPONENTS (winnow
     // pair graph, as dedup_components) are assigned to splits whole
     // via the md5 bucket of the component label — no duplicated
@@ -528,6 +535,36 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
+  // dedup_cdc replay: same 16-gram md5 boundary rule (internal
+  // boundaries stop at n-1; the final chunk always ends at n), same
+  // index-lambda chunk slicing, then the dedup_segments tail
+  private val cdcOracle =
+    """WITH d0 AS (SELECT doc_id, text AS t, length(text) AS n
+      |            FROM documents WHERE length(text) >= 1),
+      |b AS (SELECT doc_id, t,
+      |        list_append(list_filter(range(16, n),
+      |          i -> substr(md5(substr(t, i - 15, 16)), 32, 1) IN ('0')),
+      |          n) AS b2
+      |      FROM d0),
+      |c AS (SELECT doc_id, list_transform(range(1, len(b2) + 1), j ->
+      |        md5(substr(t,
+      |          CASE WHEN j = 1 THEN 1 ELSE b2[j - 1] + 1 END,
+      |          b2[j] - CASE WHEN j = 1 THEN 0 ELSE b2[j - 1] END))) AS hs
+      |      FROM b),
+      |ch AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM c),
+      |occ AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS dfc FROM ch),
+      |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |         CAST(sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_dup_chunks
+      |       FROM occ GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(st.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(st.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+      |  CAST(CASE WHEN coalesce(st.n_chunks, 0) = 0 THEN 0
+      |       ELSE floor(CAST(st.n_dup_chunks AS DOUBLE) / st.n_chunks * 10000)
+      |       END AS BIGINT) AS dup_frac_e4
+      |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
+
   // dedup_tfidf_cosine replay: same whitespace tokens as text_tfidf,
   // df as a window count, e4 integer weights over the df-capped
   // vocabulary, term-key self-join dot products, one float boundary
@@ -560,6 +597,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_tfidf_cosine" -> tfidfCosineOracle,
     "dedup_segments" -> segmentsOracle,
+    "dedup_cdc" -> cdcOracle,
     "dedup_spans" -> dupSpansOracle,
     "dedup_span_remove" -> dupSpanRemoveOracle,
     "dedup_editdist" -> editdistOracle,

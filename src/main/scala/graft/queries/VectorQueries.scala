@@ -221,6 +221,20 @@ object VectorQueries {
       graft.operators.Binary.hammingTopK(
         emb.filter(col("vec_id") < 8), emb,
         "vec_id", "vec_id", "embedding", DIM, k = 10)
+    }),
+
+    // recall@10 of the 1-bit Hamming search vs exact cosine — ANN
+    // evaluation as a first-class operator (both legs bounded top-k
+    // frames, so the measurement costs k rows per query, not a
+    // corpus pass)
+    "q_recall_eval" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(qs, emb,
+        "vec_id", "vec_id", "embedding", k = 10)
+      val approx = graft.operators.Binary.hammingTopK(qs, emb,
+        "vec_id", "vec_id", "embedding", DIM, k = 10)
+      Similarity.recallAtK(exact, approx, 10)
     })
   )
 
@@ -642,6 +656,35 @@ object VectorQueries {
        |SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  private val knnCosineOracle: String =
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_cosine_similarity(q.e, c.e) AS sim
+      |      FROM q JOIN c ON q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  // ---- q_recall_eval replay: both legs are the already-exact knn
+  // oracles, composed as nested-WITH subqueries; the recall fraction
+  // is the e4 integer floor — no new arithmetic to drift
+  private def recallEvalOracle: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineOracle)),
+       |ap AS (SELECT query_id, neighbor_id FROM ($binHammingOracle)),
+       |h AS (SELECT ex.query_id,
+       |        CAST(count(ap.query_id) AS BIGINT) AS hits
+       |      FROM ex LEFT JOIN ap
+       |        ON ap.query_id = ex.query_id
+       |       AND ap.neighbor_id = ex.neighbor_id
+       |      GROUP BY 1)
+       |SELECT query_id, hits,
+       |  CAST((hits * 10000) // 10 AS BIGINT) AS recall_e4 FROM h""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_binsig" -> binSigOracle,
     "knn_hamming" -> binHammingOracle,
@@ -669,19 +712,8 @@ object VectorQueries {
     "knn_pq_rerank" -> pqRerankOracle,
     "knn_ivfpq" -> pqIvfpqOracle,
     "knn_ivfpq_res" -> pqResidualOracle,
-    "knn_cosine" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |           FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        list_cosine_similarity(q.e, c.e) AS sim
-        |      FROM q JOIN c ON q.vec_id <> c.vec_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
-        |      FROM s)
-        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "knn_cosine" -> knnCosineOracle,
+    "q_recall_eval" -> recallEvalOracle,
     "knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -494,6 +494,51 @@ class Round7OpsSpec extends SparkSpec {
     assert(d >= 20 && d <= 44, s"orthogonal vectors should land near 32, got $d")
   }
 
+  test("CDC chunks: identical docs fully duplicated, unique doc untouched, empty annotated") {
+    import spark.implicits._
+    val text = ("the quick brown fox jumps over the lazy dog again and " * 8).trim
+    val docs = Seq((1L, text), (2L, text),
+      (3L, "entirely different content with no shared chunks at all zzz qqq"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 > 1, "long doc should split into multiple chunks")
+    assert(out(1L) == out(2L) && out(1L)._3 == 10000L,
+      "identical docs: every chunk duplicated")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L, "unique doc has no dup chunks")
+    assert(out(4L) == ((0L, 0L, 0L)), "empty doc annotated with zero chunks")
+  }
+
+  test("CDC chunks survive a local edit (the fixed-block-shatter counterexample)") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10).trim
+    val edited = base.substring(0, 280) + " INSERTED WORDS HERE " + base.substring(280)
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // content-defined boundaries re-sync after the insertion, so the
+    // two docs still share chunks on both sides of the edit
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0,
+      s"edit must only perturb its neighborhood, got $out")
+  }
+
+  test("recallAtK: identical, disjoint and partial approximations") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("query_id", "neighbor_id")
+    val full = Similarity.recallAtK(exact, exact, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full(0L) == ((2L, 10000L)) && full(1L) == ((2L, 10000L)))
+    val partial = Seq((0L, 1L), (0L, 9L), (1L, 8L), (1L, 9L))
+      .toDF("query_id", "neighbor_id")
+    val p = Similarity.recallAtK(exact, partial, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p(0L) == ((1L, 5000L)), "one of two hits -> 5000 e4")
+    assert(p(1L) == ((0L, 0L)), "disjoint -> zero, query still present")
+  }
+
   test("skewStats: exact counts, shares and ceil-divide salts") {
     import spark.implicits._
     import graft.operators.Salting
