@@ -63,6 +63,46 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
+  /** The document's characters as an array (1-char strings) — the
+    * base of the char-distribution statistics. Guard the empty-text
+    * case at the caller (sequence(1, 0) DESCENDS in Spark). */
+  private def chars(text: Column): Column =
+    transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))
+
+  /** Char-distribution Shannon entropy in e4 fixed-point NATS — the
+    * classic gibberish/boilerplate signal (natural prose sits near
+    * ~3 nats; base64 blobs, repeated-char padding and binary spill
+    * sit far above/below). Computed as
+    * `floor((ln(n)·n − Σ c·ln c) · 10000 / n)` over the per-char
+    * counts so the single-distinct-char case is EXACTLY zero
+    * (ln(n)·n − n·ln(n) cancels bit-exactly; the naive
+    * ln(n) − Σ(c/n)·ln(c)... form rounds twice and can floor to −1).
+    * Counts come from doc-local higher-order expressions (distinct
+    * chars × filter-count — no explode, no shuffle, alphabet-bounded
+    * per-row work), summed as a left fold over the SORTED distinct
+    * chars so the float accumulation order is deterministic and the
+    * SQL replay is bit-identical modulo a last-ulp `ln`. Empty/null
+    * text scores 0. */
+  def charEntropyE4(text: Column): Column = {
+    val cs = chars(text)
+    val d = array_sort(array_distinct(cs))
+    // counts in their own projection step: HOF lambdas get no CSE, so
+    // an inline count inside the c·ln c term would run each filter
+    // twice (same trap shingleHashes48 documents)
+    val counts = transform(d, c => size(filter(cs, x => x === c)).cast("double"))
+    val terms = transform(counts, c => c * log(c))
+    val n = length(text).cast("double")
+    val s = aggregate(terms, lit(0.0), (acc, t) => acc + t)
+    when(length(text) >= 1,
+      floor((log(n) * n - s) * lit(10000.0) / n).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** Distinct-character count (0 for empty/null text). */
+  def charDistinct(text: Column): Column =
+    when(length(text) >= 1, size(array_distinct(chars(text))).cast("long"))
+      .otherwise(lit(0L))
+
   /** 48-bit hash per shingle (first 12 md5 hex digits as BIGINT —
     * portable: DuckDB `CAST('0x'||substring(md5(s),1,12) AS BIGINT)`).
     * MUST be materialized in its own projection before feeding

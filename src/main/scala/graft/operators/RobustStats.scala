@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics — median, MAD (median absolute
+  * deviation) and winsorized mean — the outlier-immune summary a
+  * curation pipeline wants for quality-score and price-like columns
+  * where a handful of corrupt rows wreck mean/stddev. All three are
+  * EXACT integer order statistics over an integer-valued column
+  * (quantize first — cents, milliunits, e4 scores): no interpolated
+  * percentile anywhere, so the numbers are engine-portable by
+  * construction (the same discipline as the CCNet NLL terciles;
+  * interpolation formulas differ at the last ulp across engines and
+  * a floor boundary can flip).
+  *
+  * Definitions (1-based positions in the ascending sort of n rows):
+  *  - median     = value at position (n+1) div 2 (lower median)
+  *  - MAD        = lower median of |x − median|
+  *  - winsorized = mean after clamping into [p05, p95], where
+  *    p05/p95 are the DATA VALUES at positions ceil(n/20) and
+  *    ceil(95n/100); the mean ships as exact e2-of-unit fixed point
+  *    (sum·100 div n — integer sums of integers, no float order).
+  *
+  * Scale shape: two per-group sort exchanges (the ranked pass and
+  * the MAD re-rank) plus one map-combined final aggregate; the
+  * quantile frame is groups-sized and broadcast back. Exact order
+  * statistics fundamentally need the sort — the approximate scale
+  * path at extreme group sizes is the GK sketch
+  * (`q_approx_quantile`), exactly as FAISS-vs-brute splits ANN.
+  *
+  * @param valCol integer-valued (LONG) column — quantize floats
+  *               upstream so every statistic is exact.
+  * @return (groupCol, n, median, mad, winsor_mean_e2) */
+object RobustStats {
+
+  def stats(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("long")
+    val base = df.select(col(groupCol), x.as("__x"))
+      .filter(col("__x").isNotNull)
+    def idiv(a: Column, n: Column): Column = (a - (a % n)) / n
+
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__x").asc)
+    val cw = Window.partitionBy(col(groupCol))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    // order-statistic positions: ties sort arbitrarily but carry the
+    // same value, so the selected VALUE is deterministic
+    val medPos = idiv(col("__n") + 1, lit(2L))
+    val p05Pos = idiv(col("__n") + 19, lit(20L))
+    val p95Pos = idiv(col("__n") * 95 + 99, lit(100L))
+    val qs = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("__rn") === medPos, col("__x"))).as("__med"),
+      max(when(col("__rn") === p05Pos, col("__x"))).as("__p05"),
+      max(when(col("__rn") === p95Pos, col("__x"))).as("__p95"),
+      max(col("__n")).as("__gn"))
+
+    val joined = base.join(broadcast(qs), Seq(groupCol))
+    val dw = Window.partitionBy(col(groupCol))
+      .orderBy(abs(col("__x") - col("__med")).asc)
+    val mad = joined
+      .withColumn("__rn", row_number().over(dw))
+      .filter(col("__rn") === idiv(col("__gn") + 1, lit(2L)))
+      .select(col(groupCol),
+        abs(col("__x") - col("__med")).as("mad"))
+
+    joined
+      .groupBy(col(groupCol))
+      .agg(max(col("__gn")).as("n"),
+        max(col("__med")).as("median"),
+        sum(least(greatest(col("__x"), col("__p05")), col("__p95")))
+          .as("__ws"))
+      .join(mad, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("median"), col("mad"),
+        idiv(col("__ws") * 100, col("n")).cast("long").as("winsor_mean_e2"))
+  }
+}

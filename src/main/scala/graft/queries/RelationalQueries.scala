@@ -238,6 +238,17 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
 
+    // robust per-group stats: exact integer order statistics (lower
+    // median, MAD, p05/p95-winsorized mean in e2 fixed point) over
+    // integer cents — no interpolated percentile, engine-portable by
+    // construction; GK (q_approx_quantile) is the sketch twin at
+    // extreme group sizes
+    "q_robust_stats" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"))
+      graft.operators.RobustStats.stats(li, "l_returnflag", "price_c")
+    }),
+
     // pivot with explicit values — no values-discovery job, so the
     // plan is a single partial+final aggregate even on a huge table
     "q_pivot" -> ((s, dir) =>
@@ -661,6 +672,31 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_robust_stats" ->
+      """WITH c AS (SELECT l_returnflag AS f,
+        |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT f, x, row_number() OVER (PARTITION BY f ORDER BY x) AS rn,
+        |        count(*) OVER (PARTITION BY f) AS n FROM c),
+        |q AS (SELECT f,
+        |        max(CASE WHEN rn = (n+1)//2 THEN x END) AS med,
+        |        max(CASE WHEN rn = (n+19)//20 THEN x END) AS p05,
+        |        max(CASE WHEN rn = (n*95+99)//100 THEN x END) AS p95,
+        |        max(n) AS gn
+        |      FROM r GROUP BY 1),
+        |j AS (SELECT c.f, c.x, q.med, q.p05, q.p95, q.gn
+        |      FROM c JOIN q ON c.f = q.f),
+        |r2 AS (SELECT f, abs(x - med) AS d, gn,
+        |         row_number() OVER (PARTITION BY f ORDER BY abs(x - med))
+        |           AS rn FROM j),
+        |m AS (SELECT f, max(CASE WHEN rn = (gn+1)//2 THEN d END) AS mad
+        |      FROM r2 GROUP BY 1),
+        |a AS (SELECT f, max(gn) AS n, max(med) AS median,
+        |        sum(least(greatest(x, p05), p95)) AS ws FROM j GROUP BY 1)
+        |SELECT a.f AS l_returnflag, CAST(a.n AS BIGINT) AS n,
+        |  CAST(a.median AS BIGINT) AS median, CAST(m.mad AS BIGINT) AS mad,
+        |  CAST((a.ws * 100) // a.n AS BIGINT) AS winsor_mean_e2
+        |FROM a JOIN m ON a.f = m.f""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,

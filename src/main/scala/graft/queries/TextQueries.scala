@@ -28,6 +28,16 @@ object TextQueries {
         tokenCount(col("text")).cast("long").as("n_ws"),
         bpeishTokenCount(col("text")).cast("long").as("n_bpe"))),
 
+    // char-distribution Shannon entropy (e4 nats): the gibberish /
+    // padding / base64-blob signal — doc-local HOF counts, no
+    // explode, deterministic fold order so the SQL replay is exact
+    "text_entropy" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        charDistinct(col("text")).as("n_uniq"),
+        charEntropyE4(col("text")).as("entropy_e4"))),
+
     // quality scoring: length/stopword/alpha signals, one weighted score
     "text_quality" -> ((s, dir) => {
       val t = Tables(s, dir, "documents")
@@ -629,6 +639,32 @@ object TextQueries {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    // text_entropy replay: same sorted-distinct counts, same
+    // c·ln c terms, same LEFT-fold order from a 0.0 seed (0 + x = x
+    // exactly, so the prepend mirrors Spark's aggregate initial
+    // value bit-for-bit), same (ln(n)·n − s)·10000/n op order
+    "text_entropy" ->
+      """WITH cs AS (SELECT doc_id, length(text) AS n,
+        |      list_transform(range(1, length(text) + 1), i -> text[i]) AS c
+        |    FROM documents),
+        |d AS (SELECT doc_id, n, c,
+        |        list_sort(list_distinct(c)) AS dc FROM cs),
+        |t AS (SELECT doc_id, n, len(dc) AS n_uniq,
+        |        list_transform(
+        |          list_transform(dc,
+        |            x -> CAST(len(list_filter(c, y -> y = x)) AS DOUBLE)),
+        |          cc -> cc * ln(cc)) AS terms
+        |      FROM d)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN n >= 1 THEN n_uniq ELSE 0 END AS BIGINT) AS n_uniq,
+        |  CAST(CASE WHEN n >= 1 THEN floor(
+        |      (ln(CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)
+        |       - list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+        |                     (a, b) -> a + b))
+        |      * 10000 / CAST(n AS DOUBLE))
+        |    ELSE 0 END AS BIGINT) AS entropy_e4
+        |FROM t""".stripMargin,
     "text_quality" -> {
       val sw = sqlStopwords("en")
       """WITH m AS (

@@ -539,6 +539,40 @@ class Round7OpsSpec extends SparkSpec {
     assert(p(1L) == ((0L, 0L)), "disjoint -> zero, query still present")
   }
 
+  test("char entropy: degenerate exactly zero, uniform exactly ln(2) e4, empty annotated") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq((1L, "aaaaaaa"), (2L, "abababab"), (3L, ""), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextFunctions.charEntropyE4(col("text")).as("e"),
+        TextFunctions.charDistinct(col("text")).as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // single distinct char: ln(n)·n − n·ln(n) cancels bit-exactly
+    assert(out(1L) == ((0L, 1L)))
+    // two equiprobable chars: entropy = ln 2 = 0.693147... -> 6931
+    assert(out(2L) == ((6931L, 2L)))
+    assert(out(3L) == ((0L, 0L)), "empty text scores 0 with 0 distinct")
+    // four equiprobable chars: ln 4 -> 13862
+    assert(out(4L) == ((13862L, 4L)))
+  }
+
+  test("robust stats: hand-computed order statistics on a planted group") {
+    import spark.implicits._
+    import graft.operators.RobustStats
+    // group g: values 1,2,3,100 -> n=4, median = pos 2 = 2,
+    // |x-2| sorted = 0,1,1,98 -> MAD = pos 2 = 1,
+    // p05 = pos 1 = 1, p95 = pos 4 = 100 -> winsor sum 106 -> e2 2650
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 100L),
+      ("h", 5L)).toDF("k", "v")
+    val out = RobustStats.stats(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("g") == ((4L, 2L, 1L, 2650L)))
+    // singleton group: median = the value, MAD = 0, mean = value
+    assert(out("h") == ((1L, 5L, 0L, 500L)))
+  }
+
   test("skewStats: exact counts, shares and ceil-divide salts") {
     import spark.implicits._
     import graft.operators.Salting
