@@ -529,6 +529,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** DIRECTED containment near-dup pairs (Broder's containment
+    * coefficient): containment(a→b) = |S_a ∩ S_b| / |S_a| over the
+    * df-capped distinct shingle sets — catches a document EMBEDDED
+    * in a larger one (quoted articles, concatenated dumps,
+    * page-plus-boilerplate wrappers), which symmetric Jaccard
+    * misses because the union is dominated by the larger document.
+    * Same candidate discipline as [[ngramJaccardPairs]] (only docs
+    * sharing a shingle ever meet; `maxDocFreq` caps the self-join
+    * fan-out at cap² per shingle), but pairs emit in BOTH directions
+    * and divide by the CONTAINED side's set size. A row (a, b, c)
+    * reads "fraction c of a's shingles also appear in b".
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, minContainment: Double = 0.8,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val raw = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("tok"))
+      .distinct()
+    val capped =
+      if (maxDocFreq == Int.MaxValue) raw
+      else
+        raw.withColumn("__df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+    // own slot (see jaccardFromTokens): containment can compose with
+    // the jaccard/winnow operators in one pipeline
+    val t = PersistSlots.swap("dedup.containTokens", capped)
+    val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = t.select(col("id").as("id_a"), col("tok"))
+      .join(t.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("na"), 4))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Near-dup pairs by Jaccard over *winnowed* fingerprint minima —
     * the production-scale form of [[ngramJaccardPairs]]: winnowing
     * keeps ~1/w of the shingle hashes (window minima), so the

@@ -96,4 +96,35 @@ object Packing {
       }
     }.toDF()
   }
+
+  /** Length-bucketing for padded-batch efficiency — the inference /
+    * fine-tuning complement of [[greedyPack]]'s concat packing: when
+    * sequences batch WITHOUT concatenation, every sequence pads to
+    * its batch's max length, so batching similar lengths together is
+    * the whole game. Buckets are the smallest boundary >= the token
+    * count (ascending `boundaries`, clamped-and-truncated at the top
+    * — the long-tail truncation regime); the report gives per-bucket
+    * document count, the token sum (post-truncation) and the exact
+    * e4 padding efficiency sum(min(len, bucket)) / (n · bucket) —
+    * the number a batch scheduler tunes boundaries against.
+    *
+    * Scale shape: one narrow CASE projection + one map-combined
+    * aggregation over <= |boundaries| groups. All-integer.
+    * @return (bucket, n_docs, sum_tokens, pad_eff_e4) */
+  def lengthBuckets(docs: DataFrame, tokCol: String,
+                    boundaries: Seq[Long] = Seq(32L, 64L, 128L, 256L,
+                      512L, 1024L, 2048L)): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted)
+    val top = boundaries.last
+    val n = col(tokCol).cast("long")
+    val bucket = boundaries.init.reverse
+      .foldLeft(lit(top): Column)((acc, b) => when(n <= b, lit(b)).otherwise(acc))
+    def idiv(a: Column, d: Column): Column = ((a - (a % d)) / d).cast("long")
+    docs.select(bucket.as("bucket"), least(n, lit(top)).as("__t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        idiv(col("sum_tokens") * lit(10000L), col("n_docs") * col("bucket"))
+          .as("pad_eff_e4"))
+  }
 }

@@ -125,6 +125,14 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40)),
 
+    // DIRECTED containment (Broder): |Sa ∩ Sb| / |Sa| over the same
+    // df-capped shingles — catches a doc EMBEDDED in a larger one,
+    // which symmetric Jaccard's union washes out; both directions
+    // emit, divided by the contained side
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, minContainment = 0.7, maxDocFreq = 40)),
+
     // TF-IDF-weighted cosine pairs (Bayardo all-pairs similarity with
     // DISCO-style df-cap pruning): the term-weighted complement of
     // the set-based Jaccard family — rare shared vocabulary counts
@@ -435,6 +443,22 @@ object DedupQueries {
        |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
        |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5""".stripMargin
 
+  // dedup_containment replay: same df-capped shingles, directed
+  // pairs (both orders from the symmetric shingle join), divided by
+  // the contained side's set size
+  private val containmentOracle: String =
+    s"""WITH $shingleCte,
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 40),
+       |c AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+       |n AS (SELECT doc_id, count(*) AS c FROM c GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM c a JOIN c b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / na.c, 4) AS containment
+       |FROM p JOIN n na ON na.doc_id = id_a
+       |WHERE round(inter * 1.0 / na.c, 4) >= 0.7""".stripMargin
+
   // the length-bucket banding is pruning-only (lenBucket > maxDist
   // guarantees every qualifying pair is witnessed), so the oracle
   // states just the observable predicate
@@ -606,6 +630,7 @@ object DedupQueries {
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_jaccard_capped" -> cappedJaccardOracle,
+    "dedup_containment" -> containmentOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_components" -> componentsOracle,
     "dedup_components_stars" -> componentsOracle,

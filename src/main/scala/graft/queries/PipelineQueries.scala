@@ -42,6 +42,16 @@ object PipelineQueries {
           "doc_id", "n_tok", SHARDS, BUDGET)
         .select(col("doc_id"), col("shard"), col("cum_before"), col("pack_id"))),
 
+    // length-bucketing for padded batches (the no-concat complement
+    // of q_pack): smallest power-of-two boundary >= token count,
+    // exact e4 padding efficiency per bucket — all-integer, one
+    // narrow CASE + one aggregation
+    "q_length_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(
+        Tables(s, dir, "documents")
+          .select(bpeishTokenCount(col("text")).cast("long").as("n_tok")),
+        "n_tok")),
+
     // the flagship end-to-end training-data pipeline, one plan:
     // quality-filter -> exact near-dup removal (fingerprint survivor)
     // -> deterministic sharding -> per-shard corpus stats. Every stage
@@ -472,6 +482,19 @@ object PipelineQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $BUDGET) AS BIGINT)
          |    AS pack_id
          |FROM d""".stripMargin,
+    "q_length_buckets" ->
+      s"""WITH d AS (SELECT $TOK_SQL AS n FROM documents),
+         |b AS (SELECT CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+         |        WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+         |        WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+         |        ELSE 2048 END AS bucket,
+         |        least(n, 2048) AS t FROM d)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+         |  CAST((sum(t) * 10000) // (count(*) * bucket) AS BIGINT)
+         |    AS pad_eff_e4
+         |FROM b GROUP BY bucket""".stripMargin,
     "q_temp_sample" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |r AS (SELECT lang,

@@ -539,6 +539,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(p(1L) == ((0L, 0L)), "disjoint -> zero, query still present")
   }
 
+  test("containment is directed: embedded doc scores 1.0, container scores its share") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " eta theta iota kappa lambda mu nu xi omicron pi"
+    val docs = Seq((1L, small), (2L, big),
+      (3L, "unrelated words entirely different content here")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleLen = 3, minContainment = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // small has 4 shingles, all inside big (big has 14)
+    assert(out((1L, 2L)) == 1.0, "embedded doc fully contained")
+    assert(math.abs(out((2L, 1L)) - 0.2857) < 1e-9, "container holds 4/14")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("length buckets: boundary assignment, truncation and exact padding efficiency") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq(10L, 32L, 33L, 64L, 5000L).toDF("n_tok")
+    val out = Packing.lengthBuckets(docs, "n_tok")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 10 and 32 land in bucket 32: sum 42, eff = 420000/64 div = 6562
+    assert(out(32L) == ((2L, 42L, 42L * 10000L / (2L * 32L))))
+    // 33 and 64 land in bucket 64
+    assert(out(64L) == ((2L, 97L, 97L * 10000L / (2L * 64L))))
+    // 5000 clamps+truncates to the 2048 top: eff exactly 10000
+    assert(out(2048L) == ((1L, 2048L, 10000L)))
+  }
+
   test("char entropy: degenerate exactly zero, uniform exactly ln(2) e4, empty annotated") {
     import spark.implicits._
     import graft.functions.TextFunctions
