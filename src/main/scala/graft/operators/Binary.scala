@@ -51,25 +51,20 @@ object Binary {
     (java.lang.Long.parseLong(hex, 16) >> 16) - (1L << 31)
   }
 
-  private def planeLit(bit: Int, dim: Int): Column =
-    array((0 until dim).map(d => lit(planeInt(bit, d))): _*)
+  private def planeMatrix(dim: Int): Array[Array[Long]] =
+    Array.tabulate(BITS)(p => Array.tabulate(dim)(d => planeInt(p, d)))
 
-  /** Sign bit p of the packed signature: 2^p when the integer
-    * projection is >= 0 (bit 63's power is Long.MIN_VALUE — summing
-    * disjoint powers is carry-free, so + is bitwise-or here). */
-  private def bitTerm(q: Column, p: Int, dim: Int): Column =
-    when(VectorExpressions.dotLong(q, planeLit(p, dim)) >= 0, lit(1L << p))
-      .otherwise(lit(0L))
-
-  /** Pack every vector into its 64-bit sign signature — one narrow
-    * projection of 64 native long-dot-product expressions.
+  /** Pack every vector into its 64-bit sign signature — ONE narrow
+    * projection through the codegen'd [[VectorExpressions.signSignature]]
+    * kernel (the unrolled 64-dot-product form was a ~4096-node
+    * expression tree that degraded to interpreted evaluation once
+    * Catalyst collapsed it above a join — 50x slower).
     * Output: (idCol, sig). */
   def signature(df: DataFrame, idCol: String, vecCol: String,
                 dim: Int): DataFrame =
-    df.select(col(idCol), KMeans.quantize(col(vecCol)).as("__q"))
-      .select(col(idCol),
-        (0 until BITS).map(p => bitTerm(col("__q"), p, dim)).reduce(_ + _)
-          .as("sig"))
+    df.select(col(idCol),
+      VectorExpressions.signSignature(
+        KMeans.quantize(col(vecCol)), planeMatrix(dim)).as("sig"))
 
   /** Hamming top-k over packed signatures: score = BITS − popcount of
     * the xor (higher = closer in angle), rank desc with id-asc ties.

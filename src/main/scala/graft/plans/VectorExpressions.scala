@@ -160,6 +160,90 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed sign-signature kernel: all `planes.length` hyperplane sign
+  * bits of one integer vector in a single expression. The naive
+  * composition (64 [[DotProductLong]]s against 64 literal arrays) is
+  * a ~4096-node expression tree — Catalyst collapses it into the
+  * projection above a join, the generated method blows past JIT
+  * limits and evaluation degrades to interpreted tree-walking
+  * (measured 10.4 s vs 0.2 s for the same signatures at sf0.1). Here
+  * the planes ship as ONE referenced long[][] and both eval paths
+  * run a primitive bits×dims loop — compact generated code that
+  * inlines into the surrounding stage.
+  * Arithmetic contract identical to the unrolled form: left-to-right
+  * long summation per bit, bit set when the projection is >= 0,
+  * powers of two are carry-free so |= equals the oracle's sum. A
+  * null ELEMENT nulls the signature; a length mismatch vs the plane
+  * width throws (mixed embedding versions are a data error). */
+case class SignSignature(child: Expression, planes: Array[Array[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_signature requires an array<bigint> argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = planes(0).length
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_sign_signature: vector length ${x.numElements()} != plane width $dim")
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val pb = planes(b)
+      var s = 0L
+      var d = 0
+      while (d < dim) {
+        if (x.isNullAt(d)) return null
+        s += x.getLong(d) * pb(d)
+        d += 1
+      }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "long[][]")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val pb = ctx.freshName("pb")
+      val dim = ctx.freshName("dim")
+      s"""
+         |int $dim = $p[0].length;
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_sign_signature: vector length " + $a.numElements() +
+         |    " != plane width " + $dim);
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $p.length && !${ev.isNull}; $b++) {
+         |  long[] $pb = $p[$b];
+         |  long $s = 0L;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($d) * $pb[$d];
+         |  }
+         |  if (!${ev.isNull} && $s >= 0) $sig |= (1L << $b);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignSignature =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftglue.Bridge
   import org.apache.spark.sql.functions.{sqrt => sqrtCol}
@@ -174,4 +258,9 @@ object VectorExpressions {
   /** Exact long dot product (codegen'd) over array<bigint> columns. */
   def dotLong(a: Column, b: Column): Column =
     Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Packed hyperplane sign signature (codegen'd) of an array<bigint>
+    * vector against a bits x dim integer plane matrix. */
+  def signSignature(v: Column, planes: Array[Array[Long]]): Column =
+    Bridge.column(SignSignature(Bridge.expression(v), planes))
 }
