@@ -66,6 +66,30 @@ object Binary {
       VectorExpressions.signSignature(
         KMeans.quantize(col(vecCol)), planeMatrix(dim)).as("sig"))
 
+  /** Hamming shortlist → exact cosine re-rank (the FAISS refine
+    * pattern on the cheapest possible first pass): over-fetch
+    * `shortlist` candidates per query by Hamming distance on the
+    * 8-byte signatures, then re-score ONLY those against the raw
+    * vectors with exact cosine. The corpus-wide scan touches
+    * signatures alone (256x less IO than raw vectors); the raw
+    * vectors are read back for shortlist·|queries| rows via a join
+    * pinned at shortlist size. Exactly [[PQ.adcRerankTopK]]'s shape
+    * with a 64x smaller first-pass payload.
+    * @return (query_id, neighbor_id, sim 4dp, rank) */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+                        qidCol: String, idCol: String, vecCol: String,
+                        dim: Int, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val cand = hammingTopK(queries, corpus, qidCol, idCol, vecCol,
+      dim, k = shortlist).select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorExpressions.cosine(col("__qv"), col("__cv")).as("sim"))
+    TopK.perKey(scored, "query_id", "neighbor_id", "sim", k)
+  }
+
   /** Hamming top-k over packed signatures: score = BITS − popcount of
     * the xor (higher = closer in angle), rank desc with id-asc ties.
     * Queries broadcast; the corpus side is one scan of 8-byte

@@ -223,6 +223,16 @@ object VectorQueries {
         "vec_id", "vec_id", "embedding", DIM, k = 10)
     }),
 
+    // Hamming shortlist -> exact cosine re-rank (FAISS refine on the
+    // cheapest first pass): corpus scan touches 8-byte signatures
+    // only, raw vectors come back for 50 rows/query
+    "knn_hamming_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Binary.hammingRerankTopK(
+        emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "vec_id", "embedding", DIM, shortlist = 50, k = 10)
+    }),
+
     // recall@10 of the 1-bit Hamming search vs exact cosine — ANN
     // evaluation as a first-class operator (both legs bounded top-k
     // frames, so the measurement costs k rows per query, not a
@@ -685,9 +695,34 @@ object VectorQueries {
        |SELECT query_id, hits,
        |  CAST((hits * 10000) // 10 AS BIGINT) AS recall_e4 FROM h""".stripMargin
 
+  private def binHammingRerankOracle: String =
+    s"""WITH $binSigCtes,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, sig AS q_sig FROM sg
+       |       WHERE vec_id < 8),
+       |sc AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+       |         64 - bit_count(xor(qs.q_sig, c.sig)) AS score
+       |       FROM qs JOIN sg c ON c.vec_id <> qs.query_id),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
+       |       WHERE rn <= 50),
+       |s2 AS (SELECT sl.query_id, sl.neighbor_id,
+       |         list_cosine_similarity(qe.v, ne.v) AS sim
+       |       FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+       |       JOIN e ne ON ne.vec_id = sl.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+       |      FROM s2)
+       |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_binsig" -> binSigOracle,
     "knn_hamming" -> binHammingOracle,
+    "knn_hamming_rerank" -> binHammingRerankOracle,
     "q_pca" -> pcaOracle,
     "q_sq8" -> sqEncodeOracle,
     "knn_sq8" -> sqAdcOracle,

@@ -481,6 +481,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(top(1).getLong(1) == 2L)
   }
 
+  test("hamming rerank recovers exact cosine order on the shortlist") {
+    import spark.implicits._
+    import graft.operators.Binary
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val near = base.map(_ * 0.9f)        // same direction, cosine 1.0
+    val other = base.map(x => -x)
+    val mid = Array.tabulate(16)(i => math.cos(i * 2.3).toFloat)
+    val df = Seq((0L, base), (1L, near), (2L, other), (3L, mid))
+      .toDF("id", "vec")
+    val top = Binary.hammingRerankTopK(df.filter(col("id") === 0), df,
+        "id", "id", "vec", 16, shortlist = 3, k = 2)
+      .orderBy(col("rank")).collect()
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0,
+      s"scaled copy must re-rank first with exact cosine 1.0: ${top.toSeq}")
+  }
+
   test("hamming distance tracks angle: E[dist]/64 ~ angle/pi (Charikar)") {
     import spark.implicits._
     import graft.operators.Binary
