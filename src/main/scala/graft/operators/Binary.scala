@@ -24,15 +24,25 @@ import graft.plans.VectorExpressions
   * signature is a sum of disjoint powers of two, and the distance is
   * `bit_count(xor(a, b))` — every value a long.
   *
-  * Scale shape: [[signature]] is one narrow projection (64 codegen'd
-  * long dot products against literal plane arrays — no UDF, no
-  * shuffle, nothing grows with the corpus); a 100 TB corpus becomes
-  * 8 bytes/vector of signatures. [[hammingTopK]] broadcasts the
-  * (tiny) query signatures and runs one scan over the corpus
-  * signatures with a bounded [[TopK]] partial aggregate — xor +
-  * popcount per pair, the cheapest candidate-scoring primitive that
-  * exists. Re-rank the survivors with [[Similarity.bruteForceTopK]]
-  * or [[SQ.adcTopK]] when exact order matters.
+  * Scale shape: [[signature]] is one narrow projection through a
+  * single codegen'd kernel expression — no UDF, no shuffle, nothing
+  * grows with the corpus; a 100 TB corpus becomes 8 bytes/vector of
+  * signatures. [[hammingTopK]] broadcasts the (tiny) query
+  * signatures and runs one scan over the corpus signatures with a
+  * bounded [[TopK]] partial aggregate — xor + popcount per pair,
+  * the cheapest candidate-scoring primitive that exists.
+  * [[hammingRerankTopK]] refines the shortlist with exact cosine.
+  *
+  * Deliberately ABSENT: a banded Hamming self-join for all-pairs
+  * near-dup (the SimHash trick). The pigeonhole needs
+  * maxHamming < nBands, and at the radii where 64-bit signatures of
+  * real embeddings separate (Hamming 10-16, i.e. 15-25% of bits),
+  * that forces bands of <= 4 bits whose 16-value keys collide
+  * constantly — measured 128 k candidate rows from 500 fixture
+  * vectors, worse than brute force. Pair-finding at loose angular
+  * radii belongs to [[Similarity.embeddingNearDupPairsLSH]] (multi-
+  * bit buckets, tunable planes); the packed signature's niche is
+  * top-k SEARCH and storage, not radius joins.
   */
 object Binary {
 

@@ -64,10 +64,19 @@ object Explain {
     "knn_hard_neg",      // label-pruned broadcast join before the dot
     "q_pca",             // shown plan = the narrow 64-term projection (the
                          // scatter fit is one mapPartitions scan at build)
-    "dedup_tfidf_cosine" // df window -> term self-join reusing partitioning
+    "dedup_tfidf_cosine", // df window -> term self-join reusing partitioning
     // (knn_mmr omitted: the greedy rounds run over checkpointed
     // candidate-scale RDD scans — the corpus-touching plan is the
     // shortlist stage, knn_cosine's shape)
+    "q_binsig",          // ONE codegen'd sign-signature kernel, zero exchanges
+    "knn_hamming",       // 8-byte sig scan: xor+popcount + TopK partial agg
+    "knn_hamming_rerank", // sig shortlist broadcast-joined back to raw vectors
+    "dedup_cdc",         // narrow HOF chunking -> window df count, no self-join
+    "dedup_containment", // df-capped shingle equi-join, directed pair agg
+    "text_entropy",      // doc-local char HOFs, zero shuffle
+    "q_robust_stats",    // two per-group sorts + broadcast quantile frame
+    "q_skew_stats",      // map-combined count agg + bounded TakeOrdered
+    "q_length_buckets"   // CASE projection + one aggregation
   )
 
   def main(args: Array[String]): Unit = {

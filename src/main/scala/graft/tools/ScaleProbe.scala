@@ -112,7 +112,10 @@ object ScaleProbe {
       "q_bm25_batch", "q_heavy_hitters",
       "q_pagerank", "q_cms", "q_split_leakage",
       "dedup_segments", "q_drift_psi", "q_drift_js", "q_snapshot_diff",
-      "q_sq8", "knn_sq8", "knn_hard_neg", "q_pca", "dedup_tfidf_cosine")
+      "q_sq8", "knn_sq8", "knn_hard_neg", "q_pca", "dedup_tfidf_cosine",
+      "q_binsig", "knn_hamming", "knn_hamming_rerank", "q_recall_eval",
+      "dedup_cdc", "dedup_containment", "text_entropy",
+      "q_robust_stats", "q_skew_stats", "q_length_buckets")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

@@ -92,4 +92,41 @@ class VectorExpressionsSpec extends SparkSpec {
       mismatch.select(VectorExpressions.dotLong(col("a"), col("b"))).collect()
     }
   }
+
+  test("sign signature kernel: bit semantics, eval-path parity, null/mismatch handling") {
+    import spark.implicits._
+    // planes chosen so the expected bits are hand-computable
+    val planes = Array(Array(1L, 0L), Array(-1L, 0L), Array(0L, 1L))
+    def sig(v: Array[Long]) = Seq(Tuple1(v)).toDF("v")
+      .select(VectorExpressions.signSignature(col("v"), planes)).collect()(0)
+    // v = (5, -2): bits = [5>=0, -5>=0, -2>=0] = 1,0,0 -> sig 1
+    assert(sig(Array(5L, -2L)).getLong(0) == 1L)
+    // v = (-3, 4): bits = [0, 1, 1] -> 6
+    assert(sig(Array(-3L, 4L)).getLong(0) == 6L)
+    // zero projection counts as a set bit (>= 0)
+    assert(sig(Array(0L, 0L)).getLong(0) == 7L)
+    // interpreted path (nullSafeEval) must agree with codegen: force
+    // it through a deserialized local relation vs the same literal
+    val df = (1 to 50).map(i => Array(i.toLong, -i * 3L)).toDF("v")
+    val viaPlan = df.select(
+      VectorExpressions.signSignature(col("v"), planes).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = (1 to 50).map { i =>
+      val v = Array(i.toLong, -i * 3L)
+      (0 until 3).map { b =>
+        val s = v(0) * planes(b)(0) + v(1) * planes(b)(1)
+        if (s >= 0) 1L << b else 0L
+      }.sum
+    }
+    assert(viaPlan == expected)
+    // null element nulls the signature
+    val withNull = Seq(Tuple1(Array[java.lang.Long](1L, null))).toDF("v")
+      .select(VectorExpressions.signSignature(col("v").cast("array<bigint>"), planes))
+    assert(withNull.collect()(0).isNullAt(0))
+    // length mismatch is a data error, not a truncated signature
+    intercept[Exception] {
+      Seq(Tuple1(Array(1L))).toDF("v")
+        .select(VectorExpressions.signSignature(col("v"), planes)).collect()
+    }
+  }
 }
