@@ -209,6 +209,40 @@ object Demo {
       Seq((1L, gif)).toDF("id", "payload"), "payload")
       .select(col("decoded.n_frames")).head().getLong(0)
     println(s"gif video frames=$vid")
+
+    println("== round-7 compression/diagnostics operators ==")
+    // 1-bit signatures: 8 bytes/vector, Hamming shortlist, exact refine
+    println("hamming rerank top-3=" + graft.operators.Binary
+      .hammingRerankTopK(emb5.filter(col("vec_id") === 0L), emb5,
+        "vec_id", "vec_id", "embedding", 64, shortlist = 8, k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).mkString(","))
+    // recall of the 1-bit search vs exact cosine, e4
+    val ex0 = graft.operators.Similarity.bruteForceTopK(
+      emb5.filter(col("vec_id") === 0L), emb5, "vec_id", "vec_id", "embedding", k = 5)
+    val ap0 = graft.operators.Binary.hammingTopK(
+      emb5.filter(col("vec_id") === 0L), emb5, "vec_id", "vec_id", "embedding", 64, k = 5)
+    println("hamming recall@5 e4=" + graft.operators.Similarity
+      .recallAtK(ex0, ap0, 5).head().getLong(2))
+    // the refine path: a 64-vector Hamming shortlist re-ranked by
+    // exact cosine recovers most of the exact top-5 (the 1-bit scan
+    // alone is weak on near-orthogonal synthetic data — by design,
+    // it's a filter, not a ranker)
+    val rr0 = graft.operators.Binary.hammingRerankTopK(
+      emb5.filter(col("vec_id") === 0L), emb5,
+      "vec_id", "vec_id", "embedding", 64, shortlist = 64, k = 5)
+    println("hamming+rerank recall@5 e4=" + graft.operators.Similarity
+      .recallAtK(ex0, rr0, 5).head().getLong(2))
+    // CDC chunk dedup + robust stats + skew diagnostic
+    println("cdc dup docs=" + graft.operators.Dedup
+      .cdcChunkStats(docs5, "doc_id", "text")
+      .filter(col("n_dup_chunks") > 0).count())
+    val rs = graft.operators.RobustStats.stats(
+      docs5.select(col("lang"), col("n_chars")), "lang", "n_chars")
+      .orderBy(col("lang")).head()
+    println(s"robust n_chars (lang=${rs.getString(0)}): median=${rs.getLong(2)} mad=${rs.getLong(3)}")
+    val sk = graft.operators.Salting.skewStats(docs5, "source", topN = 1,
+      targetPerBucket = 16L).head()
+    println(s"heaviest source=${sk.get(1)} cnt=${sk.getLong(2)} salt=${sk.getLong(4)}")
     spark.stop()
   }
 }
