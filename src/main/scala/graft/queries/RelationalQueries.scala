@@ -219,6 +219,24 @@ object RelationalQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // interval-OVERLAP join (interval x interval): bucketed equi-join
+    // + first-shared-bucket dedup — each qualifying pair exactly
+    // once, no BNLJ, no distinct pass
+    "q_interval_join" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("id_a"), col("o_orderdate").as("sa"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("ea"))
+      val b = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").as("id_b"), col("o_orderdate").as("sb"),
+          (col("o_orderdate") + expr("INTERVAL 5 DAY")).as("eb"))
+      graft.operators.RangeJoin.intervalOverlap(a, b, "sa", "ea", "sb", "eb")
+        .select(col("id_a"), col("id_b"),
+          datediff(least(col("ea"), col("eb")), greatest(col("sa"), col("sb")))
+            .cast("long").as("overlap_days"))
+    }),
+
     // explicit grouping sets (beyond rollup/cube): per-flag, per-status
     // and grand-total rows in one aggregate
     "q_grouping_sets" -> ((s, dir) =>
@@ -672,6 +690,17 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_interval_join" ->
+      """WITH a AS (SELECT o_orderkey AS id_a, o_orderdate AS sa,
+        |             o_orderdate + INTERVAL 7 DAY AS ea
+        |           FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (SELECT o_orderkey AS id_b, o_orderdate AS sb,
+        |        o_orderdate + INTERVAL 5 DAY AS eb
+        |      FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT id_a, id_b,
+        |  CAST(date_diff('day', greatest(sa, sb), least(ea, eb)) AS BIGINT)
+        |    AS overlap_days
+        |FROM a JOIN b ON sa < eb AND sb < ea""".stripMargin,
     "q_robust_stats" ->
       """WITH c AS (SELECT l_returnflag AS f,
         |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
