@@ -105,6 +105,89 @@ object LanguageModel {
     zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (a, b) => struct(a.as("prev"), b.as("cur")))
 
+  /** (p2, p1, cur) struct triples of consecutive words — positions
+    * 3..n. */
+  private def triplesOf(w: org.apache.spark.sql.Column) =
+    zip_with(
+      zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+        (a, b) => struct(a.as("p2"), b.as("p1"))),
+      slice(w, lit(3), size(w) - 2),
+      (ab, c) => struct(ab("p2").as("p2"), ab("p1").as("p1"), c.as("cur")))
+
+  /** Per-document TRIGRAM NLL with full stupid backoff (Brants et
+    * al. 2007 — the order CCNet's production KenLM actually runs at
+    * is 5; order 3 exercises the recursive-backoff machinery the
+    * bigram form cannot). Positions 3..n score −ln of
+    *   c(p2 p1 cur)/c(p2 p1)        when the trigram was seen,
+    *   0.4 · c(p1 cur)/c(p1)        backing off to the bigram,
+    *   0.4² · c(cur)/total          backing off to the unigram,
+    *   0.4² / (total · 10)          for unknown words
+    * — each backoff level multiplying the fixed 0.4 penalty, exactly
+    * the recursion S(w|ctx) = count ratio, else 0.4·S(w|shorter ctx).
+    * Documents with fewer than 3 words drop out.
+    *
+    * Scale shape identical to [[bigramNll]]: gram-key left joins
+    * against reference count tables (the corpus text itself never
+    * shuffles — only exploded gram rows), one broadcast total, one
+    * map-combined per-doc aggregation. The count tables grow with
+    * the reference (trigram vocabulary ~cubes the tail), which is
+    * why production ships PRUNED models — the broadcast-narrow twin
+    * of this form follows [[bigramNllNarrow]] with the same
+    * min-count discipline.
+    * @return (idCol, n_scored, nll_e6, avg_nll_e6) */
+  def trigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 ref: DataFrame, refTextCol: String): DataFrame = {
+    val refToks = ref.select(words(col(refTextCol)).as("__w"))
+    val uni = refToks.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val big = refToks.select(explode(pairsOf(col("__w"))).as("p"))
+      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c12"))
+    val tri = refToks.select(explode(triplesOf(col("__w"))).as("t"))
+      .select(col("t.p2").as("p2"), col("t.p1").as("p1"), col("t.cur").as("cur"))
+      .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c123"))
+    val total = refToks
+      .agg(sum(size(col("__w"))).cast("long").as("__t"))
+      .select(when(col("__t").isNull, raise_error(lit(
+        "trigramNll: empty reference corpus (every backoff " +
+          "probability would divide by zero)")).cast("long"))
+        .otherwise(col("__t")).as("total"))
+
+    val triples = docs
+      .select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("id"), explode(triplesOf(col("__w"))).as("t"))
+      .select(col("id"), col("t.p2").as("p2"), col("t.p1").as("p1"),
+        col("t.cur").as("cur"))
+
+    // a seen trigram guarantees its (p2, p1) context count exists,
+    // so the first branch never divides by null
+    val scored = triples
+      .join(tri, Seq("p2", "p1", "cur"), "left")
+      .join(big.select(col("prev").as("p2"), col("cur").as("p1"),
+        col("c12").as("cctx")), Seq("p2", "p1"), "left")
+      .join(big.select(col("prev").as("p1"), col("cur"),
+        col("c12").as("c12b")), Seq("p1", "cur"), "left")
+      .join(uni.select(col("w").as("p1"), col("c").as("c1")),
+        Seq("p1"), "left")
+      .join(uni.select(col("w").as("cur"), col("c").as("c2")),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("cost_e6", floor(lit(1000000.0) * -log(
+        when(col("c123").isNotNull,
+          col("c123").cast("double") / col("cctx").cast("double"))
+        .otherwise(when(col("c12b").isNotNull,
+          lit(0.4) * (col("c12b").cast("double") / col("c1").cast("double")))
+        .otherwise(when(col("c2").isNotNull,
+          lit(0.16) * (col("c2").cast("double") / col("total").cast("double")))
+        .otherwise(lit(0.16) / (col("total").cast("double") * lit(10.0))))))))
+
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("cost_e6")).as("nll_e6"))
+      .select(col("id").as(idCol), col("n_scored"), col("nll_e6"),
+        expr("nll_e6 div n_scored").as("avg_nll_e6"))
+  }
+
   /** A trained bigram model held in memory — the deployment shape of
     * KenLM-style filtering: CCNet ships a PRUNED model to every
     * worker and scores with lookups, never a join. Bigram keys are

@@ -388,6 +388,16 @@ object TextQueries {
         docs.filter(col("doc_id") % 5 === 0), "text")
     }),
 
+    // trigram stupid backoff (Brants et al.) — the recursive-backoff
+    // ladder the bigram form can't exercise: trigram ratio, else
+    // 0.4 x bigram, else 0.16 x unigram, else unknown
+    "q_perplexity3" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.LanguageModel.trigramNll(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0), "text")
+    }),
+
     // the broadcast-model form of q_perplexity: counts collected into
     // map literals (the pruned-KenLM deployment shape), scoring one
     // narrow stream-safe projection — same arithmetic, same oracle
@@ -608,6 +618,46 @@ object TextQueries {
        |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
        |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
        |FROM c GROUP BY doc_id""".stripMargin
+
+  // q_perplexity3 replay: the same uni/big tables plus the trigram
+  // count, the recursive CASE ladder with one fixed association per
+  // branch (ratio parenthesized before the 0.4^k multiplier,
+  // matching the Spark column expression), per-token floor
+  private val perplexity3Oracle: String =
+    s"""WITH $perplexityCtes,
+       |tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c123 FROM (
+       |          SELECT unnest(ws[1:len(ws)-2]) AS p2,
+       |                 unnest(ws[2:len(ws)-1]) AS p1,
+       |                 unnest(ws[3:len(ws)]) AS cur
+       |          FROM wr WHERE len(ws) >= 3) GROUP BY p2, p1, cur),
+       |dp3 AS (SELECT doc_id, unnest(ws[1:len(ws)-2]) AS p2,
+       |          unnest(ws[2:len(ws)-1]) AS p1,
+       |          unnest(ws[3:len(ws)]) AS cur
+       |        FROM wd WHERE len(ws) >= 3),
+       |c3 AS (SELECT doc_id,
+       |        CAST(floor(1000000.0 * (-ln(
+       |          CASE WHEN tri.c123 IS NOT NULL
+       |                 THEN CAST(tri.c123 AS DOUBLE) / CAST(bc.cctx AS DOUBLE)
+       |               WHEN bb.c12b IS NOT NULL
+       |                 THEN 0.4 * (CAST(bb.c12b AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+       |               WHEN u2.c2 IS NOT NULL
+       |                 THEN 0.16 * (CAST(u2.c2 AS DOUBLE) / CAST(total AS DOUBLE))
+       |               ELSE 0.16 / (CAST(total AS DOUBLE) * 10.0)
+       |          END))) AS BIGINT) AS cost_e6
+       |      FROM dp3
+       |      LEFT JOIN tri ON tri.p2 = dp3.p2 AND tri.p1 = dp3.p1
+       |                   AND tri.cur = dp3.cur
+       |      LEFT JOIN (SELECT prev, cur, c12 AS cctx FROM big) bc
+       |        ON bc.prev = dp3.p2 AND bc.cur = dp3.p1
+       |      LEFT JOIN (SELECT prev, cur, c12 AS c12b FROM big) bb
+       |        ON bb.prev = dp3.p1 AND bb.cur = dp3.cur
+       |      LEFT JOIN (SELECT w, c AS c1 FROM uni) u1 ON u1.w = dp3.p1
+       |      LEFT JOIN (SELECT w, c AS c2 FROM uni) u2 ON u2.w = dp3.cur
+       |      CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
+       |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |FROM c3 GROUP BY doc_id""".stripMargin
 
   // ccnet replay: per-doc averages, value histogram, cumulative
   // count, order-statistic terciles, CASE bucket — all integer
@@ -1009,6 +1059,7 @@ object TextQueries {
     // split, zipped-unnest (prev, cur) pairs, the same CASE ladder
     // with one fixed association, per-token floor to micro-nats
     "q_perplexity" -> perplexityOracle,
+    "q_perplexity3" -> perplexity3Oracle,
     // q_rrf replay: the q_bm25 lexical top-20 (identical CTE chain)
     // and the knn_cosine top-20 for query vector 0 (same round-6
     // rank key TopK uses), fused with integer-division contributions

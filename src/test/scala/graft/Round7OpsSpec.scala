@@ -619,6 +619,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(out("h") == ((1L, 5L, 0L, 500L)))
   }
 
+  test("trigram stupid backoff walks the full ladder with hand-computed costs") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // ref "a b c a b c": uni a=2 b=2 c=2 (total 6); big ab=2 bc=2
+    // ca=1; tri abc=2 bca=1 cab=1
+    val ref = Seq("a b c a b c").toDF("text")
+    val docs = Seq(
+      (1L, "a b c"),   // trigram path: c(abc)/c(ab) = 1 -> cost 0
+      (2L, "x a b"),   // bigram backoff: 0.4 * c(ab)/c(a) = 0.4
+      (3L, "x y c"),   // unigram backoff: 0.16 * c(c)/6
+      (4L, "x y z"),   // unknown: 0.16 / 60
+      (5L, "a b")      // < 3 words: drops out
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.trigramNll(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    def e6(p: Double) = math.floor(1e6 * -math.log(p)).toLong
+    assert(out(1L) == ((1L, 0L)), s"seen trigram must cost 0: $out")
+    assert(out(2L) == ((1L, e6(0.4 * (2.0 / 2.0)))))
+    assert(out(3L) == ((1L, e6(0.16 * (2.0 / 6.0)))))
+    assert(out(4L) == ((1L, e6(0.16 / 60.0))))
+    assert(!out.contains(5L), "two-word doc has no trigram positions")
+  }
+
   test("skewStats: exact counts, shares and ceil-divide salts") {
     import spark.implicits._
     import graft.operators.Salting
