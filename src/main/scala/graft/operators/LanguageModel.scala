@@ -307,6 +307,97 @@ object LanguageModel {
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
   }
 
+  /** A trained trigram model held in memory — [[BigramModel]]'s
+    * order-3 sibling. Keys are space-joined grams. */
+  final case class TrigramModel(uni: Map[String, Long],
+                                big: Map[String, Long],
+                                tri: Map[String, Long], total: Long)
+
+  /** Collect trigram/bigram/unigram reference counts with the same
+    * KenLM-style pruning discipline as [[trainBigrams]] (executors
+    * prune, the driver receives survivors; `total` stays the exact
+    * unpruned token count). Lower-order consistency cascades one
+    * level further: a surviving bigram needs its `prev` unigram (the
+    * backoff ratio divides by c(p1)), and a surviving trigram needs
+    * its (p2, p1) CONTEXT bigram (the top ratio divides by
+    * c(p2 p1)) — a trigram whose context was pruned scores through
+    * the backoff path, exactly how a pruned KenLM degrades. */
+  def trainTrigrams(ref: DataFrame, refTextCol: String,
+                    minCount: Long = 1L,
+                    maxEntries: Int = Int.MaxValue): TrigramModel = {
+    val toks = ref.select(words(col(refTextCol)).as("__w"))
+    def prunedCounts(grams: DataFrame): Map[String, Long] = {
+      val counts = grams.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val floored = if (minCount > 1) counts.filter(col("c") >= minCount)
+                    else counts
+      val capped = if (maxEntries == Int.MaxValue) floored
+                   else floored.orderBy(col("c").desc, col("k").asc)
+                     .limit(maxEntries)
+      capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def grams(n: Int) = prunedCounts(toks.select(explode(
+      graft.functions.TextFunctions.shinglesOfWords(col("__w"), n)).as("k")))
+    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")))
+    val big = grams(2).filter { case (k, _) =>
+      uni.contains(k.substring(0, k.indexOf(' '))) }
+    val tri = grams(3).filter { case (k, _) =>
+      big.contains(k.substring(0, k.lastIndexOf(' '))) }
+    val unpruned = minCount <= 1L && maxEntries == Int.MaxValue
+    val total =
+      if (unpruned) uni.valuesIterator.sum
+      else toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
+        .cast("long").as("t")).head().getLong(0)
+    require(total > 0,
+      "trainTrigrams: empty reference corpus (every backoff probability " +
+        "would divide by zero)")
+    TrigramModel(uni, big, tri, total)
+  }
+
+  /** [[trigramNll]] against an in-memory [[TrigramModel]]: the
+    * broadcast-narrow deployment form — per-token costs from map
+    * lookups folded inside the row, zero exchanges and zero joins on
+    * the corpus side, stream-safe. Same arithmetic as the join form
+    * (identical association per ladder branch, per-token floor), so
+    * an unpruned model reproduces it byte-for-byte and shares its
+    * oracle. */
+  def trigramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
+                       model: TrigramModel): DataFrame = {
+    val uniMap = typedLit(model.uni)
+    val bigMap = typedLit(model.big)
+    val triMap = typedLit(model.tri)
+    val totalD = lit(model.total.toDouble)
+    val w = col("__gpnw")
+    val costs = transform(
+      graft.functions.TextFunctions.shinglesOfWords(w, 3),
+      (tg, i) => {
+        val p1 = element_at(w, i + 2)
+        val cur = element_at(w, i + 3)
+        val c123 = element_at(triMap, tg)
+        val cctx = element_at(bigMap,
+          concat_ws(" ", element_at(w, i + 1), p1))
+        val c12b = element_at(bigMap, concat_ws(" ", p1, cur))
+        val c1 = element_at(uniMap, p1)
+        val c2 = element_at(uniMap, cur)
+        floor(lit(1000000.0) * -log(
+          when(c123.isNotNull, c123.cast("double") / cctx.cast("double"))
+            .otherwise(when(c12b.isNotNull,
+              lit(0.4) * (c12b.cast("double") / c1.cast("double")))
+            .otherwise(when(c2.isNotNull,
+              lit(0.16) * (c2.cast("double") / totalD))
+            .otherwise(lit(0.16) / (totalD * lit(10.0)))))))
+      })
+    docs
+      // dropout on the cheap array size BEFORE the cost chain exists
+      // (see bigramNllNarrowOfWords)
+      .select(col(idCol), words(col(textCol)).as("__gpnw"))
+      .filter(size(col("__gpnw")) >= 3)
+      .select(col(idCol), costs.as("__c"))
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("n_scored"),
+        aggregate(col("__c"), lit(0L), (acc, x) => acc + x).as("nll_e6"))
+      .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
+  }
+
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020,
     * §4.3): score every document's average NLL against the reference
     * LM, then split the corpus at the NLL TERCILES — "head" is the

@@ -409,6 +409,17 @@ object TextQueries {
         docs, "doc_id", "text", model)
     }),
 
+    // the broadcast-model form of q_perplexity3: trigram maps as
+    // literals, scoring one narrow stream-safe projection — same
+    // arithmetic, same oracle
+    "q_perplexity3_bcast" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainTrigrams(
+        docs.filter(col("doc_id") % 5 === 0), "text")
+      graft.operators.LanguageModel.trigramNllNarrow(
+        docs, "doc_id", "text", model)
+    }),
+
     // CCNet §4.3 head/middle/tail corpus partition: NLL terciles as
     // exact integer order statistics (no interpolated percentile —
     // engine-portable by construction)
@@ -1060,6 +1071,7 @@ object TextQueries {
     // with one fixed association, per-token floor to micro-nats
     "q_perplexity" -> perplexityOracle,
     "q_perplexity3" -> perplexity3Oracle,
+    "q_perplexity3_bcast" -> perplexity3Oracle,
     // q_rrf replay: the q_bm25 lexical top-20 (identical CTE chain)
     // and the knn_cosine top-20 for query vector 0 (same round-6
     // rank key TopK uses), fused with integer-division contributions

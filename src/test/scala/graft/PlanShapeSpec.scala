@@ -62,6 +62,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("broadcast trigram scoring keeps the same zero-exchange zero-join shape") {
+    def mk = graft.SparkEntry.queries("q_perplexity3_bcast")(spark, SF)
+    assert(shuffles(mk) == 0)
+    val plan = withoutAqe { mk.queryExecution.executedPlan.toString }
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("incremental dedup never self-joins the corpus band keys") {
     // structural claim: every band-key candidate join has the BATCH
     // side (subtree filtered to doc_id % 10 = 7) on at least one

@@ -642,6 +642,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(!out.contains(5L), "two-word doc has no trigram positions")
   }
 
+  test("trigram narrow form matches the join form; pruned context degrades to backoff") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val ref = (Seq.fill(8)("a b c d") :+ "x y z a b c").toDF("text")
+    val docs = Seq((1L, "a b c d"), (2L, "x y z q"), (3L, "b c d a b"))
+      .toDF("doc_id", "text")
+    val join = LanguageModel.trigramNll(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val narrow = LanguageModel.trigramNllNarrow(docs, "doc_id", "text",
+        LanguageModel.trainTrigrams(ref, "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(join == narrow, s"unpruned narrow must reproduce the join form:\n$join\n$narrow")
+    // min-count pruning drops the singleton grams ("x y z..." path);
+    // docs built only of surviving grams score identically, pruned
+    // grams fall through the ladder (cost can only rise)
+    val pruned = LanguageModel.trainTrigrams(ref, "text", minCount = 2)
+    assert(!pruned.tri.contains("x y z") && pruned.tri.contains("a b c"))
+    val ps = LanguageModel.trigramNllNarrow(docs, "doc_id", "text", pruned)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val js = join.map(t => t._1 -> t._3).toMap
+    assert(ps(1L) == js(1L), "all-surviving doc scores identically")
+    assert(ps(2L) >= js(2L), "pruned grams can only raise the cost")
+  }
+
   test("skewStats: exact counts, shares and ceil-divide salts") {
     import spark.implicits._
     import graft.operators.Salting
