@@ -867,6 +867,79 @@ object Dedup {
             col("n_chunks") * 10000).cast("long")))
   }
 
+  /** The rewrite half of CDC dedup — remove every chunk that appears
+    * in at least one OTHER document (the boilerplate/wrapper bytes)
+    * and reassemble the survivors in order. Complements
+    * [[cdcChunkStats]] exactly as [[dupSpanRemove]] complements
+    * [[dupSpanStats]].
+    *
+    * Scale shape: the document TEXT never shuffles. Chunk hashes
+    * (16 bytes/chunk) ride the [[cdcChunkStats]] df pipeline; each
+    * doc's duplicated-hash SET comes back as one small array column
+    * via an equi-join, and the rebuild is a doc-local higher-order
+    * filter + substring concat against that set. A doc with no
+    * duplicated chunks reassembles to its exact original text (the
+    * chunks partition the doc).
+    * @return (idCol, clean_text, n_chunks, n_kept) */
+  def cdcChunkRemove(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 16, maskHex: String = "0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && maskHex.nonEmpty)
+    val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
+    val w = window
+    val bnds =
+      s"""concat(
+         |  CASE WHEN length(__t) >= ${w + 1}
+         |       THEN filter(sequence($w, length(__t) - 1),
+         |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
+         |                   IN $inMask)
+         |       ELSE array() END,
+         |  array(length(__t)))""".stripMargin
+    val chunkHashes =
+      """transform(__b, (b, j) -> md5(substring(__t,
+        |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
+        |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
+    val base = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .withColumn("__b", expr(bnds))
+    // corpus df over distinct (doc, hash) — same duplication notion
+    // as the stats half; only 16-byte hashes shuffle
+    val dupSets = base
+      .select(col("id"), explode(expr(chunkHashes)).as("h"))
+      .distinct()
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__df") > 1)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("__dups"))
+    val rebuilt = base
+      .join(dupSets, Seq("id"), "left")
+      .withColumn("__dups",
+        coalesce(col("__dups"), array().cast("array<string>")))
+      // materialize the kept-chunk slices ONCE (HOF lambdas get no
+      // CSE — an inline hash in both clean_text and n_kept would
+      // re-run every md5 per consumer), then both outputs read the
+      // same filtered array. n_kept counts CHUNKS kept, not |set|
+      // removed: a doc can repeat one duplicated chunk several times
+      .withColumn("__kept",
+        expr(
+          """filter(transform(__b, (b, j) -> struct(
+            |    CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END AS s,
+            |    b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END AS l)),
+            |  c -> NOT array_contains(__dups, md5(substring(__t, c.s, c.l))))"""
+            .stripMargin))
+      .select(col("id"),
+        expr("array_join(transform(__kept, c -> substring(__t, c.s, c.l)), '')")
+          .as("clean_text"),
+        size(col("__b")).cast("long").as("n_chunks"),
+        size(col("__kept")).cast("long").as("n_kept"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** The rewrite half of exact-substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better":
     * after measuring duplication, REMOVE it): drop every word that

@@ -121,7 +121,10 @@ object Salting {
     val counts = PersistSlots.swap("skewStats",
       df.select(col(key)).filter(col(key).isNotNull)
         .groupBy(col(key)).agg(count(lit(1)).as("cnt")))
-    val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    // coalesce: an empty (or all-null-key) input sums to NULL, and a
+    // bare getLong would NPE instead of returning the empty report
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .collect()(0).getLong(0)
     // constant-valued but NON-FOLDABLE partition key (cnt is
     // non-nullable, so `cnt * 0` folds to a literal and Catalyst
     // strips the spec, reinstating the unpartitioned-window warning;

@@ -125,6 +125,11 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40)),
 
+    // the rewrite half of CDC dedup: drop chunks appearing in other
+    // docs, reassemble survivors — text never shuffles, only hashes
+    "dedup_cdc_remove" -> ((s, dir) =>
+      Dedup.cdcChunkRemove(Tables(s, dir, "documents"), "doc_id", "text")),
+
     // DIRECTED containment (Broder): |Sa ∩ Sb| / |Sa| over the same
     // df-capped shingles — catches a doc EMBEDDED in a larger one,
     // which symmetric Jaccard's union washes out; both directions
@@ -589,6 +594,41 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
+  // dedup_cdc_remove replay: same boundary/chunk derivation with the
+  // chunk TEXT carried alongside the hash, corpus df over distinct
+  // (doc, hash), ordered string_agg reassembly of the survivors
+  private val cdcRemoveOracle: String =
+    """WITH d0 AS (SELECT doc_id, text AS t, length(text) AS n
+      |            FROM documents WHERE length(text) >= 1),
+      |b AS (SELECT doc_id, t,
+      |        list_append(list_filter(range(16, n),
+      |          i -> substr(md5(substr(t, i - 15, 16)), 32, 1) IN ('0')),
+      |          n) AS b2
+      |      FROM d0),
+      |c AS (SELECT doc_id, b2,
+      |        list_transform(range(1, len(b2) + 1), j ->
+      |          substr(t,
+      |            CASE WHEN j = 1 THEN 1 ELSE b2[j - 1] + 1 END,
+      |            b2[j] - CASE WHEN j = 1 THEN 0 ELSE b2[j - 1] END)) AS cs
+      |      FROM b),
+      |c2 AS (SELECT doc_id, b2, cs,
+      |         list_transform(cs, x -> md5(x)) AS hs FROM c),
+      |ch AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM c2),
+      |dupg AS (SELECT h FROM ch GROUP BY h HAVING count(*) > 1),
+      |rws AS (SELECT doc_id, unnest(hs) AS h, unnest(cs) AS chunk,
+      |          unnest(range(1, len(hs) + 1)) AS j FROM c2),
+      |kept AS (SELECT doc_id, j, chunk FROM rws
+      |         WHERE h NOT IN (SELECT h FROM dupg)),
+      |agg AS (SELECT doc_id, string_agg(chunk, '' ORDER BY j) AS ct,
+      |          count(*) AS nk FROM kept GROUP BY doc_id),
+      |nck AS (SELECT doc_id, len(b2) AS nc FROM c2)
+      |SELECT d.doc_id,
+      |  coalesce(agg.ct, '') AS clean_text,
+      |  CAST(coalesce(nck.nc, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept
+      |FROM documents d LEFT JOIN nck USING (doc_id)
+      |LEFT JOIN agg USING (doc_id)""".stripMargin
+
   // dedup_tfidf_cosine replay: same whitespace tokens as text_tfidf,
   // df as a window count, e4 integer weights over the df-capped
   // vocabulary, term-key self-join dot products, one float boundary
@@ -622,6 +662,7 @@ object DedupQueries {
     "dedup_tfidf_cosine" -> tfidfCosineOracle,
     "dedup_segments" -> segmentsOracle,
     "dedup_cdc" -> cdcOracle,
+    "dedup_cdc_remove" -> cdcRemoveOracle,
     "dedup_spans" -> dupSpansOracle,
     "dedup_span_remove" -> dupSpanRemoveOracle,
     "dedup_editdist" -> editdistOracle,

@@ -115,7 +115,12 @@ object ScaleProbe {
       "q_sq8", "knn_sq8", "knn_hard_neg", "q_pca", "dedup_tfidf_cosine",
       "q_binsig", "knn_hamming", "knn_hamming_rerank", "q_recall_eval",
       "dedup_cdc", "dedup_containment", "text_entropy",
-      "q_robust_stats", "q_skew_stats", "q_length_buckets")
+      "q_robust_stats", "q_skew_stats", "q_length_buckets",
+      // q_perplexity3_bcast deliberately absent: unpruned model
+      // collection against the salted-vocabulary fresh regime would
+      // measure exactly what trainTrigrams' pruning knobs exist to
+      // cap; the join form is the corpus-scaling path
+      "q_interval_join", "q_perplexity3")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

@@ -526,6 +526,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L)), "empty doc annotated with zero chunks")
   }
 
+  test("CDC remove: unique docs round-trip exactly, shared chunks vanish from copies") {
+    import spark.implicits._
+    val shared = ("boilerplate header the same on every page again and " * 6).trim
+    val u1 = "first document unique prose body entirely its own zzz"
+    val u2 = "second document different unique content qqq www eee"
+    val docs = Seq((1L, u1 + " " + shared), (2L, shared + " " + u2),
+      (3L, "a lone document with no duplication anywhere at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkRemove(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the lone doc reassembles to its exact original text (chunks
+    // partition the doc)
+    assert(out(3L)._1 == "a lone document with no duplication anywhere at all")
+    assert(out(3L)._2 == out(3L)._3, "no chunks removed from a unique doc")
+    // the shared run disappears from both carriers (the junction
+    // chunk — unique prefix + start of the shared run — legitimately
+    // survives, so at most ONE phrase copy remains of the six);
+    // unique halves survive because boundaries re-sync
+    def phrases(s: String) = "every page".r.findAllIn(s).length
+    assert(out(1L)._3 < out(1L)._2 && out(2L)._3 < out(2L)._2,
+      s"shared chunks must be removed: $out")
+    assert(phrases(out(1L)._1) <= 1 && phrases(out(2L)._1) <= 1,
+      s"repeated shared copies must vanish: $out")
+    assert(out(1L)._1.contains("unique prose") || out(1L)._1.contains("zzz"))
+    assert(out(4L) == (("", 0L, 0L)), "empty doc annotated")
+  }
+
   test("CDC chunks survive a local edit (the fixed-block-shatter counterexample)") {
     import spark.implicits._
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10).trim
@@ -680,5 +708,13 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L && out(1).getLong(4) == 1L)
     // ties broken by key asc
     assert(out(1).getLong(1) == 1L && out(2).getLong(1) == 2L)
+  }
+
+  test("skewStats on an empty input returns an empty report, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("k")
+    assert(graft.operators.Salting.skewStats(empty, "k").count() == 0)
+    val allNull = Seq[Option[Long]](None, None).toDF("k")
+    assert(graft.operators.Salting.skewStats(allNull, "k").count() == 0)
   }
 }
