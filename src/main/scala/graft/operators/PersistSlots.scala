@@ -63,13 +63,39 @@ private[graft] object PersistSlots {
         hitCount.incrementAndGet()
         old
       case prev =>
-        missCount.incrementAndGet()
-        prev.foreach { old =>
-          try old.unpersist() catch { case _: Throwable => }
+        // cross-slot sharing: another operator may hold an identical
+        // plan under its own slot (containment and the capped
+        // jaccard build the same token relation) — a second
+        // persist() would WARN ("already cached") and alias the same
+        // CacheManager entry, so unpersisting either slot would kill
+        // both. Alias the frame into this slot instead; when either
+        // slot later evicts it, the other's reuse branch sees
+        // storageLevel NONE and re-persists (self-healing).
+        val shared = slots.collectFirst {
+          case ((s, n), old)
+            if s == df.sparkSession && n != name &&
+              old.storageLevel !=
+                org.apache.spark.storage.StorageLevel.NONE &&
+              old.queryExecution.analyzed
+                .sameResult(df.queryExecution.analyzed) => old
         }
-        val p = df.persist()
-        slots(key) = p
-        p
+        shared match {
+          case Some(old) =>
+            hitCount.incrementAndGet()
+            prev.filterNot(_ eq old).foreach { o =>
+              try o.unpersist() catch { case _: Throwable => }
+            }
+            slots(key) = old
+            old
+          case None =>
+            missCount.incrementAndGet()
+            prev.foreach { old =>
+              try old.unpersist() catch { case _: Throwable => }
+            }
+            val p = df.persist()
+            slots(key) = p
+            p
+        }
     }
   }
 }

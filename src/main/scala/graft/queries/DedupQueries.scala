@@ -147,6 +147,22 @@ object DedupQueries {
         Tables(s, dir, "documents"), "doc_id", "text",
         minCos = 0.6, maxDocFreq = 40)),
 
+    // ensemble agreement: pairs flagged by BOTH the set view (capped
+    // n-gram Jaccard) and the term-weight view (tf-idf cosine) — the
+    // precision-first intersection a removal pass acts on when one
+    // signal alone over-fires; both legs are already-bounded pair
+    // frames, so the agreement join costs pairs, not corpus
+    "dedup_ensemble" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5, maxDocFreq = 40)
+      val cos = graft.operators.SparseSim.tfidfCosinePairs(
+        docs, "doc_id", "text", minCos = 0.6, maxDocFreq = 40)
+      jac.join(cos.select(col("id_a"), col("id_b"), col("cos")),
+          Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("cos"))
+    }),
+
     // exact duplicated-span stats (the Lee et al. exact-substring
     // dedup signal): which part of each document is a word span that
     // occurs elsewhere in the corpus — one window count on the span
@@ -660,6 +676,14 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_tfidf_cosine" -> tfidfCosineOracle,
+    // both legs canonicalize pairs as id_a < id_b, so the agreement
+    // join composes the two oracles directly as nested-WITH legs
+    "dedup_ensemble" ->
+      s"""WITH ja AS (SELECT id_a, id_b, jaccard FROM ($cappedJaccardOracle)),
+         |co AS (SELECT id_a, id_b, cos FROM ($tfidfCosineOracle))
+         |SELECT ja.id_a, ja.id_b, ja.jaccard, co.cos
+         |FROM ja JOIN co ON ja.id_a = co.id_a AND ja.id_b = co.id_b"""
+        .stripMargin,
     "dedup_segments" -> segmentsOracle,
     "dedup_cdc" -> cdcOracle,
     "dedup_cdc_remove" -> cdcRemoveOracle,
