@@ -25,6 +25,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(lsh.size <= bf.size)
   }
 
+  test("hamming rerank recall dominates the raw 1-bit scan at every shortlist") {
+    import graft.operators.Binary
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb,
+      "vec_id", "vec_id", "embedding", k = 10))
+    val raw = pairs(Binary.hammingTopK(q, emb,
+      "vec_id", "vec_id", "embedding", 64, k = 10))
+    for (shortlist <- Seq(32, 64)) {
+      val rr = pairs(Binary.hammingRerankTopK(q, emb,
+        "vec_id", "vec_id", "embedding", 64, shortlist = shortlist, k = 10))
+      val rawRecall = (bf intersect raw).size
+      val rrRecall = (bf intersect rr).size
+      // the refine step re-orders a SUPERSET of the raw top-10 by
+      // exact cosine — recall can only improve, and must by a
+      // margin at these shortlists on this fixture
+      assert(rrRecall >= rawRecall,
+        s"shortlist=$shortlist: rerank $rrRecall < raw $rawRecall")
+      if (shortlist >= 64)
+        assert(rrRecall > rawRecall,
+          s"64-wide shortlist should strictly improve on this fixture")
+    }
+  }
+
   test("ivfTopK: deterministic cells, usable recall, exact rank within probed cells") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)
