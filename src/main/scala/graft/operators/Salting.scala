@@ -100,6 +100,31 @@ object Salting {
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("cnt"))
 
+  /** Exact equi-join output-size prediction — the other number you
+    * want BEFORE committing a corpus-scale shuffle (alongside
+    * [[skewStats]]' per-key view): the join's output cardinality is
+    * exactly Σ_k cnt_left(k) · cnt_right(k), computable from the two
+    * per-key count relations at a fraction of the join's own cost
+    * (counts shuffle one row per distinct key; the join would
+    * shuffle every row and materialize the product). Also reports
+    * the matched-key count and the single heaviest key's
+    * contribution — the "is this join a fan-out bomb" one-row
+    * answer.
+    *
+    * @return one row: (n_keys_matched, est_rows, max_key_rows) */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      key: String): DataFrame = {
+    def counts(df: DataFrame) = df.select(col(key))
+      .filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__c"))
+    counts(left).withColumnRenamed("__c", "__cl")
+      .join(counts(right).withColumnRenamed("__c", "__cr"), Seq(key))
+      .agg(count(lit(1)).as("n_keys_matched"),
+        coalesce(sum(col("__cl") * col("__cr")), lit(0L)).as("est_rows"),
+        coalesce(max(col("__cl") * col("__cr")), lit(0L))
+          .as("max_key_rows"))
+  }
+
   /** Exact skew diagnostic for a join/group key — the measurement
     * half of [[autoSaltedJoin]]'s sampling heuristic, run when you
     * want the real numbers before committing a 100 TB shuffle: the

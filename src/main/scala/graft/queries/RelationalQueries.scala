@@ -194,6 +194,15 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // exact join-cardinality prediction: the one-row "is this join a
+    // fan-out bomb" answer, computed from the per-key count
+    // relations at a fraction of the join's own shuffle
+    "q_join_card" -> ((s, dir) =>
+      graft.operators.Salting.joinCardinality(
+        Tables(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        Tables(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
+        "k")),
+
     // exact skew diagnostic — the measurement half of the salting
     // story: top-10 heaviest event keys with exact counts, e4 corpus
     // share and the per-key salt factor that bounds any (key, salt)
@@ -661,6 +670,15 @@ object RelationalQueries {
         |  count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey""".stripMargin,
+    "q_join_card" ->
+      """WITH a AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+        |      WHERE o_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys_matched,
+        |  CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS est_rows,
+        |  CAST(coalesce(max(a.c * b.c), 0) AS BIGINT) AS max_key_rows
+        |FROM a JOIN b USING (k)""".stripMargin,
     "q_skew_stats" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
         |           WHERE user_id IS NOT NULL GROUP BY 1),

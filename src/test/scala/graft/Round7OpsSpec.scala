@@ -710,6 +710,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L && out(2).getLong(1) == 2L)
   }
 
+  test("joinCardinality predicts the exact join output, fan-out included") {
+    import spark.implicits._
+    import graft.operators.Salting
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")          // counts 3,1,1
+    val r = Seq(1L, 1L, 2L, 9L).toDF("k")              // counts 2,1,1
+    val row = Salting.joinCardinality(l, r, "k").collect()(0)
+    // matched keys {1, 2}; est = 3*2 + 1*1 = 7; max key = 6
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 7L, 6L)))
+    assert(l.join(r, Seq("k")).count() == 7L, "prediction must equal the join")
+    // disjoint keys: zero everywhere, one row still returned
+    val z = Salting.joinCardinality(l, Seq(8L).toDF("k"), "k").collect()(0)
+    assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("skewStats on an empty input returns an empty report, not an NPE") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("k")
