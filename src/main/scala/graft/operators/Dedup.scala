@@ -823,16 +823,24 @@ object Dedup {
     * Every arithmetic step replays verbatim in SQL.
     *
     * @return (idCol, n_chunks, n_dup_chunks, dup_frac_e4) — one row
-    *         per input doc (zero-chunk annotation for empty text). */
-  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
-                    window: Int = 16, maskHex: String = "0"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    *         per input doc (zero-chunk annotation for empty text).
+    *         n_chunks counts DISTINCT chunk hashes per doc (the df
+    *         notion needs distinct (doc, hash)); [[cdcChunkRemove]]'s
+    *         n_chunks counts SLICES — a doc repeating one chunk
+    *         internally reports different totals in the two halves,
+    *         by design (duplication identity vs text proportion). */
+  /** The CDC boundary rule + chunk-hash expressions shared by the
+    * stats and rewrite halves — ONE definition so an edit cannot
+    * silently desynchronize what the stats count from what the
+    * rewrite removes. Internal boundaries stop at len-1: the final
+    * chunk always ends at len, so position len never needs testing
+    * (and a doc shorter than the gram window is one whole-doc
+    * chunk). Expects the text as `__t`; boundary array binds `__b`.
+    * @return (boundary-array SQL, chunk-hash-array SQL) */
+  private def cdcExprs(window: Int, maskHex: String): (String, String) = {
     require(window >= 2 && maskHex.nonEmpty)
     val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
     val w = window
-    // internal boundaries stop at len-1: the final chunk always ends
-    // at len, so position len never needs testing (and a doc shorter
-    // than the gram window is one whole-doc chunk)
     val bnds =
       s"""concat(
          |  CASE WHEN length(__t) >= ${w + 1}
@@ -845,6 +853,13 @@ object Dedup {
       """transform(__b, (b, j) -> md5(substring(__t,
         |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
         |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
+    (bnds, chunkHashes)
+  }
+
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 16, maskHex: String = "0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (bnds, chunkHashes) = cdcExprs(window, maskHex)
     val chunks = df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
@@ -880,25 +895,15 @@ object Dedup {
     * filter + substring concat against that set. A doc with no
     * duplicated chunks reassembles to its exact original text (the
     * chunks partition the doc).
-    * @return (idCol, clean_text, n_chunks, n_kept) */
+    * @return (idCol, clean_text, n_chunks, n_kept) — n_chunks and
+    *         n_kept count SLICES (the text-proportion view: a doc
+    *         repeating a duplicated chunk loses every occurrence),
+    *         where [[cdcChunkStats]]' n_chunks counts distinct
+    *         hashes; join the halves on idCol, not on the counts. */
   def cdcChunkRemove(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 16, maskHex: String = "0"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(window >= 2 && maskHex.nonEmpty)
-    val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
-    val w = window
-    val bnds =
-      s"""concat(
-         |  CASE WHEN length(__t) >= ${w + 1}
-         |       THEN filter(sequence($w, length(__t) - 1),
-         |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
-         |                   IN $inMask)
-         |       ELSE array() END,
-         |  array(length(__t)))""".stripMargin
-    val chunkHashes =
-      """transform(__b, (b, j) -> md5(substring(__t,
-        |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
-        |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
+    val (bnds, chunkHashes) = cdcExprs(window, maskHex)
     val base = df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)

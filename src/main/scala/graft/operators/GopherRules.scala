@@ -47,11 +47,8 @@ object GopherRules {
     // double division exact (quotient < 2^53), replaying as DuckDB
     // `//`; greatest(n,1) keeps zero out — the n_words bound rejects
     // empty docs independently
-    def rate(numer: Column, n: Column): Column = {
-      val a = numer * lit(10000L)
-      val nn = greatest(n, lit(1L))
-      ((a - (a % nn)) / nn).cast("long")
-    }
+    def rate(numer: Column, n: Column): Column =
+      IntMath.idivFloor(numer * lit(10000L), greatest(n, lit(1L)))
     val nW = size(w).cast("long")
     val sumLen = coalesce(
       aggregate(w, lit(0L), (acc, x) => acc + length(x)), lit(0L))

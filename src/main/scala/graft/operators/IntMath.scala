@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared exact integer column arithmetic.
+  *
+  * The obvious floor-division idiom `(a - a % n) / n` is NOT exact on
+  * long columns: Spark's `/` is double division, so a dividend above
+  * 2^53 rounds BEFORE dividing (verified: a = 2^53 + 1, n = 1 loses
+  * the +1) — precisely the "corpus-scale products" regime the e4
+  * fixed-point outputs target, and a divergence from the DuckDB
+  * oracles' exact `//`. Routing the already-exactly-divisible
+  * numerator through decimal(38,0) keeps every digit: decimal
+  * division is exact arithmetic, and the cast back to long is
+  * lossless because the quotient is integral by construction.
+  */
+private[graft] object IntMath {
+
+  /** Exact floor division of non-negative long columns (truncation
+    * == floor for the non-negative inputs every caller feeds). */
+  def idivFloor(a: Column, n: Column): Column =
+    ((a - (a % n)).cast("decimal(38,0)") / n).cast("long")
+}

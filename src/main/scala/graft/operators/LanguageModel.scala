@@ -143,7 +143,14 @@ object LanguageModel {
     val big = refToks.select(explode(pairsOf(col("__w"))).as("p"))
       .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c12"))
-    val tri = refToks.select(explode(triplesOf(col("__w"))).as("t"))
+    // the length guard is load-bearing, not cosmetic: triplesOf
+    // slices with length size-2, and a one-word ref doc (words('')
+    // is a 1-element array) makes that length NEGATIVE — Spark
+    // rejects negative slice lengths at runtime. pairsOf survives
+    // the same input (size-1 -> length 0), which is why the bigram
+    // form never needed this.
+    val tri = refToks.filter(size(col("__w")) >= 3)
+      .select(explode(triplesOf(col("__w"))).as("t"))
       .select(col("t.p2").as("p2"), col("t.p1").as("p1"), col("t.cur").as("cur"))
       .groupBy(col("p2"), col("p1"), col("cur")).agg(count(lit(1)).as("c123"))
     val total = refToks

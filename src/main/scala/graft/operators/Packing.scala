@@ -119,8 +119,13 @@ object Packing {
     val n = col(tokCol).cast("long")
     val bucket = boundaries.init.reverse
       .foldLeft(lit(top): Column)((acc, b) => when(n <= b, lit(b)).otherwise(acc))
-    def idiv(a: Column, d: Column): Column = ((a - (a % d)) / d).cast("long")
-    docs.select(bucket.as("bucket"), least(n, lit(top)).as("__t"))
+    def idiv(a: Column, d: Column): Column = IntMath.idivFloor(a, d)
+    // drop null token counts explicitly: `when(n <= b)` is
+    // null-false, so a null would silently fall through to the TOP
+    // bucket, and least(null, top) returns top (Spark least skips
+    // nulls) — a full top-bucket credit for an invalid row
+    docs.filter(n.isNotNull)
+      .select(bucket.as("bucket"), least(n, lit(top)).as("__t"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"))
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),

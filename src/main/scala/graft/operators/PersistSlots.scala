@@ -82,9 +82,15 @@ private[graft] object PersistSlots {
         shared match {
           case Some(old) =>
             hitCount.incrementAndGet()
-            prev.filterNot(_ eq old).foreach { o =>
-              try o.unpersist() catch { case _: Throwable => }
-            }
+            // plan equality, not reference equality: a previous
+            // occupant that sameResult-aliases the shared frame
+            // points at the SAME CacheManager entry, and unpersisting
+            // it would evict the cache this branch just reused
+            prev.filterNot(_.queryExecution.analyzed
+                .sameResult(old.queryExecution.analyzed))
+              .foreach { o =>
+                try o.unpersist() catch { case _: Throwable => }
+              }
             slots(key) = old
             old
           case None =>

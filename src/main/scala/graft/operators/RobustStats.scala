@@ -39,7 +39,7 @@ object RobustStats {
     val x = col(valCol).cast("long")
     val base = df.select(col(groupCol), x.as("__x"))
       .filter(col("__x").isNotNull)
-    def idiv(a: Column, n: Column): Column = (a - (a % n)) / n
+    def idiv(a: Column, n: Column): Column = IntMath.idivFloor(a, n)
 
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__x").asc)
     val cw = Window.partitionBy(col(groupCol))

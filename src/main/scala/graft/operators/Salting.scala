@@ -158,11 +158,7 @@ object Salting {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pmod(col("cnt"), lit(1L)))
       .orderBy(col("cnt").desc, col(key).asc)
-    // exact integer floor division (GopherRules' e4 idiom): the
-    // double `/` would round 53-bit-plus products at real-corpus
-    // totals
-    def idiv(a: Column, n: Column): Column =
-      ((a - (a % n)) / n).cast("long")
+    def idiv(a: Column, n: Column): Column = IntMath.idivFloor(a, n)
     counts
       .orderBy(col("cnt").desc, col(key).asc).limit(topN)
       .withColumn("rank", row_number().over(w).cast("long"))

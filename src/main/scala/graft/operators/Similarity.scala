@@ -76,9 +76,9 @@ object Similarity {
       .join(hit, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
-    val a = col("hits") * lit(10000L)
     hits.select(col("query_id"), col("hits"),
-      ((a - (a % lit(k.toLong))) / lit(k.toLong)).cast("long").as("recall_e4"))
+      IntMath.idivFloor(col("hits") * lit(10000L), lit(k.toLong))
+        .as("recall_e4"))
   }
 
   /** Hard-negative mining for contrastive / embedding training: for

@@ -710,6 +710,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L && out(2).getLong(1) == 2L)
   }
 
+  test("IntMath.idivFloor stays exact past 2^53 (the double-division trap)") {
+    import spark.implicits._
+    import graft.operators.IntMath
+    // (a - a % n) / n through double division loses the +1 at
+    // 2^53 + 1; the decimal route must not
+    val a = (1L << 53) + 1L
+    val got = Seq((a, 1L), (a, 7L), (Long.MaxValue, 10000L))
+      .toDF("a", "n")
+      .select(IntMath.idivFloor(col("a"), col("n")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(a, a / 7L, Long.MaxValue / 10000L), s"got $got")
+  }
+
   test("joinCardinality predicts the exact join output, fan-out included") {
     import spark.implicits._
     import graft.operators.Salting
