@@ -76,6 +76,32 @@ object Binary {
       VectorExpressions.signSignature(
         KMeans.quantize(col(vecCol)), planeMatrix(dim)).as("sig"))
 
+  /** 16-bit band keys of the packed signature — the pigeonhole
+    * candidate key for TIGHT Hamming radii (4 bands: any pair within
+    * distance 3 agrees on at least one whole band). This is the
+    * regime where banding pays — near-exact re-crawls and mirrors at
+    * ingest — unlike the loose radii the object doc routes to LSH.
+    * Entirely narrow (one kernel projection + a 4-element explode),
+    * so it runs unchanged on a stream.
+    * Output: (idCol, sig, band, key). */
+  def bandKeys(df: DataFrame, idCol: String, vecCol: String,
+               dim: Int): DataFrame =
+    signature(df, idCol, vecCol, dim)
+      .select(col(idCol), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "key")))
+
+  /** Corpus-side signature index for [[bandKeys]] probes — persist
+    * (or store bucketed by (band, key)) and hand to
+    * [[graft.streaming.StreamOps.hammingDedupAgainstCorpus]].
+    * 4 rows × 24 bytes per corpus vector. */
+  def signatureIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int): DataFrame =
+    bandKeys(corpus, idCol, vecCol, dim)
+      .select(col("band"), col("key"), col(idCol).as("corpus_id"),
+        col("sig").as("corpus_sig"))
+
   /** Hamming shortlist → exact cosine re-rank (the FAISS refine
     * pattern on the cheapest possible first pass): over-fetch
     * `shortlist` candidates per query by Hamming distance on the

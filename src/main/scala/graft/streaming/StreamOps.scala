@@ -240,6 +240,32 @@ object StreamOps {
       .join(corpusIndex, Seq("band_key"))
       .select(col(idCol), col("corpus_id"), col("band_key"))
 
+  /** Stream-static EMBEDDING dedup on ingest — the binary sibling of
+    * [[dedupAgainstCorpus]]: each arriving vector packs into its
+    * 64-bit sign signature (one narrow kernel projection — no state),
+    * probes the static corpus signature index on the 16-bit band key
+    * (pigeonhole: Hamming <= 3 pairs share a whole band), and the
+    * exact xor+popcount filter keeps true near-dups. 24 bytes/corpus
+    * vector of index, one equi-join per micro-batch. Tight radii
+    * only (near-exact re-crawls/mirrors — the ingest case); loose
+    * angular radii belong to the LSH operators, see
+    * [[graft.operators.Binary]].
+    *
+    * Output: one (idCol, corpus_id, dist) row per index hit; a pair
+    * agreeing on several bands repeats per band (same stateless
+    * contract as [[dedupAgainstCorpus]] — dedup downstream). */
+  def hammingDedupAgainstCorpus(vecs: DataFrame, idCol: String,
+                                vecCol: String, sigIndex: DataFrame,
+                                dim: Int, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole covers Hamming <= 3")
+    graft.operators.Binary.bandKeys(vecs, idCol, vecCol, dim)
+      .join(sigIndex, Seq("band", "key"))
+      .withColumn("dist",
+        bit_count(col("sig").bitwiseXOR(col("corpus_sig"))).cast("long"))
+      .filter(col("dist") <= maxHamming)
+      .select(col(idCol), col("corpus_id"), col("dist"))
+  }
+
   final case class DriftEvent(ts: Timestamp, key: String)
   final case class DriftRow(window_start_us: Long, key: String,
                             ref_n: Long, cur_n: Long, contrib_e6: Long)

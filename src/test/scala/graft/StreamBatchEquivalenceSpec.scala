@@ -161,6 +161,49 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static hamming dedup equals the batch signature-index probe") {
+    // the binary sibling of the band-index test: arriving vectors
+    // pack into sign signatures (stateless kernel projection), probe
+    // the static corpus signature index on 16-bit bands, popcount
+    // verifies. A corpus copy of a streaming vector must surface at
+    // dist 0 on every band.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val batchVecs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+    val index = graft.operators.Binary
+      .signatureIndex(corpus, "vec_id", "embedding", 64)
+
+    val rows = batchVecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.hammingDedupAgainstCorpus(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        index, dim = 64)
+      .writeStream.format("memory").queryName("eq_hamming_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM eq_hamming_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamOps.hammingDedupAgainstCorpus(
+        batchVecs, "vec_id", "embedding", index, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // the planted copy matches its original at distance 0, once per
+    // agreeing band (all 4)
+    assert(batch.count(t => t._1 == 5L && t._2 == 9005L && t._3 == 0L) == 1)
+    assert(spark.sql("SELECT * FROM eq_hamming_dedup")
+      .collect().count(r => r.getLong(0) == 5L && r.getLong(1) == 9005L) == 4)
+  }
+
   test("stateless perplexity gate streams: broadcast-model scoring equals batch") {
     // the narrow LM scorer is one projection (map-literal lookups,
     // in-row fold) — no watermark, no state; the model trains batch-
