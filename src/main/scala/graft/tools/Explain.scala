@@ -76,7 +76,13 @@ object Explain {
     "text_entropy",      // doc-local char HOFs, zero shuffle
     "q_robust_stats",    // two per-group sorts + broadcast quantile frame
     "q_skew_stats",      // map-combined count agg + bounded TakeOrdered
-    "q_length_buckets"   // CASE projection + one aggregation
+    "q_length_buckets",  // CASE projection + one aggregation
+    "q_interval_join",   // bucketed interval x interval, first-shared-bucket
+    "q_perplexity3",     // trigram ladder: gram-key joins, text never shuffles
+    "q_perplexity3_bcast", // broadcast trigram maps: zero exchanges
+    "dedup_cdc_remove",  // hash-only df pipeline + doc-local rebuild
+    "q_join_card",       // two count aggs + key join, one output row
+    "dedup_ensemble"     // agreement join of two bounded pair frames
   )
 
   def main(args: Array[String]): Unit = {
