@@ -46,6 +46,40 @@ object Sampling {
     df.filter(Packing.shardId(idCol, 10000) < threshold)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * 2006 priority/exponential sampling) — the mixing primitive the
+    * Bernoulli/quota samplers can't express: draw exactly `k` rows
+    * where each row's inclusion odds are proportional to its weight
+    * (tokens, quality, importance), no row twice. Each row gets an
+    * exponential priority `-ln(u) / w` with `u` the md5-uniform of
+    * its id in (0, 1]; the k SMALLEST priorities are the sample —
+    * the classic distributed one-pass equivalent of sequential
+    * weighted draws, and deterministic here because `u` is
+    * hash-derived, not seeded randomness.
+    *
+    * Zero/negative weights never sample (their exponential rate is
+    * degenerate) and are filtered with that documented meaning.
+    *
+    * Scale shape: one narrow projection (md5 + ln per row) into a
+    * bounded TakeOrdered — no shuffle beyond the k-row merge,
+    * stream-safe up to the final ordering. Engine-exact modulo a
+    * last-ulp `ln` on hash-random priorities (adjacent-priority
+    * collisions are measure-zero; id-asc breaks exact ties).
+    * @return the selected rows as (idCol, weightCol) */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1)
+    val u = (Packing.hash48(idCol) + lit(1L)).cast("double") /
+      lit((1L << 48).toDouble)
+    val pr = -log(u) / col(weightCol).cast("double")
+    df.select(col(idCol), col(weightCol))
+      .filter(col(weightCol) > 0)
+      .withColumn("__pr", pr)
+      .orderBy(col("__pr").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col(weightCol))
+  }
+
   /** Temperature-balanced class downsampling — the multilingual
     * mixing rule (mT5/XLM-R style, alpha = 0.5): a class with N_c
     * members keeps each row with probability min(1, k / sqrt(N_c)),

@@ -33,6 +33,13 @@ object PipelineQueries {
           Tables(s, dir, "documents"), "doc_id", keep = 3, outOf = 16)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    // priorities over md5-uniforms): exactly 200 docs, odds
+    // proportional to length, no row twice
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        Tables(s, dir, "documents"), "doc_id", "n_chars", k = 200)),
+
     // offset-binned packing: window-function form with an exact oracle
     "q_pack" -> ((s, dir) =>
       Packing.offsetBinned(
@@ -471,6 +478,16 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
         |      % 16 < 3""".stripMargin,
+    // Efraimidis-Spirakis replay: same md5-uniform in (0,1], same
+    // -ln(u)/w priority, k smallest with id-asc ties
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |    -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |         AS BIGINT) + 1) / 281474976710656.0)
+        |      / CAST(n_chars AS DOUBLE) AS pr
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars FROM p
+        |ORDER BY pr ASC, doc_id ASC LIMIT 200""".stripMargin,
     "q_pack" ->
       s"""WITH d AS (SELECT doc_id, $SHARD_SQL AS shard, $TOK_SQL AS n_tok
          |           FROM documents)

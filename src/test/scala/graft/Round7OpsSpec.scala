@@ -710,6 +710,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L && out(2).getLong(1) == 2L)
   }
 
+  test("weighted sample: k rows, no repeats, weight-proportional inclusion") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 200 light rows (w=1) + 50 heavy rows (w=100): heavy rows carry
+    // 5000/5200 of the mass — a k=40 sample must be dominated by them
+    val df = ((1L to 200L).map(i => (i, 1L)) ++
+      (1001L to 1050L).map(i => (i, 100L)) :+ ((2000L, 0L)))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 40).collect()
+    assert(got.length == 40)
+    val ids = got.map(_.getLong(0))
+    assert(ids.distinct.length == 40, "without replacement")
+    assert(!ids.contains(2000L), "zero weight never samples")
+    val heavy = ids.count(_ >= 1000L)
+    assert(heavy >= 30, s"heavy rows must dominate, got $heavy/40")
+    // determinism: same call, same sample
+    val again = Sampling.weightedSample(df, "id", "w", k = 40)
+      .collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("IntMath.idivFloor stays exact past 2^53 (the double-division trap)") {
     import spark.implicits._
     import graft.operators.IntMath
