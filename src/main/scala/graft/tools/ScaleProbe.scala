@@ -121,7 +121,8 @@ object ScaleProbe {
       // measure exactly what trainTrigrams' pruning knobs exist to
       // cap; the join form is the corpus-scaling path
       "q_interval_join", "q_perplexity3",
-      "dedup_cdc_remove", "dedup_ensemble", "q_join_card")
+      "dedup_cdc_remove", "dedup_ensemble", "q_join_card",
+      "q_weighted_sample")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
