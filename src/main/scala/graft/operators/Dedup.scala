@@ -799,6 +799,33 @@ object Dedup {
             col("n_segs") * 10000).cast("long")))
   }
 
+  /** The CDC boundary rule + chunk-hash expressions shared by the
+    * stats and rewrite halves — ONE definition so an edit cannot
+    * silently desynchronize what the stats count from what the
+    * rewrite removes. Internal boundaries stop at len-1: the final
+    * chunk always ends at len, so position len never needs testing
+    * (and a doc shorter than the gram window is one whole-doc
+    * chunk). Expects the text as `__t`; boundary array binds `__b`.
+    * @return (boundary-array SQL, chunk-hash-array SQL) */
+  private def cdcExprs(window: Int, maskHex: String): (String, String) = {
+    require(window >= 2 && maskHex.nonEmpty)
+    val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
+    val w = window
+    val bnds =
+      s"""concat(
+         |  CASE WHEN length(__t) >= ${w + 1}
+         |       THEN filter(sequence($w, length(__t) - 1),
+         |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
+         |                   IN $inMask)
+         |       ELSE array() END,
+         |  array(length(__t)))""".stripMargin
+    val chunkHashes =
+      """transform(__b, (b, j) -> md5(substring(__t,
+        |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
+        |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
+    (bnds, chunkHashes)
+  }
+
   /** Content-defined chunking (CDC) duplication stats — the
     * storage-layer dedup notion (LBFS/rsync, Gear/FastCDC) applied
     * to document text: a chunk boundary falls at character position
@@ -829,33 +856,6 @@ object Dedup {
     *         n_chunks counts SLICES — a doc repeating one chunk
     *         internally reports different totals in the two halves,
     *         by design (duplication identity vs text proportion). */
-  /** The CDC boundary rule + chunk-hash expressions shared by the
-    * stats and rewrite halves — ONE definition so an edit cannot
-    * silently desynchronize what the stats count from what the
-    * rewrite removes. Internal boundaries stop at len-1: the final
-    * chunk always ends at len, so position len never needs testing
-    * (and a doc shorter than the gram window is one whole-doc
-    * chunk). Expects the text as `__t`; boundary array binds `__b`.
-    * @return (boundary-array SQL, chunk-hash-array SQL) */
-  private def cdcExprs(window: Int, maskHex: String): (String, String) = {
-    require(window >= 2 && maskHex.nonEmpty)
-    val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
-    val w = window
-    val bnds =
-      s"""concat(
-         |  CASE WHEN length(__t) >= ${w + 1}
-         |       THEN filter(sequence($w, length(__t) - 1),
-         |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
-         |                   IN $inMask)
-         |       ELSE array() END,
-         |  array(length(__t)))""".stripMargin
-    val chunkHashes =
-      """transform(__b, (b, j) -> md5(substring(__t,
-        |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
-        |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
-    (bnds, chunkHashes)
-  }
-
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
                     window: Int = 16, maskHex: String = "0"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

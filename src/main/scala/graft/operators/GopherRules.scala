@@ -48,7 +48,7 @@ object GopherRules {
     // `//`; greatest(n,1) keeps zero out — the n_words bound rejects
     // empty docs independently
     def rate(numer: Column, n: Column): Column =
-      IntMath.idivFloor(numer * lit(10000L), greatest(n, lit(1L)))
+      IntMath.idivTrunc(numer * lit(10000L), greatest(n, lit(1L)))
     val nW = size(w).cast("long")
     val sumLen = coalesce(
       aggregate(w, lit(0L), (acc, x) => acc + length(x)), lit(0L))

@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Shared exact integer column arithmetic.
   *
-  * The obvious floor-division idiom `(a - a % n) / n` is NOT exact on
-  * long columns: Spark's `/` is double division, so a dividend above
-  * 2^53 rounds BEFORE dividing (verified: a = 2^53 + 1, n = 1 loses
-  * the +1) — precisely the "corpus-scale products" regime the e4
+  * The obvious division idiom `(a - a % n) / n` is NOT exact on long
+  * columns: Spark's `/` is double division, so a dividend above 2^53
+  * rounds BEFORE dividing (verified: a = 2^53 + 1, n = 1 loses the
+  * +1) — precisely the "corpus-scale products" regime the e4
   * fixed-point outputs target, and a divergence from the DuckDB
   * oracles' exact `//`. Routing the already-exactly-divisible
   * numerator through decimal(38,0) keeps every digit: decimal
@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object IntMath {
 
-  /** Exact floor division of non-negative long columns (truncation
-    * == floor for the non-negative inputs every caller feeds). */
-  def idivFloor(a: Column, n: Column): Column =
+  /** Exact integer division TRUNCATING TOWARD ZERO — the semantics
+    * of DuckDB's `//` (verified: -1300 // 3 = -433 there, not the
+    * floor -434), so oracled outputs match on signed inputs too;
+    * Spark's `%` follows the dividend sign, which makes
+    * `(a - a % n)` round toward zero by construction. On the
+    * non-negative inputs most callers feed, truncation == floor. */
+  def idivTrunc(a: Column, n: Column): Column =
     ((a - (a % n)).cast("decimal(38,0)") / n).cast("long")
 }

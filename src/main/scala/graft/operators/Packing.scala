@@ -119,7 +119,7 @@ object Packing {
     val n = col(tokCol).cast("long")
     val bucket = boundaries.init.reverse
       .foldLeft(lit(top): Column)((acc, b) => when(n <= b, lit(b)).otherwise(acc))
-    def idiv(a: Column, d: Column): Column = IntMath.idivFloor(a, d)
+    def idiv(a: Column, d: Column): Column = IntMath.idivTrunc(a, d)
     // drop null token counts explicitly: `when(n <= b)` is
     // null-false, so a null would silently fall through to the TOP
     // bucket, and least(null, top) returns top (Spark least skips

@@ -82,15 +82,15 @@ private[graft] object PersistSlots {
         shared match {
           case Some(old) =>
             hitCount.incrementAndGet()
-            // plan equality, not reference equality: a previous
-            // occupant that sameResult-aliases the shared frame
-            // points at the SAME CacheManager entry, and unpersisting
-            // it would evict the cache this branch just reused
-            prev.filterNot(_.queryExecution.analyzed
-                .sameResult(old.queryExecution.analyzed))
-              .foreach { o =>
-                try o.unpersist() catch { case _: Throwable => }
-              }
+            // prev (if any) cannot alias old's cache entry here: if it
+            // did, it would sameResult df (sameResult is transitive
+            // canonical-plan equality) and report old's non-NONE
+            // storage level (storageLevel is CacheManager-plan-keyed),
+            // so the reuse branch above would already have returned —
+            // unpersisting prev is therefore always safe
+            prev.foreach { o =>
+              try o.unpersist() catch { case _: Throwable => }
+            }
             slots(key) = old
             old
           case None =>

@@ -44,7 +44,7 @@ object RobustStats {
     // 2^53 exactness window at any conceivable group size, and the
     // exact-decimal route costs measurably on this per-row path
     // (+50% end-to-end at sf0.1). The winsorized MEAN below uses
-    // IntMath.idivFloor — its sum·100 numerator genuinely can pass
+    // IntMath.idivTrunc — its sum·100 numerator genuinely can pass
     // 2^53 at corpus scale.
     def posDiv(a: Column, n: Column): Column =
       ((a - (a % n)) / n).cast("long")
@@ -82,7 +82,7 @@ object RobustStats {
           .as("__ws"))
       .join(mad, Seq(groupCol))
       .select(col(groupCol), col("n"), col("median"), col("mad"),
-        IntMath.idivFloor(col("__ws") * 100, col("n"))
+        IntMath.idivTrunc(col("__ws") * 100, col("n"))
           .as("winsor_mean_e2"))
   }
 }

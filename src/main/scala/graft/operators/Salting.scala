@@ -158,7 +158,7 @@ object Salting {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pmod(col("cnt"), lit(1L)))
       .orderBy(col("cnt").desc, col(key).asc)
-    def idiv(a: Column, n: Column): Column = IntMath.idivFloor(a, n)
+    def idiv(a: Column, n: Column): Column = IntMath.idivTrunc(a, n)
     counts
       .orderBy(col("cnt").desc, col(key).asc).limit(topN)
       .withColumn("rank", row_number().over(w).cast("long"))

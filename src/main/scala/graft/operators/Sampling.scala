@@ -58,7 +58,11 @@ object Sampling {
     * hash-derived, not seeded randomness.
     *
     * Zero/negative weights never sample (their exponential rate is
-    * degenerate) and are filtered with that documented meaning.
+    * degenerate) and are filtered with that documented meaning —
+    * which also means the sample is `min(k, positive-weight rows)`:
+    * fewer eligible rows than k return them ALL (a complete weighted
+    * sample), not an error. A caller that needs exactly k (a fixed
+    * mixing quota) should check the output count.
     *
     * Scale shape: one narrow projection (md5 + ln per row) into a
     * bounded TakeOrdered — no shuffle beyond the k-row merge,

@@ -77,7 +77,7 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
     hits.select(col("query_id"), col("hits"),
-      IntMath.idivFloor(col("hits") * lit(10000L), lit(k.toLong))
+      IntMath.idivTrunc(col("hits") * lit(10000L), lit(k.toLong))
         .as("recall_e4"))
   }
 

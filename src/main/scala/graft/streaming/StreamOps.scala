@@ -245,8 +245,10 @@ object StreamOps {
     * 64-bit sign signature (one narrow kernel projection — no state),
     * probes the static corpus signature index on the 16-bit band key
     * (pigeonhole: Hamming <= 3 pairs share a whole band), and the
-    * exact xor+popcount filter keeps true near-dups. 24 bytes/corpus
-    * vector of index, one equi-join per micro-batch. Tight radii
+    * exact xor+popcount filter keeps true near-dups. Index cost: 4
+    * rows × ~24 B ≈ 100 bytes/corpus vector (vs the raw vector's
+    * 256 B at dim 64 — and the gap widens with dim, since the index
+    * size is dim-independent); one equi-join per micro-batch. Tight radii
     * only (near-exact re-crawls/mirrors — the ingest case); loose
     * angular radii belong to the LSH operators, see
     * [[graft.operators.Binary]].

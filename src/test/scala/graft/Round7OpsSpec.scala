@@ -731,7 +731,7 @@ class Round7OpsSpec extends SparkSpec {
     assert(ids.sorted.toSeq == again.sorted.toSeq)
   }
 
-  test("IntMath.idivFloor stays exact past 2^53 (the double-division trap)") {
+  test("IntMath.idivTrunc stays exact past 2^53 (the double-division trap)") {
     import spark.implicits._
     import graft.operators.IntMath
     // (a - a % n) / n through double division loses the +1 at
@@ -739,7 +739,7 @@ class Round7OpsSpec extends SparkSpec {
     val a = (1L << 53) + 1L
     val got = Seq((a, 1L), (a, 7L), (Long.MaxValue, 10000L))
       .toDF("a", "n")
-      .select(IntMath.idivFloor(col("a"), col("n")))
+      .select(IntMath.idivTrunc(col("a"), col("n")))
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(a, a / 7L, Long.MaxValue / 10000L), s"got $got")
   }
