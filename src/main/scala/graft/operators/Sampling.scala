@@ -84,6 +84,37 @@ object Sampling {
       .select(col(idCol), col(weightCol))
   }
 
+  /** Stratified [[weightedSample]]: exactly `k` weighted draws
+    * without replacement PER GROUP (per-language / per-source
+    * selection quotas with length- or quality-proportional odds) —
+    * the same Efraimidis–Spirakis priorities routed through the
+    * bounded per-key [[TopK]] instead of a global TakeOrdered, so
+    * the exchange carries ≤ k rows per group per task however large
+    * the corpus or the group count. Groups with fewer than k
+    * positive-weight rows return them all ([[weightedSample]]'s
+    * min(k, eligible) contract, per group). The group key must be
+    * integral (TopK's key contract).
+    * @return (keyCol, idCol, rank) — rank 1..k by ascending priority */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val u = (Packing.hash48(idCol) + lit(1L)).cast("double") /
+      lit((1L << 48).toDouble)
+    // TopK keeps the LARGEST round6(score)s — and the winning
+    // exponential priorities cluster near zero, where round6's
+    // ABSOLUTE 1e-6 grid would collapse them into id-order ties. The
+    // score is therefore the NEGATED LOG priority: order-equivalent
+    // (smallest priority = largest score), and round6 on the log
+    // scale is 1 ppm RELATIVE priority resolution — collisions of
+    // hash-random priorities are measure-zero at any magnitude.
+    val score = -log(-log(u) / col(weightCol).cast("double"))
+    TopK.perKey(
+      df.filter(col(weightCol) > 0)
+        .select(col(keyCol), col(idCol), score.as("__s")),
+      keyCol, idCol, "__s", k)
+      .select(col(keyCol), col(idCol), col("rank"))
+  }
+
   /** Temperature-balanced class downsampling — the multilingual
     * mixing rule (mT5/XLM-R style, alpha = 0.5): a class with N_c
     * members keeps each row with probability min(1, k / sqrt(N_c)),

@@ -40,6 +40,17 @@ object PipelineQueries {
       graft.operators.Sampling.weightedSample(
         Tables(s, dir, "documents"), "doc_id", "n_chars", k = 200)),
 
+    // stratified form: 20 weighted draws PER LANGUAGE through the
+    // bounded per-key TopK (log-scale scores so round6 is relative
+    // resolution); lang rides as its 48-bit hash for TopK's integral
+    // key contract
+    "q_weighted_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSamplePerKey(
+        Tables(s, dir, "documents")
+          .select(graft.operators.Packing.hash48c(col("lang")).as("lang_h"),
+            col("doc_id"), col("n_chars")),
+        "lang_h", "doc_id", "n_chars", k = 20)),
+
     // offset-binned packing: window-function form with an exact oracle
     "q_pack" -> ((s, dir) =>
       Packing.offsetBinned(
@@ -488,6 +499,21 @@ object PipelineQueries {
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars FROM p
         |ORDER BY pr ASC, doc_id ASC LIMIT 200""".stripMargin,
+    // stratified replay: the negated-log score TopK ranks by (round6
+    // desc, id asc), per language-hash group
+    "q_weighted_stratified" ->
+      """WITH p AS (SELECT
+        |    CAST('0x' || substring(md5(lang), 1, 12) AS BIGINT) AS lang_h,
+        |    doc_id, n_chars,
+        |    -ln(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |         AS BIGINT) + 1) / 281474976710656.0)
+        |      / CAST(n_chars AS DOUBLE)) AS s
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang_h, doc_id,
+        |        row_number() OVER (PARTITION BY lang_h
+        |          ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+        |      FROM p)
+        |SELECT lang_h, doc_id, rank FROM r WHERE rank <= 20""".stripMargin,
     "q_pack" ->
       s"""WITH d AS (SELECT doc_id, $SHARD_SQL AS shard, $TOK_SQL AS n_tok
          |           FROM documents)

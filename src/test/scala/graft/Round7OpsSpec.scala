@@ -731,6 +731,28 @@ class Round7OpsSpec extends SparkSpec {
     assert(ids.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("stratified weighted sample: k per group, heavy rows dominate within each") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // two groups; in each, ids >= 100 carry 50x the weight
+    val df = (for {
+      g <- Seq(1L, 2L)
+      i <- 1L to 60L
+    } yield (g, g * 1000L + i, if (i > 40) 50L else 1L))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedSamplePerKey(df, "g", "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20, "10 per group x 2 groups")
+    for (g <- Seq(1L, 2L)) {
+      val ids = got.filter(_._1 == g).map(_._2)
+      assert(ids.distinct.length == 10)
+      val heavy = ids.count(id => id % 1000L > 40L)
+      assert(heavy >= 7, s"group $g: heavy rows must dominate, got $heavy/10")
+    }
+    // ranks are 1..k within each group
+    assert(got.filter(_._1 == 1L).map(_._3).sorted.toSeq == (1L to 10L))
+  }
+
   test("IntMath.idivTrunc stays exact past 2^53 (the double-division trap)") {
     import spark.implicits._
     import graft.operators.IntMath
