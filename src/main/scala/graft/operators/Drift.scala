@@ -65,6 +65,44 @@ object Drift {
           .cast("long").as("contrib_e6"))
   }
 
+  /** Per-GROUP PSI — the "WHICH source drifted" alert table, where
+    * [[psiNumeric]] only says that the corpus did: the same
+    * smoothed, micro-unit-floored PSI computed independently inside
+    * every group (source, language, shard), one summary row per
+    * group ready for a threshold filter.
+    *
+    * Scale shape: two map-combined (group, bucket) count
+    * aggregations, a per-group totals join (group-cardinality-sized,
+    * not corpus-sized) and one final integer-sum aggregate — the
+    * exchange carries one row per occupied (group, bucket), and the
+    * per-bucket contributions are integers, so the per-group sum is
+    * order-free and replays exactly.
+    * @return one row per group: (groupCol, n_buckets, psi_e6) */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                 valueCol: String, bucketWidth: Double): DataFrame = {
+    val bucket = floor(col(valueCol) / lit(bucketWidth)).cast("long").as("bucket")
+    val r = ref.select(col(groupCol).as("__g"), bucket)
+      .groupBy("__g", "bucket").agg(count(lit(1)).as("ref_n"))
+    val c = cur.select(col(groupCol).as("__g"), bucket)
+      .groupBy("__g", "bucket").agg(count(lit(1)).as("cur_n"))
+    val joined = r.join(c, Seq("__g", "bucket"), "full_outer")
+      .select(col("__g"), col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.groupBy(col("__g")).agg(
+      sum(col("ref_n")).as("__nr"), sum(col("cur_n")).as("__nc"),
+      count(lit(1)).as("__b"))
+    val p = share(col("ref_n"), col("__nr"), col("__b"))
+    val q = share(col("cur_n"), col("__nc"), col("__b"))
+    joined.join(totals, Seq("__g"))
+      .select(col("__g"), col("bucket"),
+        floor(lit(1000000.0) * (p - q) * log(p / q))
+          .cast("long").as("contrib_e6"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("contrib_e6")).as("psi_e6"))
+      .select(col("__g").as(groupCol), col("n_buckets"), col("psi_e6"))
+  }
+
   /** Jensen-Shannon divergence of a categorical column (label, lang,
     * source, event type) between two snapshots — symmetric and
     * bounded by ln 2, so thresholds transfer across columns. Same

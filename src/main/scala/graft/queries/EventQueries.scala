@@ -114,6 +114,16 @@ object EventQueries {
         "value", bucketWidth = 25.0)
     }),
 
+    // per-group PSI: the WHICH-source-drifted alert table — same
+    // smoothed micro-unit arithmetic, one summary row per event type
+    "q_drift_by_group" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Drift.psiByGroup(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "event_type", "value", bucketWidth = 25.0)
+    }),
+
     // categorical drift: Jensen-Shannon divergence of the event-type
     // mix between the same two snapshot halves
     "q_drift_js" -> ((s, dir) => {
@@ -210,6 +220,33 @@ object EventQueries {
         |       (CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE))))
         |    AS BIGINT) AS contrib_e6
         |FROM j CROSS JOIN t""".stripMargin,
+    "q_drift_by_group" ->
+      """WITH r AS (SELECT event_type AS g,
+        |             CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |             count(*) AS ref_n
+        |           FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |c AS (SELECT event_type AS g,
+        |        CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |        count(*) AS cur_n
+        |      FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(r.g, c.g) AS g,
+        |        coalesce(r.bucket, c.bucket) AS bucket,
+        |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        |      FROM r FULL OUTER JOIN c
+        |        ON r.g = c.g AND r.bucket = c.bucket),
+        |t AS (SELECT g, sum(ref_n) AS nr, sum(cur_n) AS nc,
+        |        count(*) AS b FROM j GROUP BY 1),
+        |k AS (SELECT j.g,
+        |        CAST(floor(1000000.0 *
+        |          (CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) -
+        |           CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE)) *
+        |          ln((CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)) /
+        |             (CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE))))
+        |          AS BIGINT) AS contrib_e6
+        |      FROM j JOIN t ON t.g = j.g)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(contrib_e6) AS BIGINT) AS psi_e6
+        |FROM k GROUP BY g""".stripMargin,
     "q_drift_js" ->
       """WITH r AS (SELECT event_type AS key, count(*) AS ref_n
         |           FROM events WHERE event_id % 2 = 0 GROUP BY 1),

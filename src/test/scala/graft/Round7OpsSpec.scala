@@ -731,6 +731,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(ids.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("psiByGroup isolates the drifted group") {
+    import spark.implicits._
+    import graft.operators.Drift
+    // group s: identical distributions -> PSI ~ 0 (smoothing only);
+    // group d: disjoint value ranges -> large PSI
+    val ref = (Seq.fill(50)(("s", 10.0)) ++ Seq.fill(50)(("d", 10.0)))
+      .toDF("src", "v")
+    val cur = (Seq.fill(50)(("s", 10.0)) ++ Seq.fill(50)(("d", 500.0)))
+      .toDF("src", "v")
+    val out = Drift.psiByGroup(ref, cur, "src", "v", bucketWidth = 25.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("s")._2 <= 1000L,
+      s"stable group must sit near zero, got ${out("s")}")
+    assert(out("d")._2 > 1000000L,
+      s"shifted group must exceed 1.0 PSI in micro-units, got ${out("d")}")
+    assert(out("d")._1 == 2L, "two occupied buckets in the shifted group")
+    // per-group isolation: each group's PSI equals the single-group
+    // operator run on that group alone
+    val solo = Drift.psiNumeric(
+        ref.filter(col("src") === "d").select(col("v")),
+        cur.filter(col("src") === "d").select(col("v")), "v", 25.0)
+      .agg(sum(col("contrib_e6"))).collect()(0).getLong(0)
+    assert(out("d")._2 == solo, "keyed form must equal the solo run per group")
+  }
+
   test("stratified weighted sample: k per group, heavy rows dominate within each") {
     import spark.implicits._
     import graft.operators.Sampling
