@@ -122,7 +122,7 @@ object ScaleProbe {
       // cap; the join form is the corpus-scaling path
       "q_interval_join", "q_perplexity3",
       "dedup_cdc_remove", "dedup_ensemble", "q_join_card",
-      "q_weighted_sample")
+      "q_weighted_sample", "q_weighted_stratified", "q_drift_by_group")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
