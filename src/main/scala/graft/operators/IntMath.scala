@@ -25,4 +25,17 @@ private[graft] object IntMath {
     * non-negative inputs most callers feed, truncation == floor. */
   def idivTrunc(a: Column, n: Column): Column =
     ((a - (a % n)).cast("decimal(38,0)") / n).cast("long")
+
+  /** Exact `(x * scale) div n` for fixed-point ratios whose NUMERATOR
+    * can pass 2^63: `x` is widened to decimal(38,0) BEFORE the scale
+    * multiply, so a corpus-scale sum times an e2/e4 scale never wraps
+    * in long arithmetic (a long numerator `x * 10000` silently wraps
+    * once x exceeds ~9.2e14 — exactly the token-sum magnitudes the e4
+    * outputs target). Decimal `%`/`/` are exact, truncation toward
+    * zero matches [[idivTrunc]] and DuckDB's `//`. Callers guarantee
+    * the QUOTIENT fits a long (ratios scaled by <= 1e6 always do). */
+  def scaledDivTrunc(x: Column, scale: Long, n: Column): Column = {
+    val a = x.cast("decimal(38,0)") * lit(scale)
+    ((a - (a % n)) / n).cast("long")
+  }
 }

@@ -119,7 +119,11 @@ object Packing {
     val n = col(tokCol).cast("long")
     val bucket = boundaries.init.reverse
       .foldLeft(lit(top): Column)((acc, b) => when(n <= b, lit(b)).otherwise(acc))
-    def idiv(a: Column, d: Column): Column = IntMath.idivTrunc(a, d)
+    // decimal-widened numerator: sum_tokens is a corpus-scale bucket
+    // sum, and sum_tokens * 10000 in LONG wraps past ~9.2e14 tokens —
+    // the exact regime the e4 fixed point exists for
+    def idiv(a: Column, scale: Long, d: Column): Column =
+      IntMath.scaledDivTrunc(a, scale, d)
     // drop null token counts explicitly: `when(n <= b)` is
     // null-false, so a null would silently fall through to the TOP
     // bucket, and least(null, top) returns top (Spark least skips
@@ -129,7 +133,7 @@ object Packing {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"))
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),
-        idiv(col("sum_tokens") * lit(10000L), col("n_docs") * col("bucket"))
+        idiv(col("sum_tokens"), 10000L, col("n_docs") * col("bucket"))
           .as("pad_eff_e4"))
   }
 }

@@ -82,7 +82,9 @@ object RobustStats {
           .as("__ws"))
       .join(mad, Seq(groupCol))
       .select(col(groupCol), col("n"), col("median"), col("mad"),
-        IntMath.idivTrunc(col("__ws") * 100, col("n"))
+        // decimal-widened numerator: __ws is a corpus-scale group sum,
+        // and __ws * 100 in LONG wraps past ~9.2e16
+        IntMath.scaledDivTrunc(col("__ws"), 100L, col("n"))
           .as("winsor_mean_e2"))
   }
 }

@@ -163,7 +163,9 @@ object Salting {
       .orderBy(col("cnt").desc, col(key).asc).limit(topN)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col(key), col("cnt"),
-        idiv(col("cnt") * lit(10000L), lit(math.max(1L, total)))
+        // decimal-widened numerator: cnt is a corpus-scale key count,
+        // cnt * 10000 in LONG wraps past ~9.2e14 rows per key
+        IntMath.scaledDivTrunc(col("cnt"), 10000L, lit(math.max(1L, total)))
           .as("share_e4"),
         greatest(lit(1L),
           idiv(col("cnt") + lit(targetPerBucket - 1), lit(targetPerBucket)))

@@ -70,15 +70,21 @@ object Similarity {
     * @return (query_id, hits, recall_e4) */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
-    val hit = approx.select(col("query_id"), col("neighbor_id"))
+    // distinct: a duplicate (query_id, neighbor_id) in approx would
+    // fan the left join out and count one exact neighbor twice
+    val hit = approx.select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("__hit", lit(1L))
     val hits = exact.select(col("query_id"), col("neighbor_id"))
       .join(hit, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("__n_exact"))
+    // denominator = least(k, exact rows for this query): on a corpus
+    // smaller than k the exact frame has < k rows per query, and a
+    // fixed-k denominator would cap a PERFECT retrieval below e4 10000
     hits.select(col("query_id"), col("hits"),
-      IntMath.idivTrunc(col("hits") * lit(10000L), lit(k.toLong))
-        .as("recall_e4"))
+      IntMath.scaledDivTrunc(col("hits"), 10000L,
+        least(lit(k.toLong), col("__n_exact"))).as("recall_e4"))
   }
 
   /** Hard-negative mining for contrastive / embedding training: for

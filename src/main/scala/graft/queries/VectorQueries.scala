@@ -685,15 +685,18 @@ object VectorQueries {
   // is the e4 integer floor — no new arithmetic to drift
   private def recallEvalOracle: String =
     s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineOracle)),
-       |ap AS (SELECT query_id, neighbor_id FROM ($binHammingOracle)),
+       |ap AS (SELECT DISTINCT query_id, neighbor_id
+       |       FROM ($binHammingOracle)),
        |h AS (SELECT ex.query_id,
-       |        CAST(count(ap.query_id) AS BIGINT) AS hits
+       |        CAST(count(ap.query_id) AS BIGINT) AS hits,
+       |        CAST(count(*) AS BIGINT) AS n_ex
        |      FROM ex LEFT JOIN ap
        |        ON ap.query_id = ex.query_id
        |       AND ap.neighbor_id = ex.neighbor_id
        |      GROUP BY 1)
        |SELECT query_id, hits,
-       |  CAST((hits * 10000) // 10 AS BIGINT) AS recall_e4 FROM h""".stripMargin
+       |  CAST((hits * 10000) // least(10, n_ex) AS BIGINT) AS recall_e4
+       |FROM h""".stripMargin
 
   private def binHammingRerankOracle: String =
     s"""WITH $binSigCtes,
