@@ -50,8 +50,13 @@ object Drift {
     val bucket = floor(col(valueCol) / lit(bucketWidth)).cast("long").as("bucket")
     val r = ref.select(bucket).groupBy("bucket").agg(count(lit(1)).as("ref_n"))
     val c = cur.select(bucket).groupBy("bucket").agg(count(lit(1)).as("cur_n"))
-    val joined = r.join(c, Seq("bucket"), "full_outer")
-      .select(col("bucket"),
+    // null-SAFE key: a null value floors to a null bucket, which is a
+    // real cohort ("value missing") — an equality-keyed full outer
+    // join would enter its ref and cur counts as two disjoint
+    // half-rows, inflating the bucket count and distorting the PSI
+    val joined = r.as("r").join(c.as("c"),
+        col("r.bucket") <=> col("c.bucket"), "full_outer")
+      .select(coalesce(col("r.bucket"), col("c.bucket")).as("bucket"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val totals = joined.agg(
@@ -85,8 +90,16 @@ object Drift {
       .groupBy("__g", "bucket").agg(count(lit(1)).as("ref_n"))
     val c = cur.select(col(groupCol).as("__g"), bucket)
       .groupBy("__g", "bucket").agg(count(lit(1)).as("cur_n"))
-    val joined = r.join(c, Seq("__g", "bucket"), "full_outer")
-      .select(col("__g"), col("bucket"),
+    // null-SAFE keys throughout: a NULL group (or null-value bucket)
+    // is a real cohort — "source unknown" drifting is exactly what
+    // this alert table must surface. Equality-keyed joins would split
+    // its ref/cur counts into disjoint half-rows (inflated n_buckets,
+    // distorted PSI for that group).
+    val joined = r.as("r").join(c.as("c"),
+        col("r.__g") <=> col("c.__g") &&
+          col("r.bucket") <=> col("c.bucket"), "full_outer")
+      .select(coalesce(col("r.__g"), col("c.__g")).as("__g"),
+        coalesce(col("r.bucket"), col("c.bucket")).as("bucket"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val totals = joined.groupBy(col("__g")).agg(
@@ -94,7 +107,8 @@ object Drift {
       count(lit(1)).as("__b"))
     val p = share(col("ref_n"), col("__nr"), col("__b"))
     val q = share(col("cur_n"), col("__nc"), col("__b"))
-    joined.join(totals, Seq("__g"))
+    joined.join(totals.withColumnRenamed("__g", "__tg"),
+        col("__g") <=> col("__tg"))
       .select(col("__g"), col("bucket"),
         floor(lit(1000000.0) * (p - q) * log(p / q))
           .cast("long").as("contrib_e6"))
@@ -116,8 +130,11 @@ object Drift {
   def jsCategorical(ref: DataFrame, cur: DataFrame, keyCol: String): DataFrame = {
     val r = ref.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("ref_n"))
     val c = cur.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cur_n"))
-    val joined = r.join(c, Seq("key"), "full_outer")
-      .select(col("key"),
+    // null-safe key: the NULL category aligns as one row (see
+    // [[psiNumeric]])
+    val joined = r.as("r").join(c.as("c"),
+        col("r.key") <=> col("c.key"), "full_outer")
+      .select(coalesce(col("r.key"), col("c.key")).as("key"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val totals = joined.agg(

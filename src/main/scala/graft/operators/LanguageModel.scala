@@ -226,23 +226,32 @@ object LanguageModel {
     *
     * Defaults (1, MaxValue) reproduce the unpruned model bit-for-bit.
     */
+  /** The shared KenLM-style pruned n-gram count-table builder: one
+    * map-combined count per gram key, count floor + frequency-desc
+    * top-M cap (lexicographic tiebreak for determinism) applied
+    * EXECUTOR-side so the driver only ever receives the survivors.
+    * Both trainers (and any higher-order variant) route through this
+    * one builder — the prune discipline must not fork per order. */
+  private def prunedCounts(grams: DataFrame, minCount: Long,
+                           maxEntries: Int): Map[String, Long] = {
+    val counts = grams.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val floored = if (minCount > 1) counts.filter(col("c") >= minCount)
+                  else counts
+    val capped = if (maxEntries == Int.MaxValue) floored
+                 else floored.orderBy(col("c").desc, col("k").asc)
+                   .limit(maxEntries)
+    capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   def trainBigrams(ref: DataFrame, refTextCol: String,
                    minCount: Long = 1L,
                    maxEntries: Int = Int.MaxValue): BigramModel = {
     val toks = ref.select(words(col(refTextCol)).as("__w"))
-    def prunedCounts(grams: DataFrame): Map[String, Long] = {
-      val counts = grams.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      val floored = if (minCount > 1) counts.filter(col("c") >= minCount)
-                    else counts
-      val capped = if (maxEntries == Int.MaxValue) floored
-                   else floored.orderBy(col("c").desc, col("k").asc)
-                     .limit(maxEntries)
-      capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")))
+    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")),
+      minCount, maxEntries)
     val bigAll = prunedCounts(toks
       .select(explode(graft.functions.TextFunctions
-        .shinglesOfWords(col("__w"), 2)).as("k")))
+        .shinglesOfWords(col("__w"), 2)).as("k")), minCount, maxEntries)
     // lower-order consistency: a surviving bigram needs its prev's
     // unigram count for the c12/c1 probability
     val big = bigAll.filter { case (k, _) =>
@@ -333,18 +342,11 @@ object LanguageModel {
                     minCount: Long = 1L,
                     maxEntries: Int = Int.MaxValue): TrigramModel = {
     val toks = ref.select(words(col(refTextCol)).as("__w"))
-    def prunedCounts(grams: DataFrame): Map[String, Long] = {
-      val counts = grams.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      val floored = if (minCount > 1) counts.filter(col("c") >= minCount)
-                    else counts
-      val capped = if (maxEntries == Int.MaxValue) floored
-                   else floored.orderBy(col("c").desc, col("k").asc)
-                     .limit(maxEntries)
-      capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
     def grams(n: Int) = prunedCounts(toks.select(explode(
-      graft.functions.TextFunctions.shinglesOfWords(col("__w"), n)).as("k")))
-    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")))
+      graft.functions.TextFunctions.shinglesOfWords(col("__w"), n)).as("k")),
+      minCount, maxEntries)
+    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")),
+      minCount, maxEntries)
     val big = grams(2).filter { case (k, _) =>
       uni.contains(k.substring(0, k.indexOf(' '))) }
     val tri = grams(3).filter { case (k, _) =>

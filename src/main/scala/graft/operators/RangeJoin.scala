@@ -84,8 +84,12 @@ object RangeJoin {
                       bucket: String = "DAY"): DataFrame = {
     require(BucketUnits.contains(bucket.toUpperCase),
       s"bucket must be one of $BucketUnits, got '$bucket'")
+    // strict: a zero-length interval [s, s) is EMPTY under half-open
+    // semantics and must overlap nothing — with >= it would survive
+    // banding and the s1 < e2 AND s2 < e1 predicate admits it against
+    // any interval strictly containing its point
     def banded(df: DataFrame, s: String, e: String) = df
-      .filter(col(e) >= col(s))
+      .filter(col(e) > col(s))
       .withColumn("__bucket",
         explode(sequence(
           date_trunc(bucket, col(s)),

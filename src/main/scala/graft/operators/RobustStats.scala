@@ -35,10 +35,29 @@ import org.apache.spark.sql.functions._
   * @return (groupCol, n, median, mad, winsor_mean_e2) */
 object RobustStats {
 
-  def stats(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+  /** Exact per-group order statistics cap parallelism at the group
+    * count: each group's rows sort inside ONE task however many
+    * executors the cluster has (3 groups -> 3 tasks, the slowest
+    * probe at 100x in SCALE.md). Pointing this at corpus-scale
+    * groups must be an ERROR naming the sketch path, not a 44-second
+    * task an hour into a 100 TB job — same fail-fast discipline as
+    * `Similarity.embeddingNearDupPairs`' maxRows guard. The guard
+    * itself is one map-combined count aggregate (narrow, corpus-scan
+    * cost, nothing collected beyond one row per group). */
+  def stats(df: DataFrame, groupCol: String, valCol: String,
+            maxRowsPerGroup: Long = 20000000L): DataFrame = {
     val x = col(valCol).cast("long")
     val base = df.select(col(groupCol), x.as("__x"))
       .filter(col("__x").isNotNull)
+    val biggest = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L))).head().getLong(0)
+    require(biggest <= maxRowsPerGroup,
+      s"RobustStats.stats sorts each group inside a single task (exact " +
+        s"order statistics): largest group has $biggest rows, over " +
+        s"maxRowsPerGroup=$maxRowsPerGroup. Use the mergeable quantile " +
+        s"sketch (q_approx_quantile: approx_percentile) for corpus-scale " +
+        "groups, or raise maxRowsPerGroup deliberately.")
     // POSITION arithmetic uses the cheap double-division idiom: the
     // operands are row counts (row_number is an int), far inside the
     // 2^53 exactness window at any conceivable group size, and the

@@ -174,9 +174,21 @@ case class DotProductLong(left: Expression, right: Expression)
   * long summation per bit, bit set when the projection is >= 0,
   * powers of two are carry-free so |= equals the oracle's sum. A
   * null ELEMENT nulls the signature; a length mismatch vs the plane
-  * width throws (mixed embedding versions are a data error). */
-case class SignSignature(child: Expression, planes: Array[Array[Long]])
+  * width throws (mixed embedding versions are a data error).
+  *
+  * The plane matrix is held as `Seq[Seq[Long]]`, NOT `Array`: case
+  * class equality on an Array field is reference equality, so two
+  * plans building the same planes independently would never
+  * `sameResult` — defeating every canonical-plan comparison
+  * (CacheManager reuse, PersistSlots cross-slot sharing, exchange
+  * reuse) for any plan containing the kernel. Seq equality is
+  * structural. Both eval paths run over a memoized primitive
+  * `long[][]` so the hot loop costs the same as before. */
+case class SignSignature(child: Expression, planes: Seq[Seq[Long]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val planeMatrix: Array[Array[Long]] =
+    planes.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -189,6 +201,7 @@ case class SignSignature(child: Expression, planes: Array[Array[Long]])
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val planes = planeMatrix
     val dim = planes(0).length
     if (x.numElements() != dim)
       throw new IllegalArgumentException(
@@ -212,7 +225,7 @@ case class SignSignature(child: Expression, planes: Array[Array[Long]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val p = ctx.addReferenceObj("planes", planes, "long[][]")
+      val p = ctx.addReferenceObj("planes", planeMatrix, "long[][]")
       val sig = ctx.freshName("sig")
       val b = ctx.freshName("b")
       val d = ctx.freshName("d")
@@ -260,7 +273,10 @@ object VectorExpressions {
     Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
 
   /** Packed hyperplane sign signature (codegen'd) of an array<bigint>
-    * vector against a bits x dim integer plane matrix. */
+    * vector against a bits x dim integer plane matrix. The matrix is
+    * stored structurally (Seq of Seq) inside the expression so two
+    * independently-built identical plans compare `sameResult`. */
   def signSignature(v: Column, planes: Array[Array[Long]]): Column =
-    Bridge.column(SignSignature(Bridge.expression(v), planes))
+    Bridge.column(SignSignature(Bridge.expression(v),
+      planes.map(_.toSeq).toSeq))
 }

@@ -209,7 +209,8 @@ object EventQueries {
         |      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
         |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
         |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
-        |      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |      FROM r FULL OUTER JOIN c
+        |        ON r.bucket IS NOT DISTINCT FROM c.bucket),
         |t AS (SELECT sum(ref_n) AS nr, sum(cur_n) AS nc, count(*) AS b FROM j)
         |SELECT bucket, CAST(ref_n AS BIGINT) AS ref_n,
         |  CAST(cur_n AS BIGINT) AS cur_n,
@@ -233,7 +234,8 @@ object EventQueries {
         |        coalesce(r.bucket, c.bucket) AS bucket,
         |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
         |      FROM r FULL OUTER JOIN c
-        |        ON r.g = c.g AND r.bucket = c.bucket),
+        |        ON r.g IS NOT DISTINCT FROM c.g
+        |        AND r.bucket IS NOT DISTINCT FROM c.bucket),
         |t AS (SELECT g, sum(ref_n) AS nr, sum(cur_n) AS nc,
         |        count(*) AS b FROM j GROUP BY 1),
         |k AS (SELECT j.g,
@@ -243,7 +245,7 @@ object EventQueries {
         |          ln((CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)) /
         |             (CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE))))
         |          AS BIGINT) AS contrib_e6
-        |      FROM j JOIN t ON t.g = j.g)
+        |      FROM j JOIN t ON t.g IS NOT DISTINCT FROM j.g)
         |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_buckets,
         |  CAST(sum(contrib_e6) AS BIGINT) AS psi_e6
         |FROM k GROUP BY g""".stripMargin,
@@ -254,7 +256,8 @@ object EventQueries {
         |      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
         |j AS (SELECT coalesce(r.key, c.key) AS key,
         |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
-        |      FROM r FULL OUTER JOIN c ON r.key = c.key),
+        |      FROM r FULL OUTER JOIN c
+        |        ON r.key IS NOT DISTINCT FROM c.key),
         |t AS (SELECT sum(ref_n) AS nr, sum(cur_n) AS nc, count(*) AS b FROM j),
         |s AS (SELECT key, ref_n, cur_n,
         |        CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) AS p,

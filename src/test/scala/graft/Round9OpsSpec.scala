@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.plans.VectorExpressions
+
+/** Round-9 hardening: the RobustStats scale guard, structural plane
+  * equality for the sign-signature kernel, null-safe drift keys,
+  * strict half-open interval semantics, and the two untested
+  * arithmetic regimes flagged by review (scaledDivTrunc past 2^63
+  * numerators, recallAtK short-exact frames).
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  test("RobustStats.stats fails fast past maxRowsPerGroup, naming the sketch path") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L))
+      .toDF("k", "v")
+    // normal path unchanged under the default cap
+    assert(RobustStats.stats(df, "k", "v").count() == 2)
+    val err = intercept[IllegalArgumentException] {
+      RobustStats.stats(df, "k", "v", maxRowsPerGroup = 2L)
+    }
+    assert(err.getMessage.contains("q_approx_quantile"),
+      s"guard must name the approximate scale path: ${err.getMessage}")
+    assert(err.getMessage.contains("3 rows"),
+      s"guard must report the offending group size: ${err.getMessage}")
+  }
+
+  test("SignSignature: independently built identical planes compare sameResult") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(3L, -4L))).toDF("v")
+    // two DISTINCT array instances with equal contents — under the
+    // old Array field these compared by reference and every
+    // canonical-plan equality (CacheManager, PersistSlots sharing,
+    // ReuseExchange) failed for plans containing the kernel
+    def planes() = Array(Array(1L, 2L), Array(-3L, 4L))
+    val d1 = df.select(VectorExpressions.signSignature(col("v"), planes()).as("s"))
+    val d2 = df.select(VectorExpressions.signSignature(col("v"), planes()).as("s"))
+    assert(d1.queryExecution.analyzed.sameResult(d2.queryExecution.analyzed),
+      "equal plane matrices must canonicalize equal")
+    // different planes must still NOT compare equal
+    val d3 = df.select(VectorExpressions.signSignature(col("v"),
+      Array(Array(9L, 9L), Array(-3L, 4L))).as("s"))
+    assert(!d1.queryExecution.analyzed.sameResult(d3.queryExecution.analyzed))
+    // and the arithmetic is unchanged: (3,-4)·(1,2)=-5 -> bit0=0;
+    // (3,-4)·(-3,4)=-25 -> bit1=0
+    assert(d1.head().getLong(0) == 0L)
+  }
+
+  test("intervalOverlap: empty half-open intervals match nothing") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // left [5,5) is EMPTY; right [1,10) strictly contains its point —
+    // the s1<e2 AND s2<e1 predicate alone would admit the pair
+    val a = Seq((1L, ts(5), ts(5)), (2L, ts(3), ts(6))).toDF("ida", "sa", "ea")
+    val b = Seq((7L, ts(1), ts(10))).toDF("idb", "sb", "eb")
+    val got = RangeJoin.intervalOverlap(a, b, "sa", "ea", "sb", "eb")
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((2L, 7L)),
+      s"only the non-degenerate interval may match, got ${got.toSeq}")
+  }
+
+  test("psiByGroup: a NULL group aligns as one cohort, not disjoint half-rows") {
+    import spark.implicits._
+    val ref = Seq((Option.empty[String], 10.0), (None, 30.0),
+      (Some("a"), 10.0)).toDF("src", "v")
+    val cur = Seq((Option.empty[String], 10.0), (None, 60.0),
+      (Some("a"), 10.0)).toDF("src", "v")
+    val out = Drift.psiByGroup(ref, cur, "src", "v", bucketWidth = 25.0)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(out.size == 2, s"null group + 'a' = two rows, got $out")
+    // null-group buckets: ref {0,1}, cur {0,2} -> union 3 occupied
+    // buckets. The null-unsafe join produced 4 (each side's rows
+    // entering separately), inflating n_buckets and the smoothing b.
+    assert(out(None) == 3L, s"null group must align to 3 buckets, got $out")
+    assert(out(Some("a")) == 1L)
+  }
+
+  test("recallAtK: fewer exact neighbors than k, and duplicate approx rows") {
+    import spark.implicits._
+    // query 1 has only 2 exact neighbors; a perfect retrieval at k=5
+    // must score e4 10000 (least(k, n_exact) denominator), and the
+    // duplicated approx row must not double-count a hit
+    val exact = Seq((1L, 10L), (1L, 20L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx, k = 5).head()
+    assert(r.getLong(1) == 2L, s"hits must be 2, got ${r.getLong(1)}")
+    assert(r.getLong(2) == 10000L,
+      s"full retrieval of a short exact frame must be e4 10000, got ${r.getLong(2)}")
+  }
+
+  test("scaledDivTrunc: exact in the >2^63-numerator regime the long path wraps in") {
+    import spark.implicits._
+    // x * 10000 wraps a long once x > ~9.2e14; at x = Long.MaxValue/2
+    // the old long-multiply path produced garbage. The decimal-widened
+    // path must return the exact truncated quotient (the contract is
+    // RATIO-like calls — quotient fits a long — so n ~ x here, the
+    // hits/total shape recallAtK and the winsorized mean feed it).
+    val x = Long.MaxValue / 2 // 4611686018427387903
+    val n = x + 13L
+    val expected = (BigInt(x) * 10000 / n).toLong // truncation: operands positive
+    val got = Seq((x, n)).toDF("x", "n")
+      .select(IntMath.scaledDivTrunc(col("x"), 10000L, col("n")).as("q"))
+      .head().getLong(0)
+    assert(got == expected, s"expected $expected, got $got")
+    // document the wrap the old path had: the long product is negative
+    assert(x * 10000L < 0, "precondition: long multiply wraps on this input")
+  }
+}
