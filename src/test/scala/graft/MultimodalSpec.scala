@@ -162,6 +162,35 @@ class MultimodalSpec extends SparkSpec {
       frames(1)._4 == (9.0 / 255).toFloat)
   }
 
+  test("delta-frame GIF: features come from the COMPOSITED displayed frame") {
+    // base 6x4 solid red; frame 1 patches a 2x2 green block at (2,1)
+    // with disposal doNotDispose — the stored raster for frame 1 is
+    // the 4-pixel patch, but the DISPLAYED frame is red with a green
+    // hole. Reading frames independently (the pre-compositing bug)
+    // would score frame 1 as pure green.
+    val gif = Multimodal.encodeGifDeltaFrames(6, 4, (200, 0, 0),
+      Seq((0, 250, 0, 2, 1, 2, 2)))
+    val df = Seq((1L, gif)).toDF("id", "payload")
+    // sanity: the container really is delta-encoded (frame 1 raster
+    // is 2x2, not full-canvas)
+    val d = Multimodal.decodeVideo(df, "payload")
+      .select($"decoded").head().getStruct(0)
+    assert(d.getLong(0) == 2L)
+    val frames = Multimodal.sampleFrameFeatures(df, "payload", stride = 1)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.f_r", $"f.f_g", $"f.f_b")
+      .collect().map(r => (r.getLong(0), r.getFloat(1), r.getFloat(2), r.getFloat(3)))
+    assert(frames.map(_._1).toSeq == Seq(0L, 1L))
+    // frame 0: solid red
+    assert(frames(0)._2 == (200.0 / 255).toFloat && frames(0)._3 == 0f)
+    // frame 1 composited: 20 red pixels + 4 green of 24 total
+    assert(frames(1)._2 == (20.0 * 200 / (24 * 255)).toFloat,
+      s"red mean must reflect the surviving base pixels, got ${frames(1)}")
+    assert(frames(1)._3 == (4.0 * 250 / (24 * 255)).toFloat,
+      s"green mean must reflect only the 4 patched pixels, got ${frames(1)}")
+    assert(frames(1)._4 == 0f)
+  }
+
   test("decodeVideo yields null struct for null and undecodable payloads") {
     val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
       .toDF("id", "payload")
