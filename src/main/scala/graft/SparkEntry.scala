@@ -24,7 +24,8 @@ object SparkEntry {
       DedupQueries.queries ++
       VectorQueries.queries ++
       MultimodalQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     FlattenQueries.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.StreamOps
+
+/** Driver-gate queries that execute the ACTUAL Structured Streaming
+  * micro-batch path — `MemoryStream` batches through a streaming
+  * plan into a memory sink — and hand the sink's table to the
+  * DuckDB oracle. The batch twins of these operators are oracled
+  * elsewhere and `StreamBatchEquivalenceSpec` pins stream==batch in
+  * ScalaTest; these entries put the streaming EXECUTION MODE itself
+  * (micro-batch planner, IncrementalExecution, sink commit) under
+  * the external-engine gate.
+  *
+  * Harness contract: the driver feed collects the (tiny, filtered)
+  * stream side to build MemoryStream input — that is the gate's
+  * stand-in for a Kafka/files source, not a production path; the
+  * streaming PLAN under test is identical to the one a real source
+  * would run. Stateless per-batch operators are chosen deliberately:
+  * their output is independent of micro-batch boundaries, so the
+  * result is deterministic and engine-replayable.
+  */
+object StreamQueries {
+
+  private val K = 12 // minhash signature length (matches DedupQueries)
+  private val BANDS = 4
+  private val sinkIds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Stream-static MinHash dedup on ingest, executed as a REAL
+    * streaming query: documents with doc_id % 10 == 7 arrive in three
+    * micro-batches and probe the static corpus band index
+    * ([[Dedup.corpusBandIndex]] over the other 90%); every band hit
+    * is appended to the sink. Output = (doc_id, corpus_id, band_key)
+    * per shared band — the raw ingest-alert stream
+    * [[StreamOps.dedupAgainstCorpus]] documents. */
+  private def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val index = Dedup.corpusBandIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", K, BANDS)
+    // deterministic feed: the streamed 10% in doc_id order, split
+    // into three micro-batches (batch boundaries cannot change the
+    // output — the operator is stateless per batch)
+    val feed = docs.filter(col("doc_id") % 10 === 7)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamed = StreamOps.dedupAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", index,
+      numHashes = K, bands = BANDS)
+    val sink = s"graft_stream_dedup_sink_${sinkIds.incrementAndGet()}"
+    val q = streamed.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (feed.length + 2) / 3)
+      feed.grouped(per).foreach { g =>
+        input.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir))
+  )
+
+  // DuckDB replay of the whole streaming pipeline: identical MinHash
+  // signature + band-key arithmetic as DedupQueries' minhash oracle
+  // (md5 shingle hashes, '#'-joined band slices), restricted to
+  // stream-side (doc_id % 10 = 7) probing corpus-side rows. One row
+  // per shared band — the same multiset the append sink accumulates.
+  private val dedupIngestOracle: String = {
+    val r = K / BANDS
+    val sigCols = (0 until K)
+      .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    val bandExprs = (0 until BANDS).map { b =>
+      val hs = (b * r until (b + 1) * r).map(i => s"h$i").mkString(" || '#' || ")
+      s"md5('$b' || '#' || $hs)"
+    }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |      FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, len(w) - 2),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM w WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_key FROM sig)
+       |SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+       |  a.band_key AS band_key
+       |FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "stream_dedup_ingest" -> dedupIngestOracle
+  )
+}

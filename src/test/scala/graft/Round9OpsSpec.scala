@@ -91,6 +91,25 @@ class Round9OpsSpec extends SparkSpec {
       s"full retrieval of a short exact frame must be e4 10000, got ${r.getLong(2)}")
   }
 
+  test("stream_dedup_ingest drives the real micro-batch path and equals the batch join") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamQueries.queries("stream_dedup_ingest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // batch twin: same band-key probe without the streaming machinery
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val index = Dedup.corpusBandIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", 12, 4)
+    val want = Dedup.bandKeysNarrow(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 12, 4)
+      .join(index, Seq("band_key"))
+      .select(col("doc_id"), col("corpus_id"), col("band_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, s"stream result must equal the batch probe")
+    assert(got.nonEmpty, "fixture must produce at least one band hit")
+  }
+
   test("scaledDivTrunc: exact in the >2^63-numerator regime the long path wraps in") {
     import spark.implicits._
     // x * 10000 wraps a long once x > ~9.2e14; at x = Long.MaxValue/2
