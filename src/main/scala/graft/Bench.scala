@@ -33,22 +33,25 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warm failed: ${e.getMessage}") }
 
-    // median of three runs per query: later runs reuse OS page cache
-    // and warmed codegen (the steady-state a long-lived cluster
-    // session sees); the median is robust to the one-off ±2x spikes a
-    // shared box injects, which min-of-2 only partially damped. A
-    // trial that throws is recorded as failed (time-to-failure is NOT
-    // a measurement) and the query reports -1 with an error marker.
-    // trial list rides along so bench_detail.json records the
-    // cold/warm split — a slot-reuse or cache regression shows up as
-    // trials 2-3 matching trial 1 instead of dropping well below it
+    // ISOLATION MODE (round 9): one UNTIMED warmup execution per
+    // query, then median of three timed trials — so the reported
+    // number is the warm steady-state a long-lived cluster session
+    // sees, and the first-execution cold spike (codegen compile,
+    // page-cache fill, persist-slot population: 2-6x on the heavier
+    // queries) no longer leaks into cross-round comparisons. The r7
+    // "1.19x regression" that round 8 reversed with zero plan changes
+    // was exactly this confound (SCALE.md round-9 postmortem). The
+    // warmup time IS recorded as trials[0] in bench_detail.json, so
+    // cold-start regressions stay visible without polluting the
+    // median. A trial that throws marks the query failed
+    // (time-to-failure is NOT a measurement) -> -1 + error marker.
     val trialLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
               dir: String, logAs: String = ""): (Double, Boolean) = {
       val times = Seq.newBuilder[Double]
       var failed = false
       var trial = 0
-      while (trial < 3 && !failed) { // first failure decides — don't re-run a broken query
+      while (trial < 4 && !failed) { // first failure decides — don't re-run a broken query
         val t0 = System.nanoTime()
         try { fn(spark, dir).count() } catch { case _: Throwable => failed = true }
         times += (System.nanoTime() - t0) / 1e9
@@ -56,7 +59,8 @@ object Bench {
       }
       if (logAs.nonEmpty) trialLog(logAs) = times.result()
       if (failed) (-1.0, false)
-      else (times.result().sorted.apply(1), true)
+      // median of the three WARM trials (trials 1-3; trial 0 = warmup)
+      else (times.result().drop(1).sorted.apply(1), true)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, timed(fn, sfDir, logAs = name))
@@ -112,7 +116,7 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median3-warm"$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that
@@ -138,7 +142,7 @@ object Bench {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$compactErrJson$om,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir","isolation":"warmup1+median3-warm"$compactErrJson$om,"detail":"bench_detail.json"}"""
     }
     val ok = results.collect { case (n, (v, true)) => (n, v) }
     val byTimeDesc = ok.sortBy(-_._2)

