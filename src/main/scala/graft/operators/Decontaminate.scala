@@ -55,4 +55,34 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[overlapReport]]: n-gram overlap misses paraphrased or
+    * translated test material, so modern pipelines ALSO flag train
+    * items whose embedding sits within a cosine radius of any eval
+    * item. Per train vector: how many eval vectors clear
+    * `minCosine`, and the max similarity found (null when none).
+    *
+    * Scale shape: identical to the n-gram form — the eval side is
+    * benchmark-sized, so its vectors broadcast, and the corpus pays
+    * ONE narrow scan with |eval| codegen'd dot products per row
+    * (BroadcastNestedLoopJoin on the threshold predicate; no corpus
+    * shuffle, no all-pairs stage). Rounding follows the engine-wide
+    * round6-then-round4 discipline so the report replays exactly.
+    * @return (idCol, n_close, max_sim) for every train vector */
+  def semanticOverlapReport(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCosine: Double): DataFrame = {
+    val ev = broadcast(eval.select(col(vecCol).as("__ev")))
+    val tr = train.select(col(idCol).as("id"), col(vecCol).as("__tv"))
+    val sim6 = round(Similarity.cosine(col("__tv"), col("__ev")), 6)
+    val hits = tr.join(ev, sim6 >= minCosine)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_close"), max(sim6).as("__mx"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        round(col("__mx"), 4).as("max_sim"))
+  }
 }

@@ -224,6 +224,38 @@ object TextQueries {
         idCol = "doc_id", textCol = "text", n = 3)
     }),
 
+    // SEMANTIC decontamination: train vectors within a cosine radius
+    // of any eval vector (paraphrase leakage the n-gram rule misses).
+    // Eval side broadcast, corpus pays one narrow scan — same 100 TB
+    // shape as text_decontaminate
+    "text_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticOverlapReport(
+        train = emb.filter(col("vec_id") % 97 =!= 0),
+        eval = emb.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", minCosine = 0.3)
+    }),
+
+    // corpus-novelty audit: the fraction of a document's distinct
+    // 3-gram shingles appearing NOWHERE else in the corpus (df = 1) —
+    // the diversity signal dedup's inverse asks for ("how much of
+    // this doc is boilerplate?"). One gram-key exchange (tfidf's
+    // shape) + one per-doc aggregate; e4 exact fixed point
+    "text_novelty" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(
+            shinglesOfWords(words(col("text")), 3))).as("g"))
+      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          graft.operators.IntMath.scaledDivTrunc(
+            col("n_unique"), 10000L, col("n_grams")).as("novelty_e4"))
+    }),
+
     // context-window chunking: overlapping token windows (size 50,
     // stride 25) — the document -> training-sequence step. Pure list
     // expressions then one explode: narrow, no shuffle; chunk_hash
@@ -885,6 +917,34 @@ object TextQueries {
         |            OR dup_trigram_frac_e4 > 3000
         |       THEN 1 ELSE 0 END AS INTEGER) AS repetitive
         |FROM r""".stripMargin,
+    "text_decontaminate_semantic" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |ev AS (SELECT e FROM q WHERE vec_id % 97 = 0),
+        |tr AS (SELECT vec_id, e FROM q WHERE vec_id % 97 <> 0),
+        |h AS (SELECT tr.vec_id, count(*) AS n_close,
+        |        max(round(list_cosine_similarity(tr.e, ev.e), 6)) AS mx
+        |      FROM tr JOIN ev
+        |        ON round(list_cosine_similarity(tr.e, ev.e), 6) >= 0.3
+        |      GROUP BY 1)
+        |SELECT tr.vec_id, CAST(coalesce(h.n_close, 0) AS BIGINT) AS n_close,
+        |  round(h.mx, 4) AS max_sim
+        |FROM tr LEFT JOIN h USING (vec_id)""".stripMargin,
+    "text_novelty" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(wl) - 1),
+        |           i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS g
+        |       FROM w WHERE len(wl) >= 3),
+        |d AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000)
+        |    // count(*) AS BIGINT) AS novelty_e4
+        |FROM sh JOIN d USING (g) GROUP BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id,
         |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl

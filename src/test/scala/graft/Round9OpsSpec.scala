@@ -91,6 +91,36 @@ class Round9OpsSpec extends SparkSpec {
       s"full retrieval of a short exact frame must be e4 10000, got ${r.getLong(2)}")
   }
 
+  test("semanticOverlapReport flags embedding-space leakage, nulls for clean rows") {
+    import spark.implicits._
+    // train 1 = eval vector exactly (cos 1.0), train 2 orthogonal
+    val eval = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticOverlapReport(
+        train, eval, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) == ((1L, Some(1.0))), s"exact copy must flag: $out")
+    assert(out(2L) == ((0L, None)), s"orthogonal vector must be clean: $out")
+  }
+
+  test("text_novelty: all-unique doc scores e4 10000, fully-shared doc 0") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.TextQueries.queries("text_novelty")(
+      spark, "/root/testdata/sf0.001").cache()
+    // bounds + arithmetic: novelty_e4 = n_unique*10000 div n_grams
+    val bad = out.filter(col("novelty_e4") =!=
+      graft.operators.IntMath.scaledDivTrunc(
+        col("n_unique"), 10000L, col("n_grams"))).count()
+    assert(bad == 0)
+    assert(out.filter(col("novelty_e4") < 0 ||
+      col("novelty_e4") > 10000).count() == 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
   test("stream_dedup_ingest drives the real micro-batch path and equals the batch join") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
