@@ -70,8 +70,67 @@ object StreamQueries {
     spark.table(sink)
   }
 
+  /** The STATEFUL streaming path under the gate: the windowed drift
+    * monitor ([[StreamOps.windowedDriftJs]] —
+    * flatMapGroupsWithState + event-time timeouts) over the events
+    * table's odd half against the even half's reference counts,
+    * executed as a real micro-batch query. The ts-sorted feed runs
+    * in three micro-batches; two far-future sentinel batches then
+    * advance the watermark (one to move it, one to reap the
+    * timeouts — the state-store eviction path itself under test), so
+    * every REAL daily window closes and emits while the sentinel's
+    * own window stays open and unemitted. Deterministic: a window's
+    * events all precede the watermark that closes it (sorted feed),
+    * so batch boundaries cannot change any window's counts. */
+  private def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("tsm"))
+    val refCounts: Map[String, Long] = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feed = ev.filter(col("event_id") % 2 === 1)
+      .select(col("tsm"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect()
+      .sortBy(e => (e._1.getTime, e._2)).toSeq
+    val maxMs = feed.iterator.map(_._1.getTime).max
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamOps.DriftEvent]
+    val sink = s"graft_stream_drift_sink_${sinkIds.incrementAndGet()}"
+    // streaming STATE partitions are frozen from the session conf at
+    // query start; the per-batch cost here is state-store commits x
+    // partitions x micro-batches, and the group count (windows) is
+    // tiny — 8 partitions cuts the fixed commit overhead without
+    // changing semantics. Restored after start (the value is only
+    // read once).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try StreamOps.windowedDriftJs(input.toDS(), refCounts,
+          windowMinutes = 1440, lateMinutes = 10)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val per = math.max(1, (feed.length + 2) / 3)
+      feed.grouped(per).foreach { g =>
+        input.addData(g.map { case (t, k) => StreamOps.DriftEvent(t, k) })
+        q.processAllAvailable()
+      }
+      input.addData(StreamOps.DriftEvent(
+        new java.sql.Timestamp(maxMs + 86400000L), "view"))
+      q.processAllAvailable()
+      input.addData(StreamOps.DriftEvent(
+        new java.sql.Timestamp(maxMs + 86400000L + 1000L), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir))
+    "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
+    "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir))
   )
 
   // DuckDB replay of the whole streaming pipeline: identical MinHash
@@ -101,7 +160,46 @@ object StreamQueries {
        |WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7""".stripMargin
   }
 
+  // DuckDB replay of every CLOSED window's emitted rows: per daily
+  // window of the odd half, the union key set (reference keys ∪ the
+  // window's keys), add-one smoothing over it, and the two
+  // separately-floored JS halves — the identical association the
+  // operator folds in its timeout branch. The sentinel window never
+  // closes, so the oracle covers exactly the real windows.
+  private val driftMonitorOracle: String =
+    """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |ref AS (SELECT event_type AS key, count(*) AS rn
+      |        FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+      |cur AS (SELECT (us // 86400000000) * 86400000000 AS w,
+      |          event_type AS key, count(*) AS cn
+      |        FROM e WHERE event_id % 2 = 1 GROUP BY 1, 2),
+      |keys AS (SELECT wins.w, r.key
+      |         FROM (SELECT DISTINCT w FROM cur) wins CROSS JOIN ref r
+      |         UNION SELECT w, key FROM cur),
+      |nrt AS (SELECT sum(rn) AS nr FROM ref),
+      |nct AS (SELECT w, sum(cn) AS nc FROM cur GROUP BY 1),
+      |nkt AS (SELECT w, count(*) AS nk FROM keys GROUP BY 1),
+      |s AS (SELECT k.w, k.key,
+      |        coalesce(r.rn, 0) AS rn, coalesce(c.cn, 0) AS cn,
+      |        CAST(coalesce(r.rn, 0) + 1 AS DOUBLE)
+      |          / CAST(nrt.nr + nkt.nk AS DOUBLE) AS p,
+      |        CAST(coalesce(c.cn, 0) + 1 AS DOUBLE)
+      |          / CAST(nct.nc + nkt.nk AS DOUBLE) AS q
+      |      FROM keys k
+      |      LEFT JOIN ref r ON r.key = k.key
+      |      LEFT JOIN cur c ON c.w = k.w AND c.key = k.key
+      |      JOIN nct ON nct.w = k.w
+      |      JOIN nkt ON nkt.w = k.w
+      |      CROSS JOIN nrt)
+      |SELECT w AS window_start_us, key,
+      |  CAST(rn AS BIGINT) AS ref_n, CAST(cn AS BIGINT) AS cur_n,
+      |  CAST(floor(500000.0 * p * ln(p / ((p + q) / 2.0))) +
+      |       floor(500000.0 * q * ln(q / ((p + q) / 2.0)))
+      |    AS BIGINT) AS contrib_e6
+      |FROM s""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "stream_dedup_ingest" -> dedupIngestOracle
+    "stream_dedup_ingest" -> dedupIngestOracle,
+    "stream_drift_monitor" -> driftMonitorOracle
   )
 }
