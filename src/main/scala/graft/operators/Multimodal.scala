@@ -221,9 +221,13 @@ object Multimodal {
     * canvas, not the stored partial raster. This is the layout
     * real-world optimized GIFs use (inter-frame delta encoding).
     * @param patches (r, g, b, left, top, patchW, patchH) per frame
-    *                after the base */
+    *                after the base
+    * @param disposals optional per-frame disposal methods (index 0 =
+    *                  the base frame); frames beyond the seq default
+    *                  to `doNotDispose` */
   def encodeGifDeltaFrames(w: Int, h: Int, base: (Int, Int, Int),
-      patches: Seq[(Int, Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
+      patches: Seq[(Int, Int, Int, Int, Int, Int, Int)],
+      disposals: Seq[String] = Seq.empty): Array[Byte] = {
     import javax.imageio.metadata.IIOMetadataNode
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()
@@ -236,7 +240,8 @@ object Multimodal {
       new java.awt.image.BufferedImage(fw, fh,
         java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
     }
-    def meta(img: java.awt.image.BufferedImage, left: Int, top: Int) = {
+    def meta(img: java.awt.image.BufferedImage, left: Int, top: Int,
+             disposal: String) = {
       val md = writer.getDefaultImageMetadata(
         javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
       val root = new IIOMetadataNode(GifImageMeta)
@@ -248,7 +253,7 @@ object Multimodal {
       desc.setAttribute("interlaceFlag", "FALSE")
       root.appendChild(desc)
       val gce = new IIOMetadataNode("GraphicControlExtension")
-      gce.setAttribute("disposalMethod", "doNotDispose")
+      gce.setAttribute("disposalMethod", disposal)
       gce.setAttribute("userInputFlag", "FALSE")
       gce.setAttribute("transparentColorFlag", "FALSE")
       gce.setAttribute("delayTime", "10")
@@ -260,13 +265,16 @@ object Multimodal {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      def disp(i: Int): String =
+        if (i < disposals.length) disposals(i) else "doNotDispose"
       val b0 = solid(w, h, base._1, base._2, base._3)
       writer.writeToSequence(
-        new javax.imageio.IIOImage(b0, null, meta(b0, 0, 0)), null)
-      patches.foreach { case (r, g, b, left, top, pw, ph) =>
+        new javax.imageio.IIOImage(b0, null, meta(b0, 0, 0, disp(0))), null)
+      patches.zipWithIndex.foreach { case ((r, g, b, left, top, pw, ph), i) =>
         val img = solid(pw, ph, r, g, b)
         writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, meta(img, left, top)), null)
+          new javax.imageio.IIOImage(img, null,
+            meta(img, left, top, disp(i + 1))), null)
       }
       writer.endWriteSequence()
     } finally { ios.close(); writer.dispose() }
@@ -441,14 +449,25 @@ object Multimodal {
           // BEFORE the last rendered frame is stale, so a
           // restoreToPrevious disposal must recompose, not restore
           var snapValid = true
+          // does the canvas buffer honestly equal displayed(prevIdx)?
+          // False right after a keyframe JUMP (frames between the old
+          // position and the keyframe were skipped) until the
+          // keyframe's full repaint lands — a snapshot cloned in that
+          // gap would capture the stale pre-jump canvas, so snapshot
+          // validity is gated on this flag
+          var canvasHonest = true
           try {
             /** Composite frames [from, to] in sequence per the GIF
               * presentation model: apply the previous frame's
               * disposal, then draw at the descriptor offset (SrcOver
               * keeps canvas pixels under transparent palette
               * entries). Canvas must honestly hold displayed(from-1)
-              * — or `from` must repaint every pixel. */
-            def render(from: Int, to: Int): Unit = {
+              * — or `from` must repaint every pixel. `lastImg`
+              * supplies an already-decoded image for frame `to`
+              * (the fast-path probe decoded it), avoiding a second
+              * LZW decode of every sampled delta frame. */
+            def render(from: Int, to: Int,
+                       lastImg: java.awt.image.BufferedImage): Unit = {
               var i = from
               while (i <= to) {
                 if (prevIdx >= 0) infos(prevIdx).disposal match {
@@ -465,15 +484,17 @@ object Multimodal {
                   case "restoreToPrevious" =>
                     if (snapshot == null || !snapValid) {
                       // pre-frame state was skipped (restoreToPrevious
-                      // ON a full-canvas keyframe — pathological):
-                      // recompose displayed(prevIdx) honestly from 0.
-                      // Depth-1 recursion: a full render always takes
-                      // its own snapshots, so the inner pass never
+                      // after a fast path or keyframe jump —
+                      // pathological): recompose displayed(prevIdx)
+                      // honestly from 0. Depth-1 recursion: a full
+                      // render from a cleared canvas always takes
+                      // valid snapshots, so the inner pass never
                       // lands here again.
                       val target = prevIdx
                       java.util.Arrays.fill(px, 0)
                       prevIdx = -1; snapshot = null; snapValid = true
-                      render(0, target)
+                      canvasHonest = true
+                      render(0, target, null)
                     }
                     if (snapshot != null)
                       System.arraycopy(snapshot, 0, px, 0, px.length)
@@ -481,10 +502,17 @@ object Multimodal {
                 }
                 val info = infos(i)
                 if (info.disposal == "restoreToPrevious") {
-                  snapshot = px.clone(); snapValid = true
+                  // a clone of a stale canvas must not count as a
+                  // restorable snapshot — the recompose branch above
+                  // rebuilds it honestly when needed
+                  snapshot = px.clone(); snapValid = canvasHonest
                 }
-                val img = r.read(i)
+                val img = if (i == to && lastImg != null) lastImg
+                          else r.read(i)
                 g2().drawImage(img, info.left, info.top, null)
+                // a full-canvas opaque repaint makes the canvas honest
+                // again whatever came before
+                if (info.opaqueFull) canvasHonest = true
                 prevIdx = i
                 prevRect = (info.left, info.top, img.getWidth, img.getHeight)
                 i += 1
@@ -498,7 +526,9 @@ object Multimodal {
               // IMAGE itself — a full-canvas opaque frame repaints
               // every pixel, so history (and its metadata) is
               // irrelevant; bulk-read its ARGB straight into the
-              // canvas buffer, no Graphics2D, no DOM trees
+              // canvas buffer, no Graphics2D, no DOM trees. (A
+              // canvas-sized frame is at offset (0,0) by the GIF
+              // spec — frames may not exceed the logical screen.)
               val img = r.read(s)
               if (img.getWidth == cw && img.getHeight == ch &&
                   img.getColorModel.getTransparency ==
@@ -508,6 +538,7 @@ object Multimodal {
                 prevRect = (0, 0, cw, ch)
                 snapshot = null
                 snapValid = false // pre-s canvas state was not maintained
+                canvasHonest = true // the repaint IS displayed(s)
               } else {
                 // composite: start from the latest full-canvas
                 // keyframe in [next, s] if any (header check only)
@@ -516,8 +547,9 @@ object Multimodal {
                 if (j > next && infos(j).opaqueFull) {
                   next = j
                   prevIdx = -1; snapshot = null; snapValid = false
+                  canvasHonest = false // frames (old next, j) skipped
                 }
-                render(next, s)
+                render(next, s, img)
               }
               next = s + 1
               // canvas now holds DISPLAYED frame s

@@ -718,7 +718,8 @@ object RelationalQueries {
         |SELECT id_a, id_b,
         |  CAST(date_diff('day', greatest(sa, sb), least(ea, eb)) AS BIGINT)
         |    AS overlap_days
-        |FROM a JOIN b ON sa < eb AND sb < ea""".stripMargin,
+        |FROM a JOIN b ON sa < eb AND sb < ea
+        |WHERE ea > sa AND eb > sb""".stripMargin,
     "q_robust_stats" ->
       """WITH c AS (SELECT l_returnflag AS f,
         |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x

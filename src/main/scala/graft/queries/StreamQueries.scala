@@ -67,7 +67,12 @@ object StreamQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.table(sink)
+    // unbind the catalog name (see driftMonitor): the resolved frame
+    // outlives the temp view, and bench trials must not accumulate
+    // named sink tables
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   /** The STATEFUL streaming path under the gate: the windowed drift
@@ -94,6 +99,8 @@ object StreamQueries {
       .select(col("tsm"), col("event_type"))
       .as[(java.sql.Timestamp, String)].collect()
       .sortBy(e => (e._1.getTime, e._2)).toSeq
+    if (feed.isEmpty)
+      return spark.emptyDataset[StreamOps.DriftRow].toDF()
     val maxMs = feed.iterator.map(_._1.getTime).max
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[StreamOps.DriftEvent]
@@ -118,14 +125,24 @@ object StreamQueries {
         input.addData(g.map { case (t, k) => StreamOps.DriftEvent(t, k) })
         q.processAllAvailable()
       }
+      // sentinels TWO days out: the last real window's timeout is
+      // its end (<= maxMs + 1 day), and the final watermark is
+      // sentinel - lateness — a one-day margin would shrink to ~10
+      // minutes and silently leave the last window open whenever the
+      // max event lands just after a UTC midnight
       input.addData(StreamOps.DriftEvent(
-        new java.sql.Timestamp(maxMs + 86400000L), "view"))
+        new java.sql.Timestamp(maxMs + 2L * 86400000L), "view"))
       q.processAllAvailable()
       input.addData(StreamOps.DriftEvent(
-        new java.sql.Timestamp(maxMs + 86400000L + 1000L), "view"))
+        new java.sql.Timestamp(maxMs + 2L * 86400000L + 1000L), "view"))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(sink)
+    // unbind the catalog name: the returned frame keeps the resolved
+    // in-memory plan, and repeated invocations (bench trials) must
+    // not accumulate named sink tables for the session's lifetime
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

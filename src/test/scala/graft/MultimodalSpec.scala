@@ -191,6 +191,36 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1)._4 == 0f)
   }
 
+  test("restoreToPrevious after a keyframe jump recomposes honestly") {
+    // frame 0: full red; frame 1: green patch (doNotDispose);
+    // frame 2: FULL-canvas blue keyframe whose disposal is
+    // restoreToPrevious; frame 3: white patch. Displayed frame 3 =
+    // displayed(1) [the restore reverts frame 2] + the white patch.
+    // A stale snapshot taken after the keyframe JUMP (sampling 0
+    // then 3 with stride 3) would restore displayed(0) instead —
+    // losing the green patch.
+    val gif = Multimodal.encodeGifDeltaFrames(6, 4, (200, 0, 0),
+      Seq((0, 250, 0, 2, 1, 2, 2),   // frame 1: green 2x2 at (2,1)
+          (0, 0, 240, 0, 0, 6, 4),   // frame 2: full-canvas blue
+          (255, 255, 255, 0, 0, 1, 1)), // frame 3: white 1x1 at (0,0)
+      disposals = Seq("doNotDispose", "doNotDispose",
+        "restoreToPrevious", "doNotDispose"))
+    val df = Seq((1L, gif)).toDF("id", "payload")
+    val frames = Multimodal.sampleFrameFeatures(df, "payload", stride = 3)
+      .select(explode($"frames").as("f"))
+      .select($"f.frame_idx", $"f.f_r", $"f.f_g", $"f.f_b")
+      .collect().map(r => (r.getLong(0), r.getFloat(1), r.getFloat(2), r.getFloat(3)))
+    assert(frames.map(_._1).toSeq == Seq(0L, 3L))
+    // displayed(3): 19 red + 4 green + 1 white of 24 pixels
+    val n = 24.0 * 255
+    assert(frames(1)._2 == ((19 * 200 + 255) / n).toFloat,
+      s"red must come from displayed(1)'s surviving base: ${frames(1)}")
+    assert(frames(1)._3 == ((4 * 250 + 255) / n).toFloat,
+      s"green patch must survive the restore: ${frames(1)}")
+    assert(frames(1)._4 == (255 / n).toFloat,
+      s"blue keyframe must be fully reverted: ${frames(1)}")
+  }
+
   test("decodeVideo yields null struct for null and undecodable payloads") {
     val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
       .toDF("id", "payload")
