@@ -22,6 +22,35 @@ object DedupQueries {
         numHashes = K, bands = BANDS, minEstimate = 0.5)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))),
 
+    // sketch-quality evaluation: precision/recall of the MinHash-LSH
+    // pair set against exact shingle-Jaccard ground truth at the same
+    // 0.5 threshold — the tuning loop that justifies (numHashes,
+    // bands) before pointing the sketch at a corpus. Both legs are
+    // pair frames (bounded by the banded join, never all-pairs); the
+    // comparison joins pairs, so the eval costs pair-scale rows.
+    // One summary row, exact e4 fixed point.
+    "dedup_pr_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5).select(col("id_a"), col("id_b"))
+      val approx = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = K, bands = BANDS, minEstimate = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val exAgg = exact.agg(count(lit(1)).as("n_exact"))
+      approx.join(exact.withColumn("__hit", lit(1L)),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_approx"),
+          sum(coalesce(col("__hit"), lit(0L))).as("tp"))
+        .crossJoin(broadcast(exAgg))
+        .select(col("n_exact"), col("n_approx"), col("tp"),
+          when(col("n_approx") > 0, graft.operators.IntMath
+            .scaledDivTrunc(col("tp"), 10000L, col("n_approx")))
+            .as("precision_e4"),
+          when(col("n_exact") > 0, graft.operators.IntMath
+            .scaledDivTrunc(col("tp"), 10000L, col("n_exact")))
+            .as("recall_e4"))
+    }),
+
     // incremental ingest dedup: docs with doc_id % 10 = 7 are "the
     // new batch", the rest "the existing corpus"; pairs touching the
     // batch are found by probing the corpus band index — never a
@@ -244,6 +273,50 @@ object DedupQueries {
 
   private val incrementalOracle: String =
     minhashOracleWhere(" AND (id_a % 10 = 7 OR id_b % 10 = 7)")
+
+  // dedup_pr_eval: both pair legs (exact Jaccard, MinHash estimate)
+  // rebuilt in one WITH over the shared shingle CTE, then pair-set
+  // precision/recall with truncating integer division (NULL on an
+  // empty leg — same contract as the guarded Spark side)
+  private val prEvalOracle: String = {
+    val r = K / BANDS
+    val sigCols = (0 until K)
+      .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    val bandExprs = (0 until BANDS).map { b =>
+      val hs = (b * r until (b + 1) * r).map(i => s"h$i").mkString(" || '#' || ")
+      s"md5('$b' || '#' || $hs)"
+    }.mkString(", ")
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |ex AS (SELECT id_a, id_b
+       |       FROM pp JOIN n na ON na.doc_id = id_a
+       |         JOIN n nb ON nb.doc_id = id_b
+       |       WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |ap AS (SELECT id_a, id_b
+       |       FROM cand JOIN sig sa ON sa.doc_id = id_a
+       |         JOIN sig sb ON sb.doc_id = id_b
+       |       WHERE round(($matchSum) / $K.0, 4) >= 0.5),
+       |t AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |        (SELECT count(*) FROM ap) AS n_approx,
+       |        (SELECT count(*) FROM ap JOIN ex USING (id_a, id_b)) AS tp)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_approx AS BIGINT) AS n_approx, CAST(tp AS BIGINT) AS tp,
+       |  CAST(CASE WHEN n_approx > 0 THEN (tp * 10000) // n_approx END
+       |    AS BIGINT) AS precision_e4,
+       |  CAST(CASE WHEN n_exact > 0 THEN (tp * 10000) // n_exact END
+       |    AS BIGINT) AS recall_e4
+       |FROM t""".stripMargin
+  }
 
   private val simhashOracle: String = {
     val votes = (0 until 16).map { j =>
@@ -692,6 +765,7 @@ object DedupQueries {
     "dedup_editdist" -> editdistOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,
+    "dedup_pr_eval" -> prEvalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_jaccard_capped" -> cappedJaccardOracle,
