@@ -242,15 +242,29 @@ object TextQueries {
     // this doc is boilerplate?"). One gram-key exchange (tfidf's
     // shape) + one per-doc aggregate; e4 exact fixed point
     "text_novelty" -> ((s, dir) => {
+      // words projected FIRST: shinglesOfWords' transform lambda must
+      // read an attribute — an inline words(text) re-evaluates the
+      // regex split per element (the documented TextFunctions trap;
+      // measured ~30x on this query)
       val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("__w"))
         .select(col("doc_id"),
           explode(array_distinct(
-            shinglesOfWords(words(col("text")), 3))).as("g"))
-      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      sh.join(dfreq, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+            shinglesOfWords(col("__w"), 3))).as("g"))
+      // NO gram-keyed join back to the occurrence table: a df=1 gram
+      // lives in exactly ONE document, so min(doc_id) per gram routes
+      // each unique gram to its owner — two map-combined aggregations
+      // where the join form re-shuffled every occurrence (and at
+      // corpus scale the occurrence table is the big one)
+      val perDoc = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val uniq = sh.groupBy(col("g"))
+        .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("__df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("__nu"))
+      perDoc.join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("__nu"), lit(0L)).as("n_unique"))
         .select(col("doc_id"), col("n_grams"), col("n_unique"),
           graft.operators.IntMath.scaledDivTrunc(
             col("n_unique"), 10000L, col("n_grams")).as("novelty_e4"))
