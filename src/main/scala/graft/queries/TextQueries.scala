@@ -270,6 +270,29 @@ object TextQueries {
             col("n_unique"), 10000L, col("n_grams")).as("novelty_e4"))
     }),
 
+    // cross-snapshot novelty: what fraction of the current crawl's
+    // distinct 3-gram vocabulary is NEW vs the reference snapshot —
+    // the "did this crawl actually add content" monitor next to the
+    // drift family (a crawl can shift distributions while adding
+    // nothing, or hold them steady while 90% novel). Gram-key anti
+    // join over distinct gram sets: vocabulary-bounded exchanges,
+    // corpus touched by one scan per side. One summary row, e4.
+    "q_novel_content" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("__w"))
+        .select(col("doc_id"),
+          explode(array_distinct(shinglesOfWords(col("__w"), 3))).as("g"))
+      val ref = sh.filter(col("doc_id") % 2 === 0).select(col("g")).distinct()
+      val cur = sh.filter(col("doc_id") % 2 === 1).select(col("g")).distinct()
+      val novel = cur.join(ref, Seq("g"), "left_anti")
+      cur.agg(count(lit(1)).as("n_cur_grams"))
+        .crossJoin(broadcast(novel.agg(count(lit(1)).as("n_novel"))))
+        .select(col("n_cur_grams"), col("n_novel"),
+          when(col("n_cur_grams") > 0, graft.operators.IntMath
+            .scaledDivTrunc(col("n_novel"), 10000L, col("n_cur_grams")))
+            .as("novel_e4"))
+    }),
+
     // context-window chunking: overlapping token windows (size 50,
     // stride 25) — the document -> training-sequence step. Pure list
     // expressions then one explode: narrow, no shuffle; chunk_hash
@@ -944,6 +967,25 @@ object TextQueries {
         |SELECT tr.vec_id, CAST(coalesce(h.n_close, 0) AS BIGINT) AS n_close,
         |  round(h.mx, 4) AS max_sim
         |FROM tr LEFT JOIN h USING (vec_id)""".stripMargin,
+    "q_novel_content" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(wl) - 1),
+        |           i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS g
+        |       FROM w WHERE len(wl) >= 3),
+        |ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+        |cur AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 1),
+        |nov AS (SELECT count(*) AS n_novel FROM cur
+        |        ANTI JOIN ref USING (g)),
+        |t AS (SELECT (SELECT count(*) FROM cur) AS n_cur_grams,
+        |        n_novel FROM nov)
+        |SELECT CAST(n_cur_grams AS BIGINT) AS n_cur_grams,
+        |  CAST(n_novel AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN n_cur_grams > 0
+        |    THEN (n_novel * 10000) // n_cur_grams END AS BIGINT) AS novel_e4
+        |FROM t""".stripMargin,
     "text_novelty" ->
       """WITH w AS (SELECT doc_id,
         |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl

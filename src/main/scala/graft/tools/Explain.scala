@@ -82,7 +82,11 @@ object Explain {
     "q_perplexity3_bcast", // broadcast trigram maps: zero exchanges
     "dedup_cdc_remove",  // hash-only df pipeline + doc-local rebuild
     "q_join_card",       // two count aggs + key join, one output row
-    "dedup_ensemble"     // agreement join of two bounded pair frames
+    "dedup_ensemble",    // agreement join of two bounded pair frames
+    "text_novelty",      // two map-combined gram aggs, no occurrence join
+    "q_novel_content",   // distinct-gram anti join, vocab-bounded exchange
+    "text_decontaminate_semantic", // broadcast eval vectors, one corpus scan
+    "dedup_pr_eval"      // two banded pair legs + pair-scale PR join
   )
 
   def main(args: Array[String]): Unit = {
