@@ -67,9 +67,13 @@ object Decontaminate {
     * benchmark-sized, so its vectors broadcast, and the corpus pays
     * ONE narrow scan with |eval| codegen'd dot products per row
     * (BroadcastNestedLoopJoin on the threshold predicate; no corpus
-    * shuffle, no all-pairs stage). Rounding follows the engine-wide
-    * round6-then-round4 discipline so the report replays exactly.
-    * @return (idCol, n_close, max_sim) for every train vector */
+    * shuffle, no all-pairs stage). The similarity ships at 6 dp with
+    * NO second rounding: round6 values agree across engines, but a
+    * round6 result landing exactly on a 4 dp half-boundary (x.xxxx50)
+    * re-rounds differently per engine (Spark's BigDecimal-via-string
+    * vs rounding the binary double — observed at sf0.1), the classic
+    * double-rounding hazard.
+    * @return (idCol, n_close, max_sim 6dp) for every train vector */
   def semanticOverlapReport(train: DataFrame, eval: DataFrame,
                             idCol: String, vecCol: String,
                             minCosine: Double): DataFrame = {
@@ -83,6 +87,6 @@ object Decontaminate {
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_close"), lit(0L)).as("n_close"),
-        round(col("__mx"), 4).as("max_sim"))
+        col("__mx").as("max_sim"))
   }
 }

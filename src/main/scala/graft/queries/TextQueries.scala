@@ -760,6 +760,32 @@ object TextQueries {
        |       ELSE 'tail' END AS bucket
        |FROM sc CROSS JOIN t""".stripMargin
 
+  // text_decontaminate_semantic oracle: the cosine's dot products
+  // expand to explicit left-associated element sums (the
+  // embeddingLshOracle technique) so the DOUBLES equal Spark's
+  // left-to-right kernel bit-for-bit — list_cosine_similarity /
+  // list_dot_product sum in a different order, and a last-ulp
+  // difference at a .00005 boundary flips the round6-then-round4
+  // value (observed at sf0.1). Norms precompute per row.
+  private val decontaminateSemanticOracle: String = {
+    def dot(a: String, b: String): String =
+      (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, e, ${dot("e", "e")} AS sq FROM q),
+       |ev AS (SELECT e, sq FROM n WHERE vec_id % 97 = 0),
+       |tr AS (SELECT vec_id, e, sq FROM n WHERE vec_id % 97 <> 0),
+       |s AS (SELECT tr.vec_id,
+       |        round((${dot("tr.e", "ev.e")}) /
+       |          sqrt(tr.sq * ev.sq), 6) AS sim
+       |      FROM tr JOIN ev ON true),
+       |h AS (SELECT vec_id, count(*) AS n_close, max(sim) AS mx
+       |      FROM s WHERE sim >= 0.3 GROUP BY 1)
+       |SELECT tr.vec_id, CAST(coalesce(h.n_close, 0) AS BIGINT) AS n_close,
+       |  h.mx AS max_sim
+       |FROM tr LEFT JOIN h USING (vec_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
@@ -954,19 +980,7 @@ object TextQueries {
         |            OR dup_trigram_frac_e4 > 3000
         |       THEN 1 ELSE 0 END AS INTEGER) AS repetitive
         |FROM r""".stripMargin,
-    "text_decontaminate_semantic" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |           FROM embeddings),
-        |ev AS (SELECT e FROM q WHERE vec_id % 97 = 0),
-        |tr AS (SELECT vec_id, e FROM q WHERE vec_id % 97 <> 0),
-        |h AS (SELECT tr.vec_id, count(*) AS n_close,
-        |        max(round(list_cosine_similarity(tr.e, ev.e), 6)) AS mx
-        |      FROM tr JOIN ev
-        |        ON round(list_cosine_similarity(tr.e, ev.e), 6) >= 0.3
-        |      GROUP BY 1)
-        |SELECT tr.vec_id, CAST(coalesce(h.n_close, 0) AS BIGINT) AS n_close,
-        |  round(h.mx, 4) AS max_sim
-        |FROM tr LEFT JOIN h USING (vec_id)""".stripMargin,
+    "text_decontaminate_semantic" -> decontaminateSemanticOracle,
     "q_novel_content" ->
       """WITH w AS (SELECT doc_id,
         |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
