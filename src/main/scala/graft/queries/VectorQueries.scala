@@ -62,6 +62,26 @@ object VectorQueries {
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, steps = 2)),
 
+    // SEMANTIC drift: the embedding-space member of the drift family
+    // — scalar PSI and categorical JS can hold steady while the
+    // MEANING mix shifts; clustering the embeddings (deterministic
+    // quantized k-means) and comparing the cluster-assignment
+    // distributions between snapshot halves catches exactly that.
+    // Composition: KMeans.fit (narrow assignment vs broadcast
+    // centroids) -> Drift.jsCategorical over the cluster ids (two
+    // map-combined count aggs, k-sized exchange). 100 TB shape: the
+    // corpus pays the assignment scan; everything after is k rows.
+    "q_drift_semantic" -> ((s, dir) => {
+      val assigned = graft.operators.KMeans.fit(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, steps = 2)
+        .select(col("vec_id"), col("cluster"))
+      graft.operators.Drift.jsCategorical(
+        assigned.filter(col("vec_id") % 2 === 0).select(col("cluster")),
+        assigned.filter(col("vec_id") % 2 === 1).select(col("cluster")),
+        "cluster")
+    }),
+
     // semantic near-dup via cluster bucketing: all-pairs cosine
     // becomes k cluster-local self-joins; the threshold compare is
     // exact integer arithmetic (no float boundary). 0.42 matches
@@ -780,6 +800,29 @@ object VectorQueries {
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
         |FROM r WHERE rank <= 10""".stripMargin,
     "q_kmeans" -> (kmeansCtes + "\nSELECT vec_id, cluster, dist FROM a2"),
+    // semantic drift: the kmeans replay's a2 assignment feeds the
+    // q_drift_js arithmetic keyed on cluster (same smoothing, same
+    // per-half micro-unit floors, null-safe key alignment)
+    "q_drift_semantic" -> (kmeansCtes + """,
+      |r AS (SELECT cluster AS key, count(*) AS ref_n FROM a2
+      |      WHERE vec_id % 2 = 0 GROUP BY 1),
+      |cu AS (SELECT cluster AS key, count(*) AS cur_n FROM a2
+      |       WHERE vec_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(r.key, cu.key) AS key,
+      |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+      |      FROM r FULL OUTER JOIN cu
+      |        ON r.key IS NOT DISTINCT FROM cu.key),
+      |t AS (SELECT sum(ref_n) AS nr, sum(cur_n) AS nc, count(*) AS b FROM j),
+      |sj AS (SELECT key, ref_n, cur_n,
+      |        CAST(ref_n + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) AS p,
+      |        CAST(cur_n + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE) AS q
+      |      FROM j CROSS JOIN t)
+      |SELECT key, CAST(ref_n AS BIGINT) AS ref_n,
+      |  CAST(cur_n AS BIGINT) AS cur_n,
+      |  CAST(floor(500000.0 * p * ln(p / ((p + q) / 2.0))) +
+      |       floor(500000.0 * q * ln(q / ((p + q) / 2.0)))
+      |    AS BIGINT) AS contrib_e6
+      |FROM sj""".stripMargin),
     "dedup_semantic" -> (kmeansCtes + semanticPairsTail),
     // the auto twin's only delta: k is resolved IN SQL from count(*)
     // with the same exact integer ceil-divide KMeans.autoK computes —
