@@ -88,6 +88,25 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // corpus duplication profile: the histogram of duplicate-cluster
+    // sizes ("how duplicated is this corpus, and in what shape —
+    // many pairs or a few giant mirrors?") — the one-glance report
+    // that decides whether dedup is worth a full pass. Components
+    // resolve as in dedup_components; everything after is two
+    // map-combined aggregations over component labels (cluster-count
+    // sized, corpus-independent exchanges).
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)
+      Dedup.connectedComponents(pairs, docs, "doc_id")
+        .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
+        .select(col("__sz").as("cluster_size"),
+          col("n_clusters"), col("n_docs"))
+    }),
+
     // the same group resolution via large-star/small-star contraction
     // — O(log n) rounds instead of O(diameter), the form that
     // survives chain-shaped components; same recursive-reachability
@@ -479,6 +498,22 @@ object DedupQueries {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  // cluster-size histogram over the same component labels
+  private val clusterSizesOracle: String =
+    s"""WITH RECURSIVE $winnowCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       |        UNION SELECT id_b, id_a FROM wpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS component
+       |         FROM reach GROUP BY a),
+       |sz AS (SELECT component, count(*) AS s FROM comp GROUP BY 1)
+       |SELECT CAST(s AS BIGINT) AS cluster_size,
+       |  count(*) AS n_clusters, CAST(sum(s) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY s""".stripMargin
+
   // q_split_leakage replay: component labels as in componentsOracle,
   // then the split is the width-6 md5 bucket of the label string —
   // Spark conv(substring(md5)) == DuckDB CAST('0x'||substring(md5))
@@ -766,6 +801,7 @@ object DedupQueries {
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,
     "dedup_pr_eval" -> prEvalOracle,
+    "dedup_cluster_sizes" -> clusterSizesOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_jaccard_capped" -> cappedJaccardOracle,
