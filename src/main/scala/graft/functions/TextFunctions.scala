@@ -63,11 +63,21 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
-  /** The document's characters as an array (1-char strings) — the
-    * base of the char-distribution statistics. Guard the empty-text
-    * case at the caller (sequence(1, 0) DESCENDS in Spark). */
-  private def chars(text: Column): Column =
-    transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))
+  /** Per-code-point counts sorted by code point ascending — the base
+    * of the char-distribution statistics. Code-point ascending equals
+    * UTF-8 byte order equals Spark's `array_sort` over 1-char
+    * strings, so the fold order matches the old HOF form and the SQL
+    * replay exactly. */
+  private def charCounts(t: String): Array[(Int, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      m.update(cp, m.getOrElse(cp, 0L) + 1L)
+      i += Character.charCount(cp)
+    }
+    m.toArray.sortBy(_._1)
+  }
 
   /** Char-distribution Shannon entropy in e4 fixed-point NATS — the
     * classic gibberish/boilerplate signal (natural prose sits near
@@ -77,31 +87,43 @@ object TextFunctions {
     * counts so the single-distinct-char case is EXACTLY zero
     * (ln(n)·n − n·ln(n) cancels bit-exactly; the naive
     * ln(n) − Σ(c/n)·ln(c)... form rounds twice and can floor to −1).
-    * Counts come from doc-local higher-order expressions (distinct
-    * chars × filter-count — no explode, no shuffle, alphabet-bounded
-    * per-row work), summed as a left fold over the SORTED distinct
-    * chars so the float accumulation order is deterministic and the
-    * SQL replay is bit-identical modulo a last-ulp `ln`. Empty/null
-    * text scores 0. */
+    * UDF with one hash-counting pass per row — the previous
+    * distinct-chars × filter-count HOF form cost O(n·distinct)
+    * INTERPRETED expression evaluations per document (43 s at sf0.1
+    * once the bench stopped count()-pruning it). The c·ln c terms
+    * fold left-to-right over code-point-ascending distinct chars —
+    * the same order as `array_sort` over 1-char strings (UTF-8 byte
+    * order preserves code-point order), so results are bit-identical
+    * to the old form and the SQL replay. Empty/null text scores 0. */
   def charEntropyE4(text: Column): Column = {
-    val cs = chars(text)
-    val d = array_sort(array_distinct(cs))
-    // counts in their own projection step: HOF lambdas get no CSE, so
-    // an inline count inside the c·ln c term would run each filter
-    // twice (same trap shingleHashes48 documents)
-    val counts = transform(d, c => size(filter(cs, x => x === c)).cast("double"))
-    val terms = transform(counts, c => c * log(c))
-    val n = length(text).cast("double")
-    val s = aggregate(terms, lit(0.0), (acc, t) => acc + t)
-    when(length(text) >= 1,
-      floor((log(n) * n - s) * lit(10000.0) / n).cast("long"))
-      .otherwise(lit(0L))
+    val u = udf { (t: String) =>
+      if (t == null || t.isEmpty) 0L
+      else {
+        val counts = charCounts(t)
+        var n = 0L
+        var k = 0
+        while (k < counts.length) { n += counts(k)._2; k += 1 }
+        var s = 0.0
+        k = 0
+        while (k < counts.length) {
+          val c = counts(k)._2.toDouble
+          s += c * math.log(c)
+          k += 1
+        }
+        val nd = n.toDouble
+        math.floor((math.log(nd) * nd - s) * 10000.0 / nd).toLong
+      }
+    }
+    u(text)
   }
 
   /** Distinct-character count (0 for empty/null text). */
-  def charDistinct(text: Column): Column =
-    when(length(text) >= 1, size(array_distinct(chars(text))).cast("long"))
-      .otherwise(lit(0L))
+  def charDistinct(text: Column): Column = {
+    val u = udf { (t: String) =>
+      if (t == null || t.isEmpty) 0L else charCounts(t).length.toLong
+    }
+    u(text)
+  }
 
   /** 48-bit hash per shingle (first 12 md5 hex digits as BIGINT —
     * portable: DuckDB `CAST('0x'||substring(md5(s),1,12) AS BIGINT)`).

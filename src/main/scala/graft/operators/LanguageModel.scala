@@ -272,6 +272,17 @@ object LanguageModel {
     BigramModel(uni, big, total)
   }
 
+  // one stable scorer UDF per MODEL: Catalyst compares ScalaUDFs by
+  // function reference, so a fresh closure per invocation would make
+  // two identical scoring plans never sameResult — breaking the
+  // PersistSlots reuse ccnetBuckets depends on (observed: slot
+  // misses on every bench trial). Structural case-class keys; the
+  // one-time hash of a model's maps is microseconds next to a scan.
+  private val bigramScoreCache = scala.collection.concurrent.TrieMap
+    .empty[BigramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
+  private val trigramScoreCache = scala.collection.concurrent.TrieMap
+    .empty[TrigramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
+
   /** [[bigramNll]] against an in-memory model: scoring is ONE narrow
     * projection — per-token costs come from map-literal lookups
     * (O(1) per token, the ADC-LUT pattern) folded inside the row, so
@@ -292,34 +303,46 @@ object LanguageModel {
   def bigramNllNarrowOfWords(docs: DataFrame, idCol: String,
                              wordsCol: String,
                              model: BigramModel): DataFrame = {
-    val uniMap = typedLit(model.uni)
-    val bigMap = typedLit(model.big)
-    val totalD = lit(model.total.toDouble)
-    val w = col("__gpnw")
-    val costs = transform(
-      graft.functions.TextFunctions.shinglesOfWords(w, 2),
-      (bg, i) => {
-        val c12 = element_at(bigMap, bg)
-        val c1 = element_at(uniMap, element_at(w, i + 1))
-        val c2 = element_at(uniMap, element_at(w, i + 2))
-        floor(lit(1000000.0) * -log(
-          when(c12.isNotNull, c12.cast("double") / c1.cast("double"))
-            .otherwise(when(c2.isNotNull,
-              lit(0.4) * (c2.cast("double") / totalD))
-              .otherwise(lit(0.4) / (totalD * lit(10.0))))))
-      })
+    // HashMap UDF, NOT typedLit map literals: a Catalyst literal map
+    // is ArrayBasedMapData and element_at over it is a LINEAR key
+    // scan — O(|model|) per token lookup, which made this "narrow
+    // deployment form" quadratic in practice (the trigram sibling
+    // measured 84 s at sf0.1 once the bench stopped count()-pruning
+    // the projection). The closure's immutable HashMaps are O(1) per
+    // lookup; arithmetic is IDENTICAL to the old expression form —
+    // same branch ladder, same association, same per-token floor —
+    // so the oracles are unchanged (re-validated at all three SFs).
+    val score = bigramScoreCache.getOrElseUpdate(model, {
+      val uni = model.uni; val big = model.big
+      val totalD = model.total.toDouble
+      udf { (w: Seq[String]) =>
+        var nll = 0L
+        var i = 0
+        val n = w.length
+        while (i < n - 1) {
+          val ratio = big.get(w(i) + " " + w(i + 1)) match {
+            // a surviving bigram's prev always has its unigram entry
+            // (lower-order consistency, trainBigrams)
+            case Some(c12) => c12.toDouble / uni(w(i)).toDouble
+            case None => uni.get(w(i + 1)) match {
+              case Some(c2) => 0.4 * (c2.toDouble / totalD)
+              case None => 0.4 / (totalD * 10.0)
+            }
+          }
+          nll += math.floor(1000000.0 * -math.log(ratio)).toLong
+          i += 1
+        }
+        nll
+      }
+    })
     docs
       // the <2-words dropout filters on the CHEAP word-array size
-      // BEFORE the cost expression exists: a filter on size(__c)
-      // would be pushed below the projection by substituting the
-      // whole interpreted HOF chain into the predicate — one extra
-      // full evaluation per row (measured ~2x end-to-end at sf0.1)
+      // BEFORE the score expression exists
       .select(col(idCol), col(wordsCol).as("__gpnw"))
       .filter(size(col("__gpnw")) >= 2)
-      .select(col(idCol), costs.as("__c"))
       .select(col(idCol),
-        size(col("__c")).cast("long").as("n_scored"),
-        aggregate(col("__c"), lit(0L), (acc, x) => acc + x).as("nll_e6"))
+        (size(col("__gpnw")) - 1).cast("long").as("n_scored"),
+        score(col("__gpnw")).as("nll_e6"))
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
   }
 
@@ -371,39 +394,47 @@ object LanguageModel {
     * oracle. */
   def trigramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
                        model: TrigramModel): DataFrame = {
-    val uniMap = typedLit(model.uni)
-    val bigMap = typedLit(model.big)
-    val triMap = typedLit(model.tri)
-    val totalD = lit(model.total.toDouble)
-    val w = col("__gpnw")
-    val costs = transform(
-      graft.functions.TextFunctions.shinglesOfWords(w, 3),
-      (tg, i) => {
-        val p1 = element_at(w, i + 2)
-        val cur = element_at(w, i + 3)
-        val c123 = element_at(triMap, tg)
-        val cctx = element_at(bigMap,
-          concat_ws(" ", element_at(w, i + 1), p1))
-        val c12b = element_at(bigMap, concat_ws(" ", p1, cur))
-        val c1 = element_at(uniMap, p1)
-        val c2 = element_at(uniMap, cur)
-        floor(lit(1000000.0) * -log(
-          when(c123.isNotNull, c123.cast("double") / cctx.cast("double"))
-            .otherwise(when(c12b.isNotNull,
-              lit(0.4) * (c12b.cast("double") / c1.cast("double")))
-            .otherwise(when(c2.isNotNull,
-              lit(0.16) * (c2.cast("double") / totalD))
-            .otherwise(lit(0.16) / (totalD * lit(10.0)))))))
-      })
+    // HashMap UDF for the same reason as [[bigramNllNarrowOfWords]]:
+    // element_at on a literal map is a linear key scan, and the
+    // trigram model is the largest map in the engine (84 s at sf0.1
+    // in the literal form). The ladder, association and per-token
+    // floor replicate the old expression form exactly.
+    val score = trigramScoreCache.getOrElseUpdate(model, {
+      val uni = model.uni; val big = model.big; val tri = model.tri
+      val totalD = model.total.toDouble
+      udf { (w: Seq[String]) =>
+        var nll = 0L
+        var i = 0
+        val n = w.length
+        while (i < n - 2) {
+          val p1 = w(i + 1); val cur = w(i + 2)
+          val ratio = tri.get(w(i) + " " + p1 + " " + cur) match {
+            // a surviving trigram's (p2, p1) context bigram survives
+            // (lower-order consistency, trainTrigrams)
+            case Some(c123) => c123.toDouble / big(w(i) + " " + p1).toDouble
+            case None => big.get(p1 + " " + cur) match {
+              // a surviving bigram's prev keeps its unigram entry
+              case Some(c12b) => 0.4 * (c12b.toDouble / uni(p1).toDouble)
+              case None => uni.get(cur) match {
+                case Some(c2) => 0.16 * (c2.toDouble / totalD)
+                case None => 0.16 / (totalD * 10.0)
+              }
+            }
+          }
+          nll += math.floor(1000000.0 * -math.log(ratio)).toLong
+          i += 1
+        }
+        nll
+      }
+    })
     docs
-      // dropout on the cheap array size BEFORE the cost chain exists
-      // (see bigramNllNarrowOfWords)
+      // dropout on the cheap array size BEFORE the score expression
+      // exists (see bigramNllNarrowOfWords)
       .select(col(idCol), words(col(textCol)).as("__gpnw"))
       .filter(size(col("__gpnw")) >= 3)
-      .select(col(idCol), costs.as("__c"))
       .select(col(idCol),
-        size(col("__c")).cast("long").as("n_scored"),
-        aggregate(col("__c"), lit(0L), (acc, x) => acc + x).as("nll_e6"))
+        (size(col("__gpnw")) - 2).cast("long").as("n_scored"),
+        score(col("__gpnw")).as("nll_e6"))
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
   }
 

@@ -184,25 +184,32 @@ object TextQueries {
     // on (doc, bigram) — the only shuffle, and it carries counts,
     // not text.
     "text_repetition" -> ((s, dir) => {
-      val base = Tables(s, dir, "documents")
+      // the top-bigram count is a PER-DOCUMENT statistic: one
+      // hash-counting UDF per row replaces the old explode ->
+      // (doc, bigram) groupBy -> per-doc max -> join-back pipeline
+      // (a corpus-wide shuffle to compute a doc-local number, and
+      // the shingle subtree evaluated on both join sides)
+      val topCount = udf { (bg: Seq[String]) =>
+        if (bg == null || bg.isEmpty) 0L
+        else {
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          bg.foreach(b => m.update(b, m.getOrElse(b, 0L) + 1L))
+          m.valuesIterator.max
+        }
+      }
+      Tables(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("__w"))
         .select(col("doc_id"),
           shinglesOfWords(col("__w"), 2).as("__bg"),
           shinglesOfWords(col("__w"), 3).as("__tri"))
         .select(col("doc_id"),
-          col("__bg"),
           size(col("__bg")).cast("long").as("n_bigrams"),
+          topCount(col("__bg")).as("top_bigram_cnt"),
           size(col("__tri")).cast("long").as("n_tri"),
           size(array_distinct(col("__tri"))).cast("long").as("d_tri"))
-      val top = base
-        .select(col("doc_id"), explode(col("__bg")).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_cnt"))
-      base.join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_bigrams"),
-          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_cnt"),
           when(col("n_bigrams") > 0,
-            floor(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+            floor(col("top_bigram_cnt").cast("double") /
               col("n_bigrams") * 10000).cast("long"))
             .otherwise(lit(0L)).as("top_bigram_frac_e4"),
           when(col("n_tri") > 0,

@@ -122,7 +122,10 @@ object ScaleProbe {
       // cap; the join form is the corpus-scaling path
       "q_interval_join", "q_perplexity3",
       "dedup_cdc_remove", "dedup_ensemble", "q_join_card",
-      "q_weighted_sample", "q_weighted_stratified", "q_drift_by_group")
+      "q_weighted_sample", "q_weighted_stratified", "q_drift_by_group",
+      "text_novelty", "q_novel_content", "text_decontaminate_semantic",
+      "dedup_pr_eval", "q_drift_semantic", "dedup_cluster_sizes",
+      "stream_dedup_ingest", "stream_drift_monitor")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
@@ -135,13 +138,15 @@ object ScaleProbe {
 
     val results = names.flatMap { name =>
       graft.SparkEntry.queries.get(name).map { fn =>
-        // median of 3, same discipline as Bench
-        var rows = 0L
+        // median of 3 noop-write evaluations (full projection — see
+        // Bench: count() join-eliminates report-shaped plans); rows
+        // counted once outside the timed region
         val times = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
-          rows = fn(spark, dest).count()
+          fn(spark, dest).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
+        val rows = fn(spark, dest).count()
         val med = times.sorted.apply(1)
         // incremental progress on stderr: a long probe shows which
         // query it is on, and a killed run still leaves its numbers

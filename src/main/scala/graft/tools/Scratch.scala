@@ -18,7 +18,10 @@ object Scratch {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (n <- args; t <- 1 to 3) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir).count()
+      // noop write = full-projection evaluation (same contract as
+      // Bench; count() join-eliminates report-shaped plans)
+      graft.SparkEntry.queries(n)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
       println(f"$n trial $t: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         s"slots=${graft.operators.PersistSlots.stats}")
     }
