@@ -904,10 +904,13 @@ object Dedup {
                      window: Int = 16, maskHex: String = "0"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (bnds, chunkHashes) = cdcExprs(window, maskHex)
-    val base = df
+    // slot-persisted: dupSets AND the rebuild both read this subtree,
+    // and the boundary array costs one md5 per character position —
+    // without the persist the whole rolling-hash pass runs twice
+    val base = PersistSlots.swap("dedup.cdcBase", df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
-      .withColumn("__b", expr(bnds))
+      .withColumn("__b", expr(bnds)))
     // corpus df over distinct (doc, hash) — same duplication notion
     // as the stats half; only 16-byte hashes shuffle
     val dupSets = base
