@@ -121,6 +121,41 @@ class Round9OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("charEntropyE4 UDF equals the HOF formula on multibyte/unicode text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fixture corpora are ASCII, so the oracle gate can't pin the
+    // unicode path: accents, CJK, an astral-plane emoji (surrogate
+    // pair — code-point counting, not UTF-16 units), and mixed input
+    val texts = Seq("héllo wörld", "日本語のテキストです", "aé中😀x",
+      "aaaa", "ab", "", "mixed ascii und ümlaute... 12345")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = graft.functions.TextFunctions.charEntropyE4(col("t"))
+    // the pre-UDF HOF formula, inlined: sorted distinct chars x
+    // filter-count, left-fold c*ln(c), floor((ln(n)*n - s)*1e4/n)
+    val cs = transform(sequence(lit(1), length(col("t"))),
+      i => col("t").substr(i, lit(1)))
+    val d = array_sort(array_distinct(cs))
+    val counts = transform(d, c => size(filter(cs, x => x === c)).cast("double"))
+    val terms = transform(counts, c => c * log(c))
+    val n = length(col("t")).cast("double")
+    val s = aggregate(terms, lit(0.0), (acc, t) => acc + t)
+    val want = when(length(col("t")) >= 1,
+      floor((log(n) * n - s) * lit(10000.0) / n).cast("long")).otherwise(lit(0L))
+    val rows = df.select(col("id"), got.as("g"), want.as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (i, g, w) =>
+      assert(g == w, s"entropy mismatch on '${texts(i.toInt)}': udf=$g hof=$w")
+    }
+    // distinct-count parity on the same inputs
+    val dGot = df.select(graft.functions.TextFunctions.charDistinct(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    val dWant = df.select(when(length(col("t")) >= 1,
+      size(array_distinct(cs)).cast("long")).otherwise(lit(0L)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(dGot == dWant)
+  }
+
   test("stream_dedup_ingest drives the real micro-batch path and equals the batch join") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
