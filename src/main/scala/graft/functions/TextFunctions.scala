@@ -95,35 +95,37 @@ object TextFunctions {
     * the same order as `array_sort` over 1-char strings (UTF-8 byte
     * order preserves code-point order), so results are bit-identical
     * to the old form and the SQL replay. Empty/null text scores 0. */
-  def charEntropyE4(text: Column): Column = {
-    val u = udf { (t: String) =>
-      if (t == null || t.isEmpty) 0L
-      else {
-        val counts = charCounts(t)
-        var n = 0L
-        var k = 0
-        while (k < counts.length) { n += counts(k)._2; k += 1 }
-        var s = 0.0
-        k = 0
-        while (k < counts.length) {
-          val c = counts(k)._2.toDouble
-          s += c * math.log(c)
-          k += 1
-        }
-        val nd = n.toDouble
-        math.floor((math.log(nd) * nd - s) * 10000.0 / nd).toLong
+  // stable UDF identities (one val, not a closure per invocation):
+  // Catalyst compares ScalaUDFs by function reference, so fresh
+  // closures would make identical plans never sameResult — the
+  // plan-reuse discipline LanguageModel's scorer cache documents
+  private val charEntropyUdf = udf { (t: String) =>
+    if (t == null || t.isEmpty) 0L
+    else {
+      val counts = charCounts(t)
+      var n = 0L
+      var k = 0
+      while (k < counts.length) { n += counts(k)._2; k += 1 }
+      var s = 0.0
+      k = 0
+      while (k < counts.length) {
+        val c = counts(k)._2.toDouble
+        s += c * math.log(c)
+        k += 1
       }
+      val nd = n.toDouble
+      math.floor((math.log(nd) * nd - s) * 10000.0 / nd).toLong
     }
-    u(text)
+  }
+
+  def charEntropyE4(text: Column): Column = charEntropyUdf(text)
+
+  private val charDistinctUdf = udf { (t: String) =>
+    if (t == null || t.isEmpty) 0L else charCounts(t).length.toLong
   }
 
   /** Distinct-character count (0 for empty/null text). */
-  def charDistinct(text: Column): Column = {
-    val u = udf { (t: String) =>
-      if (t == null || t.isEmpty) 0L else charCounts(t).length.toLong
-    }
-    u(text)
-  }
+  def charDistinct(text: Column): Column = charDistinctUdf(text)
 
   /** 48-bit hash per shingle (first 12 md5 hex digits as BIGINT —
     * portable: DuckDB `CAST('0x'||substring(md5(s),1,12) AS BIGINT)`).

@@ -278,10 +278,21 @@ object LanguageModel {
   // PersistSlots reuse ccnetBuckets depends on (observed: slot
   // misses on every bench trial). Structural case-class keys; the
   // one-time hash of a model's maps is microseconds next to a scan.
+  // BOUNDED: each entry pins a vocabulary-scale model in memory, so
+  // the cache clears past a few entries (a session reusing one model
+  // keeps its identity; one training many models doesn't leak them
+  // all — plan reuse only mattered for the repeated-model case).
+  private val ScoreCacheCap = 4
   private val bigramScoreCache = scala.collection.concurrent.TrieMap
     .empty[BigramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
   private val trigramScoreCache = scala.collection.concurrent.TrieMap
     .empty[TrigramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
+  private def cached[K](cache: scala.collection.concurrent.TrieMap[K,
+      org.apache.spark.sql.expressions.UserDefinedFunction], key: K)(
+      mk: => org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    if (!cache.contains(key) && cache.size >= ScoreCacheCap) cache.clear()
+    cache.getOrElseUpdate(key, mk)
+  }
 
   /** [[bigramNll]] against an in-memory model: scoring is ONE narrow
     * projection — per-token costs come from map-literal lookups
@@ -312,7 +323,7 @@ object LanguageModel {
     // lookup; arithmetic is IDENTICAL to the old expression form —
     // same branch ladder, same association, same per-token floor —
     // so the oracles are unchanged (re-validated at all three SFs).
-    val score = bigramScoreCache.getOrElseUpdate(model, {
+    val score = cached(bigramScoreCache, model) {
       val uni = model.uni; val big = model.big
       val totalD = model.total.toDouble
       udf { (w: Seq[String]) =>
@@ -334,7 +345,7 @@ object LanguageModel {
         }
         nll
       }
-    })
+    }
     docs
       // the <2-words dropout filters on the CHEAP word-array size
       // BEFORE the score expression exists
@@ -399,7 +410,7 @@ object LanguageModel {
     // trigram model is the largest map in the engine (84 s at sf0.1
     // in the literal form). The ladder, association and per-token
     // floor replicate the old expression form exactly.
-    val score = trigramScoreCache.getOrElseUpdate(model, {
+    val score = cached(trigramScoreCache, model) {
       val uni = model.uni; val big = model.big; val tri = model.tri
       val totalD = model.total.toDouble
       udf { (w: Seq[String]) =>
@@ -426,7 +437,7 @@ object LanguageModel {
         }
         nll
       }
-    })
+    }
     docs
       // dropout on the cheap array size BEFORE the score expression
       // exists (see bigramNllNarrowOfWords)

@@ -40,7 +40,9 @@ object DedupQueries {
       approx.join(exact.withColumn("__hit", lit(1L)),
           Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_approx"),
-          sum(coalesce(col("__hit"), lit(0L))).as("tp"))
+          // sum over ZERO rows is NULL — an empty approx leg must
+          // report tp = 0 like the oracle's scalar count, not NULL
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("tp"))
         .crossJoin(broadcast(exAgg))
         .select(col("n_exact"), col("n_approx"), col("tp"),
           when(col("n_approx") > 0, graft.operators.IntMath
@@ -267,15 +269,26 @@ object DedupQueries {
     * extra predicate over (id_a, id_b) — the incremental query is by
     * construction the full pair set filtered to batch-touching
     * pairs. */
-  private def minhashOracleWhere(extra: String): String = {
+  // the MinHash sketch SQL pieces, shared by every oracle that
+  // replays the sketch (minhash, incremental, PR eval) — ONE
+  // generator per piece so the K/BANDS lockstep can't fork
+  private[queries] def minhashSigCols: String =
+    (0 until K).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+  private[queries] def minhashBandExprs: String = {
     val r = K / BANDS
-    val sigCols = (0 until K).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
-    val bandExprs = (0 until BANDS).map { b =>
+    (0 until BANDS).map { b =>
       val hs = (b * r until (b + 1) * r).map(i => s"h$i").mkString(" || '#' || ")
       s"md5('$b' || '#' || $hs)"
     }.mkString(", ")
-    val matchSum = (0 until K)
+  }
+  private def minhashMatchSum: String =
+    (0 until K)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private def minhashOracleWhere(extra: String): String = {
+    val sigCols = minhashSigCols
+    val bandExprs = minhashBandExprs
+    val matchSum = minhashMatchSum
     s"""WITH $shingleCte,
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_key FROM sig),
@@ -298,15 +311,9 @@ object DedupQueries {
   // precision/recall with truncating integer division (NULL on an
   // empty leg — same contract as the guarded Spark side)
   private val prEvalOracle: String = {
-    val r = K / BANDS
-    val sigCols = (0 until K)
-      .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
-    val bandExprs = (0 until BANDS).map { b =>
-      val hs = (b * r until (b + 1) * r).map(i => s"h$i").mkString(" || '#' || ")
-      s"md5('$b' || '#' || $hs)"
-    }.mkString(", ")
-    val matchSum = (0 until K)
-      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val sigCols = minhashSigCols
+    val bandExprs = minhashBandExprs
+    val matchSum = minhashMatchSum
     s"""WITH $shingleCte,
        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
        |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

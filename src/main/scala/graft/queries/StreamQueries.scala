@@ -156,13 +156,10 @@ object StreamQueries {
   // stream-side (doc_id % 10 = 7) probing corpus-side rows. One row
   // per shared band — the same multiset the append sink accumulates.
   private val dedupIngestOracle: String = {
-    val r = K / BANDS
-    val sigCols = (0 until K)
-      .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
-    val bandExprs = (0 until BANDS).map { b =>
-      val hs = (b * r until (b + 1) * r).map(i => s"h$i").mkString(" || '#' || ")
-      s"md5('$b' || '#' || $hs)"
-    }.mkString(", ")
+    // sketch pieces shared with DedupQueries' oracles — one
+    // generator, one K/BANDS lockstep
+    val sigCols = DedupQueries.minhashSigCols
+    val bandExprs = DedupQueries.minhashBandExprs
     s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
        |      FROM documents),
        |sh AS (SELECT DISTINCT doc_id,

@@ -15,6 +15,17 @@ object TextQueries {
   private[queries] def sqlStopwords(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // stable UDF identity (val, not per-invocation closure — the plan
+  // sameResult discipline): max multiplicity of any element
+  private val topCount = udf { (bg: Seq[String]) =>
+    if (bg == null || bg.isEmpty) 0L
+    else {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      bg.foreach(b => m.update(b, m.getOrElse(b, 0L) + 1L))
+      m.valuesIterator.max
+    }
+  }
+
   /** Trained BPE merge lists per (session, dir) — the deployed
     * tokenizer's artifact; see q_bpe_encode. */
   private val mergeCache = scala.collection.concurrent.TrieMap
@@ -189,14 +200,6 @@ object TextQueries {
       // (doc, bigram) groupBy -> per-doc max -> join-back pipeline
       // (a corpus-wide shuffle to compute a doc-local number, and
       // the shingle subtree evaluated on both join sides)
-      val topCount = udf { (bg: Seq[String]) =>
-        if (bg == null || bg.isEmpty) 0L
-        else {
-          val m = scala.collection.mutable.HashMap.empty[String, Long]
-          bg.foreach(b => m.update(b, m.getOrElse(b, 0L) + 1L))
-          m.valuesIterator.max
-        }
-      }
       Tables(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("__w"))
         .select(col("doc_id"),

@@ -72,10 +72,15 @@ object VectorQueries {
     // map-combined count aggs, k-sized exchange). 100 TB shape: the
     // corpus pays the assignment scan; everything after is k rows.
     "q_drift_semantic" -> ((s, dir) => {
-      val assigned = graft.operators.KMeans.fit(
+      // slot-persisted: BOTH drift legs (the %2 halves) read this
+      // assignment frame — unpersisted, the corpus-wide centroid-
+      // distance scan (the expensive part) would run twice
+      val assigned = graft.operators.PersistSlots.swap(
+        "vector.driftSemanticAssigned",
+        graft.operators.KMeans.fit(
           Tables(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, steps = 2)
-        .select(col("vec_id"), col("cluster"))
+        .select(col("vec_id"), col("cluster")))
       graft.operators.Drift.jsCategorical(
         assigned.filter(col("vec_id") % 2 === 0).select(col("cluster")),
         assigned.filter(col("vec_id") % 2 === 1).select(col("cluster")),
