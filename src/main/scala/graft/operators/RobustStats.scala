@@ -47,8 +47,13 @@ object RobustStats {
   def stats(df: DataFrame, groupCol: String, valCol: String,
             maxRowsPerGroup: Long = 20000000L): DataFrame = {
     val x = col(valCol).cast("long")
-    val base = df.select(col(groupCol), x.as("__x"))
-      .filter(col("__x").isNotNull)
+    // slot-persisted: the guard count, the ranked pass, the quantile
+    // join-back and the MAD re-rank all read this two-column frame —
+    // unpersisted it would scan the source (and re-run the quantize
+    // cast) up to four times per call
+    val base = PersistSlots.swap("robust.base",
+      df.select(col(groupCol), x.as("__x"))
+        .filter(col("__x").isNotNull))
     val biggest = base.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__c"))
       .agg(coalesce(max(col("__c")), lit(0L))).head().getLong(0)
