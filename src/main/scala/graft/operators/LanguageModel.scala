@@ -396,6 +396,104 @@ object LanguageModel {
     TrigramModel(uni, big, tri, total)
   }
 
+  /** A trained 4-gram model — one order beyond [[TrigramModel]],
+    * closing on CCNet's production order-5 recipe. Keys are
+    * space-joined grams at every order. */
+  final case class FourgramModel(uni: Map[String, Long],
+                                 big: Map[String, Long],
+                                 tri: Map[String, Long],
+                                 four: Map[String, Long], total: Long)
+
+  /** Collect 4/3/2/1-gram reference counts with the same KenLM-style
+    * pruning discipline as the lower orders (one shared
+    * [[prunedCounts]] builder for all four tables). The lower-order
+    * consistency cascade runs one level further: a surviving 4-gram
+    * needs its (p3 p2 p1) CONTEXT trigram (the top ratio divides by
+    * c(p3 p2 p1)) — a 4-gram whose context was pruned scores through
+    * the backoff path, exactly how a pruned KenLM degrades. */
+  def trainFourgrams(ref: DataFrame, refTextCol: String,
+                     minCount: Long = 1L,
+                     maxEntries: Int = Int.MaxValue): FourgramModel = {
+    val toks = ref.select(words(col(refTextCol)).as("__w"))
+    def grams(n: Int) = prunedCounts(toks.select(explode(
+      graft.functions.TextFunctions.shinglesOfWords(col("__w"), n)).as("k")),
+      minCount, maxEntries)
+    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")),
+      minCount, maxEntries)
+    val big = grams(2).filter { case (k, _) =>
+      uni.contains(k.substring(0, k.indexOf(' '))) }
+    val tri = grams(3).filter { case (k, _) =>
+      big.contains(k.substring(0, k.lastIndexOf(' '))) }
+    val four = grams(4).filter { case (k, _) =>
+      tri.contains(k.substring(0, k.lastIndexOf(' '))) }
+    val unpruned = minCount <= 1L && maxEntries == Int.MaxValue
+    val total =
+      if (unpruned) uni.valuesIterator.sum
+      else toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
+        .cast("long").as("t")).head().getLong(0)
+    require(total > 0,
+      "trainFourgrams: empty reference corpus (every backoff probability " +
+        "would divide by zero)")
+    FourgramModel(uni, big, tri, four, total)
+  }
+
+  private val fourgramScoreCache = scala.collection.concurrent.TrieMap
+    .empty[FourgramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
+
+  /** 4-gram NLL against an in-memory [[FourgramModel]] — the
+    * broadcast-narrow deployment form at order 4, extending the
+    * stupid-backoff recursion one level (0.4^k multiplier per
+    * backoff step, unknown at 0.4^3/(total·10)). Same HashMap-UDF
+    * shape and caching discipline as the lower orders; positions
+    * 4..n score, documents under 4 words drop out.
+    * @return (idCol, n_scored, nll_e6, avg_nll_e6) */
+  def fourgramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
+                        model: FourgramModel): DataFrame = {
+    val score = cached(fourgramScoreCache, model) {
+      val uni = model.uni; val big = model.big
+      val tri = model.tri; val four = model.four
+      val totalD = model.total.toDouble
+      udf { (w: Seq[String]) =>
+        var nll = 0L
+        var i = 0
+        val n = w.length
+        while (i < n - 3) {
+          val p2 = w(i + 1); val p1 = w(i + 2); val cur = w(i + 3)
+          val ratio =
+            four.get(w(i) + " " + p2 + " " + p1 + " " + cur) match {
+              // surviving 4-gram => its context trigram survives
+              case Some(c1234) =>
+                c1234.toDouble / tri(w(i) + " " + p2 + " " + p1).toDouble
+              case None => tri.get(p2 + " " + p1 + " " + cur) match {
+                // surviving trigram => its context bigram survives
+                case Some(c123) =>
+                  0.4 * (c123.toDouble / big(p2 + " " + p1).toDouble)
+                case None => big.get(p1 + " " + cur) match {
+                  // surviving bigram => its prev unigram survives
+                  case Some(c12) =>
+                    0.16 * (c12.toDouble / uni(p1).toDouble)
+                  case None => uni.get(cur) match {
+                    case Some(c2) => 0.064 * (c2.toDouble / totalD)
+                    case None => 0.064 / (totalD * 10.0)
+                  }
+                }
+              }
+            }
+          nll += math.floor(1000000.0 * -math.log(ratio)).toLong
+          i += 1
+        }
+        nll
+      }
+    }
+    docs
+      .select(col(idCol), words(col(textCol)).as("__gpnw"))
+      .filter(size(col("__gpnw")) >= 4)
+      .select(col(idCol),
+        (size(col("__gpnw")) - 3).cast("long").as("n_scored"),
+        score(col("__gpnw")).as("nll_e6"))
+      .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
+  }
+
   /** [[trigramNll]] against an in-memory [[TrigramModel]]: the
     * broadcast-narrow deployment form — per-token costs from map
     * lookups folded inside the row, zero exchanges and zero joins on

@@ -499,6 +499,17 @@ object TextQueries {
         docs, "doc_id", "text", model)
     }),
 
+    // order 4 — one step from CCNet's production order-5 KenLM: the
+    // shared pruned-count builder grows one table, the backoff
+    // recursion one 0.4 multiplier; broadcast-narrow deployment form
+    "q_perplexity4_bcast" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainFourgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text")
+      graft.operators.LanguageModel.fourgramNllNarrow(
+        docs, "doc_id", "text", model)
+    }),
+
     // CCNet §4.3 head/middle/tail corpus partition: NLL terciles as
     // exact integer order statistics (no interpolated percentile —
     // engine-portable by construction)
@@ -748,6 +759,59 @@ object TextQueries {
        |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
        |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
        |FROM c3 GROUP BY doc_id""".stripMargin
+
+  // q_perplexity4_bcast replay: the trigram ladder one level up —
+  // a 4-gram count table, the context-trigram denominator, and one
+  // more 0.4 multiplier per backoff step; association per branch
+  // matches the Scala scorer exactly
+  private val perplexity4Oracle: String =
+    s"""WITH $perplexityCtes,
+       |tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c123 FROM (
+       |          SELECT unnest(ws[1:len(ws)-2]) AS p2,
+       |                 unnest(ws[2:len(ws)-1]) AS p1,
+       |                 unnest(ws[3:len(ws)]) AS cur
+       |          FROM wr WHERE len(ws) >= 3) GROUP BY p2, p1, cur),
+       |four AS (SELECT p3, p2, p1, cur, CAST(count(*) AS BIGINT) AS c1234 FROM (
+       |          SELECT unnest(ws[1:len(ws)-3]) AS p3,
+       |                 unnest(ws[2:len(ws)-2]) AS p2,
+       |                 unnest(ws[3:len(ws)-1]) AS p1,
+       |                 unnest(ws[4:len(ws)]) AS cur
+       |          FROM wr WHERE len(ws) >= 4) GROUP BY p3, p2, p1, cur),
+       |dp4 AS (SELECT doc_id, unnest(ws[1:len(ws)-3]) AS p3,
+       |          unnest(ws[2:len(ws)-2]) AS p2,
+       |          unnest(ws[3:len(ws)-1]) AS p1,
+       |          unnest(ws[4:len(ws)]) AS cur
+       |        FROM wd WHERE len(ws) >= 4),
+       |c4 AS (SELECT doc_id,
+       |        CAST(floor(1000000.0 * (-ln(
+       |          CASE WHEN four.c1234 IS NOT NULL
+       |                 THEN CAST(four.c1234 AS DOUBLE) / CAST(tc.tctx AS DOUBLE)
+       |               WHEN tb.c123b IS NOT NULL
+       |                 THEN 0.4 * (CAST(tb.c123b AS DOUBLE) / CAST(bc.cctx AS DOUBLE))
+       |               WHEN bb.c12b IS NOT NULL
+       |                 THEN 0.16 * (CAST(bb.c12b AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+       |               WHEN u2.c2 IS NOT NULL
+       |                 THEN 0.064 * (CAST(u2.c2 AS DOUBLE) / CAST(total AS DOUBLE))
+       |               ELSE 0.064 / (CAST(total AS DOUBLE) * 10.0)
+       |          END))) AS BIGINT) AS cost_e6
+       |      FROM dp4
+       |      LEFT JOIN four ON four.p3 = dp4.p3 AND four.p2 = dp4.p2
+       |                    AND four.p1 = dp4.p1 AND four.cur = dp4.cur
+       |      LEFT JOIN (SELECT p2, p1, cur, c123 AS tctx FROM tri) tc
+       |        ON tc.p2 = dp4.p3 AND tc.p1 = dp4.p2 AND tc.cur = dp4.p1
+       |      LEFT JOIN (SELECT p2, p1, cur, c123 AS c123b FROM tri) tb
+       |        ON tb.p2 = dp4.p2 AND tb.p1 = dp4.p1 AND tb.cur = dp4.cur
+       |      LEFT JOIN (SELECT prev, cur, c12 AS cctx FROM big) bc
+       |        ON bc.prev = dp4.p2 AND bc.cur = dp4.p1
+       |      LEFT JOIN (SELECT prev, cur, c12 AS c12b FROM big) bb
+       |        ON bb.prev = dp4.p1 AND bb.cur = dp4.cur
+       |      LEFT JOIN (SELECT w, c AS c1 FROM uni) u1 ON u1.w = dp4.p1
+       |      LEFT JOIN (SELECT w, c AS c2 FROM uni) u2 ON u2.w = dp4.cur
+       |      CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
+       |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |FROM c4 GROUP BY doc_id""".stripMargin
 
   // ccnet replay: per-doc averages, value histogram, cumulative
   // count, order-statistic terciles, CASE bucket — all integer
@@ -1212,6 +1276,7 @@ object TextQueries {
     "q_perplexity" -> perplexityOracle,
     "q_perplexity3" -> perplexity3Oracle,
     "q_perplexity3_bcast" -> perplexity3Oracle,
+    "q_perplexity4_bcast" -> perplexity4Oracle,
     // q_rrf replay: the q_bm25 lexical top-20 (identical CTE chain)
     // and the knn_cosine top-20 for query vector 0 (same round-6
     // rank key TopK uses), fused with integer-division contributions

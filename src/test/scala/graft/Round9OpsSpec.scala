@@ -121,6 +121,41 @@ class Round9OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fourgram LM: every backoff level scores, pruning cascades one level up") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val ref = Seq("a b c d a b c d", "x y").toDF("text")
+    val m = LanguageModel.trainFourgrams(ref, "text")
+    // lower-order consistency: every surviving 4-gram's context
+    // trigram survives
+    m.four.keys.foreach { k =>
+      assert(m.tri.contains(k.substring(0, k.lastIndexOf(' '))),
+        s"4-gram '$k' lacks its context trigram")
+    }
+    assert(m.total == 10L)
+    // docs hitting each ladder branch: seen 4-gram; trigram backoff
+    // ("b c d" seen, "? b c d" unseen... use novel context); unigram
+    // backoff (known word, unseen grams); unknown word
+    val docs = Seq(
+      (1L, "a b c d"),   // position 4: 4-gram "a b c d" seen (c=2? appears twice in ref doc 1... "a b c d a b c d" contains "a b c d" at 1 and 5, plus "d a b c"/"c d a b" etc.)
+      (2L, "q b c d"),   // 4-gram unseen, trigram "b c d" seen
+      (3L, "q q q a"),   // only unigram "a" known at the last position
+      (4L, "q q q q")    // unknown everywhere
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.fourgramNllNarrow(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exact expectations from the scorer's own formulas
+    def cost(r: Double) = math.floor(1000000.0 * -math.log(r)).toLong
+    assert(out(1L) == cost(m.four("a b c d").toDouble / m.tri("a b c").toDouble))
+    assert(out(2L) == cost(0.4 * (m.tri("b c d").toDouble / m.big("b c").toDouble)))
+    assert(out(3L) == cost(0.064 * (m.uni("a").toDouble / 10.0)))
+    assert(out(4L) == cost(0.064 / (10.0 * 10.0)))
+    // under-4-word docs drop out
+    assert(LanguageModel.fourgramNllNarrow(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .count() == 0)
+  }
+
   test("charEntropyE4 UDF equals the HOF formula on multibyte/unicode text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
