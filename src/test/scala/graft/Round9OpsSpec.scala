@@ -121,6 +121,48 @@ class Round9OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("IntMath: seeded random property vs BigInteger, signed and near-overflow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(20260814L)
+    // mix magnitudes: small, 2^53 boundary, and near-Long.Max halves
+    def draw(): Long = rng.nextInt(3) match {
+      case 0 => rng.nextLong() % 1000000L
+      case 1 => (1L << 53) + rng.nextLong() % (1L << 20)
+      case 2 => rng.nextLong() / 2
+    }
+    val cases = Seq.fill(200) {
+      val n = { var v = draw(); while (v == 0) v = draw(); v }
+      (draw(), n)
+    }
+    // idivTrunc: dividend must be exactly divisible? No — it truncates
+    // via (a - a%n); BigInteger reference: a/n truncates toward zero
+    val gotDiv = cases.toDF("a", "n")
+      .select(graft.operators.IntMath.idivTrunc(col("a"), col("n")))
+      .collect().map(_.getLong(0)).toSeq
+    val wantDiv = cases.map { case (a, n) =>
+      java.math.BigInteger.valueOf(a)
+        .divide(java.math.BigInteger.valueOf(n)).longValueExact()
+    }
+    assert(gotDiv == wantDiv)
+    // scaledDivTrunc on ratio-shaped inputs (|x| <= |n| so the
+    // quotient fits): numerators pass 2^63 whenever |x| > ~9.2e14
+    val ratioCases = cases.map { case (a, n) =>
+      val hi = math.max(math.abs(a), math.abs(n))
+      val lo = math.min(math.abs(a), math.abs(n))
+      (lo, math.max(1L, hi))
+    }
+    val gotS = ratioCases.toDF("x", "n")
+      .select(graft.operators.IntMath.scaledDivTrunc(col("x"), 10000L, col("n")))
+      .collect().map(_.getLong(0)).toSeq
+    val wantS = ratioCases.map { case (x, n) =>
+      java.math.BigInteger.valueOf(x)
+        .multiply(java.math.BigInteger.valueOf(10000L))
+        .divide(java.math.BigInteger.valueOf(n)).longValueExact()
+    }
+    assert(gotS == wantS)
+  }
+
   test("fourgram LM: every backoff level scores, pruning cascades one level up") {
     import spark.implicits._
     import graft.operators.LanguageModel
