@@ -807,24 +807,27 @@ object Dedup {
     * (and a doc shorter than the gram window is one whole-doc
     * chunk). Expects the text as `__t`; boundary array binds `__b`.
     * @return (boundary-array SQL, chunk-hash-array SQL) */
-  private def cdcExprs(window: Int, maskHex: String): (String, String) = {
+  private def cdcExprs(window: Int, maskHex: String): String = {
     require(window >= 2 && maskHex.nonEmpty)
     val inMask = maskHex.map(c => s"'$c'").mkString("(", ",", ")")
     val w = window
-    val bnds =
-      s"""concat(
-         |  CASE WHEN length(__t) >= ${w + 1}
-         |       THEN filter(sequence($w, length(__t) - 1),
-         |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
-         |                   IN $inMask)
-         |       ELSE array() END,
-         |  array(length(__t)))""".stripMargin
-    val chunkHashes =
-      """transform(__b, (b, j) -> md5(substring(__t,
-        |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
-        |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
-    (bnds, chunkHashes)
+    s"""concat(
+       |  CASE WHEN length(__t) >= ${w + 1}
+       |       THEN filter(sequence($w, length(__t) - 1),
+       |              i -> substring(md5(substring(__t, i - ${w - 1}, $w)), 32, 1)
+       |                   IN $inMask)
+       |       ELSE array() END,
+       |  array(length(__t)))""".stripMargin
   }
+
+  /** md5-per-chunk hash array over a boundary array — shared by BOTH
+    * boundary contracts (md5-gram and Gear rolling hash): the chunk
+    * hash is one md5 per CHUNK, so it was never the cost problem the
+    * per-position boundary pass was. References `__t` and `__b`. */
+  private val cdcChunkHashesSql: String =
+    """transform(__b, (b, j) -> md5(substring(__t,
+      |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END,
+      |  b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END)))""".stripMargin
 
   /** Content-defined chunking (CDC) duplication stats — the
     * storage-layer dedup notion (LBFS/rsync, Gear/FastCDC) applied
@@ -857,14 +860,31 @@ object Dedup {
     *         internally reports different totals in the two halves,
     *         by design (duplication identity vs text proportion). */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
-                    window: Int = 16, maskHex: String = "0"): DataFrame = {
+                    window: Int = 16, maskHex: String = "0"): DataFrame =
+    cdcChunkStatsImpl(df, idCol, textCol,
+      expr(cdcExprs(window, maskHex)))
+
+  /** [[cdcChunkStats]] with the Gear rolling-hash boundary kernel
+    * ([[graft.plans.GearCdc]]) in place of the md5-per-position gram
+    * test — identical stats tail, identical chunk hashing, identical
+    * output schema; only the (content-defined) boundary positions
+    * differ. This is the production form: one table lookup + shift +
+    * add per character inside whole-stage codegen, vs one full md5
+    * per character position. Defaults match the md5 contract's
+    * density (minPos 16, maskBits 4 -> P(boundary) = 1/16). */
+  def cdcChunkStatsGear(df: DataFrame, idCol: String, textCol: String,
+                        minPos: Int = 16, maskBits: Int = 4): DataFrame =
+    cdcChunkStatsImpl(df, idCol, textCol,
+      graft.plans.GearCdc.boundariesCol(col("__t"), minPos, maskBits))
+
+  private def cdcChunkStatsImpl(df: DataFrame, idCol: String, textCol: String,
+                                boundary: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (bnds, chunkHashes) = cdcExprs(window, maskHex)
     val chunks = df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
-      .withColumn("__b", expr(bnds))
-      .select(col("id"), explode(expr(chunkHashes)).as("h"))
+      .withColumn("__b", boundary)
+      .select(col("id"), explode(expr(cdcChunkHashesSql)).as("h"))
       .distinct()
     val stats = chunks
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
@@ -901,20 +921,34 @@ object Dedup {
     *         where [[cdcChunkStats]]' n_chunks counts distinct
     *         hashes; join the halves on idCol, not on the counts. */
   def cdcChunkRemove(df: DataFrame, idCol: String, textCol: String,
-                     window: Int = 16, maskHex: String = "0"): DataFrame = {
+                     window: Int = 16, maskHex: String = "0"): DataFrame =
+    cdcChunkRemoveImpl(df, idCol, textCol,
+      expr(cdcExprs(window, maskHex)), "dedup.cdcBase")
+
+  /** [[cdcChunkRemove]] with the Gear rolling-hash boundary kernel —
+    * the rewrite half of [[cdcChunkStatsGear]], same shared tail as
+    * the md5 form. */
+  def cdcChunkRemoveGear(df: DataFrame, idCol: String, textCol: String,
+                         minPos: Int = 16, maskBits: Int = 4): DataFrame =
+    cdcChunkRemoveImpl(df, idCol, textCol,
+      graft.plans.GearCdc.boundariesCol(col("__t"), minPos, maskBits),
+      "dedup.cdcGearBase")
+
+  private def cdcChunkRemoveImpl(df: DataFrame, idCol: String, textCol: String,
+                                 boundary: org.apache.spark.sql.Column,
+                                 slotKey: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (bnds, chunkHashes) = cdcExprs(window, maskHex)
-    // slot-persisted: dupSets AND the rebuild both read this subtree,
-    // and the boundary array costs one md5 per character position —
-    // without the persist the whole rolling-hash pass runs twice
-    val base = PersistSlots.swap("dedup.cdcBase", df
+    // slot-persisted: dupSets AND the rebuild both read this subtree —
+    // without the persist the whole boundary pass runs twice (for the
+    // md5 contract that pass is one md5 per character position)
+    val base = PersistSlots.swap(slotKey, df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
-      .withColumn("__b", expr(bnds)))
+      .withColumn("__b", boundary))
     // corpus df over distinct (doc, hash) — same duplication notion
     // as the stats half; only 16-byte hashes shuffle
     val dupSets = base
-      .select(col("id"), explode(expr(chunkHashes)).as("h"))
+      .select(col("id"), explode(expr(cdcChunkHashesSql)).as("h"))
       .distinct()
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__df") > 1)

@@ -243,6 +243,18 @@ object DedupQueries {
     "dedup_cdc" -> ((s, dir) =>
       Dedup.cdcChunkStats(Tables(s, dir, "documents"), "doc_id", "text")),
 
+    // the production CDC kernel: Gear rolling hash (one table lookup
+    // + shift + add per character, codegen'd Catalyst expression)
+    // instead of one md5 per character position — same stats tail,
+    // same chunk hashing, content-defined boundaries of its own
+    "dedup_cdc_gear" -> ((s, dir) =>
+      Dedup.cdcChunkStatsGear(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    // the rewrite half over the Gear boundary rule — the production
+    // twin of dedup_cdc_remove
+    "dedup_cdc_gear_remove" -> ((s, dir) =>
+      Dedup.cdcChunkRemoveGear(Tables(s, dir, "documents"), "doc_id", "text")),
+
     // leakage-safe train/val/test split: near-dup COMPONENTS (winnow
     // pair graph, as dedup_components) are assigned to splits whole
     // via the md5 bucket of the component label — no duplicated
@@ -695,17 +707,44 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
-  // dedup_cdc replay: same 16-gram md5 boundary rule (internal
-  // boundaries stop at n-1; the final chunk always ends at n), same
-  // index-lambda chunk slicing, then the dedup_segments tail
-  private val cdcOracle =
-    """WITH d0 AS (SELECT doc_id, text AS t, length(text) AS n
+  // The two CDC boundary contracts as DuckDB CTEs producing
+  // (doc_id, t, b2): the md5-per-position gram rule, and the Gear
+  // rolling-hash rule replayed in its WINDOWED low-bits form — the
+  // shift recurrence makes h_i's low maskBits bits a function of
+  // exactly the last maskBits code points (carries only propagate
+  // upward), so the oracle needs no 64-bit rolling state: a
+  // 256-entry table of GEAR & (2^b - 1) literals (inlined, the
+  // knn_lsh plane-constant technique) and a b-term shifted sum per
+  // position. GearCdcSpec pins rolling == windowed.
+  private val cdcMd5Ctes: String =
+    """d0 AS (SELECT doc_id, text AS t, length(text) AS n
       |            FROM documents WHERE length(text) >= 1),
       |b AS (SELECT doc_id, t,
       |        list_append(list_filter(range(16, n),
       |          i -> substr(md5(substr(t, i - 15, 16)), 32, 1) IN ('0')),
       |          n) AS b2
-      |      FROM d0),
+      |      FROM d0)""".stripMargin
+
+  private def cdcGearCtes(minPos: Int, maskBits: Int): String = {
+    val mod = 1L << maskBits
+    val terms = (0 until maskBits).map { j =>
+      val idx = if (j == 0) "i" else s"i - $j"
+      s"${1L << j} * g[(ord(t[$idx]) % 256) + 1]"
+    }.mkString(" + ")
+    s"""gt AS (SELECT ${graft.plans.GearCdc.lowBitsSqlList(maskBits)} AS g),
+       |d0 AS (SELECT doc_id, text AS t, length(text) AS n
+       |            FROM documents WHERE length(text) >= 1),
+       |b AS (SELECT doc_id, t,
+       |        list_append(list_filter(range($minPos, n),
+       |          i -> ($terms) % $mod = 0),
+       |          n) AS b2
+       |      FROM d0 CROSS JOIN gt)""".stripMargin
+  }
+
+  // dedup_cdc / dedup_cdc_gear replay: boundary CTEs above, then the
+  // shared index-lambda chunk slicing and the dedup_segments tail
+  private def cdcStatsOracleFrom(boundaryCtes: String): String =
+    s"""WITH $boundaryCtes,
       |c AS (SELECT doc_id, list_transform(range(1, len(b2) + 1), j ->
       |        md5(substr(t,
       |          CASE WHEN j = 1 THEN 1 ELSE b2[j - 1] + 1 END,
@@ -725,17 +764,14 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
+  private val cdcOracle = cdcStatsOracleFrom(cdcMd5Ctes)
+  private val cdcGearOracle = cdcStatsOracleFrom(cdcGearCtes(16, 4))
+
   // dedup_cdc_remove replay: same boundary/chunk derivation with the
   // chunk TEXT carried alongside the hash, corpus df over distinct
   // (doc, hash), ordered string_agg reassembly of the survivors
-  private val cdcRemoveOracle: String =
-    """WITH d0 AS (SELECT doc_id, text AS t, length(text) AS n
-      |            FROM documents WHERE length(text) >= 1),
-      |b AS (SELECT doc_id, t,
-      |        list_append(list_filter(range(16, n),
-      |          i -> substr(md5(substr(t, i - 15, 16)), 32, 1) IN ('0')),
-      |          n) AS b2
-      |      FROM d0),
+  private def cdcRemoveOracleFrom(boundaryCtes: String): String =
+    s"""WITH $boundaryCtes,
       |c AS (SELECT doc_id, b2,
       |        list_transform(range(1, len(b2) + 1), j ->
       |          substr(t,
@@ -759,6 +795,9 @@ object DedupQueries {
       |  CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept
       |FROM documents d LEFT JOIN nck USING (doc_id)
       |LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  private val cdcRemoveOracle = cdcRemoveOracleFrom(cdcMd5Ctes)
+  private val cdcGearRemoveOracle = cdcRemoveOracleFrom(cdcGearCtes(16, 4))
 
   // dedup_tfidf_cosine replay: same whitespace tokens as text_tfidf,
   // df as a window count, e4 integer weights over the df-capped
@@ -802,6 +841,8 @@ object DedupQueries {
     "dedup_segments" -> segmentsOracle,
     "dedup_cdc" -> cdcOracle,
     "dedup_cdc_remove" -> cdcRemoveOracle,
+    "dedup_cdc_gear" -> cdcGearOracle,
+    "dedup_cdc_gear_remove" -> cdcGearRemoveOracle,
     "dedup_spans" -> dupSpansOracle,
     "dedup_span_remove" -> dupSpanRemoveOracle,
     "dedup_editdist" -> editdistOracle,
