@@ -27,9 +27,11 @@ import graft.operators.Nest
 object Fixtures {
 
   private def cacheRoot(dir: String): Path = {
-    // key over EVERY source table the fixtures read (lineitem AND
-    // orders): regenerating either invalidates the whole cache
-    val mtimes = Seq("lineitem.parquet", "orders.parquet").map { t =>
+    // key over EVERY source table the fixtures read (lineitem,
+    // orders, and the stream-feed sources documents/events):
+    // regenerating any invalidates the whole cache
+    val mtimes = Seq("lineitem.parquet", "orders.parquet",
+      "documents.parquet", "events.parquet").map { t =>
       val src = Paths.get(dir, t)
       if (Files.exists(src)) Files.getLastModifiedTime(src).toMillis else 0L
     }
@@ -161,6 +163,93 @@ object Fixtures {
     path.toString
   }
 
+  /** Stream-feed fixture: one parquet FILE per micro-batch (named
+    * `batch_NNNN.parquet`, modification times in batch order), the
+    * layout Spark's FileStreamSource with `maxFilesPerTrigger = 1`
+    * consumes as one micro-batch per file. This replaces the old
+    * collect()-fed MemoryStream harness — the corpus never
+    * materializes on the driver; at 100 TB the analog is files
+    * landing in an ingest directory (or a Kafka topic), which is
+    * exactly the source class under test. Batch files carry fixed
+    * synthetic mtimes so the source's timestamp ordering is
+    * deterministic across rebuilds and machines. */
+  private def streamFeed(dir: String, name: String)
+                        (batches: => Seq[DataFrame]): Path = synchronized {
+    val path = cacheRoot(dir).resolve(name)
+    if (!Files.exists(path.resolve("_FEED_READY"))) {
+      val tmp = cacheRoot(dir).resolve(
+        s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
+      Files.createDirectories(tmp)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = tmp.resolve(s"stage_$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = {
+          val s = Files.list(stage)
+          try s.filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally s.close()
+        }
+        val target = tmp.resolve(f"batch_$i%04d.parquet")
+        Files.move(part, target)
+        org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      Files.writeString(tmp.resolve("_FEED_READY"), "ok")
+      Files.createDirectories(path.getParent)
+      publish(tmp, path)
+    }
+    path
+  }
+
+  /** The streamed 10% of documents (doc_id % 10 == 7) as three
+    * micro-batch files — the stream_dedup_ingest feed. The operator
+    * under test is stateless per batch, so the doc_id % 3 split is
+    * purely a batching choice (output is batch-boundary-independent;
+    * StreamBatchEquivalenceSpec pins it). */
+  def streamDedupFeed(s: SparkSession, dir: String): String =
+    streamFeed(dir, "stream_dedup_feed") {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 7)
+      (0 until 3).map(b => docs.filter(pmod(col("doc_id"), lit(30)) === 7 + 10 * b))
+    }.toString
+
+  /** The events odd half as three TS-ORDERED micro-batch files plus
+    * two far-future sentinel files — the stream_drift_monitor feed.
+    * ts-ordered tertiles preserve the old sorted-feed determinism
+    * argument: every window's events precede the watermark that
+    * closes it, so batch boundaries cannot change any window's
+    * counts. The sentinels sit TWO days past the max event (see
+    * StreamQueries' margin note): one advances the watermark, the
+    * second reaps the event-time timeouts, while the sentinel's own
+    * window stays open and unemitted. */
+  def streamDriftFeed(s: SparkSession, dir: String): String =
+    streamFeed(dir, "stream_drift_feed") {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type").as("key"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      if (maxTs == null) Seq.empty
+      else {
+        // constant-key partition spec (non-foldable, see ccnetBuckets):
+        // the global ntile is a one-time fixture build, not a query plan
+        val tiled = ev.withColumn("__b", ntile(3).over(
+          Window.partitionBy(length(col("key")) * 0)
+            .orderBy(col("ts"), col("key"))))
+        val sentinelMs = maxTs.getTime + 2L * 86400000L
+        (1 to 3).map(b => tiled.filter(col("__b") === b).drop("__b")) ++
+          Seq(0L, 1000L).map(off => Seq(
+            (new java.sql.Timestamp(sentinelMs + off), "view"))
+            .toDF("ts", "key"))
+      }
+    }.toString
+
   /** Build every fixture for a scale factor (Bench calls this before
     * the timed loop so no query is charged fixture construction). */
   def warm(s: SparkSession, dir: String): Unit = {
@@ -169,5 +258,7 @@ object Fixtures {
     nestedOuter(s, dir)
     nestedSiblings(s, dir)
     pbdLineitem(s, dir)
+    streamDedupFeed(s, dir)
+    streamDriftFeed(s, dir)
   }
 }

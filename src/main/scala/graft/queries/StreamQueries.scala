@@ -1,27 +1,30 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import graft.operators.Dedup
 import graft.streaming.StreamOps
 
 /** Driver-gate queries that execute the ACTUAL Structured Streaming
-  * micro-batch path — `MemoryStream` batches through a streaming
-  * plan into a memory sink — and hand the sink's table to the
-  * DuckDB oracle. The batch twins of these operators are oracled
+  * micro-batch path — a FILE-STREAM source (one pre-written parquet
+  * file per micro-batch, `maxFilesPerTrigger = 1`) through a
+  * streaming plan into a memory sink — and hand the sink's table to
+  * the DuckDB oracle. The batch twins of these operators are oracled
   * elsewhere and `StreamBatchEquivalenceSpec` pins stream==batch in
   * ScalaTest; these entries put the streaming EXECUTION MODE itself
-  * (micro-batch planner, IncrementalExecution, sink commit) under
-  * the external-engine gate.
+  * (micro-batch planner, IncrementalExecution, watermark/state-store
+  * commits, sink commit) under the external-engine gate.
   *
-  * Harness contract: the driver feed collects the (tiny, filtered)
-  * stream side to build MemoryStream input — that is the gate's
-  * stand-in for a Kafka/files source, not a production path; the
-  * streaming PLAN under test is identical to the one a real source
-  * would run. Stateless per-batch operators are chosen deliberately:
-  * their output is independent of micro-batch boundaries, so the
-  * result is deterministic and engine-replayable.
+  * Harness contract: the feed files are built ONCE per scale factor
+  * by [[Fixtures]] (outside any timed region) and streamed through
+  * Spark's own FileStreamSource — the same source class a production
+  * ingest directory uses, and nothing ever materializes the streamed
+  * corpus on the driver (the old MemoryStream harness collect()ed it
+  * per run, which dominated the 10x scale probe). Stateless
+  * per-batch operators are chosen deliberately: their output is
+  * independent of micro-batch boundaries, so the result is
+  * deterministic and engine-replayable.
   */
 object StreamQueries {
 
@@ -31,13 +34,12 @@ object StreamQueries {
 
   /** Stream-static MinHash dedup on ingest, executed as a REAL
     * streaming query: documents with doc_id % 10 == 7 arrive in three
-    * micro-batches and probe the static corpus band index
+    * micro-batch files and probe the static corpus band index
     * ([[Dedup.corpusBandIndex]] over the other 90%); every band hit
     * is appended to the sink. Output = (doc_id, corpus_id, band_key)
     * per shared band — the raw ingest-alert stream
     * [[StreamOps.dedupAgainstCorpus]] documents. */
   private def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     // slot-persisted: at 100 TB this index is computed once on corpus
@@ -47,26 +49,18 @@ object StreamQueries {
     val index = graft.operators.PersistSlots.swap("stream.dedupIngestIndex",
       Dedup.corpusBandIndex(
         docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", K, BANDS))
-    // deterministic feed: the streamed 10% in doc_id order, split
-    // into three micro-batches (batch boundaries cannot change the
-    // output — the operator is stateless per batch)
-    val feed = docs.filter(col("doc_id") % 10 === 7)
-      .as[(Long, String)].collect().sortBy(_._1).toSeq
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(Long, String)]
+    val feedDir = Fixtures.streamDedupFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
     val streamed = StreamOps.dedupAgainstCorpus(
-      input.toDF().toDF("doc_id", "text"), "doc_id", "text", index,
-      numHashes = K, bands = BANDS)
+      input, "doc_id", "text", index, numHashes = K, bands = BANDS)
     val sink = s"graft_stream_dedup_sink_${sinkIds.incrementAndGet()}"
     val q = streamed.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
-    try {
-      val per = math.max(1, (feed.length + 2) / 3)
-      feed.grouped(per).foreach { g =>
-        input.addData(g)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     // unbind the catalog name (see driftMonitor): the resolved frame
     // outlives the temp view, and bench trials must not accumulate
     // named sink tables
@@ -90,20 +84,33 @@ object StreamQueries {
   private def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-      .select(col("event_id").cast("long").as("event_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("tsm"))
+      .select(col("event_id").cast("long").as("event_id"), col("event_type"))
+    // reference counts: a bounded per-event-type aggregate (rows =
+    // distinct event types), the model-broadcast collect every drift
+    // monitor ships — NOT a corpus materialization
     val refCounts: Map[String, Long] = ev.filter(col("event_id") % 2 === 0)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val feed = ev.filter(col("event_id") % 2 === 1)
-      .select(col("tsm"), col("event_type"))
-      .as[(java.sql.Timestamp, String)].collect()
-      .sortBy(e => (e._1.getTime, e._2)).toSeq
-    if (feed.isEmpty)
+    // feed = three ts-ordered tertile files + two watermark/timeout
+    // sentinel files TWO days out (the last real window's timeout is
+    // its end <= max + 1 day, and the final watermark is sentinel -
+    // lateness — a one-day margin would shrink to ~10 minutes and
+    // silently leave the last window open whenever the max event
+    // lands just after a UTC midnight). Built once per sf by Fixtures.
+    val feedDir = Fixtures.streamDriftFeed(spark, dir)
+    val hasBatches = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(feedDir))
+      try l.anyMatch(p => p.getFileName.toString.startsWith("batch_"))
+      finally l.close()
+    }
+    if (!hasBatches)
       return spark.emptyDataset[StreamOps.DriftRow].toDF()
-    val maxMs = feed.iterator.map(_._1.getTime).max
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[StreamOps.DriftEvent]
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("key", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+      .as[StreamOps.DriftEvent]
     val sink = s"graft_stream_drift_sink_${sinkIds.incrementAndGet()}"
     // streaming STATE partitions are frozen from the session conf at
     // query start; the per-batch cost here is state-store commits x
@@ -114,29 +121,12 @@ object StreamQueries {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try StreamOps.windowedDriftJs(input.toDS(), refCounts,
+      try StreamOps.windowedDriftJs(input, refCounts,
           windowMinutes = 1440, lateMinutes = 10)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try {
-      val per = math.max(1, (feed.length + 2) / 3)
-      feed.grouped(per).foreach { g =>
-        input.addData(g.map { case (t, k) => StreamOps.DriftEvent(t, k) })
-        q.processAllAvailable()
-      }
-      // sentinels TWO days out: the last real window's timeout is
-      // its end (<= maxMs + 1 day), and the final watermark is
-      // sentinel - lateness — a one-day margin would shrink to ~10
-      // minutes and silently leave the last window open whenever the
-      // max event lands just after a UTC midnight
-      input.addData(StreamOps.DriftEvent(
-        new java.sql.Timestamp(maxMs + 2L * 86400000L), "view"))
-      q.processAllAvailable()
-      input.addData(StreamOps.DriftEvent(
-        new java.sql.Timestamp(maxMs + 2L * 86400000L + 1000L), "view"))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     // unbind the catalog name: the returned frame keeps the resolved
     // in-memory plan, and repeated invocations (bench trials) must
     // not accumulate named sink tables for the session's lifetime
