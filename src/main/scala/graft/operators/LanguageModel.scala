@@ -132,7 +132,7 @@ object LanguageModel {
     * map-combined per-doc aggregation. The count tables grow with
     * the reference (trigram vocabulary ~cubes the tail), which is
     * why production ships PRUNED models — the broadcast-narrow twin
-    * of this form follows [[bigramNllNarrow]] with the same
+    * of this form follows [[ngramNllNarrow]] with the same
     * min-count discipline.
     * @return (idCol, n_scored, nll_e6, avg_nll_e6) */
   def trigramNll(docs: DataFrame, idCol: String, textCol: String,
@@ -195,37 +195,34 @@ object LanguageModel {
         expr("nll_e6 div n_scored").as("avg_nll_e6"))
   }
 
-  /** A trained bigram model held in memory — the deployment shape of
-    * KenLM-style filtering: CCNet ships a PRUNED model to every
-    * worker and scores with lookups, never a join. Bigram keys are
-    * space-joined ("prev cur" — unambiguous, words contain no
-    * whitespace by construction of the tokenizer). */
-  final case class BigramModel(uni: Map[String, Long],
-                               big: Map[String, Long], total: Long)
+  /** A trained order-N stupid-backoff model held in memory — the
+    * deployment shape of KenLM-style filtering: CCNet ships a PRUNED
+    * model to every worker and scores with lookups, never a join.
+    * `tables(k-1)` holds the k-gram counts (space-joined keys —
+    * unambiguous, words contain no whitespace by construction of the
+    * tokenizer); `total` is the exact unpruned token count (the
+    * backoff denominator). ONE type for every order — the old
+    * Bigram/Trigram/FourgramModel triplication differed only in
+    * order, and extending the ladder meant copying the scorer. */
+  final case class NgramModel(order: Int,
+                              tables: IndexedSeq[Map[String, Long]],
+                              total: Long) {
+    require(order >= 2 && tables.length == order,
+      s"NgramModel: need tables for orders 1..$order, got ${tables.length}")
+  }
 
-  /** Collect the reference counts into a [[BigramModel]], pruned
-    * KenLM-style BEFORE the driver collect — the discipline the
-    * deployment shape requires: an unpruned reference vocabulary is
-    * bounded only by the corpus, and CCNet's production models ship
-    * pruned (KenLM `--prune`). Two knobs, applied per count table on
-    * the executors so the driver only ever receives the survivors:
-    *
-    *  - `minCount`: drop grams seen fewer times (count floor);
-    *  - `maxEntries`: keep the most frequent M per table
-    *    (TakeOrdered — bounded driver memory even against an
-    *    adversarial reference), count-desc with a lexicographic
-    *    tiebreak for determinism.
-    *
-    * `total` stays the EXACT unpruned token count (one narrow scan):
-    * pruning must not shrink the backoff denominator, or every
-    * unknown-word cost would drift with the prune level. A pruned
-    * gram scores through the backoff path — exactly how a pruned
-    * KenLM degrades. Bigrams whose `prev` lost its unigram entry are
-    * dropped too (the seen-bigram path divides by c(prev); KenLM
-    * enforces the same lower-order consistency).
-    *
-    * Defaults (1, MaxValue) reproduce the unpruned model bit-for-bit.
-    */
+  /** 0.4^k backoff multipliers as decimal LITERALS, indexed by the
+    * number of backoff steps. Literals, not computed powers: IEEE
+    * 0.4*0.4 = 0.16000000000000003 != the literal 0.16 that the
+    * scorers have always used and the DuckDB oracles carry — the
+    * multiplier at each level must be the same parsed constant in
+    * both engines. Supports orders up to 8. */
+  private val BackoffMult: Array[Double] =
+    Array(1.0, 0.4, 0.16, 0.064, 0.0256, 0.01024, 0.004096, 0.0016384)
+
+  /** Max supported order (the literal multiplier table bounds it). */
+  val MaxOrder: Int = BackoffMult.length - 1
+
   /** The shared KenLM-style pruned n-gram count-table builder: one
     * map-combined count per gram key, count floor + frequency-desc
     * top-M cap (lexicographic tiebreak for determinism) applied
@@ -243,33 +240,65 @@ object LanguageModel {
     capped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  def trainBigrams(ref: DataFrame, refTextCol: String,
-                   minCount: Long = 1L,
-                   maxEntries: Int = Int.MaxValue): BigramModel = {
+  /** Collect 1..order gram reference counts into an [[NgramModel]],
+    * pruned KenLM-style BEFORE the driver collect — the discipline
+    * the deployment shape requires: an unpruned reference vocabulary
+    * is bounded only by the corpus, and CCNet's production models
+    * ship pruned (KenLM `--prune`). Two knobs, applied per count
+    * table on the executors so the driver only ever receives the
+    * survivors:
+    *
+    *  - `minCount`: drop grams seen fewer times (count floor);
+    *  - `maxEntries`: keep the most frequent M per table
+    *    (TakeOrdered — bounded driver memory even against an
+    *    adversarial reference), count-desc with a lexicographic
+    *    tiebreak for determinism.
+    *
+    * `total` stays the EXACT unpruned token count (one narrow scan):
+    * pruning must not shrink the backoff denominator, or every
+    * unknown-word cost would drift with the prune level. Lower-order
+    * consistency cascades up the ladder: a surviving k-gram needs
+    * its (k-1)-word CONTEXT in the (already-filtered) table below —
+    * the seen-k-gram path divides by that context count; a k-gram
+    * whose context was pruned scores through the backoff path,
+    * exactly how a pruned KenLM degrades.
+    *
+    * Defaults (1, MaxValue) reproduce the unpruned model bit-for-bit.
+    * order 5 is CCNet/KenLM's production recipe; orders 2-4 are the
+    * cheaper rungs of the same ladder. */
+  def trainNgrams(ref: DataFrame, refTextCol: String, order: Int,
+                  minCount: Long = 1L,
+                  maxEntries: Int = Int.MaxValue): NgramModel = {
+    require(order >= 2 && order <= MaxOrder,
+      s"trainNgrams: order must be in [2, $MaxOrder], got $order")
     val toks = ref.select(words(col(refTextCol)).as("__w"))
-    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")),
-      minCount, maxEntries)
-    val bigAll = prunedCounts(toks
-      .select(explode(graft.functions.TextFunctions
-        .shinglesOfWords(col("__w"), 2)).as("k")), minCount, maxEntries)
-    // lower-order consistency: a surviving bigram needs its prev's
-    // unigram count for the c12/c1 probability
-    val big = bigAll.filter { case (k, _) =>
-      uni.contains(k.substring(0, k.indexOf(' '))) }
+    def gramCounts(n: Int) = prunedCounts(
+      if (n == 1) toks.select(explode(col("__w")).as("k"))
+      else toks.select(explode(graft.functions.TextFunctions
+        .shinglesOfWords(col("__w"), n)).as("k")), minCount, maxEntries)
+    val tables = new Array[Map[String, Long]](order)
+    tables(0) = gramCounts(1)
+    var k = 2
+    while (k <= order) {
+      tables(k - 1) = gramCounts(k).filter { case (key, _) =>
+        tables(k - 2).contains(key.substring(0, key.lastIndexOf(' '))) }
+      k += 1
+    }
     // exact UNpruned token total — the backoff denominator is corpus
     // mass, not surviving-entry mass. Unpruned, the unigram map IS
-    // the full count table, so its sum is the total and the third
+    // the full count table, so its sum is the total and the extra
     // corpus scan (re-tokenize + agg, the most expensive job here)
     // is pure waste; only a pruning run pays for it.
     val unpruned = minCount <= 1L && maxEntries == Int.MaxValue
     val total =
-      if (unpruned) uni.valuesIterator.sum
+      if (unpruned) tables(0).valuesIterator.sum
       else toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
         .cast("long").as("t")).head().getLong(0)
     require(total > 0,
-      "trainBigrams: empty reference corpus (every backoff probability " +
+      "trainNgrams: empty reference corpus (every backoff probability " +
         "would divide by zero)")
-    BigramModel(uni, big, total)
+    NgramModel(order,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(tables), total)
   }
 
   // one stable scorer UDF per MODEL: Catalyst compares ScalaUDFs by
@@ -283,10 +312,8 @@ object LanguageModel {
   // keeps its identity; one training many models doesn't leak them
   // all — plan reuse only mattered for the repeated-model case).
   private val ScoreCacheCap = 4
-  private val bigramScoreCache = scala.collection.concurrent.TrieMap
-    .empty[BigramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
-  private val trigramScoreCache = scala.collection.concurrent.TrieMap
-    .empty[TrigramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
+  private val ngramScoreCache = scala.collection.concurrent.TrieMap
+    .empty[NgramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
   private def cached[K](cache: scala.collection.concurrent.TrieMap[K,
       org.apache.spark.sql.expressions.UserDefinedFunction], key: K)(
       mk: => org.apache.spark.sql.expressions.UserDefinedFunction) = {
@@ -294,50 +321,74 @@ object LanguageModel {
     cache.getOrElseUpdate(key, mk)
   }
 
-  /** [[bigramNll]] against an in-memory model: scoring is ONE narrow
-    * projection — per-token costs come from map-literal lookups
-    * (O(1) per token, the ADC-LUT pattern) folded inside the row, so
-    * it runs shuffle-free on a 100 TB scan AND unchanged on a
-    * stream (no stateful aggregation anywhere; see the
-    * streaming↔batch equivalence spec). Same arithmetic as
-    * [[bigramNll]]: identical association, per-token floor, integer
-    * average. */
-  def bigramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
-                      model: BigramModel): DataFrame =
-    bigramNllNarrowOfWords(
+  /** The space-joined key of w(lo..hi-1) — exactly the
+    * `a + " " + b` concatenation the count-table keys use. */
+  private def sliceKey(w: Seq[String], lo: Int, hi: Int): String = {
+    val sb = new java.lang.StringBuilder(w(lo))
+    var j = lo + 1
+    while (j < hi) { sb.append(' ').append(w(j)); j += 1 }
+    sb.toString
+  }
+
+  /** Order-N NLL against an in-memory [[NgramModel]]: the
+    * broadcast-narrow deployment form — per-token costs from map
+    * lookups folded inside the row (O(1) per token, the ADC-LUT
+    * pattern), zero exchanges and zero joins on the corpus side, so
+    * it runs shuffle-free on a 100 TB scan AND unchanged on a stream
+    * (no stateful aggregation anywhere; see the streaming↔batch
+    * equivalence spec). The stupid-backoff recursion S(w|ctx) =
+    * count ratio, else 0.4·S(w|shorter ctx) unrolled once for ALL
+    * orders: level k scores MULT(N-k) · c(gram_k)/c(ctx_{k-1}),
+    * the unigram level MULT(N-1) · c(cur)/total, unknown
+    * MULT(N-1)/(total·10) — multipliers from the literal table so
+    * orders 2-4 reproduce the old per-order scorers byte-for-byte
+    * (1.0·x == x in IEEE; re-validated against the unchanged
+    * oracles). HashMap UDF, NOT typedLit map literals: element_at on
+    * a Catalyst literal map is a LINEAR key scan (the old literal
+    * form measured 84 s at sf0.1).
+    * @return (idCol, n_scored, nll_e6, avg_nll_e6) — positions
+    *         order..n score; docs under `order` words drop out. */
+  def ngramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
+                     model: NgramModel): DataFrame =
+    ngramNllNarrowOfWords(
       docs.select(col(idCol), words(col(textCol)).as("__gpw")),
       idCol, "__gpw", model)
 
-  /** [[bigramNllNarrow]] over an already-projected word-array column
+  /** [[ngramNllNarrow]] over an already-projected word-array column
     * (transform lambdas must read an attribute, not an inline split —
     * see TextFunctions.shinglesOfWords). */
-  def bigramNllNarrowOfWords(docs: DataFrame, idCol: String,
-                             wordsCol: String,
-                             model: BigramModel): DataFrame = {
-    // HashMap UDF, NOT typedLit map literals: a Catalyst literal map
-    // is ArrayBasedMapData and element_at over it is a LINEAR key
-    // scan — O(|model|) per token lookup, which made this "narrow
-    // deployment form" quadratic in practice (the trigram sibling
-    // measured 84 s at sf0.1 once the bench stopped count()-pruning
-    // the projection). The closure's immutable HashMaps are O(1) per
-    // lookup; arithmetic is IDENTICAL to the old expression form —
-    // same branch ladder, same association, same per-token floor —
-    // so the oracles are unchanged (re-validated at all three SFs).
-    val score = cached(bigramScoreCache, model) {
-      val uni = model.uni; val big = model.big
+  def ngramNllNarrowOfWords(docs: DataFrame, idCol: String,
+                            wordsCol: String,
+                            model: NgramModel): DataFrame = {
+    val order = model.order
+    val score = cached(ngramScoreCache, model) {
+      val tables = model.tables.toArray
       val totalD = model.total.toDouble
+      val mult = BackoffMult
       udf { (w: Seq[String]) =>
         var nll = 0L
         var i = 0
         val n = w.length
-        while (i < n - 1) {
-          val ratio = big.get(w(i) + " " + w(i + 1)) match {
-            // a surviving bigram's prev always has its unigram entry
-            // (lower-order consistency, trainBigrams)
-            case Some(c12) => c12.toDouble / uni(w(i)).toDouble
-            case None => uni.get(w(i + 1)) match {
-              case Some(c2) => 0.4 * (c2.toDouble / totalD)
-              case None => 0.4 / (totalD * 10.0)
+        while (i <= n - order) {
+          var ratio = 0.0
+          var found = false
+          var k = order
+          while (k >= 2 && !found) {
+            val lo = i + order - k // gram = last k words of the window
+            tables(k - 1).get(sliceKey(w, lo, i + order)) match {
+              case Some(c) =>
+                // a surviving k-gram's context survives in the table
+                // below (lower-order consistency, trainNgrams)
+                ratio = mult(order - k) * (c.toDouble /
+                  tables(k - 2)(sliceKey(w, lo, i + order - 1)).toDouble)
+                found = true
+              case None => k -= 1
+            }
+          }
+          if (!found) {
+            ratio = tables(0).get(w(i + order - 1)) match {
+              case Some(c) => mult(order - 1) * (c.toDouble / totalD)
+              case None => mult(order - 1) / (totalD * 10.0)
             }
           }
           nll += math.floor(1000000.0 * -math.log(ratio)).toLong
@@ -347,202 +398,12 @@ object LanguageModel {
       }
     }
     docs
-      // the <2-words dropout filters on the CHEAP word-array size
-      // BEFORE the score expression exists
+      // the <order-words dropout filters on the CHEAP word-array
+      // size BEFORE the score expression exists
       .select(col(idCol), col(wordsCol).as("__gpnw"))
-      .filter(size(col("__gpnw")) >= 2)
+      .filter(size(col("__gpnw")) >= order)
       .select(col(idCol),
-        (size(col("__gpnw")) - 1).cast("long").as("n_scored"),
-        score(col("__gpnw")).as("nll_e6"))
-      .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
-  }
-
-  /** A trained trigram model held in memory — [[BigramModel]]'s
-    * order-3 sibling. Keys are space-joined grams. */
-  final case class TrigramModel(uni: Map[String, Long],
-                                big: Map[String, Long],
-                                tri: Map[String, Long], total: Long)
-
-  /** Collect trigram/bigram/unigram reference counts with the same
-    * KenLM-style pruning discipline as [[trainBigrams]] (executors
-    * prune, the driver receives survivors; `total` stays the exact
-    * unpruned token count). Lower-order consistency cascades one
-    * level further: a surviving bigram needs its `prev` unigram (the
-    * backoff ratio divides by c(p1)), and a surviving trigram needs
-    * its (p2, p1) CONTEXT bigram (the top ratio divides by
-    * c(p2 p1)) — a trigram whose context was pruned scores through
-    * the backoff path, exactly how a pruned KenLM degrades. */
-  def trainTrigrams(ref: DataFrame, refTextCol: String,
-                    minCount: Long = 1L,
-                    maxEntries: Int = Int.MaxValue): TrigramModel = {
-    val toks = ref.select(words(col(refTextCol)).as("__w"))
-    def grams(n: Int) = prunedCounts(toks.select(explode(
-      graft.functions.TextFunctions.shinglesOfWords(col("__w"), n)).as("k")),
-      minCount, maxEntries)
-    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")),
-      minCount, maxEntries)
-    val big = grams(2).filter { case (k, _) =>
-      uni.contains(k.substring(0, k.indexOf(' '))) }
-    val tri = grams(3).filter { case (k, _) =>
-      big.contains(k.substring(0, k.lastIndexOf(' '))) }
-    val unpruned = minCount <= 1L && maxEntries == Int.MaxValue
-    val total =
-      if (unpruned) uni.valuesIterator.sum
-      else toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
-        .cast("long").as("t")).head().getLong(0)
-    require(total > 0,
-      "trainTrigrams: empty reference corpus (every backoff probability " +
-        "would divide by zero)")
-    TrigramModel(uni, big, tri, total)
-  }
-
-  /** A trained 4-gram model — one order beyond [[TrigramModel]],
-    * closing on CCNet's production order-5 recipe. Keys are
-    * space-joined grams at every order. */
-  final case class FourgramModel(uni: Map[String, Long],
-                                 big: Map[String, Long],
-                                 tri: Map[String, Long],
-                                 four: Map[String, Long], total: Long)
-
-  /** Collect 4/3/2/1-gram reference counts with the same KenLM-style
-    * pruning discipline as the lower orders (one shared
-    * [[prunedCounts]] builder for all four tables). The lower-order
-    * consistency cascade runs one level further: a surviving 4-gram
-    * needs its (p3 p2 p1) CONTEXT trigram (the top ratio divides by
-    * c(p3 p2 p1)) — a 4-gram whose context was pruned scores through
-    * the backoff path, exactly how a pruned KenLM degrades. */
-  def trainFourgrams(ref: DataFrame, refTextCol: String,
-                     minCount: Long = 1L,
-                     maxEntries: Int = Int.MaxValue): FourgramModel = {
-    val toks = ref.select(words(col(refTextCol)).as("__w"))
-    def grams(n: Int) = prunedCounts(toks.select(explode(
-      graft.functions.TextFunctions.shinglesOfWords(col("__w"), n)).as("k")),
-      minCount, maxEntries)
-    val uni = prunedCounts(toks.select(explode(col("__w")).as("k")),
-      minCount, maxEntries)
-    val big = grams(2).filter { case (k, _) =>
-      uni.contains(k.substring(0, k.indexOf(' '))) }
-    val tri = grams(3).filter { case (k, _) =>
-      big.contains(k.substring(0, k.lastIndexOf(' '))) }
-    val four = grams(4).filter { case (k, _) =>
-      tri.contains(k.substring(0, k.lastIndexOf(' '))) }
-    val unpruned = minCount <= 1L && maxEntries == Int.MaxValue
-    val total =
-      if (unpruned) uni.valuesIterator.sum
-      else toks.agg(coalesce(sum(size(col("__w"))), lit(0L))
-        .cast("long").as("t")).head().getLong(0)
-    require(total > 0,
-      "trainFourgrams: empty reference corpus (every backoff probability " +
-        "would divide by zero)")
-    FourgramModel(uni, big, tri, four, total)
-  }
-
-  private val fourgramScoreCache = scala.collection.concurrent.TrieMap
-    .empty[FourgramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
-
-  /** 4-gram NLL against an in-memory [[FourgramModel]] — the
-    * broadcast-narrow deployment form at order 4, extending the
-    * stupid-backoff recursion one level (0.4^k multiplier per
-    * backoff step, unknown at 0.4^3/(total·10)). Same HashMap-UDF
-    * shape and caching discipline as the lower orders; positions
-    * 4..n score, documents under 4 words drop out.
-    * @return (idCol, n_scored, nll_e6, avg_nll_e6) */
-  def fourgramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
-                        model: FourgramModel): DataFrame = {
-    val score = cached(fourgramScoreCache, model) {
-      val uni = model.uni; val big = model.big
-      val tri = model.tri; val four = model.four
-      val totalD = model.total.toDouble
-      udf { (w: Seq[String]) =>
-        var nll = 0L
-        var i = 0
-        val n = w.length
-        while (i < n - 3) {
-          val p2 = w(i + 1); val p1 = w(i + 2); val cur = w(i + 3)
-          val ratio =
-            four.get(w(i) + " " + p2 + " " + p1 + " " + cur) match {
-              // surviving 4-gram => its context trigram survives
-              case Some(c1234) =>
-                c1234.toDouble / tri(w(i) + " " + p2 + " " + p1).toDouble
-              case None => tri.get(p2 + " " + p1 + " " + cur) match {
-                // surviving trigram => its context bigram survives
-                case Some(c123) =>
-                  0.4 * (c123.toDouble / big(p2 + " " + p1).toDouble)
-                case None => big.get(p1 + " " + cur) match {
-                  // surviving bigram => its prev unigram survives
-                  case Some(c12) =>
-                    0.16 * (c12.toDouble / uni(p1).toDouble)
-                  case None => uni.get(cur) match {
-                    case Some(c2) => 0.064 * (c2.toDouble / totalD)
-                    case None => 0.064 / (totalD * 10.0)
-                  }
-                }
-              }
-            }
-          nll += math.floor(1000000.0 * -math.log(ratio)).toLong
-          i += 1
-        }
-        nll
-      }
-    }
-    docs
-      .select(col(idCol), words(col(textCol)).as("__gpnw"))
-      .filter(size(col("__gpnw")) >= 4)
-      .select(col(idCol),
-        (size(col("__gpnw")) - 3).cast("long").as("n_scored"),
-        score(col("__gpnw")).as("nll_e6"))
-      .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
-  }
-
-  /** [[trigramNll]] against an in-memory [[TrigramModel]]: the
-    * broadcast-narrow deployment form — per-token costs from map
-    * lookups folded inside the row, zero exchanges and zero joins on
-    * the corpus side, stream-safe. Same arithmetic as the join form
-    * (identical association per ladder branch, per-token floor), so
-    * an unpruned model reproduces it byte-for-byte and shares its
-    * oracle. */
-  def trigramNllNarrow(docs: DataFrame, idCol: String, textCol: String,
-                       model: TrigramModel): DataFrame = {
-    // HashMap UDF for the same reason as [[bigramNllNarrowOfWords]]:
-    // element_at on a literal map is a linear key scan, and the
-    // trigram model is the largest map in the engine (84 s at sf0.1
-    // in the literal form). The ladder, association and per-token
-    // floor replicate the old expression form exactly.
-    val score = cached(trigramScoreCache, model) {
-      val uni = model.uni; val big = model.big; val tri = model.tri
-      val totalD = model.total.toDouble
-      udf { (w: Seq[String]) =>
-        var nll = 0L
-        var i = 0
-        val n = w.length
-        while (i < n - 2) {
-          val p1 = w(i + 1); val cur = w(i + 2)
-          val ratio = tri.get(w(i) + " " + p1 + " " + cur) match {
-            // a surviving trigram's (p2, p1) context bigram survives
-            // (lower-order consistency, trainTrigrams)
-            case Some(c123) => c123.toDouble / big(w(i) + " " + p1).toDouble
-            case None => big.get(p1 + " " + cur) match {
-              // a surviving bigram's prev keeps its unigram entry
-              case Some(c12b) => 0.4 * (c12b.toDouble / uni(p1).toDouble)
-              case None => uni.get(cur) match {
-                case Some(c2) => 0.16 * (c2.toDouble / totalD)
-                case None => 0.16 / (totalD * 10.0)
-              }
-            }
-          }
-          nll += math.floor(1000000.0 * -math.log(ratio)).toLong
-          i += 1
-        }
-        nll
-      }
-    }
-    docs
-      // dropout on the cheap array size BEFORE the score expression
-      // exists (see bigramNllNarrowOfWords)
-      .select(col(idCol), words(col(textCol)).as("__gpnw"))
-      .filter(size(col("__gpnw")) >= 3)
-      .select(col(idCol),
-        (size(col("__gpnw")) - 2).cast("long").as("n_scored"),
+        (size(col("__gpnw")) - (order - 1)).cast("long").as("n_scored"),
         score(col("__gpnw")).as("nll_e6"))
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
   }
@@ -565,7 +426,7 @@ object LanguageModel {
     * statistics cannot).
     *
     * Scale shape: scoring is the narrow broadcast-model pass
-    * ([[bigramNllNarrow]], zero exchanges); the tercile computation
+    * ([[ngramNllNarrow]], zero exchanges); the tercile computation
     * runs on the VALUE HISTOGRAM (one map-combined count per
     * distinct micro-nat average — the exact-quantile-via-histogram
     * tradeoff q_histogram already takes; its global cumulative
@@ -575,9 +436,9 @@ object LanguageModel {
     *
     * @return (idCol, avg_nll_e6, bucket) for every scored doc */
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
-                   model: BigramModel): DataFrame = {
+                   model: NgramModel): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramNllNarrow(docs, idCol, textCol, model)
+    val scored = ngramNllNarrow(docs, idCol, textCol, model)
       .select(col(idCol), col("avg_nll_e6"))
     val s = PersistSlots.swap("lm.ccnetScored", scored)
     // constant-key partition: the cumulative window runs over the

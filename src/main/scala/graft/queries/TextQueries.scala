@@ -482,9 +482,9 @@ object TextQueries {
     // narrow stream-safe projection — same arithmetic, same oracle
     "q_perplexity_bcast" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val model = graft.operators.LanguageModel.trainBigrams(
-        docs.filter(col("doc_id") % 5 === 0), "text")
-      graft.operators.LanguageModel.bigramNllNarrow(
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
+      graft.operators.LanguageModel.ngramNllNarrow(
         docs, "doc_id", "text", model)
     }),
 
@@ -493,9 +493,9 @@ object TextQueries {
     // arithmetic, same oracle
     "q_perplexity3_bcast" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val model = graft.operators.LanguageModel.trainTrigrams(
-        docs.filter(col("doc_id") % 5 === 0), "text")
-      graft.operators.LanguageModel.trigramNllNarrow(
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 3)
+      graft.operators.LanguageModel.ngramNllNarrow(
         docs, "doc_id", "text", model)
     }),
 
@@ -504,9 +504,20 @@ object TextQueries {
     // recursion one 0.4 multiplier; broadcast-narrow deployment form
     "q_perplexity4_bcast" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val model = graft.operators.LanguageModel.trainFourgrams(
-        docs.filter(col("doc_id") % 5 === 0), "text")
-      graft.operators.LanguageModel.fourgramNllNarrow(
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 4)
+      graft.operators.LanguageModel.ngramNllNarrow(
+        docs, "doc_id", "text", model)
+    }),
+
+    // order 5 — the CCNet production recipe itself (Wenzek et al.
+    // 2020 ship a pruned KenLM 5-gram): the SAME NgramModel type and
+    // unrolled scorer as orders 2-4, one more rung on the ladder
+    "q_perplexity5_bcast" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 5)
+      graft.operators.LanguageModel.ngramNllNarrow(
         docs, "doc_id", "text", model)
     }),
 
@@ -515,8 +526,8 @@ object TextQueries {
     // engine-portable by construction)
     "q_ccnet_buckets" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val model = graft.operators.LanguageModel.trainBigrams(
-        docs.filter(col("doc_id") % 5 === 0), "text")
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
       graft.operators.LanguageModel.ccnetBuckets(
         docs, "doc_id", "text", model)
     }),
@@ -812,6 +823,79 @@ object TextQueries {
        |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
        |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
        |FROM c4 GROUP BY doc_id""".stripMargin
+
+  // q_perplexity5_bcast replay: CCNet/KenLM's production order — the
+  // 4-gram ladder one level up (5-gram table, 4-gram context
+  // denominator, multipliers 1 / 0.4 / 0.16 / 0.064 / 0.0256 and
+  // unknown 0.0256/(total·10), all decimal literals matching the
+  // scorer's BackoffMult table); association per branch matches the
+  // one unrolled Scala scorer. Unpruned tables are consistency-
+  // complete by construction, so the plain count CTEs replay the
+  // trained model exactly (same argument as orders 3-4).
+  private val perplexity5Oracle: String =
+    s"""WITH $perplexityCtes,
+       |tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c123 FROM (
+       |          SELECT unnest(ws[1:len(ws)-2]) AS p2,
+       |                 unnest(ws[2:len(ws)-1]) AS p1,
+       |                 unnest(ws[3:len(ws)]) AS cur
+       |          FROM wr WHERE len(ws) >= 3) GROUP BY p2, p1, cur),
+       |four AS (SELECT q1, q2, q3, q4, CAST(count(*) AS BIGINT) AS c1234 FROM (
+       |          SELECT unnest(ws[1:len(ws)-3]) AS q1,
+       |                 unnest(ws[2:len(ws)-2]) AS q2,
+       |                 unnest(ws[3:len(ws)-1]) AS q3,
+       |                 unnest(ws[4:len(ws)]) AS q4
+       |          FROM wr WHERE len(ws) >= 4) GROUP BY q1, q2, q3, q4),
+       |five AS (SELECT q1, q2, q3, q4, q5, CAST(count(*) AS BIGINT) AS c12345 FROM (
+       |          SELECT unnest(ws[1:len(ws)-4]) AS q1,
+       |                 unnest(ws[2:len(ws)-3]) AS q2,
+       |                 unnest(ws[3:len(ws)-2]) AS q3,
+       |                 unnest(ws[4:len(ws)-1]) AS q4,
+       |                 unnest(ws[5:len(ws)]) AS q5
+       |          FROM wr WHERE len(ws) >= 5) GROUP BY q1, q2, q3, q4, q5),
+       |dp5 AS (SELECT doc_id, unnest(ws[1:len(ws)-4]) AS p4,
+       |          unnest(ws[2:len(ws)-3]) AS p3,
+       |          unnest(ws[3:len(ws)-2]) AS p2,
+       |          unnest(ws[4:len(ws)-1]) AS p1,
+       |          unnest(ws[5:len(ws)]) AS cur
+       |        FROM wd WHERE len(ws) >= 5),
+       |c5 AS (SELECT doc_id,
+       |        CAST(floor(1000000.0 * (-ln(
+       |          CASE WHEN fv.c12345 IS NOT NULL
+       |                 THEN CAST(fv.c12345 AS DOUBLE) / CAST(fc.fctx AS DOUBLE)
+       |               WHEN fb.c1234b IS NOT NULL
+       |                 THEN 0.4 * (CAST(fb.c1234b AS DOUBLE) / CAST(tc.tctx AS DOUBLE))
+       |               WHEN tb.c123b IS NOT NULL
+       |                 THEN 0.16 * (CAST(tb.c123b AS DOUBLE) / CAST(bc.cctx AS DOUBLE))
+       |               WHEN bb.c12b IS NOT NULL
+       |                 THEN 0.064 * (CAST(bb.c12b AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+       |               WHEN u2.c2 IS NOT NULL
+       |                 THEN 0.0256 * (CAST(u2.c2 AS DOUBLE) / CAST(total AS DOUBLE))
+       |               ELSE 0.0256 / (CAST(total AS DOUBLE) * 10.0)
+       |          END))) AS BIGINT) AS cost_e6
+       |      FROM dp5
+       |      LEFT JOIN five fv ON fv.q1 = dp5.p4 AND fv.q2 = dp5.p3
+       |        AND fv.q3 = dp5.p2 AND fv.q4 = dp5.p1 AND fv.q5 = dp5.cur
+       |      LEFT JOIN (SELECT q1, q2, q3, q4, c1234 AS fctx FROM four) fc
+       |        ON fc.q1 = dp5.p4 AND fc.q2 = dp5.p3 AND fc.q3 = dp5.p2
+       |        AND fc.q4 = dp5.p1
+       |      LEFT JOIN (SELECT q1, q2, q3, q4, c1234 AS c1234b FROM four) fb
+       |        ON fb.q1 = dp5.p3 AND fb.q2 = dp5.p2 AND fb.q3 = dp5.p1
+       |        AND fb.q4 = dp5.cur
+       |      LEFT JOIN (SELECT p2, p1, cur, c123 AS tctx FROM tri) tc
+       |        ON tc.p2 = dp5.p3 AND tc.p1 = dp5.p2 AND tc.cur = dp5.p1
+       |      LEFT JOIN (SELECT p2, p1, cur, c123 AS c123b FROM tri) tb
+       |        ON tb.p2 = dp5.p2 AND tb.p1 = dp5.p1 AND tb.cur = dp5.cur
+       |      LEFT JOIN (SELECT prev, cur, c12 AS cctx FROM big) bc
+       |        ON bc.prev = dp5.p2 AND bc.cur = dp5.p1
+       |      LEFT JOIN (SELECT prev, cur, c12 AS c12b FROM big) bb
+       |        ON bb.prev = dp5.p1 AND bb.cur = dp5.cur
+       |      LEFT JOIN (SELECT w, c AS c1 FROM uni) u1 ON u1.w = dp5.p1
+       |      LEFT JOIN (SELECT w, c AS c2 FROM uni) u2 ON u2.w = dp5.cur
+       |      CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
+       |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |FROM c5 GROUP BY doc_id""".stripMargin
 
   // ccnet replay: per-doc averages, value histogram, cumulative
   // count, order-statistic terciles, CASE bucket — all integer
@@ -1277,6 +1361,7 @@ object TextQueries {
     "q_perplexity3" -> perplexity3Oracle,
     "q_perplexity3_bcast" -> perplexity3Oracle,
     "q_perplexity4_bcast" -> perplexity4Oracle,
+    "q_perplexity5_bcast" -> perplexity5Oracle,
     // q_rrf replay: the q_bm25 lexical top-20 (identical CTE chain)
     // and the knn_cosine top-20 for query vector 0 (same round-6
     // rank key TopK uses), fused with integer-division contributions

@@ -197,10 +197,10 @@ object Demo {
       .rrfFuse(Seq(lex, vecl), "doc_id", "rank", topK = 3)
       .collect().map(_.getLong(0)).mkString(","))
     // LM perplexity gate: broadcast model, narrow scoring
-    val lm = graft.operators.LanguageModel.trainBigrams(
-      docs5.filter(col("doc_id") % 5 === 0), "text")
+    val lm = graft.operators.LanguageModel.trainNgrams(
+      docs5.filter(col("doc_id") % 5 === 0), "text", order = 2)
     println("perplexity keep rate=" + graft.operators.LanguageModel
-      .bigramNllNarrow(docs5, "doc_id", "text", lm)
+      .ngramNllNarrow(docs5, "doc_id", "text", lm)
       .filter(col("avg_nll_e6") <= 3500000L).count() + "/" + docs5.count())
     // REAL video: animated-GIF round-trip through the JDK codec
     val gif = graft.operators.Multimodal.encodeGifFrames(4, 3,

@@ -118,7 +118,7 @@ object ScaleProbe {
       "q_robust_stats", "q_skew_stats", "q_length_buckets",
       // q_perplexity3_bcast deliberately absent: unpruned model
       // collection against the salted-vocabulary fresh regime would
-      // measure exactly what trainTrigrams' pruning knobs exist to
+      // measure exactly what trainNgrams' pruning knobs exist to
       // cap; the join form is the corpus-scaling path
       "q_interval_join", "q_perplexity3",
       "dedup_cdc_remove", "dedup_ensemble", "q_join_card",

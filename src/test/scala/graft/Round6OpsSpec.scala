@@ -326,9 +326,9 @@ class Round6OpsSpec extends SparkSpec {
       .bigramNll(docs, "doc_id", "text", ref, "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    val model = graft.operators.LanguageModel.trainBigrams(ref, "text")
+    val model = graft.operators.LanguageModel.trainNgrams(ref, "text", order = 2)
     val narrowForm = graft.operators.LanguageModel
-      .bigramNllNarrow(docs, "doc_id", "text", model)
+      .ngramNllNarrow(docs, "doc_id", "text", model)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(joinForm == narrowForm && joinForm.nonEmpty)

@@ -32,29 +32,29 @@ class Round7OpsSpec extends SparkSpec {
     c.unpersist()
   }
 
-  test("trainBigrams pruning: exact survivor maps, stable backoff total, bounded drift") {
+  test("trainNgrams pruning: exact survivor maps, stable backoff total, bounded drift") {
     import graft.operators.LanguageModel
     // skewed reference: "a b" repeats heavily, "x y" appears once
     val ref = (Seq.fill(10)("a b a b a b") ++ Seq("x y a b")).toDF("text")
-    val unpruned = LanguageModel.trainBigrams(ref, "text")
-    val floored = LanguageModel.trainBigrams(ref, "text", minCount = 2)
+    val unpruned = LanguageModel.trainNgrams(ref, "text", order = 2)
+    val floored = LanguageModel.trainNgrams(ref, "text", order = 2, minCount = 2)
     // the floor keeps exactly the unpruned entries with c >= 2, and
     // the exact token total survives pruning (backoff mass is corpus
     // mass, not surviving-entry mass)
-    assert(floored.uni == unpruned.uni.filter(_._2 >= 2))
-    assert(floored.big == unpruned.big.filter(_._2 >= 2))
+    assert(floored.tables(0) == unpruned.tables(0).filter(_._2 >= 2))
+    assert(floored.tables(1) == unpruned.tables(1).filter(_._2 >= 2))
     assert(floored.total == unpruned.total)
-    assert(!floored.big.contains("x y") && unpruned.big.contains("x y"))
+    assert(!floored.tables(1).contains("x y") && unpruned.tables(1).contains("x y"))
     // top-M cap: TakeOrdered by (count desc, gram asc) — the two
     // heaviest unigrams are a and b
-    val capped = LanguageModel.trainBigrams(ref, "text", maxEntries = 2)
-    assert(capped.uni.keySet == Set("a", "b"))
+    val capped = LanguageModel.trainNgrams(ref, "text", order = 2, maxEntries = 2)
+    assert(capped.tables(0).keySet == Set("a", "b"))
     // scoring drift: documents built only of surviving grams score
     // IDENTICALLY; a doc with a pruned bigram drifts by at most the
     // per-token worst case |ln(c12/c1) - ln(0.4 c2/total)|
     val docs = Seq((1L, "a b a b"), (2L, "x y")).toDF("doc_id", "text")
-    def score(m: LanguageModel.BigramModel) =
-      LanguageModel.bigramNllNarrow(docs, "doc_id", "text", m)
+    def score(m: LanguageModel.NgramModel) =
+      LanguageModel.ngramNllNarrow(docs, "doc_id", "text", m)
         .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     val s0 = score(unpruned)
     val s1 = score(floored)
@@ -374,8 +374,8 @@ class Round7OpsSpec extends SparkSpec {
   test("ccnet buckets split at exact NLL terciles, head lowest") {
     import graft.operators.LanguageModel
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val model = LanguageModel.trainBigrams(
-      docs.filter(col("doc_id") % 5 === 0), "text")
+    val model = LanguageModel.trainNgrams(
+      docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
     val out = LanguageModel.ccnetBuckets(docs, "doc_id", "text", model)
     val rows = out.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -678,16 +678,16 @@ class Round7OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val join = LanguageModel.trigramNll(docs, "doc_id", "text", ref, "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
-    val narrow = LanguageModel.trigramNllNarrow(docs, "doc_id", "text",
-        LanguageModel.trainTrigrams(ref, "text"))
+    val narrow = LanguageModel.ngramNllNarrow(docs, "doc_id", "text",
+        LanguageModel.trainNgrams(ref, "text", order = 3))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(join == narrow, s"unpruned narrow must reproduce the join form:\n$join\n$narrow")
     // min-count pruning drops the singleton grams ("x y z..." path);
     // docs built only of surviving grams score identically, pruned
     // grams fall through the ladder (cost can only rise)
-    val pruned = LanguageModel.trainTrigrams(ref, "text", minCount = 2)
-    assert(!pruned.tri.contains("x y z") && pruned.tri.contains("a b c"))
-    val ps = LanguageModel.trigramNllNarrow(docs, "doc_id", "text", pruned)
+    val pruned = LanguageModel.trainNgrams(ref, "text", order = 3, minCount = 2)
+    assert(!pruned.tables(2).contains("x y z") && pruned.tables(2).contains("a b c"))
+    val ps = LanguageModel.ngramNllNarrow(docs, "doc_id", "text", pruned)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val js = join.map(t => t._1 -> t._3).toMap
     assert(ps(1L) == js(1L), "all-surviving doc scores identically")

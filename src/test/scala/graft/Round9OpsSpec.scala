@@ -167,11 +167,11 @@ class Round9OpsSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.LanguageModel
     val ref = Seq("a b c d a b c d", "x y").toDF("text")
-    val m = LanguageModel.trainFourgrams(ref, "text")
+    val m = LanguageModel.trainNgrams(ref, "text", order = 4)
     // lower-order consistency: every surviving 4-gram's context
     // trigram survives
-    m.four.keys.foreach { k =>
-      assert(m.tri.contains(k.substring(0, k.lastIndexOf(' '))),
+    m.tables(3).keys.foreach { k =>
+      assert(m.tables(2).contains(k.substring(0, k.lastIndexOf(' '))),
         s"4-gram '$k' lacks its context trigram")
     }
     assert(m.total == 10L)
@@ -184,16 +184,16 @@ class Round9OpsSpec extends SparkSpec {
       (3L, "q q q a"),   // only unigram "a" known at the last position
       (4L, "q q q q")    // unknown everywhere
     ).toDF("doc_id", "text")
-    val out = LanguageModel.fourgramNllNarrow(docs, "doc_id", "text", m)
+    val out = LanguageModel.ngramNllNarrow(docs, "doc_id", "text", m)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     // exact expectations from the scorer's own formulas
     def cost(r: Double) = math.floor(1000000.0 * -math.log(r)).toLong
-    assert(out(1L) == cost(m.four("a b c d").toDouble / m.tri("a b c").toDouble))
-    assert(out(2L) == cost(0.4 * (m.tri("b c d").toDouble / m.big("b c").toDouble)))
-    assert(out(3L) == cost(0.064 * (m.uni("a").toDouble / 10.0)))
+    assert(out(1L) == cost(m.tables(3)("a b c d").toDouble / m.tables(2)("a b c").toDouble))
+    assert(out(2L) == cost(0.4 * (m.tables(2)("b c d").toDouble / m.tables(1)("b c").toDouble)))
+    assert(out(3L) == cost(0.064 * (m.tables(0)("a").toDouble / 10.0)))
     assert(out(4L) == cost(0.064 / (10.0 * 10.0)))
     // under-4-word docs drop out
-    assert(LanguageModel.fourgramNllNarrow(
+    assert(LanguageModel.ngramNllNarrow(
       Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", m)
       .count() == 0)
   }

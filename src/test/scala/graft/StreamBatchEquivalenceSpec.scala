@@ -211,12 +211,12 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // perplexity-gate documents on ingest
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val model = graft.operators.LanguageModel.trainBigrams(
-      docs.filter(col("doc_id") % 5 === 0), "text")
+    val model = graft.operators.LanguageModel.trainNgrams(
+      docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
     val rows = docs.select(col("doc_id"), col("text")).limit(200)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val input = MemoryStream[(Long, String)]
-    val q = graft.operators.LanguageModel.bigramNllNarrow(
+    val q = graft.operators.LanguageModel.ngramNllNarrow(
         input.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
       .writeStream.format("memory").queryName("eq_perplexity")
       .outputMode(OutputMode.Append()).start()
@@ -226,7 +226,7 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
     val streamed = spark.sql("SELECT * FROM eq_perplexity")
       .collect().map(_.toSeq).toSet
-    val batch = graft.operators.LanguageModel.bigramNllNarrow(
+    val batch = graft.operators.LanguageModel.ngramNllNarrow(
         rows.toDF("doc_id", "text"), "doc_id", "text", model)
       .collect().map(_.toSeq).toSet
     assert(batch.nonEmpty && streamed == batch)
