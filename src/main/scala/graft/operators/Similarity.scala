@@ -179,60 +179,24 @@ object Similarity {
       col("rank"), col("score"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: MD5 of
-    * (plane, dim) → first 12 hex digits → uniform in [-1, 1).
-    * Exposed within graft so the oracle generator can inline the
-    * plane constants as SQL literals (Double.toString round-trips). */
-  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    // 48-bit hash / 2^48 -> [0, 1), scaled to [-1, 1). (A previous
-    // /2^47 variant mapped to [-1, 3): heavily positive-biased planes
-    // whose sign bits correlate, inflating bucket collision rates.)
-    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 48).toDouble * 2.0 - 1.0
-  }
+  /** Deterministic pseudo-random hyperplane component — forwarding
+    * def (the derivation lives with the codegen'd kernel,
+    * [[graft.plans.FloatLshBuckets]]): MD5 of (plane, dim) → first
+    * 12 hex digits → uniform in [-1, 1). Exposed within graft so the
+    * oracle generators can inline the plane constants as SQL
+    * literals (Double.toString round-trips). */
+  private[graft] def planeComponent(plane: Int, dim: Int): Double =
+    graft.plans.FloatLshBuckets.planeComponent(plane, dim)
 
   /** Sign-bit buckets for all tables in one pass: element t of the
-    * result is the `nPlanes`-bit bucket of plane family t.
-    *
-    * MEMOIZED per parameter triple: Catalyst compares ScalaUDFs by
-    * function reference, so a fresh closure per invocation would
-    * make two identical LSH plans never `sameResult` — defeating the
-    * banded-frame persist slot (and CacheManager reuse) across
-    * bench/probe repeats. One stable function per (dim, planes,
-    * tables) keeps plan equality structural. */
-  private val bucketsUdfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
-  private[operators] def bucketsUdf(dim: Int, nPlanes: Int, tables: Int) =
-    bucketsUdfCache.getOrElseUpdate((dim, nPlanes, tables),
-      mkBucketsUdf(dim, nPlanes, tables))
-
-  private def mkBucketsUdf(dim: Int, nPlanes: Int, tables: Int) = {
-    val planes: Array[Array[Double]] = Array.tabulate(tables * nPlanes) { i =>
-      val t = i / nPlanes; val p = i % nPlanes
-      Array.tabulate(dim)(d => planeComponent(100 * t + p, d))
-    }
-    udf { (v: Seq[Float]) =>
-      // one unbox per element up front: the Seq interface boxes each
-      // v(d) access, and the loop below reads every element
-      // tables*nPlanes times (dim 64 x 24 = ~1.5k boxed reads/row)
-      val a = v.toArray
-      Array.tabulate(tables) { t =>
-        var bucket = 0L
-        var p = 0
-        while (p < nPlanes) {
-          val plane = planes(t * nPlanes + p)
-          var d = 0; var s = 0.0
-          val n = math.min(a.length, dim)
-          while (d < n) { s += a(d).toDouble * plane(d); d += 1 }
-          if (s >= 0) bucket |= (1L << p)
-          p += 1
-        }
-        bucket
-      }
-    }
-  }
+    * result is the `nPlanes`-bit bucket of plane family t. The
+    * codegen'd [[graft.plans.FloatLshBuckets]] expression — plan
+    * equality is structural on the parameter triple (the old
+    * ScalaUDF needed closure memoization for `sameResult`, and still
+    * blocked whole-stage codegen on the hottest dedup expression). */
+  private[operators] def bucketsCol(v: Column, dim: Int, nPlanes: Int,
+                                    tables: Int): Column =
+    graft.plans.VectorExpressions.lshBuckets(v, dim, nPlanes, tables)
 
   /** Approximate top-k via multi-table random-hyperplane LSH:
     * `tables` independent plane families of `nPlanes` bits; a
@@ -247,13 +211,14 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
               dim: Int, k: Int = 10, nPlanes: Int = 6, tables: Int = 4): DataFrame = {
-    val bud = bucketsUdf(dim, nPlanes, tables)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        posexplode(bud(col(vecCol))).as(Seq("t", "b")))
+        posexplode(bucketsCol(col(vecCol), dim, nPlanes, tables))
+          .as(Seq("t", "b")))
     val q = queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-        posexplode(bud(col(vecCol))).as(Seq("t", "__qb")))
+        posexplode(bucketsCol(col(vecCol), dim, nPlanes, tables))
+          .as(Seq("t", "__qb")))
       .withColumn("b", explode(array(
         col("__qb") +: (0 until nPlanes).map(p =>
           col("__qb").bitwiseXOR(lit(1L << p))): _*)))
@@ -361,7 +326,6 @@ object Similarity {
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("sim")).limit(0)
     val planes = if (nPlanes > 0) nPlanes else autoPlanes(n)
-    val bud = bucketsUdf(dim, planes, tables)
     // Late materialization: only (id, bucket-signature) rides through
     // the quadratic bucket join — at dim=64 floats a candidate row
     // carrying both vectors is ~35x wider than one carrying two ids,
@@ -381,7 +345,8 @@ object Similarity {
     // hottest expression). The slot also keeps bench/probe repeats
     // warm — same pattern as incrementalMinhashPairs' signature slot.
     val banded = PersistSlots.swap("similarity.lshBanded", df
-      .select(col(idCol).as("__id"), bud(col(vecCol)).as("__bk"))
+      .select(col(idCol).as("__id"),
+        bucketsCol(col(vecCol), dim, planes, tables).as("__bk"))
       .select(col("__id"), col("__bk"),
         posexplode(col("__bk")).as(Seq("t", "b"))))
     val a = banded.select(col("__id").as("id_a"), col("__bk").as("__bka"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression for the hot vector kernel: index-order
@@ -257,6 +257,120 @@ case class SignSignature(child: Expression, planes: Seq[Seq[Long]])
     copy(child = newChild)
 }
 
+/** Multi-table random-hyperplane LSH bucket signature of a FLOAT
+  * vector: element t of the result is the `nPlanes`-bit sign bucket
+  * of plane family t — the whole signature (tables × nPlanes dot
+  * products) in ONE codegen'd expression. Replaces the memoized
+  * ScalaUDF that previously computed this: the UDF blocked
+  * whole-stage codegen and paid per-row ser/de on the hottest dedup
+  * expression ([[graft.operators.Similarity]]'s banded frame), and
+  * its plan equality rested on closure-identity memoization —
+  * here the case class holds only the (dim, nPlanes, tables)
+  * parameter triple, so two independently-built identical plans
+  * compare `sameResult` structurally and the MD5-derived plane
+  * matrix is re-derived (memoized) on demand.
+  *
+  * Arithmetic contract identical to the UDF and the SQL oracle
+  * replay: per plane, a left-to-right double sum over
+  * min(|v|, dim) components (the oracle's `coalesce(v[i], 0)`
+  * truncation guard), bit set when the projection is >= 0. A null
+  * ELEMENT contributes 0 — exactly the oracle's coalesce semantics.
+  */
+case class FloatLshBuckets(child: Expression, dim: Int, nPlanes: Int,
+                           tables: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dim >= 1 && nPlanes >= 1 && nPlanes <= 63 && tables >= 1,
+    s"graft_lsh_buckets: bad parameters (dim=$dim, nPlanes=$nPlanes, tables=$tables)")
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    FloatLshBuckets.planeMatrix(dim, nPlanes, tables)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets requires an array<float> argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    FloatLshBuckets.eval(v, planes, dim, nPlanes, tables)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      s"""${ev.value} = graft.plans.FloatLshBuckets.eval(
+         |  $a, $p, $dim, $nPlanes, $tables);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatLshBuckets =
+    copy(child = newChild)
+}
+
+object FloatLshBuckets {
+
+  /** Deterministic pseudo-random hyperplane component: MD5 of
+    * (plane, dim) → first 12 hex digits → uniform in [-1, 1).
+    * Public within graft so the oracle generators can inline the
+    * plane constants as SQL literals (Double.toString round-trips). */
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    // 48-bit hash / 2^48 -> [0, 1), scaled to [-1, 1). (A previous
+    // /2^47 variant mapped to [-1, 3): heavily positive-biased planes
+    // whose sign bits correlate, inflating bucket collision rates.)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 48).toDouble * 2.0 - 1.0
+  }
+
+  // memoized per parameter triple: the derivation runs one MD5 per
+  // component (tables x nPlanes x dim), and every codegen'd task
+  // deserializes its own expression instance
+  private val matrixCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int), Array[Array[Double]]]
+
+  private[graft] def planeMatrix(dim: Int, nPlanes: Int,
+                                 tables: Int): Array[Array[Double]] =
+    matrixCache.getOrElseUpdate((dim, nPlanes, tables),
+      Array.tabulate(tables * nPlanes) { i =>
+        val t = i / nPlanes; val p = i % nPlanes
+        Array.tabulate(dim)(d => planeComponent(100 * t + p, d))
+      })
+
+  /** The shared hot loop — called from both the interpreted eval and
+    * the generated code (no UDF ser/de; the call inlines into the
+    * surrounding whole-stage-codegen projection). */
+  def eval(v: ArrayData, planes: Array[Array[Double]], dim: Int,
+           nPlanes: Int, tables: Int): ArrayData = {
+    val nv = v.numElements()
+    val n = math.min(nv, dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val plane = planes(t * nPlanes + p)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          if (!v.isNullAt(d)) s += v.getFloat(d).toDouble * plane(d)
+          d += 1
+        }
+        if (s >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftglue.Bridge
   import org.apache.spark.sql.functions.{sqrt => sqrtCol}
@@ -279,4 +393,9 @@ object VectorExpressions {
   def signSignature(v: Column, planes: Array[Array[Long]]): Column =
     Bridge.column(SignSignature(Bridge.expression(v),
       planes.map(_.toSeq).toSeq))
+
+  /** Multi-table random-hyperplane LSH bucket array (codegen'd) of an
+    * array<float> vector — see [[FloatLshBuckets]]. */
+  def lshBuckets(v: Column, dim: Int, nPlanes: Int, tables: Int): Column =
+    Bridge.column(FloatLshBuckets(Bridge.expression(v), dim, nPlanes, tables))
 }

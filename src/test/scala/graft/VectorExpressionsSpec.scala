@@ -129,4 +129,47 @@ class VectorExpressionsSpec extends SparkSpec {
         .select(VectorExpressions.signSignature(col("v"), planes)).collect()
     }
   }
+
+  test("lshBuckets expression matches a plain-Scala replica and stays codegen'd") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (dim, nPlanes, tables) = (64, 6, 4)
+    val sel = emb.select(col("vec_id"),
+      VectorExpressions.lshBuckets(col("embedding"), dim, nPlanes, tables).as("bk"))
+    // whole-stage codegen survives the expression (the old ScalaUDF
+    // form broke the stage here)
+    assert(sel.queryExecution.executedPlan.toString.startsWith("*("),
+      "lshBuckets fell out of whole-stage codegen")
+    val got = sel.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // plain-Scala replica of the contract: per plane a left-to-right
+    // double sum over min(|v|, dim) components, bit set when >= 0
+    val planes = Array.tabulate(tables * nPlanes) { i =>
+      val t = i / nPlanes; val p = i % nPlanes
+      Array.tabulate(dim)(d =>
+        graft.plans.FloatLshBuckets.planeComponent(100 * t + p, d))
+    }
+    val raw = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    raw.foreach { case (id, v) =>
+      val exp = (0 until tables).map { t =>
+        var bucket = 0L
+        (0 until nPlanes).foreach { p =>
+          val plane = planes(t * nPlanes + p)
+          var s = 0.0
+          (0 until math.min(v.length, dim)).foreach(d => s += v(d).toDouble * plane(d))
+          if (s >= 0) bucket |= (1L << p)
+        }
+        bucket
+      }
+      assert(got(id) == exp, s"vec_id=$id")
+    }
+  }
+
+  test("lshBuckets plan equality is structural (sameResult without memoization)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def mk() = emb.select(
+      VectorExpressions.lshBuckets(col("embedding"), 64, 6, 4).as("bk"))
+    // two independently-built identical plans must canonicalize equal
+    // — the property PersistSlots / exchange reuse depend on
+    assert(mk().queryExecution.analyzed.sameResult(mk().queryExecution.analyzed))
+  }
 }
