@@ -317,7 +317,8 @@ object Similarity {
   def embeddingNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
                                minCosine: Double, dim: Int = 64,
                                nPlanes: Int = 6, tables: Int = 4,
-                               nEstimate: Long = 0L): DataFrame = {
+                               nEstimate: Long = 0L,
+                               targetBucket: Long = 64L): DataFrame = {
     // Empty corpus short-circuits to an empty pair set: the frozen
     // nPlanes path returns empty there too, and autoPlanes needs n > 0.
     val n = if (nPlanes > 0) -1L
@@ -325,7 +326,7 @@ object Similarity {
     if (nPlanes <= 0 && n == 0)
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("sim")).limit(0)
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(n)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(n, targetBucket)
     // Late materialization: only (id, bucket-signature) rides through
     // the quadratic bucket join — at dim=64 floats a candidate row
     // carrying both vectors is ~35x wider than one carrying two ids,

@@ -144,10 +144,18 @@ object DedupQueries {
     // the LSH-bucketed scale form of dedup_embedding: vectors meet
     // only via a shared (table, bucket) equi-join key — the 100 TB
     // embedding-dedup path, driver-oracled because the MD5-derived
-    // hyperplanes replay as SQL literals (knn_lsh technique)
+    // hyperplanes replay as SQL literals (knn_lsh technique).
+    // Plane count is DERIVED PER SCALE FACTOR (nPlanes = 0 →
+    // autoPlanes at targetBucket 32): the old frozen nPlanes = 6 was
+    // a known quadratic-per-bucket artifact at 10x (14.4 s vs the
+    // auto path's 2.7 s) — a fixed plane count is never the
+    // deployment shape. targetBucket 32 (finer buckets, higher
+    // precision) vs the _auto twin's default 64, so the two entries
+    // exercise distinct points of the occupancy/recall tradeoff.
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupPairsLSH(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", minCosine = 0.42, dim = 64)),
+        "vec_id", "embedding", minCosine = 0.42, dim = 64,
+        nPlanes = 0, targetBucket = 32L)),
 
     // auto-parameter probe twin of dedup_embedding_lsh: nPlanes = 0
     // selects autoPlanes(n) — bucket count tracks the corpus, so the
@@ -384,37 +392,15 @@ object DedupQueries {
        |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
        |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5""".stripMargin
 
-  // ---- dedup_embedding_lsh oracle: same inlined-hyperplane replay
-  // as VectorQueries.lshOracle — sign-bit buckets per table from MD5
-  // plane constants, candidates meet on (t, b), exact cosine verifies
+  // ---- dedup_embedding_lsh(_auto) oracles: same inlined-hyperplane
+  // replay as VectorQueries.lshOracle — sign-bit buckets per table
+  // from MD5 plane constants, candidates meet on (t, b), exact
+  // cosine verifies. BOTH entries now run the per-scale-factor auto
+  // path (the frozen nPlanes = 6 artifact is retired), so both
+  // oracles resolve the plane count in SQL from count(*) — only the
+  // target bucket occupancy differs (32 vs 64).
   private val LSH_DIM = 64
-  private val LSH_NPLANES = 6
   private val LSH_TABLES = 4
-
-  private def embeddingLshOracle: String = {
-    def dot(t: Int, p: Int): String =
-      (0 until LSH_DIM).map { d =>
-        s"coalesce(v[${d + 1}], 0) * ${Similarity.planeComponent(100 * t + p, d)}"
-      }.mkString("(", " + ", ")")
-    def bucket(t: Int): String =
-      (0 until LSH_NPLANES).map { p =>
-        s"(CASE WHEN ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
-    val buckets = (0 until LSH_TABLES).map { t =>
-      s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |bk AS (
-       |$buckets),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-       |         FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
-       |           AND a.vec_id < c.vec_id),
-       |s AS (SELECT cand.id_a, cand.id_b,
-       |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
-       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
-       |                JOIN e eb ON eb.vec_id = cand.id_b)
-       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.42""".stripMargin
-  }
 
   // dedup_embedding_lsh_auto oracle: same inlined-plane replay, but
   // the plane count is resolved IN SQL from count(*) — `np` walks the
@@ -425,7 +411,7 @@ object DedupQueries {
   // sf the oracle gate runs at; the Spark operator itself is uncapped).
   private val LSH_AUTO_MAXP = 16
 
-  private def embeddingLshAutoOracle: String = {
+  private def embeddingLshAutoOracle(targetBucket: Long): String = {
     def dot(t: Int, p: Int): String =
       (0 until LSH_DIM).map { d =>
         s"coalesce(v[${d + 1}], 0) * ${Similarity.planeComponent(100 * t + p, d)}"
@@ -435,7 +421,7 @@ object DedupQueries {
         s"(CASE WHEN np >= ${p + 1} AND ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     val npCase = (1 until LSH_AUTO_MAXP).map { p =>
-      s"WHEN cnt <= ${64L << p} THEN $p"
+      s"WHEN cnt <= ${targetBucket << p} THEN $p"
     }.mkString("CASE ", " ", s" ELSE $LSH_AUTO_MAXP END")
     val buckets = (0 until LSH_TABLES).map { t =>
       s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e CROSS JOIN np"
@@ -859,8 +845,8 @@ object DedupQueries {
     "dedup_components_stars" -> componentsOracle,
     "dedup_keep_best" -> keepBestOracle,
     "dedup_embedding" -> embeddingOracle,
-    "dedup_embedding_lsh" -> embeddingLshOracle,
-    "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle,
+    "dedup_embedding_lsh" -> embeddingLshAutoOracle(32L),
+    "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle(64L),
     "q_split_leakage" -> splitLeakageOracle
   )
 }
