@@ -98,6 +98,26 @@ object FlattenQueries {
       graft.sources.Sources.readAvro(s, path)
     }),
 
+    // Avro MAP columns end-to-end under the gate: a map<string,
+    // double> column round-trips writer -> DSv2 pruned scan ->
+    // map-explode flatten. A deliberate divergence from the
+    // reference, which REJECTS Avro maps (avro_generic.cpp:57-58) —
+    // AvroSchemas maps them to Spark MapType and the flatten treats
+    // them as KV pairs (obj.py:69-76's dict-as-KV rule).
+    "avro_map" -> ((s, dir) => {
+      val sample = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 53 === 0)
+        .select(col("l_orderkey"),
+          map(lit("disc"), col("l_discount"),
+            lit("qty"), col("l_quantity")).as("m"))
+      val path = java.nio.file.Files.createTempDirectory("graft_avro_map_q")
+        .resolve("li_map.avro").toString
+      graft.sources.avro.GraftAvroWriter.write(path, sample.schema,
+        sample.collect().toSeq)
+      graft.sources.Sources.readAvro(s, path)
+        .select(col("l_orderkey"), explode(col("m")).as(Seq("key", "value")))
+    }),
+
     // the wire-level PBD decoder at benchmark scale: the whole
     // lineitem table round-trips through a driver-written PBD
     // container (Fixtures.pbdLineitem, built outside the timed
@@ -183,6 +203,12 @@ object FlattenQueries {
     "avro_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 37 = 0""".stripMargin,
+    "avro_map" ->
+      """SELECT l_orderkey, 'disc' AS key, l_discount AS value
+        |FROM lineitem WHERE l_orderkey % 53 = 0
+        |UNION ALL
+        |SELECT l_orderkey, 'qty' AS key, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 53 = 0""".stripMargin,
     "pbd_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem""".stripMargin,
