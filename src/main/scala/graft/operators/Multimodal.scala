@@ -227,21 +227,37 @@ object Multimodal {
     *                  to `doNotDispose` */
   def encodeGifDeltaFrames(w: Int, h: Int, base: (Int, Int, Int),
       patches: Seq[(Int, Int, Int, Int, Int, Int, Int)],
-      disposals: Seq[String] = Seq.empty): Array[Byte] = {
+      disposals: Seq[String] = Seq.empty,
+      transparentFrames: Set[Int] = Set.empty): Array[Byte] = {
     import javax.imageio.metadata.IIOMetadataNode
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    def solid(fw: Int, fh: Int, r: Int, g: Int, b: Int) = {
+    // transparent frames: palette index 1 is declared transparent
+    // (GCE transparentColorFlag) and fills the frame's TOP HALF — so
+    // SrcOver compositing must keep the canvas pixels under it, the
+    // delta-frame property the sampler's fast paths must not break
+    def solid(fw: Int, fh: Int, r: Int, g: Int, b: Int,
+              topHalfTransparent: Boolean) = {
       val cm = new java.awt.image.IndexColorModel(8, 2,
         Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
         Array(b.toByte, 0.toByte))
-      new java.awt.image.BufferedImage(fw, fh,
+      val img = new java.awt.image.BufferedImage(fw, fh,
         java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      if (topHalfTransparent) {
+        val ras = img.getRaster
+        var y = 0
+        while (y < fh / 2) {
+          var x = 0
+          while (x < fw) { ras.setSample(x, y, 0, 1); x += 1 }
+          y += 1
+        }
+      }
+      img
     }
     def meta(img: java.awt.image.BufferedImage, left: Int, top: Int,
-             disposal: String) = {
+             disposal: String, transparent: Boolean) = {
       val md = writer.getDefaultImageMetadata(
         javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
       val root = new IIOMetadataNode(GifImageMeta)
@@ -255,9 +271,10 @@ object Multimodal {
       val gce = new IIOMetadataNode("GraphicControlExtension")
       gce.setAttribute("disposalMethod", disposal)
       gce.setAttribute("userInputFlag", "FALSE")
-      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag",
+        if (transparent) "TRUE" else "FALSE")
       gce.setAttribute("delayTime", "10")
-      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("transparentColorIndex", if (transparent) "1" else "0")
       root.appendChild(gce)
       md.setFromTree(GifImageMeta, root)
       md
@@ -267,14 +284,17 @@ object Multimodal {
       writer.prepareWriteSequence(null)
       def disp(i: Int): String =
         if (i < disposals.length) disposals(i) else "doNotDispose"
-      val b0 = solid(w, h, base._1, base._2, base._3)
+      val b0 = solid(w, h, base._1, base._2, base._3,
+        transparentFrames.contains(0))
       writer.writeToSequence(
-        new javax.imageio.IIOImage(b0, null, meta(b0, 0, 0, disp(0))), null)
+        new javax.imageio.IIOImage(b0, null,
+          meta(b0, 0, 0, disp(0), transparentFrames.contains(0))), null)
       patches.zipWithIndex.foreach { case ((r, g, b, left, top, pw, ph), i) =>
-        val img = solid(pw, ph, r, g, b)
+        val tr = transparentFrames.contains(i + 1)
+        val img = solid(pw, ph, r, g, b, tr)
         writer.writeToSequence(
           new javax.imageio.IIOImage(img, null,
-            meta(img, left, top, disp(i + 1))), null)
+            meta(img, left, top, disp(i + 1), tr)), null)
       }
       writer.endWriteSequence()
     } finally { ios.close(); writer.dispose() }
