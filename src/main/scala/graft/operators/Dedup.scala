@@ -877,15 +877,53 @@ object Dedup {
     cdcChunkStatsImpl(df, idCol, textCol,
       graft.plans.GearCdc.boundariesCol(col("__t"), minPos, maskBits))
 
+  /** Raw-BYTE CDC duplication stats over a `binary` column — the
+    * storage-layer dedup form proper (LBFS/Gear chunk encoded
+    * payloads: media bytes, serialized records — no text decode
+    * anywhere). Boundaries from the codegen'd byte-level Gear
+    * kernel ([[graft.plans.GearCdc.binaryBoundaries]]); chunk
+    * identity is the hex byte-slice (no hash needed — the keys
+    * never leave the plan, only counts do, and a hex slice replays
+    * verbatim in SQL over `hex(payload)`). Same no-self-join tail
+    * as [[cdcChunkStats]]: one window count for chunk document
+    * frequency, one map-combined per-doc aggregation — linear in
+    * total chunk count however duplicated the corpus.
+    * @return (idCol, n_chunks, n_dup_chunks, dup_frac_e4) */
+  def cdcChunkStatsBinary(df: DataFrame, idCol: String, binCol: String,
+                          minPos: Int = 16, maskBits: Int = 4): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("id"), col(binCol).as("__bin"))
+      .filter(length(col("__bin")) >= 1)
+      .withColumn("__hex", hex(col("__bin")))
+      .withColumn("__b",
+        graft.plans.GearCdc.binaryBoundariesCol(col("__bin"), minPos, maskBits))
+      .select(col("id"), explode(expr(
+        """transform(__b, (b, j) -> substring(__hex,
+          |  CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) * 2 + 1 END,
+          |  (b - CASE WHEN j = 0 THEN 0 ELSE element_at(__b, j) END) * 2))"""
+          .stripMargin)).as("h"))
+      .distinct()
+    cdcStatsTail(df, idCol, chunks)
+  }
+
   private def cdcChunkStatsImpl(df: DataFrame, idCol: String, textCol: String,
                                 boundary: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val chunks = df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
       .withColumn("__b", boundary)
       .select(col("id"), explode(expr(cdcChunkHashesSql)).as("h"))
       .distinct()
+    cdcStatsTail(df, idCol, chunks)
+  }
+
+  /** The shared CDC stats tail over a distinct (id, chunk-key)
+    * frame: ONE window count for chunk document frequency, one
+    * map-combined per-doc aggregation, zero-chunk annotation via a
+    * left join back to the input ids. */
+  private def cdcStatsTail(df: DataFrame, idCol: String,
+                           chunks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stats = chunks
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id"))

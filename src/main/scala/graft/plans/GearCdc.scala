@@ -104,6 +104,39 @@ object GearCdc {
     org.apache.spark.sql.graftglue.Bridge.column(
       GearBoundaries(org.apache.spark.sql.graftglue.Bridge.expression(text),
         minPos, maskBits))
+
+  /** The BYTE-level rolling pass — the storage-dedup proper form
+    * (LBFS/Gear chunk raw bytes, not decoded text): identical
+    * recurrence over `bytes(i) & 0xFF` with positions counted in
+    * bytes. On pure-ASCII input it coincides with [[boundaries]]
+    * exactly (one byte per code point — pinned in GearCdcSpec). */
+  def binaryBoundaries(bytes: Array[Byte], minPos: Int,
+                       maskBits: Int): ArrayData = {
+    val mask = (1L << maskBits) - 1
+    val n = bytes.length
+    val buf = new Array[Int](n + 1)
+    var nOut = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + TABLE(bytes(i) & 0xFF)
+      val pos = i + 1
+      if (pos >= minPos && pos < n && (h & mask) == 0L) {
+        buf(nOut) = pos; nOut += 1
+      }
+      i += 1
+    }
+    buf(nOut) = n; nOut += 1
+    new GenericArrayData(java.util.Arrays.copyOf(buf, nOut))
+  }
+
+  /** Column API over [[GearBinaryBoundaries]]. */
+  def binaryBoundariesCol(bin: Column, minPos: Int = 16,
+                          maskBits: Int = 4): Column =
+    org.apache.spark.sql.graftglue.Bridge.column(
+      GearBinaryBoundaries(
+        org.apache.spark.sql.graftglue.Bridge.expression(bin),
+        minPos, maskBits))
 }
 
 /** Catalyst expression for [[GearCdc.boundaries]]: string -> array<int>
@@ -139,5 +172,39 @@ case class GearBoundaries(child: Expression, minPos: Int, maskBits: Int)
       s"${ev.value} = graft.plans.GearCdc.boundaries($c, $minPos, $maskBits);")
 
   override protected def withNewChildInternal(newChild: Expression): GearBoundaries =
+    copy(child = newChild)
+}
+
+/** [[GearBoundaries]]' binary twin: raw-byte CDC chunk ends of a
+  * `binary` column — the storage-layer form that chunks encoded
+  * payloads (media bytes, serialized records) without any text
+  * decode. Same Gear table, same windowed-equivalence property (the
+  * oracle replays boundaries over `hex(payload)` byte slices). */
+case class GearBinaryBoundaries(child: Expression, minPos: Int, maskBits: Int)
+  extends UnaryExpression {
+
+  require(minPos >= 1, s"gear_bin_boundaries: minPos must be >= 1, got $minPos")
+  require(maskBits >= 1 && maskBits <= 32,
+    s"gear_bin_boundaries: maskBits must be in [1, 32], got $maskBits")
+  require(minPos >= maskBits,
+    s"gear_bin_boundaries: minPos ($minPos) must be >= maskBits ($maskBits) " +
+      "so the windowed SQL replay matches the rolling form")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gear_bin_boundaries requires a binary argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GearCdc.binaryBoundaries(input.asInstanceOf[Array[Byte]], minPos, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.GearCdc.binaryBoundaries($c, $minPos, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): GearBinaryBoundaries =
     copy(child = newChild)
 }

@@ -130,6 +130,19 @@ object MultimodalQueries {
         .select(col("keep_id"), col("cnt"))
     }),
 
+    // byte-level CDC duplication stats over opaque BINARY payloads —
+    // storage-layer dedup proper (LBFS/Gear on raw bytes, no text
+    // decode): the codegen'd byte Gear kernel chunks each payload,
+    // chunk identity = hex byte-slice, one window count for chunk
+    // document frequency. The text-as-bytes payload mirrors mm_meta
+    // so the oracle replays boundaries over hex(encode(text)).
+    "mm_cdc" -> ((s, dir) => {
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      graft.operators.Dedup.cdcChunkStatsBinary(
+        payloads, "doc_id", "payload")
+    }),
+
     "mm_meta" -> ((s, dir) => {
       val withBin = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -209,7 +222,47 @@ object MultimodalQueries {
       | CAST(CAST(1 + (doc_id * 7) % 253 AS DOUBLE) / 255 AS REAL),
       | CAST(CAST(1 + (doc_id * 13) % 251 AS DOUBLE) / 255 AS REAL)]""".stripMargin
 
+  // mm_cdc replay: byte-level Gear boundaries over hex(encode(text))
+  // byte slices — the same windowed low-bits identity as the text
+  // CDC oracles (carries only propagate upward, so four shifted
+  // low-4-bit table terms reproduce the rolling hash's masked
+  // bits), chunk identity = the hex slice itself, then the shared
+  // CDC stats tail
+  private def mmCdcOracle: String = {
+    val terms = (0 until 4).map { j =>
+      val off = if (j == 0) "2*i - 1" else s"2*(i - $j) - 1"
+      s"${1L << j} * g[CAST('0x' || substr(hx, $off, 2) AS INT) + 1]"
+    }.mkString(" + ")
+    s"""WITH gt AS (SELECT ${graft.plans.GearCdc.lowBitsSqlList(4)} AS g),
+       |d0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |       FROM documents WHERE octet_length(encode(text)) >= 1),
+       |b AS (SELECT doc_id, hx,
+       |        list_append(list_filter(range(16, n),
+       |          i -> ($terms) % 16 = 0), n) AS b2
+       |      FROM d0 CROSS JOIN gt),
+       |c AS (SELECT doc_id, list_transform(range(1, len(b2) + 1), j ->
+       |        substr(hx,
+       |          CASE WHEN j = 1 THEN 1 ELSE b2[j - 1] * 2 + 1 END,
+       |          (b2[j] - CASE WHEN j = 1 THEN 0 ELSE b2[j - 1] END) * 2)) AS hs
+       |      FROM b),
+       |ch AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM c),
+       |occ AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS dfc FROM ch),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |         CAST(sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_dup_chunks
+       |       FROM occ GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(st.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(st.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       |  CAST(CASE WHEN coalesce(st.n_chunks, 0) = 0 THEN 0
+       |       ELSE floor(CAST(st.n_dup_chunks AS DOUBLE) / st.n_chunks * 10000)
+       |       END AS BIGINT) AS dup_frac_e4
+       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_cdc" -> mmCdcOracle,
     "mm_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  count(*) AS cnt

@@ -121,7 +121,8 @@ object ScaleProbe {
       // measure exactly what trainNgrams' pruning knobs exist to
       // cap; the join form is the corpus-scaling path
       "q_interval_join", "q_perplexity3",
-      "dedup_cdc_remove", "dedup_ensemble", "q_join_card",
+      "dedup_cdc_remove", "dedup_cdc_gear", "dedup_cdc_gear_remove",
+      "dedup_ensemble", "q_join_card",
       "q_weighted_sample", "q_weighted_stratified", "q_drift_by_group",
       "text_novelty", "q_novel_content", "text_decontaminate_semantic",
       "dedup_pr_eval", "q_drift_semantic", "dedup_cluster_sizes",

@@ -147,6 +147,48 @@ class GearCdcSpec extends SparkSpec {
     assert(stats(3L) == 0)
   }
 
+  test("binary kernel == windowed reference over random byte arrays") {
+    val rng = new Random(77)
+    val mod = 1L << MaskBits
+    (1 to 200).foreach { _ =>
+      val bytes = Array.fill(1 + rng.nextInt(400))(rng.nextInt(256).toByte)
+      val got = GearCdc.binaryBoundaries(bytes, MinPos, MaskBits)
+        .toIntArray().toSeq
+      val internal = (MinPos to bytes.length - 1).filter { i =>
+        val sum = (0 until MaskBits).map { j =>
+          (1L << j) * (GearCdc.TABLE(bytes(i - 1 - j) & 0xFF) & (mod - 1))
+        }.sum
+        sum % mod == 0
+      }
+      assert(got == internal :+ bytes.length)
+    }
+  }
+
+  test("binary and text kernels coincide on pure-ASCII input") {
+    val rng = new Random(3)
+    (1 to 100).foreach { _ =>
+      val doc = (0 until 1 + rng.nextInt(300))
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      assert(GearCdc.binaryBoundaries(doc.getBytes("UTF-8"), MinPos, MaskBits)
+        .toIntArray().toSeq == kernelBoundaries(doc))
+    }
+  }
+
+  test("binary CDC stats detect a planted duplicated byte run") {
+    import spark.implicits._
+    val shared = Array.tabulate(120)(i => (i * 37 + 5).toByte)
+    def payload(prefix: Byte*) = prefix.toArray ++ shared ++ prefix.toArray
+    val docs = Seq(
+      (1L, payload(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)),
+      (2L, payload(99, 98, 97, 96, 95, 94, 93, 92, 91, 90, 89, 88)),
+      (3L, Array.tabulate(150)(i => (i * 101 + 13).toByte)))
+      .toDF("doc_id", "payload")
+    val stats = Dedup.cdcChunkStatsBinary(docs, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats(1L) > 0 && stats(2L) > 0, s"shared bytes not detected: $stats")
+    assert(stats(3L) == 0)
+  }
+
   test("gear boundary expression stays inside whole-stage codegen") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = docs.select(GearCdc.boundariesCol(col("text")))
