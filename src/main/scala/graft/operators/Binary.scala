@@ -33,16 +33,21 @@ import graft.plans.VectorExpressions
   * the cheapest candidate-scoring primitive that exists.
   * [[hammingRerankTopK]] refines the shortlist with exact cosine.
   *
-  * Deliberately ABSENT: a banded Hamming self-join for all-pairs
-  * near-dup (the SimHash trick). The pigeonhole needs
-  * maxHamming < nBands, and at the radii where 64-bit signatures of
-  * real embeddings separate (Hamming 10-16, i.e. 15-25% of bits),
-  * that forces bands of <= 4 bits whose 16-value keys collide
-  * constantly — measured 128 k candidate rows from 500 fixture
-  * vectors, worse than brute force. Pair-finding at loose angular
-  * radii belongs to [[Similarity.embeddingNearDupPairsLSH]] (multi-
-  * bit buckets, tunable planes); the packed signature's niche is
-  * top-k SEARCH and storage, not radius joins.
+  * Deliberately ABSENT for EMBEDDING signatures: a banded Hamming
+  * self-join for all-pairs near-dup (the SimHash trick). The
+  * pigeonhole needs maxHamming < nBands, and at the radii where
+  * 64-bit signatures of real embeddings separate (Hamming 10-16,
+  * i.e. 15-25% of bits), that forces bands of <= 4 bits whose
+  * 16-value keys collide constantly — measured 128 k candidate rows
+  * from 500 fixture vectors, worse than brute force. Pair-finding at
+  * loose angular radii belongs to
+  * [[Similarity.embeddingNearDupPairsLSH]] (multi-bit buckets,
+  * tunable planes); the packed embedding signature's niche is top-k
+  * SEARCH and storage, not radius joins. [[hammingNearDupPairs]] IS
+  * that banded self-join — for the TIGHT radii (<= 3-7 bits) where
+  * perceptual hashes ([[Multimodal.dHash64]]) and near-exact
+  * re-crawl signatures actually separate, which is exactly where the
+  * pigeonhole bands stay wide and selective.
   */
 object Binary {
 
@@ -146,5 +151,50 @@ object Binary {
           .as("score"))
     TopK.perKey(scored, "query_id", "neighbor_id", "score", k)
       .withColumn("score", col("score").cast("long"))
+  }
+
+  /** All-pairs Hamming near-dup over ALREADY-PACKED 64-bit
+    * signatures at a TIGHT radius — the perceptual-hash dedup join
+    * (LAION-style image near-dup: [[Multimodal.dHash64]] →  here).
+    * Pigeonhole banding: the signature splits into `nBands` disjoint
+    * (64/nBands)-bit bands; any pair within Hamming distance
+    * maxHamming < nBands agrees EXACTLY on at least one whole band,
+    * so candidates meet only through a (band, key) equi-join —
+    * no all-pairs product anywhere, and the guarantee is exact
+    * (this is multi-index Hamming search, not probabilistic LSH).
+    * Shape at 100 TB: one narrow kernel/UDF projection upstream,
+    * a 4-row-per-signature explode, one shuffle on (band, key),
+    * popcount-filtered pairs out; band keys of 16 bits keep buckets
+    * sparse precisely because tight-radius corpora have few
+    * colliding fingerprints — the loose-radius collapse documented
+    * above never engages.
+    * @return (id_a, id_b, hamming) with id_a < id_b */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, sigCol: String,
+                          maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(Set(2, 4, 8, 16)(nBands),
+      s"hammingNearDupPairs: nBands must divide 64 (2/4/8/16), got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"hammingNearDupPairs: the pigeonhole guarantee needs " +
+        s"maxHamming < nBands, got maxHamming=$maxHamming nBands=$nBands")
+    val w = 64 / nBands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val keyed = df
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("__id"), col("__sig"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col("__sig"), b * w).bitwiseAND(lit(mask)))
+          : _*)).as(Seq("band", "key")))
+    val a = keyed.select(col("band"), col("key"),
+      col("__id").as("id_a"), col("__sig").as("__sa"))
+    val b = keyed.select(col("band"), col("key"),
+      col("__id").as("id_b"), col("__sig").as("__sb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

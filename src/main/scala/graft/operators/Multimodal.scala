@@ -101,6 +101,56 @@ object Multimodal {
     df.withColumn("embedding", feats(col(binCol)))
   }
 
+  /** 64-bit difference hash (dHash) of REAL decoded pixels — the
+    * perceptual fingerprint every large-scale image pipeline computes
+    * before near-dup removal (robust to re-encode, scale, and small
+    * edits, unlike the byte hash `mm_dedup` groups on). Decode via
+    * ImageIO, bilinear-resize to the canonical 9x8 grid when the
+    * image isn't already that size, then bit (x, y) = 1 iff
+    * green(x+1, y) > green(x, y) — 8 horizontal gradients per row, 8
+    * rows, packed little-endian into ONE long (bit index y*8 + x).
+    * The green channel is the dominant luminance term and keeps the
+    * comparison integer-exact for the SQL oracle; production
+    * pipelines use a luma blend, same structure. UDF by necessity
+    * (codec); downstream banding/joins are pure narrow Catalyst.
+    * Null/undecodable payloads hash to null and fall out of the
+    * self-join — one corrupt image never kills the scan.
+    * Output: input columns + `phash` (long). */
+  def dHash64(df: DataFrame, binCol: String): DataFrame = {
+    val hash = udf { (b: Array[Byte]) =>
+      readImage(b).map { img0 =>
+        val img =
+          if (img0.getWidth == 9 && img0.getHeight == 8) img0
+          else {
+            val out = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img0, 0, 0, 9, 8, null)
+            } finally g.dispose()
+            out
+          }
+        val buf = new Array[Int](9)
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          img.getRGB(0, y, 9, 1, buf, 0, 9)
+          var x = 0
+          while (x < 8) {
+            if (((buf(x + 1) >> 8) & 0xff) > ((buf(x) >> 8) & 0xff))
+              bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        bits
+      }
+    }
+    df.withColumn("phash", hash(col(binCol)))
+  }
+
   final case class AudioDecoded(sample_rate: Long, channels: Long,
                                 n_samples: Long, samples: Seq[Int])
 
@@ -168,6 +218,40 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
     df.withColumn("decoded", decode(col(binCol)))
+  }
+
+  /** 64-bit acoustic fingerprint of REAL decoded audio — the
+    * energy-gradient sketch (the same difference-hash idea as
+    * [[dHash64]], on the waveform's frame-energy envelope instead of
+    * pixel rows; production systems like Chromaprint fingerprint
+    * spectral-band gradients, same structure). The payload decodes
+    * through the real `javax.sound` codec ([[decodeAudio]]), then:
+    * frame f's energy = sum of |sample| over `frame` consecutive
+    * samples; bit b = 1 iff energy(b+1) > energy(b), 64 gradient
+    * bits over 65 frames packed into one long. Everything after the
+    * codec UDF is pure Catalyst (array expressions + a 64-term
+    * literal sum) — integer-exact, so a SQL oracle replays it from
+    * the sample-generation arithmetic. Audio shorter than 65 frames
+    * (or undecodable) fingerprints to null and falls out of any
+    * downstream self-join.
+    * Output: input columns + `fp` (long). Near-dup pairs:
+    * [[graft.operators.Binary.hammingNearDupPairs]] over `fp`. */
+  def audioFingerprint64(df: DataFrame, binCol: String,
+                         frame: Int = 4): DataFrame = {
+    require(frame >= 1, s"audioFingerprint64: frame must be >= 1, got $frame")
+    val energies = transform(sequence(lit(0), lit(64)), f =>
+      aggregate(sequence(lit(1), lit(frame)), lit(0L), (acc, j) =>
+        acc + abs(element_at(col("decoded.samples"),
+          (f * frame + j).cast("int")))))
+    val bits = (0 until 64).map(b =>
+      when(element_at(col("__e"), b + 2) > element_at(col("__e"), b + 1),
+        lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    decodeAudio(df, binCol)
+      .withColumn("__e",
+        when(col("decoded").isNotNull &&
+          size(col("decoded.samples")) >= 65 * frame, energies))
+      .withColumn("fp", when(col("__e").isNotNull, bits))
+      .drop("__e", "decoded")
   }
 
   /** Metadata struct computed scan-side from the payload: byte size,

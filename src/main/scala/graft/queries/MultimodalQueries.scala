@@ -88,7 +88,55 @@ object MultimodalQueries {
         .persist())
   }
 
+  /** Deterministic STRUCTURED 9x8 grayscale PNGs for the
+    * perceptual-hash path: pixel (x, y) green = (seed*37 + x*29 +
+    * y*17 + x*y) % 256 with seed = doc_id % 100, so ~5 docs share a
+    * base pattern; variant v = (doc_id / 100) % 3 > 0 re-paints ONE
+    * pixel ((2,1) for v=1, (4,2) for v=2) to (g+128) % 256, flipping
+    * at most the two dHash gradient bits that pixel participates in
+    * — genuine near-duplicates at Hamming <= 4, some inside and some
+    * outside the radius-3 join. PNG is lossless, so the decoded
+    * pixels equal the generator arithmetic and the oracle replays
+    * the hash from doc_id alone. */
+  private def structuredImages(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val seed = (id % 100).toInt
+      val v = ((id / 100) % 3).toInt
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          var g = (seed * 37 + x * 29 + y * 17 + x * y) % 256
+          if ((v == 1 && x == 2 && y == 1) || (v == 2 && x == 4 && y == 2))
+            g = (g + 128) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // perceptual near-dup of REAL decoded pixels: dHash64 over the
+    // structured PNGs, then the banded tight-radius Hamming
+    // self-join — the image near-dup pass a multimodal corpus runs
+    // AFTER exact byte dedup (mm_dedup) to catch re-encodes and
+    // small edits. Pigeonhole banding at radius 3 < 4 bands is
+    // EXACT, so the oracle's brute-force pair replay agrees
+    // pair-for-pair with the banded plan.
+    "mm_phash" -> ((s, dir) =>
+      graft.operators.Binary.hammingNearDupPairs(
+        Multimodal.dHash64(structuredImages(s, dir), "payload"),
+        "doc_id", "phash", maxHamming = 3)),
+
     // REAL multi-frame decode of real animated-GIF bytes: frame
     // count and geometry come out of the codec, the oracle restates
     // them from the generator arithmetic
@@ -213,6 +261,37 @@ object MultimodalQueries {
           acc + when(element_at(col("__d"), i) *
             element_at(col("__d"), i + 1) < 0, 1L).otherwise(0L))
           .as("zero_cross"))
+    }),
+
+    // acoustic near-dup of REAL decoded audio: seed = doc_id % 100
+    // gives ~5 docs the same md5-derived waveform; variant
+    // v = (doc_id / 100) % 3 > 0 overwrites frame 3v's 4 samples
+    // with the constant 1000 + seed, flipping at most the two
+    // energy-gradient bits that frame participates in — genuine
+    // near-duplicates inside and outside the radius-3 banded join.
+    // The WAV round-trips through the real javax.sound codec; the
+    // oracle recomputes the fingerprint from the generation
+    // arithmetic, so any decoder deviation hash-mismatches.
+    "mm_audio_fp" -> ((s, dir) => {
+      val N = 260
+      val gen = Tables(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 100).as("__seed"),
+        expr("(doc_id DIV 100) % 3").as("__v"))
+        .select(col("doc_id"), col("__v"), col("__seed"),
+          transform(sequence(lit(0), lit(N - 1)), i =>
+            conv(substring(md5(concat(col("__seed").cast("string"),
+                lit("_"), i.cast("string"))), 1, 4), 16, 10)
+              .cast("int") - 32768).as("__s0"))
+      val perturbed = gen.withColumn("__s",
+        when(col("__v") === 0, col("__s0"))
+          .otherwise(transform(col("__s0"), (x, i) =>
+            when(i >= col("__v") * 12 && i < col("__v") * 12 + 4,
+              (lit(1000) + col("__seed")).cast("int")).otherwise(x))))
+      val enc = udf { (smp: Seq[Int]) => Multimodal.encodeWavPcm16(smp, 16000) }
+      val wav = perturbed.select(col("doc_id"), enc(col("__s")).as("payload"))
+      graft.operators.Binary.hammingNearDupPairs(
+        Multimodal.audioFingerprint64(wav, "payload"),
+        "doc_id", "fp", maxHamming = 3)
     })
   )
 
@@ -261,7 +340,72 @@ object MultimodalQueries {
        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
   }
 
+  // mm_phash replay: the dHash is pure arithmetic over doc_id (the
+  // PNG round-trip is lossless and the images are generated at the
+  // canonical 9x8, so resize is the identity copy): each of the 64
+  // gradient bits is a CASE comparison of two generated pixel
+  // values. The pair join is brute force here — banding at radius
+  // 3 < 4 bands is exact, so brute force and the banded plan agree
+  // pair-for-pair. Bit 63's power is the signed wrap (negative
+  // literal, same convention as binPowerValues); it is the LAST term
+  // of the + chain, keeping every partial sum inside BIGINT.
+  private def mmPhashOracle: String = {
+    def pix(x: Int, y: Int): String = {
+      val c = x * 29 + y * 17 + x * y
+      val base = s"((doc_id % 100) * 37 + $c) % 256"
+      val pert = s"((doc_id % 100) * 37 + $c + 128) % 256"
+      if (x == 2 && y == 1)
+        s"(CASE WHEN (doc_id // 100) % 3 = 1 THEN $pert ELSE $base END)"
+      else if (x == 4 && y == 2)
+        s"(CASE WHEN (doc_id // 100) % 3 = 2 THEN $pert ELSE $base END)"
+      else s"($base)"
+    }
+    val hash = (for { y <- 0 until 8; x <- 0 until 8 } yield
+      s"(CASE WHEN ${pix(x + 1, y)} > ${pix(x, y)} " +
+        s"THEN CAST(${1L << (y * 8 + x)} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, CAST($hash AS BIGINT) AS phash
+       |           FROM documents),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |      FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin
+  }
+
+  // mm_audio_fp replay: the same md5 sample derivation as the
+  // mm_audio oracle but seeded by doc_id % 100 with the variant
+  // frame overwrite, then frame energies, the 64 gradient-bit CASE
+  // terms (bit 63's signed-wrap power LAST in the + chain, as in
+  // mmPhashOracle), and the brute-force pair join — exact vs the
+  // banded plan by the pigeonhole guarantee.
+  private def mmAudioFpOracle: String = {
+    val hash = (0 until 64).map(b =>
+      s"(CASE WHEN en[${b + 2}] > en[${b + 1}] " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH g AS (SELECT doc_id, doc_id % 100 AS seed,
+       |             (doc_id // 100) % 3 AS v FROM documents),
+       |s AS (SELECT doc_id,
+       |        list_transform(range(0, 260), i ->
+       |          CASE WHEN v > 0 AND i >= v * 12 AND i < v * 12 + 4
+       |               THEN 1000 + seed
+       |               ELSE CAST('0x' || substring(md5(CAST(seed AS VARCHAR)
+       |                 || '_' || CAST(i AS VARCHAR)), 1, 4) AS INTEGER)
+       |                 - 32768 END) AS smp
+       |      FROM g),
+       |e AS (SELECT doc_id, list_transform(range(0, 65), f ->
+       |        abs(smp[f*4+1]) + abs(smp[f*4+2])
+       |          + abs(smp[f*4+3]) + abs(smp[f*4+4])) AS en
+       |      FROM s),
+       |h AS (SELECT doc_id, CAST($hash AS BIGINT) AS fp FROM e),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |      FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_audio_fp" -> mmAudioFpOracle,
+    "mm_phash" -> mmPhashOracle,
     "mm_cdc" -> mmCdcOracle,
     "mm_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,

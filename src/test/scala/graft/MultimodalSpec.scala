@@ -228,4 +228,104 @@ class MultimodalSpec extends SparkSpec {
       .select($"decoded").collect()
     assert(out.forall(_.isNullAt(0)))
   }
+
+  private def structuredPng(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = px(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64 matches the gradient-bit definition on decoded pixels") {
+    def px(seed: Int)(x: Int, y: Int): Int = (seed * 37 + x * 29 + y * 17 + x * y) % 256
+    val seeds = Seq(3, 17, 91)
+    val df = seeds.map(s => (s.toLong, structuredPng(px(s))))
+      .toDF("id", "payload")
+    val got = Multimodal.dHash64(df, "payload")
+      .select($"id", $"phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    seeds.foreach { s =>
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (px(s)(x + 1, y) > px(s)(x, y)) want |= 1L << (y * 8 + x)
+      assert(got(s.toLong) == want, s"seed $s")
+    }
+  }
+
+  test("dHash64 is container-invariant: PNG and BMP encodes of the " +
+    "same pixels hash identically") {
+    def px(x: Int, y: Int): Int = (x * 53 + y * 19 + x * y * 3) % 256
+    val pngBytes = structuredPng(px)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngBytes))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val df = Seq((1L, pngBytes), (2L, bos.toByteArray)).toDF("id", "payload")
+    val hs = Multimodal.dHash64(df, "payload")
+      .select($"phash").collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+  }
+
+  test("hammingNearDupPairs == brute force (pigeonhole exactness) " +
+    "and excludes pairs beyond the radius") {
+    val rng = new scala.util.Random(41)
+    val base = Array.fill(60)(rng.nextLong())
+    // plant near-dups: flips of 1-3 bits (inside radius) and 5 bits
+    // (outside) of random base signatures
+    def flipped(sig: Long, k: Int): Long =
+      (0 until k).foldLeft(sig)((s, _) => s ^ (1L << rng.nextInt(64)))
+    val sigs = (base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+      (0 until 25).map(i =>
+        (100L + i, flipped(base(i), 1 + rng.nextInt(3)))) ++
+      (0 until 10).map(i => (200L + i, flipped(base(i), 5)))).toSeq
+    val df = sigs.toDF("id", "sig")
+    val got = graft.operators.Binary
+      .hammingNearDupPairs(df, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "planted near-dups must produce pairs")
+  }
+
+  test("audioFingerprint64 matches the energy-gradient definition on " +
+    "round-tripped WAV samples") {
+    val rng = new scala.util.Random(7)
+    val samples = Seq.fill(260)(rng.nextInt(65536) - 32768)
+    val df = Seq((1L, Multimodal.encodeWavPcm16(samples, 16000)))
+      .toDF("id", "payload")
+    val got = Multimodal.audioFingerprint64(df, "payload")
+      .select($"fp").collect().head.getLong(0)
+    val en = (0 until 65).map(f =>
+      (0 until 4).map(j => math.abs(samples(f * 4 + j)).toLong).sum)
+    var want = 0L
+    for (b <- 0 until 64) if (en(b + 1) > en(b)) want |= 1L << b
+    assert(got == want)
+  }
+
+  test("audioFingerprint64 yields null for short and undecodable audio") {
+    val short = Multimodal.encodeWavPcm16(Seq.fill(100)(5), 16000)
+    val df = Seq((1L, short), (2L, Array[Byte](1, 2)), (3L, null))
+      .toDF("id", "payload")
+    val out = Multimodal.audioFingerprint64(df, "payload")
+      .select($"fp").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("dHash64 null/undecodable payloads drop out of the near-dup join") {
+    val good = structuredPng((x, y) => (x * 11 + y * 7) % 256)
+    val df = Seq((1L, good), (2L, good), (3L, Array[Byte](9, 9)),
+      (4L, null)).toDF("id", "payload")
+    val pairs = graft.operators.Binary.hammingNearDupPairs(
+      Multimodal.dHash64(df, "payload"), "id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
 }
