@@ -86,7 +86,11 @@ object Explain {
     "text_novelty",      // two map-combined gram aggs, no occurrence join
     "q_novel_content",   // distinct-gram anti join, vocab-bounded exchange
     "text_decontaminate_semantic", // broadcast eval vectors, one corpus scan
-    "dedup_pr_eval"      // two banded pair legs + pair-scale PR join
+    "dedup_pr_eval",     // two banded pair legs + pair-scale PR join
+    "dedup_cdc_gear",    // codegen'd Gear rolling pass, same windowed tail
+    "mm_cdc",            // byte-level Gear kernel over binary payloads
+    "mm_phash",          // dHash + tight-radius banded Hamming self-join
+    "q_perplexity5_bcast" // order-5 unified ladder, broadcast maps, 0 exch.
   )
 
   def main(args: Array[String]): Unit = {
