@@ -153,6 +153,39 @@ object Binary {
       .withColumn("score", col("score").cast("long"))
   }
 
+  /** Band keys of an ALREADY-PACKED 64-bit signature (a perceptual
+    * hash, an acoustic fingerprint, or a stored sign signature — any
+    * long): `nBands` disjoint (64/nBands)-bit slices, one (band, key)
+    * row each. The packed twin of [[bandKeys]] (which derives the
+    * signature from a raw vector first). Null signatures drop here,
+    * so undecodable payloads never reach a join.
+    * Output: (idCol, sigCol, band, key). */
+  def packedBandKeys(df: DataFrame, idCol: String, sigCol: String,
+                     nBands: Int = 4): DataFrame = {
+    require(Set(2, 4, 8, 16)(nBands),
+      s"packedBandKeys: nBands must divide 64 (2/4/8/16), got $nBands")
+    val w = 64 / nBands
+    val mask = (1L << w) - 1
+    df.select(col(idCol), col(sigCol))
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col(sigCol), b * w).bitwiseAND(lit(mask)))
+          : _*)).as(Seq("band", "key")))
+  }
+
+  /** Corpus-side index over packed signatures for streaming /
+    * incremental fingerprint probes
+    * ([[graft.streaming.StreamOps.fingerprintDedupAgainstCorpus]]):
+    * persist (or store bucketed by (band, key)) — 4 rows × 24 bytes
+    * per corpus item, payload bytes never stored.
+    * Output: (band, key, corpus_id, corpus_sig). */
+  def packedSignatureIndex(corpus: DataFrame, idCol: String,
+                           sigCol: String): DataFrame =
+    packedBandKeys(corpus, idCol, sigCol)
+      .select(col("band"), col("key"), col(idCol).as("corpus_id"),
+        col(sigCol).as("corpus_sig"))
+
   /** All-pairs Hamming near-dup over ALREADY-PACKED 64-bit
     * signatures at a TIGHT radius — the perceptual-hash dedup join
     * (LAION-style image near-dup: [[Multimodal.dHash64]] →  here).
@@ -176,15 +209,9 @@ object Binary {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"hammingNearDupPairs: the pigeonhole guarantee needs " +
         s"maxHamming < nBands, got maxHamming=$maxHamming nBands=$nBands")
-    val w = 64 / nBands
-    val mask = if (w == 64) -1L else (1L << w) - 1
-    val keyed = df
-      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-      .filter(col("__sig").isNotNull)
-      .select(col("__id"), col("__sig"),
-        posexplode(array((0 until nBands).map(b =>
-          shiftrightunsigned(col("__sig"), b * w).bitwiseAND(lit(mask)))
-          : _*)).as(Seq("band", "key")))
+    val keyed = packedBandKeys(
+      df.select(col(idCol).as("__id"), col(sigCol).as("__sig")),
+      "__id", "__sig", nBands)
     val a = keyed.select(col("band"), col("key"),
       col("__id").as("id_a"), col("__sig").as("__sa"))
     val b = keyed.select(col("band"), col("key"),

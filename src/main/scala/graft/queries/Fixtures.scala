@@ -217,6 +217,19 @@ object Fixtures {
       (0 until 3).map(b => docs.filter(pmod(col("doc_id"), lit(30)) === 7 + 10 * b))
     }.toString
 
+  /** The streamed 10% of documents' STRUCTURED image payloads
+    * (doc_id % 10 == 7, same split as [[streamDedupFeed]]) as three
+    * micro-batch files of (doc_id, payload PNG bytes) — the
+    * stream_media_ingest feed. Real binary payloads ride the file
+    * stream; the probed operator is stateless per batch. */
+  def streamMediaFeed(s: SparkSession, dir: String): String =
+    streamFeed(dir, "stream_media_feed") {
+      val imgs = MultimodalQueries.structuredImages(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+      (0 until 3).map(b =>
+        imgs.filter(pmod(col("doc_id"), lit(30)) === 7 + 10 * b))
+    }.toString
+
   /** The events odd half as three TS-ORDERED micro-batch files plus
     * two far-future sentinel files — the stream_drift_monitor feed.
     * ts-ordered tertiles preserve the old sorted-feed determinism
@@ -260,5 +273,6 @@ object Fixtures {
     pbdLineitem(s, dir)
     streamDedupFeed(s, dir)
     streamDriftFeed(s, dir)
+    streamMediaFeed(s, dir)
   }
 }

@@ -98,7 +98,7 @@ object MultimodalQueries {
     * outside the radius-3 join. PNG is lossless, so the decoded
     * pixels equal the generator arithmetic and the oracle replays
     * the hash from doc_id alone. */
-  private def structuredImages(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def structuredImages(s: SparkSession, dir: String): DataFrame = {
     val gen = udf { (id: Long) =>
       val seed = (id % 100).toInt
       val v = ((id / 100) % 3).toInt
@@ -349,7 +349,10 @@ object MultimodalQueries {
   // pair-for-pair. Bit 63's power is the signed wrap (negative
   // literal, same convention as binPowerValues); it is the LAST term
   // of the + chain, keeping every partial sum inside BIGINT.
-  private def mmPhashOracle: String = {
+  /** The dHash of a structured image as one SQL expression over
+    * doc_id — shared by the mm_phash oracle and StreamQueries'
+    * stream_media_ingest oracle (one generator, one arithmetic). */
+  private[queries] def phashSqlExpr: String = {
     def pix(x: Int, y: Int): String = {
       val c = x * 29 + y * 17 + x * y
       val base = s"((doc_id % 100) * 37 + $c) % 256"
@@ -360,10 +363,14 @@ object MultimodalQueries {
         s"(CASE WHEN (doc_id // 100) % 3 = 2 THEN $pert ELSE $base END)"
       else s"($base)"
     }
-    val hash = (for { y <- 0 until 8; x <- 0 until 8 } yield
+    (for { y <- 0 until 8; x <- 0 until 8 } yield
       s"(CASE WHEN ${pix(x + 1, y)} > ${pix(x, y)} " +
         s"THEN CAST(${1L << (y * 8 + x)} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
+  }
+
+  private def mmPhashOracle: String = {
+    val hash = phashSqlExpr
     s"""WITH h AS (SELECT doc_id, CAST($hash AS BIGINT) AS phash
        |           FROM documents),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

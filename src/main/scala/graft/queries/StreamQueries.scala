@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
-import graft.operators.Dedup
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
+import graft.operators.{Binary, Dedup, Multimodal}
 import graft.streaming.StreamOps
 
 /** Driver-gate queries that execute the ACTUAL Structured Streaming
@@ -135,9 +135,50 @@ object StreamQueries {
     out
   }
 
+  /** Stream-static MEDIA fingerprint dedup on ingest, executed as a
+    * REAL streaming query: binary image payloads (doc_id % 10 == 7)
+    * arrive in three micro-batch files, each decodes to its dHash
+    * perceptual fingerprint IN the streaming plan, and probes the
+    * static corpus fingerprint index
+    * ([[graft.operators.Binary.packedSignatureIndex]] over the other
+    * 90% — 4 band rows per item, payload bytes never indexed); every
+    * within-radius hit appends to the sink. Stateless per batch.
+    * Output = (doc_id, corpus_id, dist) per shared band — the raw
+    * ingest-alert stream
+    * [[StreamOps.fingerprintDedupAgainstCorpus]] documents. */
+  private def mediaIngest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = MultimodalQueries.structuredImages(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+    // slot-persisted like the minhash index: at 100 TB this is built
+    // once on corpus entry and stored bucketed by (band, key)
+    val index = graft.operators.PersistSlots.swap("stream.mediaIngestIndex",
+      Binary.packedSignatureIndex(
+        Multimodal.dHash64(corpus, "payload")
+          .select(col("doc_id"), col("phash")),
+        "doc_id", "phash"))
+    val feedDir = Fixtures.streamMediaFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val sigs = Multimodal.dHash64(input, "payload")
+      .select(col("doc_id"), col("phash"))
+    val streamed = StreamOps.fingerprintDedupAgainstCorpus(
+      sigs, "doc_id", "phash", index)
+    val sink = s"graft_stream_media_sink_${sinkIds.incrementAndGet()}"
+    val q = streamed.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
-    "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir))
+    "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir)),
+    "stream_media_ingest" -> ((s, dir) => mediaIngest(s, dir))
   )
 
   // DuckDB replay of the whole streaming pipeline: identical MinHash
@@ -202,8 +243,30 @@ object StreamQueries {
       |    AS BIGINT) AS contrib_e6
       |FROM s""".stripMargin
 
+  // DuckDB replay of the whole media-ingest pipeline: the SAME dHash
+  // arithmetic as the mm_phash oracle (shared phashSqlExpr — the PNG
+  // round-trip is lossless), stream side (doc_id % 10 = 7) against
+  // corpus side, one row per AGREEING 16-bit band of each
+  // within-radius pair — the multiset the append sink accumulates.
+  // The band test masks after the shift, so x's sign (bit 63) never
+  // leaks into a key.
+  private def mediaIngestOracle: String = {
+    val hash = MultimodalQueries.phashSqlExpr
+    s"""WITH h AS (SELECT doc_id, CAST($hash AS BIGINT) AS phash
+       |           FROM documents),
+       |ing AS (SELECT doc_id, phash FROM h WHERE doc_id % 10 = 7),
+       |cor AS (SELECT doc_id AS corpus_id, phash AS cp
+       |        FROM h WHERE doc_id % 10 <> 7),
+       |pr AS (SELECT i.doc_id, c.corpus_id, xor(i.phash, c.cp) AS x
+       |       FROM ing i CROSS JOIN cor c)
+       |SELECT doc_id, corpus_id, CAST(bit_count(x) AS BIGINT) AS dist
+       |FROM pr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u
+       |WHERE ((x >> (16 * u.b)) & 65535) = 0 AND bit_count(x) <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "stream_dedup_ingest" -> dedupIngestOracle,
-    "stream_drift_monitor" -> driftMonitorOracle
+    "stream_drift_monitor" -> driftMonitorOracle,
+    "stream_media_ingest" -> mediaIngestOracle
   )
 }

@@ -268,6 +268,32 @@ object StreamOps {
       .select(col(idCol), col("corpus_id"), col("dist"))
   }
 
+  /** Stream-static MEDIA fingerprint dedup on ingest — the
+    * perceptual sibling of [[hammingDedupAgainstCorpus]] for
+    * signatures that are ALREADY packed longs (a perceptual image
+    * hash, an acoustic fingerprint): each arriving signature probes
+    * the static corpus index ([[graft.operators.Binary
+    * .packedSignatureIndex]]) on the 16-bit band key, and the exact
+    * xor+popcount filter keeps true near-dups within the pigeonhole
+    * radius. Stateless — one narrow projection + one equi-join per
+    * micro-batch; the corpus index is 4 rows × 24 bytes per item
+    * (payload bytes never stored or streamed twice).
+    *
+    * Output: one (idCol, corpus_id, dist) row per index hit; a pair
+    * agreeing on several bands repeats per band (same stateless
+    * contract as [[dedupAgainstCorpus]] — dedup downstream). */
+  def fingerprintDedupAgainstCorpus(sigs: DataFrame, idCol: String,
+                                    sigCol: String, sigIndex: DataFrame,
+                                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole covers Hamming <= 3")
+    graft.operators.Binary.packedBandKeys(sigs, idCol, sigCol)
+      .join(sigIndex, Seq("band", "key"))
+      .withColumn("dist",
+        bit_count(col(sigCol).bitwiseXOR(col("corpus_sig"))).cast("long"))
+      .filter(col("dist") <= maxHamming)
+      .select(col(idCol), col("corpus_id"), col("dist"))
+  }
+
   final case class DriftEvent(ts: Timestamp, key: String)
   final case class DriftRow(window_start_us: Long, key: String,
                             ref_n: Long, cur_n: Long, contrib_e6: Long)

@@ -271,4 +271,43 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming fingerprintDedupAgainstCorpus equals the batch " +
+    "band-probe join on planted near-dup fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(19)
+    val corpusSigs = (0 until 40).map(i => (i.toLong, rng.nextLong()))
+    // stream side: near-copies of corpus items (1-3 flipped bits),
+    // plus far signatures (5 flips) and fresh randoms
+    def flipped(sig: Long, k: Int): Long =
+      (0 until k).foldLeft(sig)((s, _) => s ^ (1L << rng.nextInt(64)))
+    val streamSigs = (0 until 15).map(i =>
+      (100L + i, flipped(corpusSigs(i)._2, 1 + rng.nextInt(3)))) ++
+      (0 until 5).map(i => (200L + i, flipped(corpusSigs(i)._2, 5))) ++
+      (0 until 10).map(i => (300L + i, rng.nextLong()))
+    val index = graft.operators.Binary.packedSignatureIndex(
+      corpusSigs.toDF("id", "fp"), "id", "fp")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.fingerprintDedupAgainstCorpus(
+        input.toDF().toDF("id", "fp"), "id", "fp", index)
+      .writeStream.format("memory").queryName("eq_media")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(streamSigs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("eq_media").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batch = StreamOps.fingerprintDedupAgainstCorpus(
+        streamSigs.toDF("id", "fp"), "id", "fp", index)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "planted near-dups must produce hits")
+    // every hit is within the radius; the 5-flip plants stay out
+    assert(streamed.forall(_._3 <= 3))
+    assert(!streamed.exists(h => h._1 >= 200L && h._1 < 300L &&
+      java.lang.Long.bitCount(streamSigs.toMap.apply(h._1) ^
+        corpusSigs.toMap.apply(h._2)) > 3))
+  }
 }
