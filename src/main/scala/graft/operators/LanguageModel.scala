@@ -321,6 +321,40 @@ object LanguageModel {
     cache.getOrElseUpdate(key, mk)
   }
 
+  /** Micro-nat cost of the position whose context window starts at
+    * i (gram = w(i .. i+order-1)) — THE stupid-backoff recursion,
+    * shared by the summing scorer ([[ngramNllNarrowOfWords]]) and
+    * the cost-array scorer ([[minKProbNll]]): level k scores
+    * MULT(N−k) · c(gram_k)/c(ctx_{k−1}) (a surviving k-gram's
+    * context survives in the table below — lower-order consistency,
+    * [[trainNgrams]]), the unigram level MULT(N−1) · c(cur)/total,
+    * unknown MULT(N−1)/(total·10); per-position floor to the
+    * integer micro-nat grid. */
+  private def positionCost(tables: Array[Map[String, Long]],
+                           totalD: Double, mult: Array[Double],
+                           order: Int, w: Seq[String], i: Int): Long = {
+    var ratio = 0.0
+    var found = false
+    var k = order
+    while (k >= 2 && !found) {
+      val lo = i + order - k // gram = last k words of the window
+      tables(k - 1).get(sliceKey(w, lo, i + order)) match {
+        case Some(c) =>
+          ratio = mult(order - k) * (c.toDouble /
+            tables(k - 2)(sliceKey(w, lo, i + order - 1)).toDouble)
+          found = true
+        case None => k -= 1
+      }
+    }
+    if (!found) {
+      ratio = tables(0).get(w(i + order - 1)) match {
+        case Some(c) => mult(order - 1) * (c.toDouble / totalD)
+        case None => mult(order - 1) / (totalD * 10.0)
+      }
+    }
+    math.floor(1000000.0 * -math.log(ratio)).toLong
+  }
+
   /** The space-joined key of w(lo..hi-1) — exactly the
     * `a + " " + b` concatenation the count-table keys use. */
   private def sliceKey(w: Seq[String], lo: Int, hi: Int): String = {
@@ -370,28 +404,7 @@ object LanguageModel {
         var i = 0
         val n = w.length
         while (i <= n - order) {
-          var ratio = 0.0
-          var found = false
-          var k = order
-          while (k >= 2 && !found) {
-            val lo = i + order - k // gram = last k words of the window
-            tables(k - 1).get(sliceKey(w, lo, i + order)) match {
-              case Some(c) =>
-                // a surviving k-gram's context survives in the table
-                // below (lower-order consistency, trainNgrams)
-                ratio = mult(order - k) * (c.toDouble /
-                  tables(k - 2)(sliceKey(w, lo, i + order - 1)).toDouble)
-                found = true
-              case None => k -= 1
-            }
-          }
-          if (!found) {
-            ratio = tables(0).get(w(i + order - 1)) match {
-              case Some(c) => mult(order - 1) * (c.toDouble / totalD)
-              case None => mult(order - 1) / (totalD * 10.0)
-            }
-          }
-          nll += math.floor(1000000.0 * -math.log(ratio)).toLong
+          nll += positionCost(tables, totalD, mult, order, w, i)
           i += 1
         }
         nll
@@ -406,6 +419,63 @@ object LanguageModel {
         (size(col("__gpnw")) - (order - 1)).cast("long").as("n_scored"),
         score(col("__gpnw")).as("nll_e6"))
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
+  }
+
+  private val ngramCostsCache = scala.collection.concurrent.TrieMap
+    .empty[NgramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
+
+  /** Min-K% prob membership / contamination signal (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models"): the
+    * mean NLL of a document's k% COSTLIEST (lowest-probability)
+    * tokens. A document the reference model has effectively
+    * memorized has few surprising tokens, so this tail statistic
+    * separates seen-from-unseen material far better than the
+    * full-document mean (which fluent filler washes out) — the
+    * standard pretraining-data membership test, and a sharper
+    * benchmark-contamination screen than gram overlap when the
+    * leaked text was lightly edited.
+    *
+    * Per-token costs come from the SAME broadcast-model
+    * stupid-backoff fold as [[ngramNllNarrow]] ([[positionCost]] —
+    * one recursion in source); the selection is a per-document
+    * order statistic computed entirely in-row (sort the cost array
+    * descending, mean the first max(1, n·k/100) on the integer
+    * micro-nat grid) — zero exchanges, zero joins, stream-safe,
+    * and exactly replayable in SQL as a windowed rank over
+    * per-token cost rows.
+    * @return (idCol, n_scored, k_used, min_k_avg_nll_e6) */
+  def minKProbNll(docs: DataFrame, idCol: String, textCol: String,
+                  model: NgramModel, kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100,
+      s"minKProbNll: kPct must be in [1, 100], got $kPct")
+    val order = model.order
+    val costs = cached(ngramCostsCache, model) {
+      val tables = model.tables.toArray
+      val totalD = model.total.toDouble
+      val mult = BackoffMult
+      udf { (w: Seq[String]) =>
+        val n = w.length - order + 1
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = positionCost(tables, totalD, mult, order, w, i)
+          i += 1
+        }
+        out
+      }
+    }
+    docs
+      .select(col(idCol), words(col(textCol)).as("__mkw"))
+      .filter(size(col("__mkw")) >= order)
+      .select(col(idCol), costs(col("__mkw")).as("__mkc"))
+      .select(col(idCol),
+        size(col("__mkc")).cast("long").as("n_scored"),
+        greatest(lit(1L),
+          expr(s"(size(__mkc) * $kPct) div 100").cast("long")).as("k_used"),
+        col("__mkc"))
+      .select(col(idCol), col("n_scored"), col("k_used"),
+        expr("aggregate(slice(sort_array(__mkc, false), 1, int(k_used)), " +
+          "0L, (a, x) -> a + x) div k_used").as("min_k_avg_nll_e6"))
   }
 
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020,

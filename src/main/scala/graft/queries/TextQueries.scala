@@ -521,6 +521,19 @@ object TextQueries {
         docs, "doc_id", "text", model)
     }),
 
+    // Min-K% prob membership/contamination signal (Shi et al. 2023):
+    // mean NLL of each document's 20% costliest tokens under the
+    // reference bigram model — the pretraining-data membership test;
+    // per-token costs from the same broadcast-model fold as
+    // q_perplexity_bcast, selection an in-row order statistic
+    "q_min_k_prob" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
+      graft.operators.LanguageModel.minKProbNll(
+        docs, "doc_id", "text", model, kPct = 20)
+    }),
+
     // CCNet §4.3 head/middle/tail corpus partition: NLL terciles as
     // exact integer order statistics (no interpolated percentile —
     // engine-portable by construction)
@@ -730,6 +743,26 @@ object TextQueries {
        |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
        |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
        |FROM c GROUP BY doc_id""".stripMargin
+
+  // q_min_k_prob replay: the same per-token cost CTE, then the
+  // order statistic as a windowed rank — rank the costs per doc
+  // descending, sum the first k_used = max(1, n*20//100), integer
+  // mean. Ties at the cut boundary are equal VALUES, so any rank
+  // order among them sums identically — deterministic despite the
+  // arbitrary tie order.
+  private val minKProbOracle: String =
+    s"""WITH $perplexityCtes,
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored
+       |      FROM c GROUP BY 1),
+       |m AS (SELECT doc_id, n_scored,
+       |        greatest(1, (n_scored * 20) // 100) AS k_used FROM n),
+       |r AS (SELECT doc_id, cost_e6, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY cost_e6 DESC) AS rn FROM c),
+       |t AS (SELECT r.doc_id, sum(cost_e6) AS s
+       |      FROM r JOIN m USING (doc_id) WHERE rn <= k_used GROUP BY 1)
+       |SELECT m.doc_id, m.n_scored, CAST(m.k_used AS BIGINT) AS k_used,
+       |  CAST(t.s // m.k_used AS BIGINT) AS min_k_avg_nll_e6
+       |FROM m JOIN t USING (doc_id)""".stripMargin
 
   // q_perplexity3 replay: the same uni/big tables plus the trigram
   // count, the recursive CASE ladder with one fixed association per
@@ -1358,6 +1391,7 @@ object TextQueries {
     // split, zipped-unnest (prev, cur) pairs, the same CASE ladder
     // with one fixed association, per-token floor to micro-nats
     "q_perplexity" -> perplexityOracle,
+    "q_min_k_prob" -> minKProbOracle,
     "q_perplexity3" -> perplexity3Oracle,
     "q_perplexity3_bcast" -> perplexity3Oracle,
     "q_perplexity4_bcast" -> perplexity4Oracle,
