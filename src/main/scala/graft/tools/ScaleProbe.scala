@@ -126,7 +126,8 @@ object ScaleProbe {
       "q_weighted_sample", "q_weighted_stratified", "q_drift_by_group",
       "text_novelty", "q_novel_content", "text_decontaminate_semantic",
       "dedup_pr_eval", "q_drift_semantic", "dedup_cluster_sizes",
-      "stream_dedup_ingest", "stream_drift_monitor")
+      "stream_dedup_ingest", "stream_drift_monitor",
+      "stream_media_ingest", "q_min_k_prob")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
