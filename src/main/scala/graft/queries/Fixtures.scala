@@ -223,7 +223,10 @@ object Fixtures {
     * stream_media_ingest feed. Real binary payloads ride the file
     * stream; the probed operator is stateless per batch. */
   def streamMediaFeed(s: SparkSession, dir: String): String =
-    streamFeed(dir, "stream_media_feed") {
+    // name carries a generator version: the fixture cache keys on
+    // SOURCE mtimes only, so a generator change must rename or it
+    // would silently reuse stale payloads
+    streamFeed(dir, "stream_media_feed_g2") {
       val imgs = MultimodalQueries.structuredImages(s, dir)
         .filter(col("doc_id") % 10 === 7)
       (0 until 3).map(b =>

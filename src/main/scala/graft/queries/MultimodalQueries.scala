@@ -89,26 +89,34 @@ object MultimodalQueries {
   }
 
   /** Deterministic STRUCTURED 9x8 grayscale PNGs for the
-    * perceptual-hash path: pixel (x, y) green = (seed*37 + x*29 +
-    * y*17 + x*y) % 256 with seed = doc_id % 100, so ~5 docs share a
-    * base pattern; variant v = (doc_id / 100) % 3 > 0 re-paints ONE
-    * pixel ((2,1) for v=1, (4,2) for v=2) to (g+128) % 256, flipping
-    * at most the two dHash gradient bits that pixel participates in
-    * — genuine near-duplicates at Hamming <= 4, some inside and some
-    * outside the radius-3 join. PNG is lossless, so the decoded
-    * pixels equal the generator arithmetic and the oracle replays
-    * the hash from doc_id alone. */
+    * perceptual-hash path: pixel (x, y) green = the first byte of
+    * md5("group:x:y") with group = doc_id / 5 — every 5 consecutive
+    * doc_ids share a base pattern, and distinct groups get
+    * INDEPENDENT (md5) patterns, so near-dup GROUP SIZE is a
+    * constant 5 at every corpus scale (the constant-duplicate-RATE
+    * regime the scale probes measure; a corpus-size-independent
+    * seed modulus would instead make groups — and pair output —
+    * grow with the data). Variant v = (doc_id % 5) % 3 > 0
+    * re-paints ONE pixel ((2,1) for v=1, (4,2) for v=2) to
+    * (g+128) % 256, flipping at most the two dHash gradient bits
+    * that pixel participates in — genuine near-duplicates at
+    * Hamming <= 4, some inside and some outside the radius-3 join.
+    * PNG is lossless, so the decoded pixels equal the generator
+    * arithmetic and the oracle replays the hash from doc_id alone
+    * (DuckDB md5 == JVM MD5 hex). */
   private[queries] def structuredImages(s: SparkSession, dir: String): DataFrame = {
     val gen = udf { (id: Long) =>
-      val seed = (id % 100).toInt
-      val v = ((id / 100) % 3).toInt
+      val group = id / 5
+      val v = ((id % 5) % 3).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
       val img = new java.awt.image.BufferedImage(9, 8,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 9) {
-          var g = (seed * 37 + x * 29 + y * 17 + x * y) % 256
+          md.reset()
+          var g = md.digest(s"$group:$x:$y".getBytes("UTF-8"))(0) & 0xff
           if ((v == 1 && x == 2 && y == 1) || (v == 2 && x == 4 && y == 2))
             g = (g + 128) % 256
           img.setRGB(x, y, (g << 16) | (g << 8) | g)
@@ -263,20 +271,24 @@ object MultimodalQueries {
           .as("zero_cross"))
     }),
 
-    // acoustic near-dup of REAL decoded audio: seed = doc_id % 100
-    // gives ~5 docs the same md5-derived waveform; variant
-    // v = (doc_id / 100) % 3 > 0 overwrites frame 3v's 4 samples
-    // with the constant 1000 + seed, flipping at most the two
-    // energy-gradient bits that frame participates in — genuine
-    // near-duplicates inside and outside the radius-3 banded join.
-    // The WAV round-trips through the real javax.sound codec; the
-    // oracle recomputes the fingerprint from the generation
-    // arithmetic, so any decoder deviation hash-mismatches.
+    // acoustic near-dup of REAL decoded audio: seed = doc_id / 5
+    // gives every 5 consecutive docs the same md5-derived waveform
+    // (constant group size at every corpus scale — the same
+    // constant-duplicate-RATE discipline as structuredImages, and
+    // md5 sample derivation makes distinct groups independent);
+    // variant v = (doc_id % 5) % 3 > 0 overwrites frame 3v's 4
+    // samples with the constant 1000 + seed % 30000, flipping at
+    // most the two energy-gradient bits that frame participates in
+    // — genuine near-duplicates inside and outside the radius-3
+    // banded join. The WAV round-trips through the real javax.sound
+    // codec; the oracle recomputes the fingerprint from the
+    // generation arithmetic, so any decoder deviation
+    // hash-mismatches.
     "mm_audio_fp" -> ((s, dir) => {
       val N = 260
       val gen = Tables(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 100).as("__seed"),
-        expr("(doc_id DIV 100) % 3").as("__v"))
+        expr("doc_id DIV 5").as("__seed"),
+        expr("(doc_id % 5) % 3").as("__v"))
         .select(col("doc_id"), col("__v"), col("__seed"),
           transform(sequence(lit(0), lit(N - 1)), i =>
             conv(substring(md5(concat(col("__seed").cast("string"),
@@ -286,7 +298,7 @@ object MultimodalQueries {
         when(col("__v") === 0, col("__s0"))
           .otherwise(transform(col("__s0"), (x, i) =>
             when(i >= col("__v") * 12 && i < col("__v") * 12 + 4,
-              (lit(1000) + col("__seed")).cast("int")).otherwise(x))))
+              (lit(1000) + col("__seed") % 30000).cast("int")).otherwise(x))))
       val enc = udf { (smp: Seq[Int]) => Multimodal.encodeWavPcm16(smp, 16000) }
       val wav = perturbed.select(col("doc_id"), enc(col("__s")).as("payload"))
       graft.operators.Binary.hammingNearDupPairs(
@@ -351,16 +363,18 @@ object MultimodalQueries {
   // of the + chain, keeping every partial sum inside BIGINT.
   /** The dHash of a structured image as one SQL expression over
     * doc_id — shared by the mm_phash oracle and StreamQueries'
-    * stream_media_ingest oracle (one generator, one arithmetic). */
+    * stream_media_ingest oracle (one generator, one arithmetic:
+    * DuckDB md5 of "group:x:y" == the JVM MD5 the generator paints,
+    * byte 0 = first two hex chars). */
   private[queries] def phashSqlExpr: String = {
     def pix(x: Int, y: Int): String = {
-      val c = x * 29 + y * 17 + x * y
-      val base = s"((doc_id % 100) * 37 + $c) % 256"
-      val pert = s"((doc_id % 100) * 37 + $c + 128) % 256"
+      val base = "CAST('0x' || substring(md5(CAST(doc_id // 5 AS VARCHAR)" +
+        s" || ':$x:$y'), 1, 2) AS INTEGER)"
+      val pert = s"($base + 128) % 256"
       if (x == 2 && y == 1)
-        s"(CASE WHEN (doc_id // 100) % 3 = 1 THEN $pert ELSE $base END)"
+        s"(CASE WHEN (doc_id % 5) % 3 = 1 THEN $pert ELSE $base END)"
       else if (x == 4 && y == 2)
-        s"(CASE WHEN (doc_id // 100) % 3 = 2 THEN $pert ELSE $base END)"
+        s"(CASE WHEN (doc_id % 5) % 3 = 2 THEN $pert ELSE $base END)"
       else s"($base)"
     }
     (for { y <- 0 until 8; x <- 0 until 8 } yield
@@ -389,12 +403,12 @@ object MultimodalQueries {
     val hash = (0 until 64).map(b =>
       s"(CASE WHEN en[${b + 2}] > en[${b + 1}] " +
         s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
-    s"""WITH g AS (SELECT doc_id, doc_id % 100 AS seed,
-       |             (doc_id // 100) % 3 AS v FROM documents),
+    s"""WITH g AS (SELECT doc_id, doc_id // 5 AS seed,
+       |             (doc_id % 5) % 3 AS v FROM documents),
        |s AS (SELECT doc_id,
        |        list_transform(range(0, 260), i ->
        |          CASE WHEN v > 0 AND i >= v * 12 AND i < v * 12 + 4
-       |               THEN 1000 + seed
+       |               THEN 1000 + seed % 30000
        |               ELSE CAST('0x' || substring(md5(CAST(seed AS VARCHAR)
        |                 || '_' || CAST(i AS VARCHAR)), 1, 4) AS INTEGER)
        |                 - 32768 END) AS smp
