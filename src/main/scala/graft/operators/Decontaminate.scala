@@ -56,6 +56,58 @@ object Decontaminate {
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
   }
 
+  /** The REWRITE half of decontamination — scrub the LEAK, keep the
+    * document: remove every word that lies inside an n-gram shared
+    * with the eval set and emit the cleaned text, instead of
+    * dropping whole documents (the Dolma/OLMo-style contamination
+    * span removal — a long document with one leaked benchmark
+    * passage keeps its unleaked prose). Longer grams than the flag
+    * pass ([[overlapReport]]'s default 3): a scrub that fires on
+    * common short grams would eat ordinary text, so published
+    * scrubbers match long spans (13-gram in the GPT-3 filtering
+    * appendix); default 8 here.
+    *
+    * Scale shape: the eval gram set broadcasts exactly as in
+    * [[overlapReport]]; the corpus pays one scan producing
+    * (position, gram) pairs, the broadcast join keeps contaminated
+    * START positions (bounded per doc), and the rewrite is the same
+    * doc-local array filter as
+    * [[Dedup.dupSpanRemoveOfWords]] — O(words × leak-starts) per
+    * doc, no corpus shuffle on text anywhere.
+    * @return (idCol, clean_text, n_words, n_kept) — total annotation
+    *         of the train set (clean docs pass through verbatim) */
+  def scrubOverlaps(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame =
+    scrubOverlapsOfWords(
+      train.select(col(idCol), words(col(textCol)).as("__gsw")),
+      eval.select(col(idCol), words(col(textCol)).as("__gsw")),
+      idCol, "__gsw", n)
+
+  /** [[scrubOverlaps]] over already-projected word arrays. */
+  def scrubOverlapsOfWords(train: DataFrame, eval: DataFrame,
+                           idCol: String, wordsCol: String,
+                           n: Int = 8): DataFrame = {
+    val evalGrams = broadcast(
+      gramsOfWords(eval, idCol, wordsCol, n).select(col("gram")).distinct())
+    val base = train.select(col(idCol).as("id"), col(wordsCol).as("__w"))
+    val starts = base
+      .select(col("id"),
+        posexplode(shinglesOfWords(col("__w"), n)).as(Seq("pos", "gram")))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("pos")).as("__starts"))
+    base
+      .join(starts, Seq("id"), "left")
+      // 0-based starts; leak at p covers word indices [p, p + n)
+      .withColumn("__st", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__w"), (wd, i) =>
+        !exists(col("__st"), p => p <= i && i < p + n)))
+      .select(col("id").as(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__w")).cast("long").as("n_words"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space sibling of
     * [[overlapReport]]: n-gram overlap misses paraphrased or
     * translated test material, so modern pipelines ALSO flag train

@@ -234,6 +234,18 @@ object TextQueries {
         idCol = "doc_id", textCol = "text", n = 3)
     }),
 
+    // the REWRITE half of decontamination: scrub every word inside
+    // an 8-gram shared with the eval slice, keep the rest — span
+    // removal instead of document drop (long grams: a scrub must
+    // not eat ordinary text)
+    "text_decontaminate_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.scrubOverlaps(
+        train = docs.filter(col("doc_id") % 97 =!= 0),
+        eval = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+    }),
+
     // SEMANTIC decontamination: train vectors within a cosine radius
     // of any eval vector (paraphrase leakage the n-gram rule misses).
     // Eval side broadcast, corpus pays one narrow scan — same 100 TB
@@ -1226,6 +1238,40 @@ object TextQueries {
         |       AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // scrub replay: 8-gram positions (1-based i covers words
+    // [i, i+8)), contaminated starts = positions whose gram is in
+    // the eval set, kept indices = words no start covers, rebuilt
+    // text = space-join of survivors — the same filter identity the
+    // Spark array lambda folds (0-based there; p<=j<p+8 shifts)
+    "text_decontaminate_scrub" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(wl) >= 8 THEN
+        |           list_transform(range(1, len(wl) - 6),
+        |             i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+        |               || wl[i+3] || ' ' || wl[i+4] || ' ' || wl[i+5] || ' '
+        |               || wl[i+6] || ' ' || wl[i+7])
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |       FROM w),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, unnest(s) AS g,
+        |         unnest(range(1, len(s) + 1)) AS p
+        |       FROM sh WHERE doc_id % 97 <> 0),
+        |st AS (SELECT doc_id, list(DISTINCT p) AS ps
+        |       FROM tg JOIN ev USING (g) GROUP BY 1),
+        |c AS (SELECT w.doc_id, wl, coalesce(st.ps, CAST([] AS BIGINT[])) AS ps
+        |      FROM w LEFT JOIN st USING (doc_id) WHERE w.doc_id % 97 <> 0),
+        |k AS (SELECT doc_id, wl,
+        |        list_filter(range(1, len(wl) + 1), j ->
+        |          len(list_filter(ps, p -> p <= j AND j < p + 8)) = 0) AS idx
+        |      FROM c)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(idx, j -> wl[j]), ' ') AS clean_text,
+        |  CAST(len(wl) AS BIGINT) AS n_words,
+        |  CAST(len(idx) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin,
     "text_chunk" ->
       """WITH w AS (SELECT doc_id,
         |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl

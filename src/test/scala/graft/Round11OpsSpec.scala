@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Round-11 operators: the min-K% prob membership signal over the
-  * order-N LM.
+  * order-N LM, and the contamination span scrub.
   */
 class Round11OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -75,5 +75,40 @@ class Round11OpsSpec extends SparkSpec {
     // larger one (the spike isn't washed out by fluent context)
     assert(mk(1L) < mk(2L) && full(1L) < full(2L))
     assert(mk(2L) - mk(1L) > full(2L) - full(1L))
+  }
+
+  test("scrubOverlaps removes exactly the leaked spans and keeps " +
+    "clean prose, clean docs pass through verbatim") {
+    import graft.operators.Decontaminate
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val eval = Seq((100L, s"header $leak footer")).toDF("doc_id", "text")
+    val train = Seq(
+      // leak embedded mid-document: the 8 leaked words go, prose stays
+      (1L, s"alpha beta $leak gamma delta"),
+      // no overlap: verbatim pass-through (lower-cased tokenization)
+      (2L, "Alpha Beta Gamma Delta Epsilon"),
+      // two copies of the leak: both spans scrubbed
+      (3L, s"$leak x $leak")).toDF("doc_id", "text")
+    val out = Decontaminate.scrubOverlaps(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha beta gamma delta", 12L, 4L)))
+    assert(out(2L) == (("alpha beta gamma delta epsilon", 5L, 5L)))
+    assert(out(3L) == (("x", 17L, 1L)))
+  }
+
+  test("scrubOverlaps overlapping leak spans merge: shared words " +
+    "removed once, boundaries exact") {
+    import graft.operators.Decontaminate
+    // eval contributes two OVERLAPPING 8-grams: w1..w8 and w2..w9
+    val eval = Seq((100L, (1 to 9).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "pre " + (1 to 9).map(i => s"w$i").mkString(" ") + " post"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.scrubOverlaps(train, eval, "doc_id", "text", n = 8)
+      .collect().head
+    assert(out.getString(1) == "pre post")
+    assert(out.getLong(2) == 11L && out.getLong(3) == 2L)
   }
 }
