@@ -70,10 +70,13 @@ object Decontaminate {
     * Scale shape: the eval gram set broadcasts exactly as in
     * [[overlapReport]]; the corpus pays one scan producing
     * (position, gram) pairs, the broadcast join keeps contaminated
-    * START positions (bounded per doc), and the rewrite is the same
-    * doc-local array filter as
-    * [[Dedup.dupSpanRemoveOfWords]] — O(words × leak-starts) per
-    * doc, no corpus shuffle on text anywhere.
+    * START positions, and those (id, starts) rows — bounded by the
+    * eval grams' occurrence count in the corpus, tiny next to the
+    * corpus because eval sets are — broadcast BACK for the rewrite,
+    * so the document text itself never enters an exchange (unlike
+    * [[Dedup.dupSpanRemoveOfWords]], whose start table is
+    * corpus-sized and must shuffle-join). The rewrite is the same
+    * doc-local array filter — O(words × leak-starts) per doc.
     * @return (idCol, clean_text, n_words, n_kept) — total annotation
     *         of the train set (clean docs pass through verbatim) */
   def scrubOverlaps(train: DataFrame, eval: DataFrame,
@@ -97,7 +100,7 @@ object Decontaminate {
       .groupBy(col("id"))
       .agg(collect_set(col("pos")).as("__starts"))
     base
-      .join(starts, Seq("id"), "left")
+      .join(broadcast(starts), Seq("id"), "left")
       // 0-based starts; leak at p covers word indices [p, p + n)
       .withColumn("__st", coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__kept", filter(col("__w"), (wd, i) =>

@@ -96,6 +96,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("min-K% prob scoring is the same zero-exchange zero-join narrow " +
+    "pass as the perplexity scorers") {
+    def mk = graft.SparkEntry.queries("q_min_k_prob")(spark, SF)
+    assert(shuffles(mk) == 0)
+    val plan = withoutAqe { mk.queryExecution.executedPlan.toString }
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("decontamination scrub never shuffles document text: no exchange " +
+    "output carries the word array") {
+    val df = graft.SparkEntry.queries("text_decontaminate_scrub")(spark, SF)
+    val exchanges = withoutAqe { df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    } }
+    // the gram-distinct and start-aggregation exchanges are expected;
+    // none of them may carry array<string> (the tokenized document)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val hasWords = e.output.exists(a =>
+        a.dataType.simpleString.contains("array<string>"))
+      assert(!hasWords, e.output.map(a => s"${a.name}:${a.dataType.simpleString}"))
+    }
+  }
+
   test("LSH embedding dedup carries no vectors through the bucket join") {
     // late materialization: the (t, b) self-join's own output columns
     // are ids + signatures; vectors appear only via the id join-backs
