@@ -176,6 +176,42 @@ object KMeans {
     fitAssigned(df, idCol, vecCol, k, steps)
       .select(col(idCol), col("cluster"), col("dist"))
 
+  /** Prototypicality pruning (the D4 recipe, Tirumala et al. 2023:
+    * SemDeDup then drop the most PROTOTYPICAL items per cluster —
+    * "Beyond neural scaling laws"'s SSL-prototypes metric): cluster
+    * the corpus, rank each item by its exact integer distance to its
+    * centroid, and mark the closest `dropPct` percent of every
+    * cluster dropped. Items nearest a centroid are the cluster's
+    * redundant core — semantically interchangeable with their
+    * neighbors — while far items carry the cluster's diversity, so
+    * pruning the core trims tokens with the least information loss.
+    * Total annotation: every row comes back with its cluster, exact
+    * distance, within-cluster prototypicality rank (1 = most
+    * prototypical, ties to the smaller id) and a kept flag —
+    * downstream picks `kept = 1` or re-thresholds without refitting.
+    *
+    * Scale shape: [[fit]]'s narrow assignment scan does the corpus
+    * work; the rank is ONE exchange of (id, cluster, dist) triples —
+    * never vectors — partitioned by cluster, and under the
+    * k ~ n / B sizing discipline ([[autoK]]) each cluster sorts ~B
+    * rows, so no partition outgrows memory however big the corpus.
+    * The drop count uses integer arithmetic (n * dropPct / 100,
+    * floored) — engine-portable to the row. */
+  def protoPrune(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, steps: Int = 2, dropPct: Int = 25): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100, s"dropPct=$dropPct not in [0,100]")
+    import org.apache.spark.sql.expressions.Window
+    val byDist = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    val whole = Window.partitionBy(col("cluster"))
+    fit(df, idCol, vecCol, k, steps)
+      .withColumn("proto_rank", row_number().over(byDist).cast("long"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("kept",
+        (col("proto_rank") > expr(s"__n * $dropPct div 100")).cast("int"))
+      .drop("__n")
+  }
+
   /** Cluster-bucketed semantic near-dup pairs: k-means buckets the
     * corpus, then exact quantized cosine runs only within a bucket —
     * the all-pairs comparison becomes k cluster-local self-joins

@@ -66,8 +66,11 @@ object Fixtures {
 
   /** Build-once-per-sf parquet cache. The _SUCCESS marker written by
     * Spark's committer inside the moved directory is the completeness
-    * witness. */
-  private def cached(s: SparkSession, dir: String, name: String)
+    * witness. Shared with MultimodalQueries' payload corpora: media
+    * queries must time decode over payloads AT REST, not synthetic
+    * payload construction, for the same reason the flatten queries
+    * read nested fixtures (see the object scaladoc). */
+  private[queries] def cached(s: SparkSession, dir: String, name: String)
                     (build: => DataFrame): DataFrame = synchronized {
     val path = cacheRoot(dir).resolve(name)
     if (!Files.exists(path.resolve("_SUCCESS"))) {

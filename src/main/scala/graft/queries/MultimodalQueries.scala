@@ -103,34 +103,43 @@ object MultimodalQueries {
     * Hamming <= 4, some inside and some outside the radius-3 join.
     * PNG is lossless, so the decoded pixels equal the generator
     * arithmetic and the oracle replays the hash from doc_id alone
-    * (DuckDB md5 == JVM MD5 hex). */
-  private[queries] def structuredImages(s: SparkSession, dir: String): DataFrame = {
-    val gen = udf { (id: Long) =>
-      val group = id / 5
-      val v = ((id % 5) % 3).toInt
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val img = new java.awt.image.BufferedImage(9, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 9) {
-          md.reset()
-          var g = md.digest(s"$group:$x:$y".getBytes("UTF-8"))(0) & 0xff
-          if ((v == 1 && x == 2 && y == 1) || (v == 2 && x == 4 && y == 2))
-            g = (g + 128) % 256
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
-          x += 1
+    * (DuckDB md5 == JVM MD5 hex).
+    *
+    * Payload-at-rest discipline: the corpus is written to a parquet
+    * fixture once per sf ([[Fixtures.cached]]) and the timed query
+    * reads the bytes back from storage — the measured work is
+    * decode -> fingerprint -> banded join, the operator, not the
+    * synthetic generator (a real pipeline's payloads are already on
+    * disk; the reference likewise times decode of already-written
+    * files). */
+  private[queries] def structuredImages(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s, dir, "structured_images_g2") {
+      val gen = udf { (id: Long) =>
+        val group = id / 5
+        val v = ((id % 5) % 3).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            md.reset()
+            var g = md.digest(s"$group:$x:$y".getBytes("UTF-8"))(0) & 0xff
+            if ((v == 1 && x == 2 && y == 1) || (v == 2 && x == 4 && y == 2))
+              g = (g + 128) % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
     }
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), gen(col("doc_id")).as("payload"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // perceptual near-dup of REAL decoded pixels: dHash64 over the
@@ -248,14 +257,7 @@ object MultimodalQueries {
     // (sign, endianness, dropped frames) hash-mismatches.
     "mm_audio" -> ((s, dir) => {
       val N = 256
-      val gen = Tables(s, dir, "documents").select(col("doc_id"),
-        transform(sequence(lit(0), lit(N - 1)),
-          i => conv(substring(md5(concat(col("doc_id").cast("string"),
-              lit("_"), i.cast("string"))), 1, 4), 16, 10)
-            .cast("int") - 32768).as("__s"))
-      val enc = udf { (s: Seq[Int]) => Multimodal.encodeWavPcm16(s, 16000) }
-      val wav = gen.select(col("doc_id"), enc(col("__s")).as("payload"))
-      val dec = Multimodal.decodeAudio(wav, "payload")
+      val dec = Multimodal.decodeAudio(syntheticWavs(s, dir), "payload")
         .select(col("doc_id"),
           col("decoded.sample_rate").as("sample_rate"),
           col("decoded.channels").as("channels"),
@@ -284,7 +286,32 @@ object MultimodalQueries {
     // codec; the oracle recomputes the fingerprint from the
     // generation arithmetic, so any decoder deviation
     // hash-mismatches.
-    "mm_audio_fp" -> ((s, dir) => {
+    "mm_audio_fp" -> ((s, dir) =>
+      graft.operators.Binary.hammingNearDupPairs(
+        Multimodal.audioFingerprint64(structuredWavs(s, dir), "payload"),
+        "doc_id", "fp", maxHamming = 3))
+  )
+
+  /** Plain md5-derived WAV corpus (one independent waveform per doc)
+    * for the decode round-trip — payload-at-rest parquet fixture like
+    * [[structuredImages]]. */
+  private[queries] def syntheticWavs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s, dir, "synthetic_wavs_g1") {
+      val N = 256
+      val gen = Tables(s, dir, "documents").select(col("doc_id"),
+        transform(sequence(lit(0), lit(N - 1)),
+          i => conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("_"), i.cast("string"))), 1, 4), 16, 10)
+            .cast("int") - 32768).as("__s"))
+      val enc = udf { (s: Seq[Int]) => Multimodal.encodeWavPcm16(s, 16000) }
+      gen.select(col("doc_id"), enc(col("__s")).as("payload"))
+    }
+
+  /** Near-dup-group WAV corpus (seed = doc_id / 5, single-frame
+    * perturbation variants — see the mm_audio_fp scaladoc above) —
+    * payload-at-rest parquet fixture like [[structuredImages]]. */
+  private[queries] def structuredWavs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s, dir, "structured_wavs_g2") {
       val N = 260
       val gen = Tables(s, dir, "documents").select(col("doc_id"),
         expr("doc_id DIV 5").as("__seed"),
@@ -300,12 +327,8 @@ object MultimodalQueries {
             when(i >= col("__v") * 12 && i < col("__v") * 12 + 4,
               (lit(1000) + col("__seed") % 30000).cast("int")).otherwise(x))))
       val enc = udf { (smp: Seq[Int]) => Multimodal.encodeWavPcm16(smp, 16000) }
-      val wav = perturbed.select(col("doc_id"), enc(col("__s")).as("payload"))
-      graft.operators.Binary.hammingNearDupPairs(
-        Multimodal.audioFingerprint64(wav, "payload"),
-        "doc_id", "fp", maxHamming = 3)
-    })
-  )
+      perturbed.select(col("doc_id"), enc(col("__s")).as("payload"))
+    }
 
   // channel means as SQL: exactly channel/255 cast to float4
   private val vecSql =

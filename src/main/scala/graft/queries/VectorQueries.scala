@@ -87,6 +87,16 @@ object VectorQueries {
         "cluster")
     }),
 
+    // prototypicality pruning (D4): rank every vector by exact
+    // distance to its centroid, drop the closest 25% per cluster —
+    // the redundant semantic core goes, the diverse tail stays.
+    // One (id, cluster, dist) exchange after the assignment scan;
+    // cluster-local sorts stay ~B rows under the autoK discipline
+    "q_proto_prune" -> ((s, dir) =>
+      graft.operators.KMeans.protoPrune(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, steps = 2, dropPct = 25)),
+
     // semantic near-dup via cluster bucketing: all-pairs cosine
     // becomes k cluster-local self-joins; the threshold compare is
     // exact integer arithmetic (no float boundary). 0.42 matches
@@ -828,6 +838,19 @@ object VectorQueries {
       |       floor(500000.0 * q * ln(q / ((p + q) / 2.0)))
       |    AS BIGINT) AS contrib_e6
       |FROM sj""".stripMargin),
+    // proto-prune replay: the a2 assignment ranked within cluster by
+    // (dist, vec_id); drop count = exact integer n * 25 // 100
+    "q_proto_prune" -> (kmeansCtes + """,
+      |r AS (SELECT vec_id, cluster, dist,
+      |        row_number() OVER (PARTITION BY cluster
+      |          ORDER BY dist, vec_id) AS proto_rank,
+      |        count(*) OVER (PARTITION BY cluster) AS n
+      |      FROM a2)
+      |SELECT vec_id, cluster, dist,
+      |  CAST(proto_rank AS BIGINT) AS proto_rank,
+      |  CAST(CASE WHEN proto_rank <= n * 25 // 100 THEN 0 ELSE 1 END
+      |    AS INTEGER) AS kept
+      |FROM r""".stripMargin),
     "dedup_semantic" -> (kmeansCtes + semanticPairsTail),
     // the auto twin's only delta: k is resolved IN SQL from count(*)
     // with the same exact integer ceil-divide KMeans.autoK computes —

@@ -97,6 +97,37 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(3L) == (("x", 17L, 1L)))
   }
 
+  test("protoPrune drops exactly the per-cluster prototypical core " +
+    "and ranks by exact centroid distance") {
+    import graft.operators.KMeans
+    // two planted clusters of 4; coordinates exactly representable in
+    // float so milliunit quantization is clean. Init centroids = the
+    // two smallest ids (1 in cluster A, 2 in cluster B).
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.0f)), (3L, Seq(0.25f, 0.0f)),
+      (4L, Seq(0.0f, 0.5f)), (5L, Seq(0.75f, 0.75f)),
+      (2L, Seq(8.0f, 8.0f)), (6L, Seq(8.25f, 8.0f)),
+      (7L, Seq(8.0f, 8.5f)), (8L, Seq(8.75f, 8.75f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.protoPrune(rows, "vec_id", "embedding",
+      k = 2, steps = 2, dropPct = 25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(3), r.getInt(4)))).toMap
+    // centroid A = (250, 312): dists 159844/97344/97844/441844 for
+    // ids 1/3/4/5 -> rank order 3,4,1,5; drop count = 4*25/100 = 1
+    assert(out(3L) == ((0, 1L, 0)))
+    assert(out(4L) == ((0, 2L, 1)))
+    assert(out(1L) == ((0, 3L, 1)))
+    assert(out(5L) == ((0, 4L, 1)))
+    // cluster B is the same shape shifted by 8.0 -> symmetric ranks
+    assert(out(6L) == ((1, 1L, 0)))
+    assert(out(2L) == ((1, 3L, 1)))
+    // dropPct = 0 keeps everything
+    val all = KMeans.protoPrune(rows, "vec_id", "embedding",
+      k = 2, steps = 2, dropPct = 0)
+    assert(all.filter(col("kept") === 0).count() == 0)
+  }
+
   test("scrubOverlaps overlapping leak spans merge: shared words " +
     "removed once, boundaries exact") {
     import graft.operators.Decontaminate
