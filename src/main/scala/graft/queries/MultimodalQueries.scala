@@ -24,8 +24,11 @@ object MultimodalQueries {
 
   /** Deterministic PNG payloads: width 1+id%37, height 1+(3id)%29,
     * solid RGB (1+id%255, 1+7id%253, 1+13id%251) — never the zero
-    * vector, so cosine features are always defined. */
-  private def syntheticImages(s: SparkSession, dir: String): DataFrame = {
+    * vector, so cosine features are always defined. Payload-at-rest
+    * parquet fixture (see [[structuredImages]]): the timed queries
+    * measure the PNG DECODE path, not payload construction. */
+  private def syntheticImages(s: SparkSession, dir: String): DataFrame =
+   Fixtures.cached(s, dir, "synthetic_images_g1") {
     val gen = udf { (id: Long) =>
       val w = 1 + (id % 37).toInt
       val h = 1 + ((id * 3) % 29).toInt
@@ -42,7 +45,7 @@ object MultimodalQueries {
     }
     Tables(s, dir, "documents")
       .select(col("doc_id"), gen(col("doc_id")).as("payload"))
-  }
+   }
 
   /** The pixel-mean features of the synthetic images, replayable as
     * SQL arithmetic: mean of a solid channel == channel/255 exactly
@@ -65,28 +68,24 @@ object MultimodalQueries {
     * count, frame geometry, and each frame's solid palette color —
     * every field the video queries emit replays as arithmetic over
     * doc_id in the oracle, while the bytes run through the REAL JDK
-    * GIF codec on both write and read. */
-  private val videoCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
-    val gen = udf { (id: Long) =>
-      val w = 1 + (id % 11).toInt
-      val h = 1 + ((id * 3) % 13).toInt
-      val nf = 2 + (id % 7).toInt
-      Multimodal.encodeGifFrames(w, h, (0 until nf).map { f =>
-        (1 + ((id + 11 * f) % 255).toInt,
-         1 + ((id * 7 + 3 * f) % 253).toInt,
-         1 + ((id * 13 + 5 * f) % 251).toInt)
-      })
-    }
-    // persisted + memoized like pixelVectors: mm_video and mm_frames
-    // both read these payloads (and the bench re-invokes each query),
-    // and the GIF ENCODE UDF is the cost — not the few-KB payloads
-    videoCache.getOrElseUpdate((s, dir),
+    * GIF codec on both write and read. Payload-at-rest parquet
+    * fixture (see [[structuredImages]]): mm_video and mm_frames time
+    * the GIF DECODE path over bytes from storage, never the encode. */
+  private def syntheticVideos(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s, dir, "synthetic_gifs_g1") {
+      val gen = udf { (id: Long) =>
+        val w = 1 + (id % 11).toInt
+        val h = 1 + ((id * 3) % 13).toInt
+        val nf = 2 + (id % 7).toInt
+        Multimodal.encodeGifFrames(w, h, (0 until nf).map { f =>
+          (1 + ((id + 11 * f) % 255).toInt,
+           1 + ((id * 7 + 3 * f) % 253).toInt,
+           1 + ((id * 13 + 5 * f) % 251).toInt)
+        })
+      }
       Tables(s, dir, "documents")
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
-        .persist())
-  }
+    }
 
   /** Deterministic STRUCTURED 9x8 grayscale PNGs for the
     * perceptual-hash path: pixel (x, y) green = the first byte of

@@ -127,7 +127,9 @@ object ScaleProbe {
       "text_novelty", "q_novel_content", "text_decontaminate_semantic",
       "dedup_pr_eval", "q_drift_semantic", "dedup_cluster_sizes",
       "stream_dedup_ingest", "stream_drift_monitor",
-      "stream_media_ingest", "q_min_k_prob")
+      "stream_media_ingest", "q_min_k_prob",
+      "text_decontaminate_scrub", "q_proto_prune",
+      "mm_phash", "mm_audio_fp")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
