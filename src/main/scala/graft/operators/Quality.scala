@@ -103,4 +103,39 @@ object Quality {
         size(col(wordsCol)).cast("long").as("n_words"),
         scoreExpr(col(wordsCol), weights).as("score"))
       .withColumn("keep", (col("score") > 0).cast("int"))
+
+  /** Blocklist pass — the EXCLUSION twin of GopherRules' required
+    * stopwords: count each document's tokens that appear on a
+    * curated blocklist and drop documents past a hit budget (C4
+    * drops on ANY hit from the UT1 "bad words" list — `maxHits = 0`;
+    * FineWeb keeps a fractional budget — pass `maxHits > 0`).
+    * Output is total annotation: (id, n_words, n_blocked, keep).
+    *
+    * Scale shape: the list rides into the scan as a broadcast array
+    * literal and the count is a doc-local array fold — ZERO
+    * exchanges, the same narrow-pass shape as [[scoreLinearOfWords]]
+    * (curated blocklists are KBs; a list too big for a literal
+    * would switch to the explode + broadcast-semi-join + count
+    * shape, whose join-back carries only (id, count)). Matching is
+    * exact on lowercased whitespace tokens — the replayable
+    * contract; substring matching belongs to the PII/regex family
+    * ([[LineFilter]]). */
+  def blocklistAnnotate(docs: DataFrame, idCol: String, textCol: String,
+                        blocklist: Seq[String], maxHits: Long = 0L): DataFrame =
+    blocklistAnnotateOfWords(
+      docs.select(col(idCol), words(col(textCol)).as("__gqw")),
+      idCol, "__gqw", blocklist, maxHits)
+
+  /** [[blocklistAnnotate]] over an already-projected word array. */
+  def blocklistAnnotateOfWords(docs: DataFrame, idCol: String,
+                               wordsCol: String, blocklist: Seq[String],
+                               maxHits: Long = 0L): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist: nothing to filter")
+    val listLit = typedlit(blocklist)
+    docs.select(col(idCol),
+        size(col(wordsCol)).cast("long").as("n_words"),
+        size(filter(col(wordsCol), w => array_contains(listLit, w)))
+          .cast("long").as("n_blocked"))
+      .withColumn("keep", (col("n_blocked") <= maxHits).cast("int"))
+  }
 }

@@ -234,6 +234,15 @@ object TextQueries {
         idCol = "doc_id", textCol = "text", n = 3)
     }),
 
+    // C4/UT1-style blocklist pass: count blocklisted tokens per doc,
+    // keep under a hit budget — the exclusion twin of the Gopher
+    // required-stopwords rule. Zero exchanges: the list is a
+    // broadcast array literal, the count a doc-local fold
+    "q_blocklist" -> ((s, dir) =>
+      graft.operators.Quality.blocklistAnnotate(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        blocklist = Seq("slow", "bug", "crash"), maxHits = 2)),
+
     // the REWRITE half of decontamination: scrub every word inside
     // an 8-gram shared with the eval slice, keep the rest — span
     // removal instead of document drop (long grams: a scrub must
@@ -1238,6 +1247,20 @@ object TextQueries {
         |       AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // blocklist replay: same tokenization, list_filter hit count,
+    // integer hit budget
+    "q_blocklist" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |h AS (SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+        |        CAST(len(list_filter(wl,
+        |          x -> list_contains(['slow','bug','crash'], x)))
+        |          AS BIGINT) AS n_blocked
+        |      FROM w)
+        |SELECT doc_id, n_words, n_blocked,
+        |  CAST(CASE WHEN n_blocked <= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM h""".stripMargin,
     // scrub replay: 8-gram positions (1-based i covers words
     // [i, i+8)), contaminated starts = positions whose gram is in
     // the eval set, kept indices = words no start covers, rebuilt

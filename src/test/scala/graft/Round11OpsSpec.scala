@@ -97,6 +97,28 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(3L) == (("x", 17L, 1L)))
   }
 
+  test("blocklistAnnotate counts exact-token hits and applies the " +
+    "hit budget; maxHits=0 is C4's drop-on-any") {
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "clean prose only here"),
+      (2L, "one bad word: crash"),              // 1 hit
+      (3L, "crash Crash CRASH and slow too"),   // 4 hits (lowercased)
+      (4L, "crashing slowly"))                  // substrings do NOT match
+      .toDF("doc_id", "text")
+    val list = Seq("slow", "bug", "crash")
+    val budget = Quality.blocklistAnnotate(docs, "doc_id", "text", list,
+      maxHits = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(budget(1L) == ((0L, 1)))
+    assert(budget(2L) == ((1L, 1)))
+    assert(budget(3L) == ((4L, 0)))
+    assert(budget(4L) == ((0L, 1)))
+    val any = Quality.blocklistAnnotate(docs, "doc_id", "text", list)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(any == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
   test("protoPrune drops exactly the per-cluster prototypical core " +
     "and ranks by exact centroid distance") {
     import graft.operators.KMeans
