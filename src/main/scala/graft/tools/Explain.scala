@@ -90,7 +90,12 @@ object Explain {
     "dedup_cdc_gear",    // codegen'd Gear rolling pass, same windowed tail
     "mm_cdc",            // byte-level Gear kernel over binary payloads
     "mm_phash",          // dHash + tight-radius banded Hamming self-join
-    "q_perplexity5_bcast" // order-5 unified ladder, broadcast maps, 0 exch.
+    "q_perplexity5_bcast", // order-5 unified ladder, broadcast maps, 0 exch.
+    "q_min_k_prob",      // broadcast-model scorer + in-row order statistic
+    "text_decontaminate_scrub", // broadcast grams + broadcast start join-back
+    "q_proto_prune",     // narrow assign + one (id,cluster,dist) window exch.
+    "q_blocklist",       // broadcast list literal, doc-local fold, 0 exch.
+    "mm_audio_fp"        // WAV decode -> fingerprint -> banded Hamming join
   )
 
   def main(args: Array[String]): Unit = {
