@@ -97,6 +97,92 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(3L) == (("x", 17L, 1L)))
   }
 
+  test("PROPERTY: scrubOverlaps equals the brute-force span-removal " +
+    "reference on seeded random corpora") {
+    import graft.operators.Decontaminate
+    val rng = new scala.util.Random(1711)
+    val vocab = (0 until 10).map(i => s"w$i")
+    def randDoc(): String =
+      Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val n = 3
+    (1 to 8).foreach { _ =>
+      val docs = (0L until 24L).map(i => (i, randDoc()))
+      val (evalD, trainD) = docs.partition(_._1 % 7 == 0)
+      // the library's tokenization (words() and its DuckDB oracle
+      // twin) maps EMPTY text to [""] — one empty token — so the
+      // reference must too: split with -1 keeps the trailing empty
+      def tok(t: String): Seq[String] =
+        t.trim.toLowerCase.split("\\s+", -1).toSeq
+      def grams(t: String): Seq[Seq[String]] = {
+        val w = tok(t)
+        if (w.size < n) Seq.empty else w.sliding(n).toSeq
+      }
+      val evalGrams = evalD.flatMap(d => grams(d._2)).toSet
+      val expect = trainD.map { case (id, t) =>
+        val w = tok(t)
+        val starts = if (w.size < n) Seq.empty
+          else (0 to w.size - n).filter(p => evalGrams.contains(w.slice(p, p + n)))
+        val covered = starts.flatMap(p => p until p + n).toSet
+        val kept = w.zipWithIndex.collect { case (wd, i) if !covered(i) => wd }
+        id -> ((kept.mkString(" "), w.size.toLong, kept.size.toLong))
+      }.toMap
+      val got = Decontaminate.scrubOverlaps(
+          trainD.toDF("doc_id", "text"), evalD.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("PROPERTY: blocklistAnnotate equals the brute-force token-count " +
+    "reference on seeded random corpora") {
+    import graft.operators.Quality
+    val rng = new scala.util.Random(2311)
+    val vocab = (0 until 12).map(i => s"t$i")
+    (1 to 8).foreach { _ =>
+      val list = rng.shuffle(vocab).take(1 + rng.nextInt(4))
+      val budget = rng.nextInt(3).toLong
+      val docs = (0L until 30L).map(i => (i,
+        Seq.fill(1 + rng.nextInt(15))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      val expect = docs.map { case (id, t) =>
+        val w = t.split("\\s+").toSeq
+        val hits = w.count(list.contains)
+        id -> ((w.size.toLong, hits.toLong, if (hits <= budget) 1 else 0))
+      }.toMap
+      val got = Quality.blocklistAnnotate(
+          docs.toDF("doc_id", "text"), "doc_id", "text", list, budget)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("PROPERTY: protoPrune drop counts, rank permutations, and " +
+    "(dist, id) rank order hold on seeded random corpora") {
+    import graft.operators.KMeans
+    val rng = new scala.util.Random(3137)
+    (1 to 4).foreach { round =>
+      val dropPct = Seq(0, 10, 25, 50, 100)(round % 5)
+      val rows = (0L until 40L).map(i =>
+        (i, Seq.fill(4)(rng.nextFloat() * 2 - 1)))
+      val out = KMeans.protoPrune(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 5, steps = 2, dropPct = dropPct)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      out.groupBy(_._2).foreach { case (_, cl) =>
+        val nC = cl.length
+        val dropN = nC.toLong * dropPct / 100
+        assert(cl.count(_._5 == 0) == dropN)
+        assert(cl.map(_._4).sorted.toSeq == (1L to nC).toSeq)
+        val byRank = cl.sortBy(_._4).map(t => (t._3, t._1)).toSeq
+        assert(byRank == byRank.sorted)
+        cl.foreach(t => assert((t._5 == 0) == (t._4 <= dropN)))
+      }
+    }
+  }
+
   test("blocklistAnnotate counts exact-token hits and applies the " +
     "hit budget; maxHits=0 is C4's drop-on-any") {
     import graft.operators.Quality
