@@ -50,6 +50,20 @@ object EventQueries {
         Seq("ts_us" -> "signup_ts_us"), tolerance = Some(86400000000L))
     }),
 
+    // ordered-step funnel signup -> view -> click -> purchase: step k
+    // strictly after step k-1 in (ts, event_id) order — one exchange
+    // on user_id, doc-local step chase over the sorted event array
+    "q_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnel(
+          Tables.events(s, dir)
+            .withColumn("us", expr(s"ts div $NS_PER_US")),
+          "user_id", "us", "event_id", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .withColumnsRenamed(Map(
+          "t_signup" -> "t_signup_us", "t_view" -> "t_view_us",
+          "t_click" -> "t_click_us", "t_purchase" -> "t_purchase_us"))
+    }),
+
     // sessionization: 30-minute inactivity gap splits sessions
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -165,6 +179,46 @@ object EventQueries {
         |   WHERE g.user_id = p.user_id AND g.ts_us <= p.ts_us
         |     AND p.ts_us - g.ts_us <= 86400000000) AS signup_ts_us
         |FROM p""".stripMargin,
+    // funnel replay: chained first-strictly-after CTEs, each step the
+    // (us, event_id)-lexicographic first candidate after the previous
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |           FROM events
+        |           WHERE event_type IN ('signup','view','click','purchase')),
+        |s1 AS (SELECT user_id, us, event_id FROM (
+        |    SELECT user_id, us, event_id, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |    FROM e WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (SELECT user_id, us, event_id FROM (
+        |    SELECT e.user_id, e.us, e.event_id, row_number() OVER
+        |      (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+        |    FROM e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'view'
+        |      AND (e.us > s1.us OR (e.us = s1.us AND e.event_id > s1.event_id)))
+        |  WHERE rn = 1),
+        |s3 AS (SELECT user_id, us, event_id FROM (
+        |    SELECT e.user_id, e.us, e.event_id, row_number() OVER
+        |      (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+        |    FROM e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'click'
+        |      AND (e.us > s2.us OR (e.us = s2.us AND e.event_id > s2.event_id)))
+        |  WHERE rn = 1),
+        |s4 AS (SELECT user_id, us, event_id FROM (
+        |    SELECT e.user_id, e.us, e.event_id, row_number() OVER
+        |      (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+        |    FROM e JOIN s3 USING (user_id)
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.us > s3.us OR (e.us = s3.us AND e.event_id > s3.event_id)))
+        |  WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, s1.us AS t_signup_us, s2.us AS t_view_us,
+        |  s3.us AS t_click_us, s4.us AS t_purchase_us,
+        |  CAST(CASE WHEN s1.us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s2.us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s3.us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s4.us IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,

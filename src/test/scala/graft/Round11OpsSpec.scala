@@ -97,6 +97,68 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(3L) == (("x", 17L, 1L)))
   }
 
+  test("funnel chases steps strictly in order with (ts, id) tiebreaks; " +
+    "early later-steps do not complete the funnel") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1 completes the funnel in order
+      (1L, 10L, 100L, "signup"), (1L, 20L, 101L, "view"),
+      (1L, 30L, 102L, "click"), (1L, 40L, 103L, "purchase"),
+      // user 2 stalls after view (the click precedes the signup)
+      (2L, 5L, 200L, "click"), (2L, 10L, 201L, "signup"),
+      (2L, 20L, 202L, "view"),
+      // user 3: purchase BEFORE the click — depth 3, t_purchase null
+      (3L, 10L, 300L, "signup"), (3L, 20L, 301L, "view"),
+      (3L, 25L, 302L, "purchase"), (3L, 30L, 303L, "click"),
+      // user 4: same-ts tiebreak — view eid 401 > signup eid 400
+      // counts; the eid-399 view at the same ts must not
+      (4L, 10L, 399L, "view"), (4L, 10L, 400L, "signup"),
+      (4L, 10L, 401L, "view"))
+      .toDF("user_id", "us", "event_id", "event_type")
+    val out = Funnel.funnel(ev, "user_id", "us", "event_id", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), r.getInt(5)))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), Some(40L), 4)))
+    assert(out(2L) == ((Some(10L), Some(20L), None, None, 2)))
+    assert(out(3L) == ((Some(10L), Some(20L), Some(30L), None, 3)))
+    assert(out(4L) == ((Some(10L), Some(10L), None, None, 2)))
+  }
+
+  test("PROPERTY: funnel equals the brute-force sequential chase on " +
+    "seeded random event logs") {
+    import graft.operators.Funnel
+    val rng = new scala.util.Random(4177)
+    val types = Seq("a", "b", "c")
+    (1 to 6).foreach { _ =>
+      val ev = (0 until 120).map { i =>
+        (rng.nextInt(8).toLong, rng.nextInt(10).toLong, i.toLong,
+          types(rng.nextInt(types.size)))
+      }
+      val expect = ev.groupBy(_._1).map { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        // sentinel predecessor: the first step needs no strict-after
+        var prev: Option[(Long, Long)] = Some((Long.MinValue, Long.MinValue))
+        val ts = types.map { t =>
+          val hit = prev.flatMap { case (pts, pid) =>
+            sorted.find(r => r._4 == t &&
+              (r._2 > pts || (r._2 == pts && r._3 > pid)))
+          }
+          prev = hit.map(r => (r._2, r._3))
+          hit.map(_._2)
+        }
+        u -> ((ts, ts.count(_.isDefined)))
+      }
+      val got = Funnel.funnel(ev.toDF("user_id", "us", "event_id",
+          "event_type"), "user_id", "us", "event_id", "event_type", types)
+        .collect().map(r => r.getLong(0) ->
+          ((Seq(Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+             .map(_.map(_.asInstanceOf[Long])), r.getInt(4)))).toMap
+      assert(got == expect)
+    }
+  }
+
   test("PROPERTY: scrubOverlaps equals the brute-force span-removal " +
     "reference on seeded random corpora") {
     import graft.operators.Decontaminate
