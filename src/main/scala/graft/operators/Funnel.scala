@@ -72,4 +72,32 @@ object Funnel {
           when(chased(s"__s$i").isNotNull, 1).otherwise(0))
           .reduce(_ + _).cast("int").as("depth"): _*)
   }
+
+  /** Cohort retention triangle — the funnel's aggregate sibling:
+    * each user's cohort is the period (ts div `periodLen`, exact
+    * integer division) of their FIRST event; cell (cohort, offset)
+    * counts the cohort's users active again `offset` periods later.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, period)
+    * pairs in one map-combined aggregation (bounded by users x
+    * active periods, tiny next to the event log); the cohort lookup
+    * is a self-aggregation of that pair table joined back on user —
+    * both sides already hash on user_id, and the pair table's
+    * distinctness makes the final count a plain count(*), no
+    * count-distinct exchange. Nothing wider than three integers ever
+    * shuffles.
+    * @return (cohort, offset, n_users) */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodLen: Long): DataFrame = {
+    require(periodLen > 0, "periodLen must be a positive tick count")
+    val up = events.select(col(userCol).as("user_id"),
+        expr(s"`$tsCol` div $periodLen").as("period"))
+      .distinct()
+    val cohort = up.groupBy(col("user_id"))
+      .agg(min(col("period")).as("cohort"))
+    up.join(cohort, Seq("user_id"))
+      .select(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

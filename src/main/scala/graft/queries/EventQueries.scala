@@ -64,6 +64,15 @@ object EventQueries {
           "t_click" -> "t_click_us", "t_purchase" -> "t_purchase_us"))
     }),
 
+    // daily cohort retention triangle: cohort = day of first event,
+    // cell (cohort, offset) = cohort users active offset days later.
+    // Corpus collapses to distinct (user, day) pairs immediately
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Funnel.retention(
+        Tables.events(s, dir)
+          .withColumn("us", expr(s"ts div $NS_PER_US")),
+        "user_id", "us", periodLen = 86400000000L)),
+
     // sessionization: 30-minute inactivity gap splits sessions
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -219,6 +228,18 @@ object EventQueries {
         |     + CASE WHEN s4.us IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)""".stripMargin,
+    // retention replay: identical distinct-pair -> min-cohort ->
+    // offset-count chain (// is DuckDB's integer floor divide; ts
+    // values are all post-epoch so it matches BIGINT div)
+    "q_retention" ->
+      """WITH up AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 86400000000 AS period
+        |            FROM events),
+        |c AS (SELECT user_id, min(period) AS cohort FROM up GROUP BY 1)
+        |SELECT c.cohort, up.period - c.cohort AS offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM up JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -126,6 +126,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(out(4L) == ((Some(10L), Some(10L), None, None, 2)))
   }
 
+  test("retention counts each cohort's users active at each offset; " +
+    "offset 0 equals cohort size") {
+    import graft.operators.Funnel
+    // periods (periodLen = 10): u1 first at 0, active 0/1/3;
+    // u2 first at 0, active 0/1; u3 first at 1, active 1/3
+    val ev = Seq(
+      (1L, 5L), (1L, 12L), (1L, 14L), (1L, 33L),
+      (2L, 1L), (2L, 19L),
+      (3L, 10L), (3L, 31L))
+      .toDF("user_id", "us")
+    val out = Funnel.retention(ev, "user_id", "us", periodLen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("PROPERTY: funnel equals the brute-force sequential chase on " +
     "seeded random event logs") {
     import graft.operators.Funnel
