@@ -129,7 +129,8 @@ object ScaleProbe {
       "stream_dedup_ingest", "stream_drift_monitor",
       "stream_media_ingest", "q_min_k_prob",
       "text_decontaminate_scrub", "q_proto_prune",
-      "mm_phash", "mm_audio_fp")
+      "mm_phash", "mm_audio_fp",
+      "q_blocklist", "q_funnel", "q_retention")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
