@@ -243,6 +243,36 @@ object Demo {
     val sk = graft.operators.Salting.skewStats(docs5, "source", topN = 1,
       targetPerBucket = 16L).head()
     println(s"heaviest source=${sk.get(1)} cnt=${sk.getLong(2)} salt=${sk.getLong(4)}")
+
+    println("== round-11 curation/event operators ==")
+    // contamination span scrub: leaked 8-grams removed, docs kept
+    val scrub = graft.operators.Decontaminate.scrubOverlaps(
+      docs5.filter(col("doc_id") % 97 =!= 0),
+      docs5.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+    println("scrubbed docs=" + scrub.filter(col("n_kept") < col("n_words"))
+      .count() + " of " + scrub.count())
+    // blocklist pass: exact-token hits under a budget
+    val bl = graft.operators.Quality.blocklistAnnotate(
+      docs5, "doc_id", "text", Seq("slow", "bug", "crash"), maxHits = 2)
+    println("blocklist keep rate=" + bl.filter(col("keep") === 1).count() +
+      "/" + bl.count())
+    // D4 prototypicality pruning over the embedding table
+    val pp = graft.operators.KMeans.protoPrune(emb5, "vec_id", "embedding",
+      k = 8, steps = 2, dropPct = 25)
+    println("proto-prune dropped=" + pp.filter(col("kept") === 0).count() +
+      "/" + pp.count())
+    // ordered-step funnel + daily retention over the event log
+    val ev5 = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("us", expr("ts div 1000"))
+    val fn = graft.operators.Funnel.funnel(ev5, "user_id", "us",
+      "event_id", "event_type", Seq("signup", "view", "click", "purchase"))
+    println("funnel depths=" + fn.groupBy(col("depth")).count()
+      .orderBy(col("depth")).collect()
+      .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(","))
+    val rt = graft.operators.Funnel.retention(ev5, "user_id", "us",
+      periodLen = 86400000000L)
+    println("retention cells=" + rt.count() + " day0 users=" +
+      rt.filter(col("offset") === 0).agg(sum(col("n_users"))).head().getLong(0))
     spark.stop()
   }
 }

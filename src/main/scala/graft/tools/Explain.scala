@@ -95,7 +95,9 @@ object Explain {
     "text_decontaminate_scrub", // broadcast grams + broadcast start join-back
     "q_proto_prune",     // narrow assign + one (id,cluster,dist) window exch.
     "q_blocklist",       // broadcast list literal, doc-local fold, 0 exch.
-    "mm_audio_fp"        // WAV decode -> fingerprint -> banded Hamming join
+    "mm_audio_fp",       // WAV decode -> fingerprint -> banded Hamming join
+    "q_funnel",          // scan-filtered step types, ONE user exchange
+    "q_retention"        // distinct (user, period) pairs, integer-only shuffles
   )
 
   def main(args: Array[String]): Unit = {
