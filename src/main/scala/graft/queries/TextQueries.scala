@@ -1291,7 +1291,11 @@ object TextQueries {
         |          len(list_filter(ps, p -> p <= j AND j < p + 8)) = 0) AS idx
         |      FROM c)
         |SELECT doc_id,
-        |  array_to_string(list_transform(idx, j -> wl[j]), ' ') AS clean_text,
+        |  -- coalesce: array_to_string of an EMPTY list is NULL in
+        |  -- DuckDB, but concat_ws of an empty array is '' in Spark —
+        |  -- a fully-scrubbed document must compare equal
+        |  coalesce(array_to_string(list_transform(idx, j -> wl[j]), ' '), '')
+        |    AS clean_text,
         |  CAST(len(wl) AS BIGINT) AS n_words,
         |  CAST(len(idx) AS BIGINT) AS n_kept
         |FROM k""".stripMargin,
