@@ -269,6 +269,48 @@ object Fixtures {
       }
     }.toString
 
+  /** The whole event log sorted by (us, event_id) as three tertile
+    * files + two far-future sentinel files — the stream_funnel feed.
+    * The (us, event_id) sort (not just ts) is the funnel's
+    * determinism contract: a user's events must arrive across
+    * micro-batches in exactly the strict-after order the chase
+    * folds, including timestamp ties broken by event_id. Sentinels
+    * are REAL step-type rows for user -1 (a filtered-out type would
+    * be pushed below the watermark collector and never advance event
+    * time — measured: 23/150 users emitted): they move the watermark
+    * past every user's last event + the harness's 45-day conversion
+    * window (46 days out — the window must exceed the 30-day log so
+    * every user is one journey and stream == batch q_funnel exactly;
+    * a 2-day sentinel left mid-log quiet gaps emitting partial
+    * journeys at sf0.001) — one to advance, one to fire the
+    * event-time timeouts — while user -1's own group times out
+    * beyond the final watermark and stays open, unemitted (the
+    * driftMonitor sentinel-window discipline). */
+  def streamFunnelFeed(s: SparkSession, dir: String): String =
+    streamFeed(dir, "stream_funnel_feed_g3") {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          expr("ts div 1000").as("us"),
+          col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"))
+      val maxUs = ev.agg(max(col("us"))).head()
+      if (maxUs.isNullAt(0)) Seq.empty
+      else {
+        val tiled = ev.withColumn("__b", ntile(3).over(
+          Window.partitionBy(col("event_id") * 0)
+            .orderBy(col("us"), col("event_id"))))
+        val sentinelUs = maxUs.getLong(0) + 46L * 86400000000L
+        (1 to 3).map(b => tiled.filter(col("__b") === b).drop("__b")) ++
+          Seq(0L, 1000000L).map(off => Seq(
+            (new java.sql.Timestamp((sentinelUs + off) / 1000L),
+              sentinelUs + off, -1L, -1L, "signup"))
+            .toDF("ts", "us", "event_id", "user_id", "event_type"))
+      }
+    }.toString
+
   /** Build every fixture for a scale factor (Bench calls this before
     * the timed loop so no query is charged fixture construction). */
   def warm(s: SparkSession, dir: String): Unit = {
@@ -280,5 +322,6 @@ object Fixtures {
     streamDedupFeed(s, dir)
     streamDriftFeed(s, dir)
     streamMediaFeed(s, dir)
+    streamFunnelFeed(s, dir)
   }
 }

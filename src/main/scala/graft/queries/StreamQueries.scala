@@ -175,10 +175,54 @@ object StreamQueries {
     out
   }
 
+  /** The STATEFUL per-entity streaming path: the ordered-step funnel
+    * ([[StreamOps.streamingFunnel]] — per-user state, event-time
+    * quiet-window timeouts) over the whole event log as a real
+    * micro-batch query. The (us, event_id)-sorted feed runs in three
+    * micro-batches; two sentinel batches (step-type rows for user -1,
+    * 46 days out) advance the watermark past every user's last event
+    * + the 45-day conversion window (one to move it, one to fire the
+    * timeouts), so every real user's final funnel row emits — while
+    * user -1's own timeout sits beyond the final watermark and its
+    * group stays open, unemitted. The window exceeds the 30-day log,
+    * so every user is ONE journey and the oracle is the BATCH
+    * q_funnel SQL verbatim (a short window would legitimately emit
+    * one row per quiet-separated journey — that product semantics is
+    * pinned in StreamBatchEquivalenceSpec, not gated here). */
+  private def funnelMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val feedDir = Fixtures.streamFunnelFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("us", LongType), StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val steps = Seq("signup", "view", "click", "purchase")
+    val sink = s"graft_stream_funnel_sink_${sinkIds.incrementAndGet()}"
+    // few state groups (users), many state partitions = fixed commit
+    // overhead per micro-batch; 8 partitions, same as driftMonitor
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try StreamOps.streamingFunnel(input, steps, quietDays = 45)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out.select(col("user_id") +:
+      steps.zipWithIndex.map { case (st, i) =>
+        get(col("times"), lit(i)).as(s"t_${st}_us") } :+
+      col("depth"): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
     "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir)),
-    "stream_media_ingest" -> ((s, dir) => mediaIngest(s, dir))
+    "stream_media_ingest" -> ((s, dir) => mediaIngest(s, dir)),
+    "stream_funnel" -> ((s, dir) => funnelMonitor(s, dir))
   )
 
   // DuckDB replay of the whole streaming pipeline: identical MinHash
@@ -267,6 +311,9 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_dedup_ingest" -> dedupIngestOracle,
     "stream_drift_monitor" -> driftMonitorOracle,
-    "stream_media_ingest" -> mediaIngestOracle
+    "stream_media_ingest" -> mediaIngestOracle,
+    // stream == batch is the funnel's contract: the oracle is the
+    // batch q_funnel replay VERBATIM (one SQL string, two plans)
+    "stream_funnel" -> EventQueries.oracles("q_funnel")
   )
 }

@@ -365,4 +365,90 @@ object StreamOps {
           }
       }
   }
+
+  /** (user_id, us, event_id, event_type) — `us` is the exact
+    * microsecond BIGINT (the Timestamp column only drives the
+    * watermark; Timestamp.getTime is millisecond-truncated, which
+    * would corrupt the (ts, event_id) strict-after comparison). */
+  final case class FunnelEvent(user_id: Long, us: Long, event_id: Long,
+                               event_type: String)
+  final case class FunnelProgress(depth: Int, lastUs: Long, lastEid: Long,
+                                  times: List[Long], lastSeenUs: Long)
+  final case class FunnelRow(user_id: Long, times: Seq[Long], depth: Int)
+
+  /** Streaming ordered-step funnel — the continuous form of
+    * [[graft.operators.Funnel.funnel]]: per-user custom state chases
+    * the step sequence as events arrive (step k strictly after step
+    * k-1 in (us, event_id) order, the batch operator's exact
+    * semantics) and emits the user's funnel row when the watermark
+    * passes their last event + `quietDays` of event-time silence —
+    * the conversion-report row a live product pipeline wants without
+    * the nightly batch.
+    *
+    * `quietDays` is the CONVERSION WINDOW: a user who goes quiet
+    * past it emits their journey-so-far and the state evicts, so a
+    * later return starts a NEW journey row (standard funnel-window
+    * product semantics — and the property that bounds the state
+    * store to quiet-window-active users). Stream == batch
+    * [[graft.operators.Funnel.funnel]] therefore holds exactly when
+    * `quietDays` exceeds every user's largest event gap (one journey
+    * per user — pinned in StreamBatchEquivalenceSpec with a window
+    * longer than the log; the per-journey restart at small windows
+    * is pinned there too).
+    *
+    * Determinism contract: the feed must deliver each user's events
+    * in (us, event_id) order ACROSS micro-batches (a (us, event_id)-
+    * sorted feed, or any per-user-ordered source); within a batch
+    * the fold sorts. State is O(steps) per user — depth, last
+    * matched (us, eid), matched times. Shuffles once on user_id.
+    *
+    * @param events needs `ts` (TimestampType, watermark) plus the
+    *               [[FunnelEvent]] columns */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+                      quietDays: Int = 1,
+                      lateMinutes: Int = 10): Dataset[FunnelRow] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val quietMs = quietDays * 86400000L
+    // NOTE: the step-type filter runs BELOW the watermark collector
+    // after pushdown, so filtered-out rows do NOT advance event time
+    // — a watermark-driving sentinel must be a step-type row (see
+    // Fixtures.streamFunnelFeed, which learned this at 23/150 users)
+    val typed = events
+      .withWatermark("ts", s"$lateMinutes minutes")
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("us").cast("long").as("us"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts"))
+      .as[FunnelEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, evs, state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(st => FunnelRow(user, st.times.reverse, st.depth))
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption.getOrElse(
+              FunnelProgress(0, Long.MinValue, Long.MinValue, Nil,
+                Long.MinValue))
+            evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              if (e.us > st.lastSeenUs) st = st.copy(lastSeenUs = e.us)
+              if (st.depth < steps.length && e.event_type == steps(st.depth) &&
+                  (e.us > st.lastUs ||
+                    (e.us == st.lastUs && e.event_id > st.lastEid)))
+                st = FunnelProgress(st.depth + 1, e.us, e.event_id,
+                  e.us :: st.times, st.lastSeenUs)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L,
+              st.lastSeenUs / 1000L + quietMs))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -310,4 +310,96 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       java.lang.Long.bitCount(streamSigs.toMap.apply(h._1) ^
         corpusSigs.toMap.apply(h._2)) > 3))
   }
+
+  test("streaming funnel equals the batch funnel over the real event log") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(expr("ts div 1000").as("us"),
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+      .collect()
+      .map(r => (tsOf(r.getLong(0)), r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._2, r._3)) // the feed's (us, event_id) contract
+    // conversion window (45 d) longer than the 30-day log: one
+    // journey per user, so stream == batch q_funnel exactly
+    val sentinelUs = ev.map(_._2).max + 46L * 86400000000L
+    val input = MemoryStream[(Timestamp, Long, Long, Long, String)]
+    val q = StreamOps.streamingFunnel(
+        input.toDF().toDF("ts", "us", "event_id", "user_id", "event_type"),
+        steps, quietDays = 45)
+      .writeStream.format("memory").queryName("eq_funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three chronological chunks, then two step-type sentinels for
+      // user -1 (watermark advance + timeout reap)
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      Seq(0L, 1000000L).foreach { off =>
+        input.addData((tsOf(sentinelUs + off), sentinelUs + off,
+          -1L, -1L, "signup"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("eq_funnel").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getInt(2)))
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Funnel.funnel(
+        graft.queries.Tables.events(spark, sfDir)
+          .withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_id", "event_type", steps)
+      .collect()
+      .map { r =>
+        val times = (1 to 4).flatMap(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toList
+        (r.getLong(0), times, r.getInt(5))
+      }.toSeq.sortBy(_._1)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming funnel conversion window: a quiet gap past the window " +
+    "closes the journey and a return starts a new one") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    // user 1: signup+view, then quiet past the 1-day window, then a
+    // full journey. User 2's day-3 events drive the watermark past
+    // user 1's window BEFORE the return (the watermark lags one
+    // batch, so two driver batches precede it) — user 1 then emits
+    // TWO journey rows: depth 2, then depth 4.
+    // base offset: an event at us = 0 TIES the initial watermark and
+    // is dropped as late by the stateful operator — plant well past it
+    val b0 = 100 * day
+    val batches = Seq(
+      Seq((b0, 1L, 1L, "signup"), (b0 + day / 2, 2L, 1L, "view")),
+      Seq((b0 + 3 * day, 10L, 2L, "signup")),       // advances wm
+      Seq((b0 + 3 * day + 1, 11L, 2L, "signup")),   // fires u1's timeout
+      Seq((b0 + 4 * day, 3L, 1L, "signup"),
+        (b0 + 4 * day + 1, 4L, 1L, "view"),
+        (b0 + 4 * day + 2, 5L, 1L, "click"),
+        (b0 + 4 * day + 3, 6L, 1L, "purchase")),
+      Seq((b0 + 60 * day, -1L, -1L, "signup")),     // sentinel: advance
+      Seq((b0 + 60 * day + 1000000L, -2L, -1L, "signup"))) // reap
+      .map(_.map { case (us, eid, u, t) => (tsOf(us), us, eid, u, t) })
+    val input = MemoryStream[(Timestamp, Long, Long, Long, String)]
+    val q = StreamOps.streamingFunnel(
+        input.toDF().toDF("ts", "us", "event_id", "user_id", "event_type"),
+        Seq("signup", "view", "click", "purchase"), quietDays = 1)
+      .writeStream.format("memory").queryName("eq_funnel_window")
+      .outputMode(OutputMode.Append()).start()
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("eq_funnel_window")
+      .filter(col("user_id") === 1L).collect()
+      .map(r => (r.getSeq[Long](1).toList, r.getInt(2))).toSeq
+      .sortBy(_._1.headOption.getOrElse(Long.MaxValue))
+    assert(u1 == Seq(
+      (List(b0, b0 + day / 2), 2),
+      (List(b0 + 4 * day, b0 + 4 * day + 1,
+        b0 + 4 * day + 2, b0 + 4 * day + 3), 4)))
+  }
 }
