@@ -73,6 +73,55 @@ object Funnel {
           .reduce(_ + _).cast("int").as("depth"): _*)
   }
 
+  /** Path analysis — the exploratory sibling of the fixed-step
+    * funnel (the product-analytics "path explorer"/Sankey view):
+    * count every length-`n` consecutive event-type sequence across
+    * user journeys and rank the most-travelled paths. Where the
+    * funnel asks "how many users did A then B then C", this asks
+    * "what do users actually do" — the discovery pass that suggests
+    * which funnels to define.
+    *
+    * Semantics (exact): each user's events order by (ts, id) —
+    * event_id breaks timestamp ties as everywhere in this file —
+    * and every window of `n` CONSECUTIVE events contributes one
+    * '>'-joined path string. Counts are corpus-wide; ties in the
+    * rank break lexicographically on the path.
+    *
+    * Scale shape: ONE exchange groups each user's (bounded)
+    * journey; shingling is a doc-local array transform; the path
+    * count is a map-combined aggregation whose key space is bounded
+    * by |event types|^n (tiny), so the final exchange carries
+    * counts, not journeys; top-k is a TakeOrdered merge.
+    * @return (path, n_paths, rank) — the k most-travelled paths */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, n: Int = 3,
+               k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, "need positive path length and k")
+    import org.apache.spark.sql.expressions.Window
+    val paths = events
+      .select(col(userCol).as("u"),
+        struct(col(tsCol).as("ts"), col(idCol).as("eid"),
+          col(typeCol).as("etype")).as("__e"))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(explode(when(size(col("__evs")) >= n,
+        // length-n windows: slice at each start, join types with '>'
+        transform(sequence(lit(0), size(col("__evs")) - n), s =>
+          concat_ws(">", transform(slice(col("__evs"), s + 1, lit(n)),
+            e => e.getField("etype"))))).otherwise(array()))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+    // constant non-foldable partition key (the q_rrf discipline): the
+    // frame is the path-count table, bounded by |event types|^n —
+    // pinning one partition states that in the plan without the
+    // unpartitioned-window warning
+    paths
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("n_paths") * 0)
+        .orderBy(col("n_paths").desc, col("path").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Cohort retention triangle — the funnel's aggregate sibling:
     * each user's cohort is the period (ts div `periodLen`, exact
     * integer division) of their FIRST event; cell (cohort, offset)

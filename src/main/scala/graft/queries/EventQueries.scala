@@ -64,6 +64,15 @@ object EventQueries {
           "t_click" -> "t_click_us", "t_purchase" -> "t_purchase_us"))
     }),
 
+    // path analysis: the 20 most-travelled 3-step event-type paths
+    // across user journeys (ts, event_id order) — the discovery pass
+    // that suggests which funnels to define
+    "q_event_paths" -> ((s, dir) =>
+      graft.operators.Funnel.topPaths(
+        Tables.events(s, dir)
+          .withColumn("us", expr(s"ts div $NS_PER_US")),
+        "user_id", "us", "event_id", "event_type", n = 3, k = 20)),
+
     // daily cohort retention triangle: cohort = day of first event,
     // cell (cohort, offset) = cohort users active offset days later.
     // Corpus collapses to distinct (user, day) pairs immediately
@@ -228,6 +237,24 @@ object EventQueries {
         |     + CASE WHEN s4.us IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)""".stripMargin,
+    // path replay: per-user (us, event_id)-ordered type list,
+    // length-3 windows '>'-joined, corpus-wide counts, top 20 with
+    // lexicographic tiebreak
+    "q_event_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS rn
+        |           FROM events),
+        |p AS (SELECT a.event_type || '>' || b.event_type || '>'
+        |        || c.event_type AS path
+        |      FROM o a JOIN o b ON a.user_id = b.user_id
+        |        AND b.rn = a.rn + 1
+        |      JOIN o c ON a.user_id = c.user_id AND c.rn = a.rn + 2),
+        |g AS (SELECT path, count(*) AS n_paths FROM p GROUP BY 1)
+        |SELECT path, CAST(n_paths AS BIGINT) AS n_paths,
+        |  CAST(row_number() OVER (ORDER BY n_paths DESC, path ASC)
+        |    AS BIGINT) AS rank
+        |FROM g QUALIFY rank <= 20""".stripMargin,
     // retention replay: identical distinct-pair -> min-cohort ->
     // offset-count chain (// is DuckDB's integer floor divide; ts
     // values are all post-epoch so it matches BIGINT div)

@@ -143,6 +143,27 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("topPaths counts consecutive type windows in (ts, id) order " +
+    "with deterministic rank tiebreaks") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1 journey: a b a b  -> paths a>b>a, b>a>b
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "a"), (1L, 40L, 4L, "b"),
+      // u2 journey with a ts tie broken by id: a (b, id 6) (c, id 7)
+      // -> a>b>c (not a>c>b)
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 20L, 7L, "c"),
+      // u3 too short for any 3-window
+      (3L, 10L, 8L, "a"), (3L, 20L, 9L, "b"))
+      .toDF("user_id", "us", "event_id", "event_type")
+    val out = Funnel.topPaths(ev, "user_id", "us", "event_id",
+        "event_type", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(out.toSeq == Seq(
+      ("a>b>a", 1L, 1L), ("a>b>c", 1L, 2L), ("b>a>b", 1L, 3L)))
+  }
+
   test("PROPERTY: funnel equals the brute-force sequential chase on " +
     "seeded random event logs") {
     import graft.operators.Funnel
