@@ -254,6 +254,37 @@ object Multimodal {
       .drop("__e", "decoded")
   }
 
+  /** Temporal VIDEO fingerprint — the media-dedup ladder's video
+    * rung, completing exact-bytes / byte-CDC / image-dHash /
+    * audio-envelope: [[dHash64]]'s gradient idea on the TIME axis.
+    * The payload decodes through the real GIF compositor
+    * ([[sampleFrameFeatures]], stride 1 — disposal/delta semantics
+    * included), then bit b = 1 iff mean-green(frame b+1) >
+    * mean-green(frame b), 64 gradient bits over the first 65
+    * composited frames packed into one long. A re-encoded or
+    * lightly-edited copy keeps its brightness ENVELOPE, so it lands
+    * within a small Hamming radius; a single re-painted frame flips
+    * at most the two gradient bits it participates in. Everything
+    * after the codec UDF is pure Catalyst, and solid-palette GIF
+    * frames decode to exact c/255 floats (distinct and monotone in
+    * the byte level), so a SQL oracle replays the fingerprint from
+    * the frame-generation arithmetic. Videos shorter than 65 frames
+    * (or undecodable) fingerprint to null and fall out of any
+    * downstream self-join.
+    * Output: input columns + `fp` (long). Near-dup pairs:
+    * [[graft.operators.Binary.hammingNearDupPairs]] over `fp`. */
+  def videoFingerprint64(df: DataFrame, binCol: String): DataFrame = {
+    val bits = (0 until 64).map(b =>
+      when(element_at(col("__fr"), b + 2).getField("f_g") >
+           element_at(col("__fr"), b + 1).getField("f_g"),
+        lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sampleFrameFeatures(df, binCol, stride = 1)
+      .withColumn("__fr", col("frames"))
+      .withColumn("fp",
+        when(col("__fr").isNotNull && size(col("__fr")) >= 65, bits))
+      .drop("__fr", "frames")
+  }
+
   /** Metadata struct computed scan-side from the payload: byte size,
     * SHA-256 content address. Codegen'd; no UDF. */
   def withMeta(df: DataFrame, binCol: String): DataFrame =

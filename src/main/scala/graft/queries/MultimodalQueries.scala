@@ -288,8 +288,46 @@ object MultimodalQueries {
     "mm_audio_fp" -> ((s, dir) =>
       graft.operators.Binary.hammingNearDupPairs(
         Multimodal.audioFingerprint64(structuredWavs(s, dir), "payload"),
+        "doc_id", "fp", maxHamming = 3)),
+
+    // temporal near-dup of REAL composited video: brightness-envelope
+    // gradient bits over 65 GIF frames (the ladder's video rung),
+    // then the same exact pigeonhole-banded Hamming self-join
+    "mm_video_fp" -> ((s, dir) =>
+      graft.operators.Binary.hammingNearDupPairs(
+        Multimodal.videoFingerprint64(structuredVideos(s, dir), "payload"),
         "doc_id", "fp", maxHamming = 3))
   )
+
+  /** Near-dup-group GIF corpus for the temporal video fingerprint:
+    * 66 solid grayscale 4x4 frames per doc, frame f's level = the
+    * first byte of md5("group:f") with group = doc_id / 5 (constant
+    * group size 5 at every scale, independent groups — the same
+    * constant-duplicate-RATE discipline as [[structuredImages]]);
+    * variant v = (doc_id % 5) % 3 > 0 re-paints ONE frame (index 3v)
+    * to (level+128) % 256, flipping at most the two temporal
+    * gradient bits that frame participates in — genuine video
+    * near-duplicates inside and outside the radius-3 banded join.
+    * Indexed GIF palettes round-trip the levels byte-exactly, so the
+    * oracle replays the fingerprint from doc_id alone. Payload-at-
+    * rest parquet fixture like the other structured corpora. */
+  private[queries] def structuredVideos(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached(s, dir, "structured_gifs_g1") {
+      val gen = udf { (id: Long) =>
+        val group = id / 5
+        val v = ((id % 5) % 3).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val frames = (0 until 66).map { f =>
+          md.reset()
+          var lvl = md.digest(s"$group:$f".getBytes("UTF-8"))(0) & 0xff
+          if (v > 0 && f == 3 * v) lvl = (lvl + 128) % 256
+          (lvl, lvl, lvl)
+        }
+        Multimodal.encodeGifFrames(4, 4, frames)
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+    }
 
   /** Plain md5-derived WAV corpus (one independent waveform per doc)
     * for the decode round-trip — payload-at-rest parquet fixture like
@@ -415,6 +453,30 @@ object MultimodalQueries {
        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin
   }
 
+  // mm_video_fp replay: frame levels from the generator's md5
+  // arithmetic (variant re-paint at frame 3v), gradient-bit CASE
+  // terms over integer levels (c/255 REAL is monotone and distinct
+  // in c, so the level comparison IS the decoded-float comparison),
+  // brute-force pair join — exact vs the banded plan by pigeonhole.
+  private def mmVideoFpOracle: String = {
+    val lvl = (f: String) =>
+      s"""(CASE WHEN v > 0 AND $f = 3 * v
+         |  THEN (CAST('0x' || substring(md5(CAST(doc_id // 5 AS VARCHAR)
+         |    || ':' || CAST($f AS VARCHAR)), 1, 2) AS INTEGER) + 128) % 256
+         |  ELSE CAST('0x' || substring(md5(CAST(doc_id // 5 AS VARCHAR)
+         |    || ':' || CAST($f AS VARCHAR)), 1, 2) AS INTEGER) END)"""
+        .stripMargin.replace("\n", " ")
+    val hash = (0 until 64).map(b =>
+      s"(CASE WHEN ${lvl((b + 1).toString)} > ${lvl(b.toString)} " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH g AS (SELECT doc_id, (doc_id % 5) % 3 AS v FROM documents),
+       |h AS (SELECT doc_id, CAST($hash AS BIGINT) AS fp FROM g),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |      FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin
+  }
+
   // mm_audio_fp replay: the same md5 sample derivation as the
   // mm_audio oracle but seeded by doc_id % 100 with the variant
   // frame overwrite, then frame energies, the 64 gradient-bit CASE
@@ -449,6 +511,7 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "mm_audio_fp" -> mmAudioFpOracle,
     "mm_phash" -> mmPhashOracle,
+    "mm_video_fp" -> mmVideoFpOracle,
     "mm_cdc" -> mmCdcOracle,
     "mm_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -130,7 +130,8 @@ object ScaleProbe {
       "stream_media_ingest", "q_min_k_prob",
       "text_decontaminate_scrub", "q_proto_prune",
       "mm_phash", "mm_audio_fp",
-      "q_blocklist", "q_funnel", "q_retention", "stream_funnel")
+      "q_blocklist", "q_funnel", "q_retention", "stream_funnel",
+      "q_event_paths", "mm_video_fp")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

@@ -143,6 +143,32 @@ class Round11OpsSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("videoFingerprint64: a one-frame repaint flips at most two " +
+    "gradient bits; short/undecodable videos fall out as null") {
+    import graft.operators.Multimodal
+    def gif(levels: Seq[Int]): Array[Byte] =
+      Multimodal.encodeGifFrames(4, 4, levels.map(l => (l, l, l)))
+    val base = (0 until 66).map(f => (f * 37 + 11) % 256)
+    val edited = base.updated(9, (base(9) + 128) % 256)
+    val rows = Seq(
+      (1L, gif(base)), (2L, gif(edited)),
+      (3L, gif(base.take(10))),                  // too short -> null fp
+      (4L, Array[Byte](1, 2, 3)))                // undecodable -> null fp
+      .toDF("doc_id", "payload")
+    val fps = Multimodal.videoFingerprint64(rows, "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(fps(3L).isEmpty && fps(4L).isEmpty)
+    assert(fps(1L).isDefined && fps(2L).isDefined)
+    val ham = java.lang.Long.bitCount(fps(1L).get ^ fps(2L).get)
+    assert(ham >= 1 && ham <= 2, s"hamming=$ham")
+    val pairs = graft.operators.Binary.hammingNearDupPairs(
+        Multimodal.videoFingerprint64(rows, "payload"),
+        "doc_id", "fp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("topPaths counts consecutive type windows in (ts, id) order " +
     "with deterministic rank tiebreaks") {
     import graft.operators.Funnel
