@@ -273,6 +273,10 @@ object Demo {
       periodLen = 86400000000L)
     println("retention cells=" + rt.count() + " day0 users=" +
       rt.filter(col("offset") === 0).agg(sum(col("n_users"))).head().getLong(0))
+    // most-travelled 3-step path (discovery pass for funnel design)
+    val tp = graft.operators.Funnel.topPaths(ev5, "user_id", "us",
+      "event_id", "event_type", n = 3, k = 1).head()
+    println(s"top path=${tp.getString(0)} n=${tp.getLong(1)}")
     spark.stop()
   }
 }
