@@ -34,22 +34,8 @@ object AsOfJoin {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
     val leftCols = left.columns.toSeq
     val pType = payloadType(right, rightCols, rightTime)
-
-    val lTagged = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .withColumn("__payload", lit(null).cast(pType))
-    val rTagged = right
-      .select((keys.map(col) :+ col(rightTime).as("__t")) ++
-        Seq(lit(0).as("__side"),
-          struct((rightCols.map { case (src, dst) => col(src).as(dst) } :+
-            col(rightTime).as("__mt")).toSeq: _*)
-            .as("__payload")): _*)
-    // align schemas: right side lacks left payload columns
-    val rAligned = leftCols.foldLeft(rTagged) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lTagged.columns.map(col): _*)
+    val (lTagged, rAligned) = tagAndAlign(left, right, keys, leftTime,
+      rightTime, rightCols, pType)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
@@ -68,6 +54,132 @@ object AsOfJoin {
     val out: Seq[Column] = leftCols.map(col) ++
       rightCols.map(_._2).map(d => col(s"__match.$d").as(d))
     joined.select(out: _*)
+  }
+
+  /** As-of FORWARD join: for each left row, the EARLIEST right row
+    * whose time is >= the left row's time (pandas merge_asof
+    * `direction='forward'`). Same single-exchange union + ordered
+    * window shape as [[backward]], mirrored: rows sort ascending with
+    * the LEFT side first at equal times (a right row at exactly the
+    * left row's time is eligible and must fall inside the
+    * current-row→following frame), and `first(ignoreNulls)` over the
+    * forward frame picks the nearest following payload.
+    * @param tolerance max lookahead in the time columns' own units —
+    *                  a match further than `leftTime + tolerance`
+    *                  comes back null. Requires numeric time columns.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              rightCols: Seq[(String, String)],
+              tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val pType = payloadType(right, rightCols, rightTime)
+    val (lTagged, rAligned) = tagAndAlign(left, right, keys, leftTime,
+      rightTime, rightCols, pType)
+
+    // __side: left=1, right=0. Descending side at equal __t puts the
+    // left row FIRST, so an equal-time right payload is inside the
+    // current-row→unboundedFollowing frame (>= semantics).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val rawMatch = first(col("__payload"), ignoreNulls = true).over(w)
+    val joined = lTagged.unionByName(rAligned)
+      .withColumn("__match", tolerance match {
+        case None => rawMatch
+        case Some(t) =>
+          when(rawMatch.getField("__mt").cast("long") - col("__t").cast("long") <= t,
+            rawMatch).otherwise(lit(null).cast(pType))
+      })
+      .filter(col("__side") === 1)
+
+    val out: Seq[Column] = leftCols.map(col) ++
+      rightCols.map(_._2).map(d => col(s"__match.$d").as(d))
+    joined.select(out: _*)
+  }
+
+  /** As-of NEAREST join: for each left row, the right row whose time
+    * is closest in absolute distance (pandas merge_asof
+    * `direction='nearest'`; ties resolve BACKWARD, matching pandas).
+    * Computes the backward and forward candidates with two window
+    * passes over the SAME key partitioning — one exchange, two
+    * intra-partition sorts — then picks per row. Requires numeric
+    * (epoch) time columns for the distance arithmetic.
+    * @param tolerance max absolute distance in the time columns' own
+    *                  units; candidates beyond it are dropped BEFORE
+    *                  the nearest choice (pandas semantics).
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              rightCols: Seq[(String, String)],
+              tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val pType = payloadType(right, rightCols, rightTime)
+    val (lTagged, rAligned) = tagAndAlign(left, right, keys, leftTime,
+      rightTime, rightCols, pType)
+
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def within(m: Column): Column = tolerance match {
+      case None => m
+      case Some(t) =>
+        when(abs(m.getField("__mt").cast("long") - col("__t").cast("long")) <= t,
+          m).otherwise(lit(null).cast(pType))
+    }
+    val back = within(last(col("__payload"), ignoreNulls = true).over(wBack))
+    val fwd = within(first(col("__payload"), ignoreNulls = true).over(wFwd))
+
+    val joined = lTagged.unionByName(rAligned)
+      .withColumn("__back", back)
+      .withColumn("__fwd", fwd)
+      .filter(col("__side") === 1)
+      // ties (equidistant back and fwd) resolve backward, like pandas
+      .withColumn("__match",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(col("__t").cast("long") - col("__back.__mt").cast("long") <=
+                col("__fwd.__mt").cast("long") - col("__t").cast("long"),
+            col("__back"))
+          .otherwise(col("__fwd")))
+
+    val out: Seq[Column] = leftCols.map(col) ++
+      rightCols.map(_._2).map(d => col(s"__match.$d").as(d))
+    joined.select(out: _*)
+  }
+
+  /** Shared union-input construction: left tagged (side=1, null
+    * payload), right projected to (keys, __t, side=0, payload struct)
+    * and aligned to the left's columns. */
+  private def tagAndAlign(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTime: String,
+                          rightTime: String,
+                          rightCols: Seq[(String, String)],
+                          pType: org.apache.spark.sql.types.StructType)
+  : (DataFrame, DataFrame) = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(pType))
+    val rTagged = right
+      .select((keys.map(col) :+ col(rightTime).as("__t")) ++
+        Seq(lit(0).as("__side"),
+          struct((rightCols.map { case (src, dst) => col(src).as(dst) } :+
+            col(rightTime).as("__mt")).toSeq: _*)
+            .as("__payload")): _*)
+    val rAligned = leftCols.foldLeft(rTagged) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lTagged.columns.map(col): _*)
+    (lTagged, rAligned)
   }
 
   private def payloadType(right: DataFrame, rightCols: Seq[(String, String)],

@@ -50,6 +50,35 @@ object EventQueries {
         Seq("ts_us" -> "signup_ts_us"), tolerance = Some(86400000000L))
     }),
 
+    // as-of FORWARD join: each signup matched to the user's first
+    // purchase at or after it (merge_asof direction='forward') —
+    // time-to-convert analysis. Epoch-microsecond times so the
+    // comparison is integer in both engines.
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          expr(s"ts div $NS_PER_US").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr(s"ts div $NS_PER_US").as("ts_us"))
+      AsOfJoin.forward(signups, purchases, Seq("user_id"), "ts_us", "ts_us",
+        Seq("ts_us" -> "purchase_ts_us"))
+    }),
+
+    // as-of NEAREST join with tolerance: each purchase matched to the
+    // closest click within ±1h (merge_asof direction='nearest',
+    // ties backward) — attribution to the nearest interaction
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr(s"ts div $NS_PER_US").as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr(s"ts div $NS_PER_US").as("ts_us"))
+      AsOfJoin.nearest(purchases, clicks, Seq("user_id"), "ts_us", "ts_us",
+        Seq("ts_us" -> "click_ts_us"), tolerance = Some(US_PER_HOUR))
+    }),
+
     // ordered-step funnel signup -> view -> click -> purchase: step k
     // strictly after step k-1 in (ts, event_id) order — one exchange
     // on user_id, doc-local step chase over the sorted event array
@@ -197,6 +226,37 @@ object EventQueries {
         |   WHERE g.user_id = p.user_id AND g.ts_us <= p.ts_us
         |     AND p.ts_us - g.ts_us <= 86400000000) AS signup_ts_us
         |FROM p""".stripMargin,
+    "q_asof_fwd" ->
+      """WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT g.event_id, g.user_id, g.ts_us,
+        |  (SELECT min(p.ts_us) FROM p
+        |   WHERE p.user_id = g.user_id AND p.ts_us >= g.ts_us)
+        |    AS purchase_ts_us
+        |FROM g""".stripMargin,
+    // nearest replay: backward and forward candidates within the
+    // tolerance, equidistant ties resolve to the backward candidate
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.event_id, p.user_id, p.ts_us,
+        |        (SELECT max(c.ts_us) FROM c
+        |         WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+        |           AND p.ts_us - c.ts_us <= 3600000000) AS back_us,
+        |        (SELECT min(c.ts_us) FROM c
+        |         WHERE c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |           AND c.ts_us - p.ts_us <= 3600000000) AS fwd_us
+        |      FROM p)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN back_us IS NULL THEN fwd_us
+        |       WHEN fwd_us IS NULL THEN back_us
+        |       WHEN ts_us - back_us <= fwd_us - ts_us THEN back_us
+        |       ELSE fwd_us END AS click_ts_us
+        |FROM m""".stripMargin,
     // funnel replay: chained first-strictly-after CTEs, each step the
     // (us, event_id)-lexicographic first candidate after the previous
     "q_funnel" ->

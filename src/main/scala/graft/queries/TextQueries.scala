@@ -15,6 +15,50 @@ object TextQueries {
   private[queries] def sqlStopwords(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared DuckDB replay of Reputation.sourceStats — one CTE chain;
+    * `filtered` swaps the final projection between the per-source
+    * stats table and the reputation-gated document list. Integer
+    * floor-divisions (`//`) mirror Spark's `div` on the same
+    * non-negative operands. */
+  private def sourceReputationSql(filtered: Boolean): String = {
+    val base =
+      """WITH m AS (
+        |  SELECT doc_id, source, lang, md5(text) AS h,
+        |    CAST(floor(CAST(len(list_intersect(list_distinct(
+        |        regexp_split_to_array(trim(lower(text)), '\s+')), SW)) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      * 10000) AS BIGINT) AS stop_e4
+        |  FROM documents),
+        |d AS (SELECT *, CASE WHEN count(*) OVER (PARTITION BY h) > 1
+        |                     THEN 1 ELSE 0 END AS dup FROM m),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+        |        CAST(sum(stop_e4) AS BIGINT) AS stop_sum
+        |      FROM d GROUP BY 1),
+        |l AS (SELECT source, lang, count(*) AS n FROM m GROUP BY 1, 2),
+        |t AS (SELECT source, lang, n, row_number() OVER
+        |        (PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+        |      FROM l),
+        |j AS (SELECT s.source, s.n_docs, s.n_dup_docs,
+        |        s.n_dup_docs * 10000 // s.n_docs AS dup_e4,
+        |        s.stop_sum // s.n_docs AS mean_stop_e4,
+        |        t.lang AS top_lang,
+        |        t.n * 10000 // s.n_docs AS lang_share_e4
+        |      FROM s JOIN t ON s.source = t.source AND t.rn = 1),
+        |r AS (SELECT *, ((10000 - dup_e4) * 5 + mean_stop_e4 * 3
+        |        + lang_share_e4 * 2) // 10 AS rep_e4 FROM j)
+        |""".stripMargin.replace("SW", sqlStopwords("en"))
+    if (filtered)
+      base +
+        """SELECT m.doc_id, m.source, m.lang
+          |FROM m JOIN r ON m.source = r.source
+          |WHERE r.rep_e4 >= 5900""".stripMargin
+    else
+      base +
+        """SELECT source, n_docs, n_dup_docs, dup_e4, mean_stop_e4,
+          |  top_lang, lang_share_e4, rep_e4 FROM r""".stripMargin
+  }
+
   // stable UDF identity (val, not per-invocation closure — the plan
   // sameResult discipline): max multiplicity of any element
   private val topCount = udf { (bg: Seq[String]) =>
@@ -70,6 +114,23 @@ object TextQueries {
             lit(0.3) * least(nWords / 50.0, lit(1.0)) +
             lit(0.3) * (alpha / nChars)) * 10000).cast("long").as("quality_e4"))
     }),
+
+    // per-source (domain) reputation: corpus-wide dup rate + mean
+    // stopword quality + language consistency, one integer score per
+    // source (Reputation.scala — the RefinedWeb per-domain gate)
+    "q_source_reputation" -> ((s, dir) =>
+      graft.operators.Reputation.sourceStats(
+        Tables(s, dir, "documents"), "doc_id", "text", "source", "lang",
+        stopwords("en"))),
+
+    // the document gate on that reputation: keep docs whose source
+    // scores >= 5900 e4 — a broadcast semi-join against the tiny
+    // source table, document text never re-shuffles
+    "q_source_filter" -> ((s, dir) =>
+      graft.operators.Reputation.sourceFilter(
+          Tables(s, dir, "documents"), "doc_id", "text", "source", "lang",
+          stopwords("en"), minRep = 5900L)
+        .select(col("doc_id"), col("source"), col("lang"))),
 
     // language guess: stopword-profile argmax (deterministic ties)
     "text_langid" -> ((s, dir) =>
@@ -1049,6 +1110,8 @@ object TextQueries {
         |        + 0.3 * (alpha / n_chars)) * 10000) AS BIGINT) AS quality_e4
         |FROM m""".stripMargin.replace("SW", sw)
     },
+    "q_source_reputation" -> sourceReputationSql(filtered = false),
+    "q_source_filter" -> sourceReputationSql(filtered = true),
     "text_langid" -> {
       val hits = Seq("en", "de", "es", "fr").map { l =>
         s"CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), ${sqlStopwords(l)})) AS INTEGER) AS h_$l"

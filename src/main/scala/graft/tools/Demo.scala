@@ -277,6 +277,29 @@ object Demo {
     val tp = graft.operators.Funnel.topPaths(ev5, "user_id", "us",
       "event_id", "event_type", n = 3, k = 1).head()
     println(s"top path=${tp.getString(0)} n=${tp.getLong(1)}")
+    // as-of forward / nearest: conversion + attribution joins
+    val signups = ev5.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev5.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+    val fwd = graft.operators.AsOfJoin.forward(signups, purchases,
+      Seq("user_id"), "us", "us", Seq("us" -> "conv_us"))
+    println("asof fwd conversions=" +
+      fwd.filter(col("conv_us").isNotNull).count() + "/" + fwd.count())
+    val near = graft.operators.AsOfJoin.nearest(signups, purchases,
+      Seq("user_id"), "us", "us", Seq("us" -> "near_us"),
+      tolerance = Some(86400000000L))
+    println("asof nearest within 1d=" +
+      near.filter(col("near_us").isNotNull).count())
+    // per-source reputation gate
+    val rep = graft.operators.Reputation.sourceStats(docs5, "doc_id",
+      "text", "source", "lang", graft.functions.TextFunctions.stopwords("en"))
+    val worst = rep.orderBy(col("rep_e4").asc).head()
+    println(s"worst source=${worst.getString(0)} rep_e4=${worst.getLong(7)}")
+    println("reputation-kept docs=" + graft.operators.Reputation
+      .sourceFilter(docs5, "doc_id", "text", "source", "lang",
+        graft.functions.TextFunctions.stopwords("en"), minRep = 5900L)
+      .count() + "/" + docs5.count())
     spark.stop()
   }
 }
