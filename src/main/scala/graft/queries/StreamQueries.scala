@@ -218,11 +218,68 @@ object StreamQueries {
       col("depth"): _*)
   }
 
+  /** SKETCHES under the streaming gate: per-day tumbling-window
+    * distinct-user HLL (`approx_count_distinct`) per event type, as a
+    * real watermarked micro-batch aggregation — the shape a
+    * production ingest dashboard runs (mergeable sketch partials in
+    * the state store, no exact distinct state). Feed = the funnel
+    * fixture (whole log, ts-sorted tertiles + two far-future
+    * sentinels that close every real window while their own stays
+    * open, unemitted). Verification is the q_approx_distinct
+    * bound-check discipline: the sink's estimate is NOT shipped
+    * (HLL merge order rides micro-batch boundaries); the output is
+    * the exact batch count per emitted cell plus a within-3*rsd
+    * verdict on the streamed estimate. */
+  private def approxUsersMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    val feedDir = Fixtures.streamFunnelFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("us", LongType), StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val agg = input.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("__approx"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("__approx"), col("n_events"))
+    val sink = s"graft_stream_users_sink_${sinkIds.incrementAndGet()}"
+    // window-agg state: few groups, so 8 state partitions (the
+    // driftMonitor fixed-commit-overhead discipline)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    // judge leg: exact distinct per emitted cell, batch-side — the
+    // estimate itself never reaches the gate, only the verdict
+    val exact = Tables.events(spark, dir)
+      .select(expr("ts div 1000").as("us"), col("user_id"),
+        col("event_type"))
+      .groupBy(expr("us div 86400000000 * 86400000000")
+        .as("window_start_us"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    out.join(exact, Seq("window_start_us", "event_type"))
+      .select(col("window_start_us"), col("event_type"),
+        col("exact_users"), col("n_events"),
+        (abs(col("__approx") - col("exact_users")).cast("double") /
+          col("exact_users") <= lit(3 * rsd)).cast("int")
+          .as("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
     "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir)),
     "stream_media_ingest" -> ((s, dir) => mediaIngest(s, dir)),
-    "stream_funnel" -> ((s, dir) => funnelMonitor(s, dir))
+    "stream_funnel" -> ((s, dir) => funnelMonitor(s, dir)),
+    "stream_approx_users" -> ((s, dir) => approxUsersMonitor(s, dir))
   )
 
   // DuckDB replay of the whole streaming pipeline: identical MinHash
@@ -314,6 +371,18 @@ object StreamQueries {
     "stream_media_ingest" -> mediaIngestOracle,
     // stream == batch is the funnel's contract: the oracle is the
     // batch q_funnel replay VERBATIM (one SQL string, two plans)
-    "stream_funnel" -> EventQueries.oracles("q_funnel")
+    "stream_funnel" -> EventQueries.oracles("q_funnel"),
+    // every real (day, type) cell closes and emits (sentinel window
+    // stays open and absent from events), so the replay is the exact
+    // per-cell count; within_bound replays as constant TRUE — the
+    // sketch guarantee is the claim under test on the Spark side
+    "stream_approx_users" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000
+        |    AS window_start_us,
+        |  event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  count(*) AS n_events,
+        |  CAST(1 AS INTEGER) AS within_bound
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
