@@ -111,6 +111,30 @@ object EventQueries {
           .withColumn("us", expr(s"ts div $NS_PER_US")),
         "user_id", "us", periodLen = 86400000000L)),
 
+    // type-2 SCD build from the event log: per-user validity
+    // intervals of the tracked value bucket, no-op updates collapsed
+    // (Scd.scala — the dimension-history maintenance pass)
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.Scd.scd2(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr(s"ts div $NS_PER_US").as("us"),
+            col("event_id"),
+            floor(col("value") / 100).cast("long").as("bucket")),
+        "user_id", "us", "event_id", "bucket")
+        .withColumnsRenamed(Map(
+          "valid_from" -> "valid_from_us", "valid_to" -> "valid_to_us"))),
+
+    // CDC log compaction: latest row per user wins, 'error' rows
+    // tombstone the user out of the snapshot (MERGE-style upsert)
+    "q_cdc_merge" -> ((s, dir) =>
+      graft.operators.Scd.mergeLatest(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr(s"ts div $NS_PER_US").as("ts_us"),
+            col("event_id"), col("event_type"), col("value"),
+            (col("event_type") === "error").as("is_delete")),
+        "user_id", "ts_us", "event_id", "is_delete",
+        Seq("ts_us", "event_type", "value"))),
+
     // sessionization: 30-minute inactivity gap splits sessions
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -327,6 +351,31 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM up JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // SCD2 replay: the same two ordered windows — change detection
+    // (IS DISTINCT FROM the lag), then lead() over the survivors
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             CAST(floor(value / 100) AS BIGINT) AS bucket
+        |           FROM events),
+        |c AS (SELECT *, lag(bucket) OVER w AS prev,
+        |        row_number() OVER w AS rn
+        |      FROM o
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |k AS (SELECT user_id, bucket, us, event_id FROM c
+        |      WHERE rn = 1 OR bucket IS DISTINCT FROM prev)
+        |SELECT user_id, bucket, us AS valid_from_us,
+        |  lead(us) OVER w2 AS valid_to_us,
+        |  CAST(CASE WHEN lead(us) OVER w2 IS NULL THEN 1 ELSE 0 END
+        |    AS INTEGER) AS is_current
+        |FROM k
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    "q_cdc_merge" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             event_type, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM o)
+        |SELECT user_id, us AS ts_us, event_type, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -97,7 +97,13 @@ object Explain {
     "q_blocklist",       // broadcast list literal, doc-local fold, 0 exch.
     "mm_audio_fp",       // WAV decode -> fingerprint -> banded Hamming join
     "q_funnel",          // scan-filtered step types, ONE user exchange
-    "q_retention"        // distinct (user, period) pairs, integer-only shuffles
+    "q_retention",       // distinct (user, period) pairs, integer-only shuffles
+    "q_asof_fwd",        // mirrored forward window, one shuffle per side
+    "q_asof_nearest",    // both as-of candidates over ONE key exchange
+    "q_source_reputation", // hash-window dup leg + tiny per-source aggs
+    "q_source_filter",   // broadcast semi-join gate on the source table
+    "q_scd2",            // one key exchange, two same-order window passes
+    "q_cdc_merge"        // one key exchange, latest-wins row_number filter
   )
 
   def main(args: Array[String]): Unit = {
