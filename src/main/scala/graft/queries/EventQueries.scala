@@ -111,6 +111,23 @@ object EventQueries {
           .withColumn("us", expr(s"ts div $NS_PER_US")),
         "user_id", "us", periodLen = 86400000000L)),
 
+    // RANGE-frame rolling aggregate: per event, the user's trailing
+    // 24h activity (count + integer-cents sum — sliding-frame float
+    // sums differ between engines' segment-tree vs linear
+    // accumulation, integers don't). Peers at equal us share a frame
+    // by definition, so no tiebreak is needed for determinism.
+    "q_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+        .rangeBetween(-86400000000L + 1, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr(s"ts div $NS_PER_US").as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("cents")).over(w).as("cents_24h"))
+    }),
+
     // type-2 SCD build from the event log: per-user validity
     // intervals of the tracked value bucket, no-op updates collapsed
     // (Scd.scala — the dimension-history maintenance pass)
@@ -351,6 +368,16 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM up JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q_rolling" ->
+      """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT event_id, user_id, us,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_24h
+        |FROM o
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     // SCD2 replay: the same two ordered windows — change detection
     // (IS DISTINCT FROM the lag), then lead() over the survivors
     "q_scd2" ->
