@@ -259,13 +259,16 @@ object StreamQueries {
     val out = spark.table(sink)
     spark.catalog.dropTempView(sink)
     // judge leg: exact distinct per emitted cell, batch-side — the
-    // estimate itself never reaches the gate, only the verdict
-    val exact = Tables.events(spark, dir)
-      .select(expr("ts div 1000").as("us"), col("user_id"),
-        col("event_type"))
-      .groupBy(expr("us div 86400000000 * 86400000000")
-        .as("window_start_us"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // estimate itself never reaches the gate, only the verdict.
+    // Slot-persisted: static per corpus (the dedup-index discipline),
+    // and tiny — one row per (day, type) cell.
+    val exact = graft.operators.PersistSlots.swap("stream.approxUsersExact",
+      Tables.events(spark, dir)
+        .select(expr("ts div 1000").as("us"), col("user_id"),
+          col("event_type"))
+        .groupBy(expr("us div 86400000000 * 86400000000")
+          .as("window_start_us"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users")))
     out.join(exact, Seq("window_start_us", "event_type"))
       .select(col("window_start_us"), col("event_type"),
         col("exact_users"), col("n_events"),

@@ -300,6 +300,17 @@ object Demo {
       .sourceFilter(docs5, "doc_id", "text", "source", "lang",
         graft.functions.TextFunctions.stopwords("en"), minRep = 5900L)
       .count() + "/" + docs5.count())
+    // warehouse maintenance: SCD2 history + CDC latest-wins snapshot
+    val chg = ev5.select(col("user_id"), col("us"), col("event_id"),
+      floor(col("value") / 100).cast("long").as("bucket"),
+      (col("event_type") === "error").as("is_delete"))
+    val hist = graft.operators.Scd.scd2(chg, "user_id", "us", "event_id",
+      "bucket")
+    println("scd2 intervals=" + hist.count() + " current=" +
+      hist.filter(col("is_current") === 1).count())
+    println("cdc snapshot rows=" + graft.operators.Scd.mergeLatest(
+      chg, "user_id", "us", "event_id", "is_delete", Seq("us", "bucket"))
+      .count())
     spark.stop()
   }
 }
