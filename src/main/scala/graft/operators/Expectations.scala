@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality assertions — the validation gate a
+  * pipeline runs BEFORE promoting a snapshot (the Great-Expectations
+  * / dbt-test pattern): row-level predicates, key uniqueness, and
+  * referential integrity, each reduced to one summary row
+  * (check, n_rows, n_fail, pass).
+  *
+  * Scale shape: all row predicates for one table fold into a SINGLE
+  * map-combined aggregation over one scan (a suite of 20 checks
+  * costs one pass, not 20); uniqueness is one map-combined distinct
+  * count; referential integrity is one anti-join whose build side
+  * Spark broadcasts when small. Nothing returns more than one row
+  * per check — the output is a report, never data.
+  */
+object Expectations {
+
+  /** Row-level predicate checks: ONE aggregation pass over `df`,
+    * counting failures of each predicate (null predicate results
+    * count as failures — an assertion that cannot evaluate is not a
+    * pass). */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = count(lit(1)).as("__n") +:
+      checks.map { case (name, pred) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+          .as(s"__f_$name")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single summary row to one row per check: the frame
+    // is one row, so the stack is driver-free and exchange-free
+    val stacked = checks.map { case (name, _) =>
+      s"'$name', __n, __f_$name"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${checks.length}, $stacked) AS (cname, n_rows, n_fail)")
+      .select(col("cname").as("check"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0).cast("int").as("pass"))
+  }
+
+  /** Key-uniqueness check: n_fail = rows beyond the first per
+    * distinct key tuple (0 iff the key is unique). One map-combined
+    * count-distinct aggregation. */
+  def unique(df: DataFrame, keyCols: Seq[String],
+             name: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("__d"))
+      .select(lit(name).as("check"), col("n_rows"),
+        (col("n_rows") - col("__d")).as("n_fail"),
+        (col("n_rows") === col("__d")).cast("int").as("pass"))
+
+  /** Referential-integrity check: n_fail = child rows whose key has
+    * no parent (left anti join; null child keys are orphans — a row
+    * that cannot name its parent fails the expectation). */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   name: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_fail"))
+    total.crossJoin(orphans)
+      .select(lit(name).as("check"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0).cast("int").as("pass"))
+  }
+
+  /** Union a suite of check frames into the one-row-per-check
+    * report. */
+  def suite(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_))
+}

@@ -207,6 +207,32 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // data-quality assertion suite (Expectations.scala): row
+    // predicates fold into ONE pass per table, uniqueness is one
+    // distinct count, FKs are anti-joins — the promote-gate report
+    "q_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val customer = Tables(s, dir, "customer")
+      Expectations.suite(Seq(
+        Expectations.rowChecks(orders, Seq(
+          "orders_price_positive" -> (col("o_totalprice") > 0),
+          "orders_date_not_null" -> col("o_orderdate").isNotNull)),
+        Expectations.rowChecks(lineitem, Seq(
+          "lineitem_qty_range" ->
+            (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "lineitem_discount_range" ->
+            (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          "lineitem_tax_nonneg" -> (col("l_tax") >= 0))),
+        Expectations.unique(orders, Seq("o_orderkey"), "orders_key_unique"),
+        Expectations.refIntegrity(orders, "o_custkey", customer,
+          "c_custkey", "orders_custkey_fk"),
+        Expectations.refIntegrity(lineitem, "l_orderkey", orders,
+          "o_orderkey", "lineitem_orderkey_fk")))
+        .withColumnRenamed("check", "check_name")
+    }),
+
     // exact join-cardinality prediction: the one-row "is this join a
     // fan-out bomb" answer, computed from the per-key count
     // relations at a fraction of the join's own shuffle
@@ -693,6 +719,66 @@ object RelationalQueries {
         |  count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey""".stripMargin,
+    // one UNION ALL branch per check; failed-evaluation rows (null
+    // predicates) count as failures in both engines via coalesce
+    "q_expectations" ->
+      """SELECT 'orders_price_positive' AS check_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+        |  CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+        |    THEN 0 ELSE 1 END) = 0 AS INTEGER) AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_date_not_null', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS f,
+        |  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) = 0
+        |    AS INTEGER)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_qty_range', count(*),
+        |  CAST(sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50,
+        |    FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50,
+        |    FALSE) THEN 0 ELSE 1 END) = 0 AS INTEGER)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', count(*),
+        |  CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.1,
+        |    FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.1,
+        |    FALSE) THEN 0 ELSE 1 END) = 0 AS INTEGER)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_tax_nonneg', count(*),
+        |  CAST(sum(CASE WHEN coalesce(l_tax >= 0, FALSE) THEN 0 ELSE 1 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN coalesce(l_tax >= 0, FALSE) THEN 0 ELSE 1 END)
+        |    = 0 AS INTEGER)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_key_unique', count(*),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(count(*) = count(DISTINCT o_orderkey) AS INTEGER)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  (SELECT count(*) FROM orders),
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT) AS f,
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+        |    AS INTEGER)
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk',
+        |  (SELECT count(*) FROM lineitem),
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |    AS INTEGER)""".stripMargin,
     "q_join_card" ->
       """WITH a AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
         |           WHERE l_orderkey IS NOT NULL GROUP BY 1),

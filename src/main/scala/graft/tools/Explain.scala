@@ -103,7 +103,9 @@ object Explain {
     "q_source_reputation", // hash-window dup leg + tiny per-source aggs
     "q_source_filter",   // broadcast semi-join gate on the source table
     "q_scd2",            // one key exchange, two same-order window passes
-    "q_cdc_merge"        // one key exchange, latest-wins row_number filter
+    "q_cdc_merge",       // one key exchange, latest-wins row_number filter
+    "q_rolling",         // RANGE-frame rolling window, one key exchange
+    "q_expectations"     // one pass per table + broadcast FK anti-joins
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Expectations
+
+/** Planted-violation checks for the data-quality suite: null
+  * predicates fail (not pass), duplicate keys count beyond-first,
+  * null child keys are orphans.
+  */
+class ExpectationsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("rowChecks: one pass, nulls fail, counts exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0)), (2L, Some(-1.0)), (3L, None), (4L, Some(0.5))
+    ).toDF("id", "v")
+    val got = Expectations.rowChecks(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "v_not_null" -> col("v").isNotNull))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    // v_positive fails on -1 AND the null; v_not_null fails on the null
+    assert(got == Seq(
+      ("v_not_null", 4L, 1L, 0), ("v_positive", 4L, 2L, 0)))
+  }
+
+  test("unique counts rows beyond the first per key tuple") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"))
+      .toDF("k", "s")
+    val g1 = Expectations.unique(df, Seq("k"), "k_unique").collect().head
+    assert((g1.getLong(1), g1.getLong(2), g1.getInt(3)) == (4L, 2L, 0))
+    val g2 = Expectations.unique(df, Seq("k", "s"), "ks_unique")
+      .collect().head
+    assert((g2.getLong(1), g2.getLong(2), g2.getInt(3)) == (4L, 1L, 0))
+  }
+
+  test("refIntegrity: orphans counted, null child keys are orphans") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Expectations.refIntegrity(child, "fk", parent, "pk", "fk_ok")
+      .collect().head
+    assert((got.getLong(1), got.getLong(2), got.getInt(3)) == (4L, 2L, 0))
+  }
+
+  test("suite unions per-check reports; all-green suite passes") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val rep = Expectations.suite(Seq(
+      Expectations.rowChecks(df, Seq("v_pos" -> (col("v") > 0))),
+      Expectations.unique(df, Seq("k"), "k_unique")))
+      .collect().map(r => (r.getString(0), r.getInt(3))).toSeq.sorted
+    assert(rep == Seq(("k_unique", 1), ("v_pos", 1)))
+  }
+}

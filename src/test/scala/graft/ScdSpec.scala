@@ -55,6 +55,48 @@ class ScdSpec extends SparkSpec {
     assert(got.filter(_._2 == 1).map(_._1) == Seq("b"))
   }
 
+  test("scd2 and mergeLatest match brute force on random change logs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815)
+    for (round <- 0 until 6) {
+      val log = Seq.fill(30 + rng.nextInt(30))(
+        (1L + rng.nextInt(4), rng.nextLong(20), rng.nextLong(1000),
+          rng.nextInt(3).toString, rng.nextInt(8) == 0))
+        // unique tiebreak ids
+        .zipWithIndex.map { case ((k, t, _, v, del), id) =>
+          (k, t, id.toLong, v, del) }
+      val df = log.toDF("k", "t", "id", "v", "del")
+
+      // brute SCD2
+      val wantScd = log.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        val surv = ordered.foldLeft(Vector.empty[(Long, Long, String)]) {
+          case (acc, (_, t, id, v, _)) =>
+            if (acc.nonEmpty && acc.last._3 == v) acc
+            else acc :+ ((t, id, v))
+        }
+        surv.zipWithIndex.map { case ((t, _, v), i) =>
+          val to = if (i + 1 < surv.length) Some(surv(i + 1)._1) else None
+          (k, v, t, to, if (to.isEmpty) 1 else 0)
+        }
+      }.toSet
+      val gotScd = Scd.scd2(df, "k", "t", "id", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toSet
+      assert(gotScd == wantScd, s"scd2 round=$round")
+
+      // brute mergeLatest
+      val wantMerge = log.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val last = rows.maxBy(r => (r._2, r._3))
+        if (last._5) None else Some((k, last._2, last._4))
+      }.toSet
+      val gotMerge = Scd.mergeLatest(df, "k", "t", "id", "del",
+          Seq("t", "v")).collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(gotMerge == wantMerge, s"merge round=$round")
+    }
+  }
+
   test("mergeLatest: latest wins, delete tombstones, ties on tiebreak") {
     import spark.implicits._
     val log = Seq(
