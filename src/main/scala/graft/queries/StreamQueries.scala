@@ -277,8 +277,42 @@ object StreamQueries {
           .as("within_bound"))
   }
 
+  /** The FILE-SINK path under the gate: the same stream-static band
+    * probe as [[dedupIngest]], but committed through the checkpointed
+    * PARQUET sink (exactly-once file commit log + manifest) instead
+    * of the memory sink — the path a production ingest job actually
+    * writes, including the _spark_metadata manifest a downstream
+    * reader consults to see only committed files. Sink + checkpoint
+    * dirs are per-invocation temps (fixture-scale data); the result
+    * is the committed files read BACK through the batch reader, so
+    * the gate hashes exactly what a downstream consumer would see. */
+  private def dedupIngestFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val index = graft.operators.PersistSlots.swap("stream.dedupIngestIndex",
+      Dedup.corpusBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", K, BANDS))
+    val feedDir = Fixtures.streamDedupFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val streamed = StreamOps.dedupAgainstCorpus(
+      input, "doc_id", "text", index, numHashes = K, bands = BANDS)
+    val base = java.nio.file.Files.createTempDirectory("graft_fsink")
+    val outDir = base.resolve("out").toString
+    val q = streamed.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
+    "stream_sink_parquet" -> ((s, dir) => dedupIngestFileSink(s, dir)),
     "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir)),
     "stream_media_ingest" -> ((s, dir) => mediaIngest(s, dir)),
     "stream_funnel" -> ((s, dir) => funnelMonitor(s, dir)),
@@ -370,6 +404,9 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_dedup_ingest" -> dedupIngestOracle,
+    // the sink changes WHERE rows land, not which rows exist: the
+    // committed-files read-back must equal the memory-sink multiset
+    "stream_sink_parquet" -> dedupIngestOracle,
     "stream_drift_monitor" -> driftMonitorOracle,
     "stream_media_ingest" -> mediaIngestOracle,
     // stream == batch is the funnel's contract: the oracle is the
