@@ -373,6 +373,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Full kNN-GRAPH construction — every row's top-k neighbors in
+    * ONE table-to-table pass (the SemDeDup / clustering / graph-prune
+    * primitive; [[lshTopK]] serves a small query SET, this serves the
+    * whole corpus). Candidates meet through the same auto-sized LSH
+    * band join as [[embeddingNearDupPairsLSH]] (late materialization:
+    * only ids ride the quadratic bucket join), exact cosine reranks,
+    * and the bounded [[TopK]] partial aggregate keeps at most k rows
+    * per id per task — the full candidate set never collects anywhere.
+    * Approximate: a true neighbor never co-bucketing is missed
+    * (multi-table recall tradeoff, pinned vs brute force in tests).
+    * @return (idCol, neighbor_id, sim, rank) — rank by
+    *         (round6 sim desc, neighbor asc), ties deterministic */
+  def knnGraphLSH(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, k: Int, tables: Int = 4,
+                  nEstimate: Long = 0L,
+                  targetBucket: Long = 64L): DataFrame = {
+    val n = if (nEstimate > 0) nEstimate else df.count()
+    if (n == 0)
+      return df.select(col(idCol), col(idCol).as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0L).as("rank")).limit(0)
+    val planes = autoPlanes(n, targetBucket)
+    val banded = PersistSlots.swap("similarity.knnGraphBanded", df
+      .select(col(idCol).as("__id"),
+        bucketsCol(col(vecCol), dim, planes, tables).as("__bk"))
+      .select(col("__id"), col("__bk"),
+        posexplode(col("__bk")).as(Seq("t", "b"))))
+    val a = banded.select(col("__id").as("__qid"), col("__bk").as("__bka"),
+      col("t"), col("b"))
+    val b = banded.select(col("__id").as("neighbor_id"),
+      col("__bk").as("__bkb"), col("t"), col("b"))
+    // directed pairs (the graph wants BOTH directions), each emitted
+    // only from its first colliding table — no distinct needed
+    val firstCollision = (0 until tables).map { tt =>
+      (col("t") === tt) && (0 until tt)
+        .map(e => element_at(col("__bka"), e + 1) =!=
+          element_at(col("__bkb"), e + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val cand = a.join(b, Seq("t", "b"))
+      .filter(col("__qid") =!= col("neighbor_id"))
+      .filter(firstCollision)
+      .select(col("__qid"), col("neighbor_id"))
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+    val sims = cand
+      .join(vecs.select(col("__vid").as("__qid"), col("__vec").as("__va")),
+        "__qid")
+      .join(vecs.select(col("__vid").as("neighbor_id"),
+        col("__vec").as("__vb")), "neighbor_id")
+      .select(col("__qid"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+    TopK.perKey(sims, "__qid", "neighbor_id", "sim", k)
+      .withColumnRenamed("__qid", idCol)
+  }
+
   /** The LSH parameter-scaling discipline as CODE: hyperplane count
     * for a target expected bucket occupancy. Buckets per table =
     * 2^nPlanes and occupancy is n / 2^nPlanes, while the per-bucket

@@ -31,6 +31,13 @@ object VectorQueries {
         "vec_id", "vec_id", "embedding", dim = DIM, k = 10)
     }),
 
+    // full kNN-GRAPH: every row's top-3 neighbors in one
+    // table-to-table pass (auto-sized band join + exact cosine
+    // rerank + bounded TopK) — the SemDeDup/clustering primitive
+    "knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphLSH(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = DIM, k = 3)),
+
     // MMR diversified re-rank on the brute shortlist: greedy λ=0.7
     // balance of query relevance vs redundancy with already-picked
     // results, ids break ties — the post-ANN diversification stage,
@@ -331,6 +338,46 @@ object VectorQueries {
        |      FROM s)
        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
        |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  // knn_graph oracle: the dedup_embedding_lsh_auto replay shape
+  // (plane count resolved IN SQL from count(*) over the identical
+  // integer doubling ladder, every bucket bit gated on np), but
+  // DIRECTED candidate pairs and a per-source top-3 rank — ties on
+  // rounded cosine break by neighbor id, like TopK.perKey.
+  private val KG_MAXP = 16
+  private def knnGraphOracle: String = {
+    def dot(t: Int, p: Int): String =
+      (0 until DIM).map { d =>
+        s"coalesce(v[${d + 1}], 0) * ${graft.operators.Similarity.planeComponent(100 * t + p, d)}"
+      }.mkString("(", " + ", ")")
+    def bucket(t: Int): String =
+      (0 until KG_MAXP).map { p =>
+        s"(CASE WHEN np >= ${p + 1} AND ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val npCase = (1 until KG_MAXP).map { p =>
+      s"WHEN cnt <= ${64L << p} THEN $p"
+    }.mkString("CASE ", " ", s" ELSE $KG_MAXP END")
+    val buckets = (0 until TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e CROSS JOIN np"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |np AS (SELECT $npCase AS np FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |bk AS (
+       |$buckets),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
+       |         FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
+       |           AND a.vec_id <> c.vec_id),
+       |s AS (SELECT cand.vec_id, cand.neighbor_id,
+       |        list_cosine_similarity(ea.v, eb.v) AS sim
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+       |                JOIN e eb ON eb.vec_id = cand.neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+       |      FROM s)
+       |SELECT vec_id, neighbor_id, round(sim, 4) AS sim, rank
+       |FROM r WHERE rank <= 3""".stripMargin
   }
 
   // ---- PQ oracle fragments, shared by q_pq / knn_pq_adc / knn_ivfpq
@@ -780,6 +827,7 @@ object VectorQueries {
         |FROM r WHERE rank <= 10""".stripMargin,
     "knn_mmr" -> mmrOracle,
     "knn_lsh" -> lshOracle,
+    "knn_graph" -> knnGraphOracle,
     "q_pq" -> pqOracle,
     "knn_pq_adc" -> pqAdcOracle,
     "knn_pq_rerank" -> pqRerankOracle,

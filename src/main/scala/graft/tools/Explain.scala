@@ -105,7 +105,8 @@ object Explain {
     "q_scd2",            // one key exchange, two same-order window passes
     "q_cdc_merge",       // one key exchange, latest-wins row_number filter
     "q_rolling",         // RANGE-frame rolling window, one key exchange
-    "q_expectations"     // one pass per table + broadcast FK anti-joins
+    "q_expectations",    // one pass per table + broadcast FK anti-joins
+    "knn_graph"          // auto-banded id-only join + TopK partial agg
   )
 
   def main(args: Array[String]): Unit = {
