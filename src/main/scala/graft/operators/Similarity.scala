@@ -427,6 +427,51 @@ object Similarity {
       .withColumnRenamed("__qid", idCol)
   }
 
+  /** ANN INGEST: top-k corpus neighbors for an arriving batch — the
+    * incremental companion of [[knnGraphLSH]] (the dedup_incremental
+    * pattern for embeddings). The corpus's banded signature index is
+    * slot-persisted (at 100 TB it is built once on corpus entry and
+    * stored bucketed by (table, bucket)); the batch computes its own
+    * signatures in one narrow pass and probes the index with an
+    * equi-join — corpus vectors never re-shuffle on ingest. Exact
+    * cosine reranks, bounded [[TopK]] keeps k per batch id.
+    * @return (idCol, neighbor_id, sim, rank) for batch rows only */
+  def knnAgainstCorpusLSH(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          dim: Int, k: Int, tables: Int = 4,
+                          nEstimate: Long = 0L,
+                          targetBucket: Long = 64L): DataFrame = {
+    val n = if (nEstimate > 0) nEstimate else corpus.count()
+    if (n == 0)
+      return batch.select(col(idCol), col(idCol).as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0L).as("rank")).limit(0)
+    val planes = autoPlanes(n, targetBucket)
+    // late materialization: the index and the probe rows carry IDS
+    // only through the band join; vectors join back after the
+    // distinct (a candidate row with two vectors is ~35x wider)
+    val index = PersistSlots.swap("similarity.knnIngestIndex", corpus
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(bucketsCol(col(vecCol), dim, planes, tables))
+          .as(Seq("t", "b"))))
+    val probes = batch
+      .select(col(idCol).as("__qid"),
+        posexplode(bucketsCol(col(vecCol), dim, planes, tables))
+          .as(Seq("t", "b")))
+    val cand = probes.join(index, Seq("t", "b"))
+      .filter(col("__qid") =!= col("neighbor_id"))
+      .select(col("__qid"), col("neighbor_id"))
+      .distinct() // a pair may co-bucket in several tables
+    val sims = cand
+      .join(batch.select(col(idCol).as("__qid"), col(vecCol).as("__va")),
+        "__qid")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__vb")), "neighbor_id")
+      .select(col("__qid"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+    TopK.perKey(sims, "__qid", "neighbor_id", "sim", k)
+      .withColumnRenamed("__qid", idCol)
+  }
+
   /** The LSH parameter-scaling discipline as CODE: hyperplane count
     * for a target expected bucket occupancy. Buckets per table =
     * 2^nPlanes and occupancy is n / 2^nPlanes, while the per-bucket

@@ -38,6 +38,17 @@ object VectorQueries {
       Similarity.knnGraphLSH(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", dim = DIM, k = 3)),
 
+    // ANN ingest: the arriving tenth of the table (vec_id % 10 == 7)
+    // probes the slot-persisted corpus band index for its top-3
+    // corpus neighbors — the incremental companion of knn_graph
+    "knn_graph_ingest" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.knnAgainstCorpusLSH(
+        emb.filter(col("vec_id") % 10 === 7),
+        emb.filter(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", dim = DIM, k = 3)
+    }),
+
     // MMR diversified re-rank on the brute shortlist: greedy λ=0.7
     // balance of query relevance vs redundancy with already-picked
     // results, ids break ties — the post-ANN diversification stage,
@@ -368,6 +379,45 @@ object VectorQueries {
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
        |         FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
        |           AND a.vec_id <> c.vec_id),
+       |s AS (SELECT cand.vec_id, cand.neighbor_id,
+       |        list_cosine_similarity(ea.v, eb.v) AS sim
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+       |                JOIN e eb ON eb.vec_id = cand.neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY round(sim, 6) DESC, neighbor_id ASC) AS rank
+       |      FROM s)
+       |SELECT vec_id, neighbor_id, round(sim, 4) AS sim, rank
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
+  // knn_graph_ingest oracle: the knn_graph replay with the batch
+  // (vec_id % 10 = 7) probing the corpus (the rest); the plane count
+  // resolves from the CORPUS count, exactly as the operator sizes it
+  private def knnGraphIngestOracle: String = {
+    def dot(t: Int, p: Int): String =
+      (0 until DIM).map { d =>
+        s"coalesce(v[${d + 1}], 0) * ${graft.operators.Similarity.planeComponent(100 * t + p, d)}"
+      }.mkString("(", " + ", ")")
+    def bucket(t: Int): String =
+      (0 until KG_MAXP).map { p =>
+        s"(CASE WHEN np >= ${p + 1} AND ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val npCase = (1 until KG_MAXP).map { p =>
+      s"WHEN cnt <= ${64L << p} THEN $p"
+    }.mkString("CASE ", " ", s" ELSE $KG_MAXP END")
+    val buckets = (0 until TABLES).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucket(t)} AS b FROM e CROSS JOIN np"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |np AS (SELECT $npCase AS np
+       |       FROM (SELECT count(*) AS cnt FROM e WHERE vec_id % 10 <> 7)),
+       |bk AS (
+       |$buckets),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
+       |         FROM (SELECT * FROM bk WHERE vec_id % 10 = 7) a
+       |         JOIN (SELECT * FROM bk WHERE vec_id % 10 <> 7) c
+       |           ON a.t = c.t AND a.b = c.b),
        |s AS (SELECT cand.vec_id, cand.neighbor_id,
        |        list_cosine_similarity(ea.v, eb.v) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
@@ -828,6 +878,7 @@ object VectorQueries {
     "knn_mmr" -> mmrOracle,
     "knn_lsh" -> lshOracle,
     "knn_graph" -> knnGraphOracle,
+    "knn_graph_ingest" -> knnGraphIngestOracle,
     "q_pq" -> pqOracle,
     "knn_pq_adc" -> pqAdcOracle,
     "knn_pq_rerank" -> pqRerankOracle,

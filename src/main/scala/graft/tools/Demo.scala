@@ -311,6 +311,16 @@ object Demo {
     println("cdc snapshot rows=" + graft.operators.Scd.mergeLatest(
       chg, "user_id", "us", "event_id", "is_delete", Seq("us", "bucket"))
       .count())
+    // promote gate: data-quality assertion suite over the star schema
+    val checks = graft.SparkEntry.queries("q_expectations")(spark,
+      "/root/testdata/sf0.001")
+    println("expectations passing=" +
+      checks.filter(col("pass") === 1).count() + "/" + checks.count())
+    // kNN graph: every vector's top-3 neighbors, one pass
+    val g = graft.operators.Similarity.knnGraphLSH(emb5, "vec_id",
+      "embedding", dim = 64, k = 3)
+    println("knn graph edges=" + g.count() + " ids=" +
+      g.select("vec_id").distinct().count())
     spark.stop()
   }
 }
