@@ -120,6 +120,44 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("as-of forward is ONE exchange; nearest adds no second exchange") {
+    assert(shuffles(graft.SparkEntry.queries("q_asof_fwd")(spark, SF)) == 1)
+    // nearest computes BOTH window passes over the same partitioning:
+    // still exactly one shuffle (two intra-partition sorts)
+    assert(shuffles(
+      graft.SparkEntry.queries("q_asof_nearest")(spark, SF)) == 1)
+  }
+
+  test("source-filter gates documents through a BROADCAST semi-join") {
+    val plan = withoutAqe {
+      graft.SparkEntry.queries("q_source_filter")(spark, SF)
+        .queryExecution.executedPlan.toString }
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
+
+  test("SCD2's two window passes reuse one key exchange (sort reused)") {
+    assert(shuffles(graft.SparkEntry.queries("q_scd2")(spark, SF)) == 1)
+    assert(shuffles(graft.SparkEntry.queries("q_cdc_merge")(spark, SF)) == 1)
+    assert(shuffles(graft.SparkEntry.queries("q_rolling")(spark, SF)) == 1)
+  }
+
+  test("kNN graph carries no vectors through its band join") {
+    val df = graft.operators.Similarity.knnGraphLSH(
+      spark.read.parquet(s"$SF/embeddings.parquet"),
+      "vec_id", "embedding", dim = 64, k = 3)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val bucketJoins = joins.filter(_.output.map(_.name).contains("b"))
+    assert(bucketJoins.nonEmpty)
+    bucketJoins.foreach { j =>
+      val hasVec = j.output.exists(a =>
+        a.dataType.simpleString.contains("array<float>"))
+      assert(!hasVec, j.output.map(a => s"${a.name}:${a.dataType.simpleString}"))
+    }
+  }
+
   test("LSH embedding dedup carries no vectors through the bucket join") {
     // late materialization: the (t, b) self-join's own output columns
     // are ids + signatures; vectors appear only via the id join-backs
