@@ -310,9 +310,57 @@ object StreamQueries {
     spark.read.parquet(outDir)
   }
 
+  /** UPDATE-mode stateful CDC upsert under the gate
+    * ([[StreamOps.streamingLatest]] — the one streaming output mode
+    * the other five entries don't exercise): the whole event log
+    * streams through latest-wins keyed state; every batch re-emits
+    * each touched key's current latest into the sink, and the final
+    * projection takes each key's overall latest and drops tombstones
+    * ('error' rows) — the oracle is the batch CDC-merge replay.
+    * Deterministic whatever the batch boundaries: a latest-wins
+    * state is monotone. The watermark sentinels (user -1) are
+    * harness plumbing, filtered before the gate. */
+  private def cdcUpsertMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feedDir = Fixtures.streamFunnelFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("us", LongType), StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+      .select(col("user_id").as("k"), col("us").as("t"),
+        col("event_id").as("tie"), col("event_type").as("typ"))
+      .as[StreamOps.UpsertEvent]
+    val sink = s"graft_stream_upsert_sink_${sinkIds.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try StreamOps.streamingLatest(input)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    // per key: the overall latest among the per-batch emissions
+    // (monotone, so this IS the final state), tombstones dropped,
+    // sentinels excluded
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("tie").desc)
+    out.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("typ") =!= "error" &&
+        col("k") >= 0)
+      .select(col("k").as("user_id"), col("t").as("ts_us"),
+        col("typ").as("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
     "stream_sink_parquet" -> ((s, dir) => dedupIngestFileSink(s, dir)),
+    "stream_cdc_upsert" -> ((s, dir) => cdcUpsertMonitor(s, dir)),
     "stream_drift_monitor" -> ((s, dir) => driftMonitor(s, dir)),
     "stream_media_ingest" -> ((s, dir) => mediaIngest(s, dir)),
     "stream_funnel" -> ((s, dir) => funnelMonitor(s, dir)),
@@ -407,6 +455,15 @@ object StreamQueries {
     // the sink changes WHERE rows land, not which rows exist: the
     // committed-files read-back must equal the memory-sink multiset
     "stream_sink_parquet" -> dedupIngestOracle,
+    // stream == batch: the final latest per key is the batch CDC
+    // merge regardless of micro-batch boundaries (monotone state)
+    "stream_cdc_upsert" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             event_type FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM o)
+        |SELECT user_id, us AS ts_us, event_type
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "stream_drift_monitor" -> driftMonitorOracle,
     "stream_media_ingest" -> mediaIngestOracle,
     // stream == batch is the funnel's contract: the oracle is the

@@ -451,4 +451,36 @@ object StreamOps {
           }
       }
   }
+
+  final case class UpsertEvent(k: Long, t: Long, tie: Long, typ: String)
+  final case class UpsertRow(k: Long, t: Long, tie: Long, typ: String)
+
+  /** UPDATE-mode stateful CDC view maintenance: per key, the state is
+    * the latest (t, tie) row seen so far; every micro-batch that
+    * touches a key re-emits that key's current latest (the
+    * materialized-upsert-view shape — downstream sees one fresh row
+    * per changed key per batch, never the whole table). State is ONE
+    * row per key, bounded by keyspace; no watermark needed — a
+    * latest-wins state is monotone, so late or reordered batches
+    * cannot change the final answer (the stream==batch contract the
+    * gate oracle checks). Delete semantics stay with the CALLER: the
+    * emitted latest row carries `typ`, and the consumer drops keys
+    * whose final latest is a tombstone — exactly
+    * [[graft.operators.Scd.mergeLatest]]. */
+  def streamingLatest(events: Dataset[UpsertEvent]): Dataset[UpsertRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .mapGroupsWithState[UpsertRow, UpsertRow](
+        GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[UpsertRow]) =>
+          var best = state.getOption.getOrElse(
+            UpsertRow(k, Long.MinValue, Long.MinValue, ""))
+          evs.foreach { e =>
+            if (e.t > best.t || (e.t == best.t && e.tie > best.tie))
+              best = UpsertRow(k, e.t, e.tie, e.typ)
+          }
+          state.update(best)
+          best
+      }
+  }
 }
