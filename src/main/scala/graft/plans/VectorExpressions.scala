@@ -297,13 +297,13 @@ case class FloatLshBuckets(child: Expression, dim: Int, nPlanes: Int,
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    FloatLshBuckets.eval(v, planes, dim, nPlanes, tables)
+    FloatLshBuckets.evalBuckets(v, planes, dim, nPlanes, tables)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val p = ctx.addReferenceObj("planes", planes, "double[][]")
-      s"""${ev.value} = graft.plans.FloatLshBuckets.eval(
+      s"""${ev.value} = graft.plans.FloatLshBuckets.evalBuckets(
          |  $a, $p, $dim, $nPlanes, $tables);""".stripMargin
     })
 
@@ -343,8 +343,17 @@ object FloatLshBuckets {
 
   /** The shared hot loop — called from both the interpreted eval and
     * the generated code (no UDF ser/de; the call inlines into the
-    * surrounding whole-stage-codegen projection). */
-  def eval(v: ArrayData, planes: Array[Array[Double]], dim: Int,
+    * surrounding whole-stage-codegen projection).
+    *
+    * NOT named `eval`: the companion case class inherits
+    * `Expression.eval`, and scalac suppresses an object's static
+    * forwarder when the companion class has a method of the same
+    * name — generated Java then resolves
+    * `graft.plans.FloatLshBuckets.eval(...)` to the INSTANCE method
+    * and janino rejects the whole stage, silently dropping every
+    * LSH plan to interpreted execution (caught by the
+    * generated-code-compiles spec). */
+  def evalBuckets(v: ArrayData, planes: Array[Array[Double]], dim: Int,
            nPlanes: Int, tables: Int): ArrayData = {
     val nv = v.numElements()
     val n = math.min(nv, dim)

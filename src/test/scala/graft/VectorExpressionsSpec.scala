@@ -164,6 +164,34 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("lshBuckets GENERATED code actually compiles (no silent " +
+    "interpreted fallback) and agrees with the interpreted eval") {
+    // "plan starts with *(" is NOT sufficient: WholeStageCodegen wraps
+    // the plan before janino runs, and a compile failure falls back to
+    // interpreted execution silently AT RUNTIME (this caught a missing
+    // static forwarder: a companion-object helper named `eval` clashes
+    // with Expression.eval, scalac suppresses the forwarder, and the
+    // generated call resolves to the instance method). Force the
+    // compile with GenerateUnsafeProjection — it throws, never falls
+    // back.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for (nPlanes <- Seq(6, 12, 16)) { // incl. the 100x-scale auto sizes
+      val expr = graft.plans.FloatLshBuckets(
+        BoundReference(0, ArrayType(FloatType), nullable = false),
+        64, nPlanes, 4)
+      val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "bk")()))
+      val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.7).toFloat)
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        ArrayData.toArrayData(v))
+      val gen = proj(row).getArray(0).toLongArray().toSeq
+      val interp = expr.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+      assert(gen == interp && gen.length == 4, s"nPlanes=$nPlanes")
+    }
+  }
+
   test("lshBuckets plan equality is structural (sameResult without memoization)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def mk() = emb.select(
