@@ -192,6 +192,57 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("every custom expression's generated code force-compiles and " +
+    "agrees with its interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, Expression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val fv = ArrayData.toArrayData(
+      Array.tabulate(64)(i => (math.cos(i + 1) * 0.6).toFloat))
+    val lv = ArrayData.toArrayData(Array.tabulate(64)(i => (i * 7 - 200).toLong))
+    val cases: Seq[(String, Expression, InternalRow)] = Seq(
+      ("GearBoundaries",
+        graft.plans.GearBoundaries(
+          BoundReference(0, StringType, nullable = false), 16, 4),
+        InternalRow(UTF8String.fromString("the quick brown fox " * 20))),
+      ("GearBinaryBoundaries",
+        graft.plans.GearBinaryBoundaries(
+          BoundReference(0, BinaryType, nullable = false), 16, 4),
+        InternalRow(Array.tabulate[Byte](400)(i => (i * 31 % 251).toByte))),
+      ("SignSignature",
+        graft.plans.SignSignature(
+          BoundReference(0, ArrayType(LongType), nullable = false),
+          Seq.tabulate(8)(p => Seq.tabulate(64)(d => ((p * 64 + d) * 37 % 101 - 50).toLong))),
+        InternalRow(lv)),
+      ("DotProduct",
+        graft.plans.DotProduct(
+          BoundReference(0, ArrayType(FloatType), nullable = false),
+          BoundReference(0, ArrayType(FloatType), nullable = false)),
+        InternalRow(fv)),
+      ("DotProductLong",
+        graft.plans.DotProductLong(
+          BoundReference(0, ArrayType(LongType), nullable = true),
+          BoundReference(0, ArrayType(LongType), nullable = true)),
+        InternalRow(lv)))
+    cases.foreach { case (name, expr, row) =>
+      val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "x")()))
+      val gen = proj(row).get(0, expr.dataType)
+      val interp = expr.eval(row)
+      val norm = (x: Any) => x match {
+        case a: ArrayData => expr.dataType match {
+          case ArrayType(LongType, _) => a.toLongArray().toSeq
+          case _ => a.toIntArray().toSeq
+        }
+        case other => other
+      }
+      assert(norm(gen) == norm(interp), name)
+      assert(interp != null, s"$name interpreted eval returned null")
+    }
+  }
+
   test("lshBuckets plan equality is structural (sameResult without memoization)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def mk() = emb.select(
