@@ -102,7 +102,9 @@ object Bench {
       "knn_ivf", "pbd_source", "flatten_roundtrip", "q_kmeans",
       "dedup_semantic", "text_decontaminate", "q_pq", "knn_pq_adc",
       "knn_ivfpq", "q_curate_e2e", "knn_ivfpq_res",
-      "dedup_embedding_lsh_auto", "dedup_semantic_auto", "q_bpe_train")
+      "dedup_embedding_lsh_auto", "dedup_semantic_auto", "q_bpe_train",
+      "knn_graph", "knn_graph_ingest", "q_source_reputation", "q_scd2",
+      "q_expectations")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

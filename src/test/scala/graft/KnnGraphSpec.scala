@@ -59,4 +59,24 @@ class KnnGraphSpec extends SparkSpec {
     val recall = hits.sum / vecs.size // ids with no candidates score 0
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("ingest variant: batch ids only, neighbors only from the corpus") {
+    import spark.implicits._
+    val emb = embeddings
+    val got = Similarity.knnAgainstCorpusLSH(
+        emb.filter(col("vec_id") % 10 === 7),
+        emb.filter(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", dim = 64, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nb, _, rank) =>
+      assert(id % 10 == 7, s"non-batch id $id in output")
+      assert(nb % 10 != 7, s"batch id $nb reported as corpus neighbor")
+      assert(rank >= 1 && rank <= 3)
+    }
+    // per-id ranks are dense from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
 }
