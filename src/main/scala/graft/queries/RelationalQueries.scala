@@ -207,6 +207,17 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // half-sample bootstrap CI (Bootstrap.scala): per-group mean with
+    // a resampled standard error, all 32 replicates folded into ONE
+    // map-combined pass — md5-bit membership, so the estimate replays
+    // exactly in SQL and partitioning can't change it
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Bootstrap.halfSampleCI(
+        Tables(s, dir, "lineitem")
+          .withColumn("__key",
+            col("l_orderkey") * 8 + col("l_linenumber")),
+        "l_returnflag", "l_extendedprice", "__key")),
+
     // data-quality assertion suite (Expectations.scala): row
     // predicates fold into ONE pass per table, uniqueness is one
     // distinct count, FKs are anti-joins — the promote-gate report
@@ -543,6 +554,42 @@ object RelationalQueries {
     })
   )
 
+  // q_bootstrap_ci replay: the same 32 conditional sums in one
+  // aggregation, replicate means as a list, half-sample se from the
+  // list spread — md5-bit membership arithmetic identical to Spark's
+  private def bootstrapCiOracle: String = {
+    val b = 32
+    val sums = (0 until b).map { i =>
+      s"sum(CASE WHEN (bits >> $i) & 1 = 1 THEN v ELSE 0 END) AS s$i, " +
+        s"sum(CASE WHEN (bits >> $i) & 1 = 1 THEN 1 ELSE 0 END) AS c$i"
+    }.mkString(",\n        ")
+    val meanList = (0 until b).map(i =>
+      s"CASE WHEN c$i > 0 THEN s$i / c$i END").mkString("[", ", ", "]")
+    s"""WITH k AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+       |             CAST('0x' || substring(md5(CAST(l_orderkey * 8
+       |               + l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) AS bits
+       |           FROM lineitem),
+       |a AS (SELECT g, count(*) AS n, sum(v) AS tot,
+       |        $sums
+       |      FROM k GROUP BY g),
+       |f AS (SELECT g, n, tot,
+       |        list_filter($meanList, x -> x IS NOT NULL) AS ms
+       |      FROM a),
+       |s AS (SELECT g, n, tot, ms, CAST(len(ms) AS DOUBLE) AS kk,
+       |        list_sum(ms) / CAST(len(ms) AS DOUBLE) AS mbar
+       |      FROM f),
+       |e AS (SELECT g, n, tot,
+       |        CASE WHEN kk > 1 THEN sqrt(list_sum(list_transform(ms,
+       |          x -> (x - mbar) * (x - mbar))) / (kk - 1))
+       |          ELSE 0.0 END AS se
+       |      FROM s)
+       |SELECT g AS l_returnflag, n, round(tot / n, 2) AS mean,
+       |  round(se, 2) AS se,
+       |  round(tot / n - 1.96 * se, 2) AS lo95,
+       |  round(tot / n + 1.96 * se, 2) AS hi95
+       |FROM e""".stripMargin
+  }
+
   // q_profile replay: one UNION ALL branch per profiled column,
   // generated from the same PROFILE_COLS table as the Spark side
   private val profileOracle: String =
@@ -727,6 +774,7 @@ object RelationalQueries {
         |  count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey""".stripMargin,
+    "q_bootstrap_ci" -> bootstrapCiOracle,
     // one UNION ALL branch per check; failed-evaluation rows (null
     // predicates) count as failures in both engines via coalesce
     "q_expectations" ->

@@ -106,7 +106,8 @@ object Explain {
     "q_cdc_merge",       // one key exchange, latest-wins row_number filter
     "q_rolling",         // RANGE-frame rolling window, one key exchange
     "q_expectations",    // one pass per table + broadcast FK anti-joins
-    "knn_graph"          // auto-banded id-only join + TopK partial agg
+    "knn_graph",         // auto-banded id-only join + TopK partial agg
+    "q_bootstrap_ci"     // 32 replicates in ONE map-combined pass
   )
 
   def main(args: Array[String]): Unit = {
