@@ -321,6 +321,14 @@ object Demo {
       "embedding", dim = 64, k = 3)
     println("knn graph edges=" + g.count() + " ids=" +
       g.select("vec_id").distinct().count())
+    // resampled uncertainty: per-flag price mean with half-sample CI
+    val ci = graft.operators.Bootstrap.halfSampleCI(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("__key", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_returnflag", "l_extendedprice", "__key")
+      .orderBy("l_returnflag").head()
+    println(f"bootstrap ci flag=${ci.getString(0)} mean=${ci.getDouble(2)}%.2f" +
+      f" +-1.96se=[${ci.getDouble(4)}%.2f, ${ci.getDouble(5)}%.2f]")
     spark.stop()
   }
 }
