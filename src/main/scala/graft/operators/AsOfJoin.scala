@@ -26,6 +26,12 @@ object AsOfJoin {
     *                   `leftTime - tolerance` comes back as null,
     *                   pandas merge_asof-style. Requires numeric
     *                   (epoch) time columns.
+    *
+    * When several right rows tie on (key, time), the one with the
+    * largest xxhash64 of its payload wins — an arbitrary but
+    * DETERMINISTIC choice (partitioning cannot change the answer),
+    * required because `rightCols` may carry payload columns beyond
+    * the match time.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
@@ -38,7 +44,7 @@ object AsOfJoin {
       rightTime, rightCols, pType)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, tiebreak.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val rawMatch = last(col("__payload"), ignoreNulls = true).over(w)
@@ -59,11 +65,14 @@ object AsOfJoin {
   /** As-of FORWARD join: for each left row, the EARLIEST right row
     * whose time is >= the left row's time (pandas merge_asof
     * `direction='forward'`). Same single-exchange union + ordered
-    * window shape as [[backward]], mirrored: rows sort ascending with
-    * the LEFT side first at equal times (a right row at exactly the
-    * left row's time is eligible and must fall inside the
-    * current-row→following frame), and `first(ignoreNulls)` over the
-    * forward frame picks the nearest following payload.
+    * window shape as [[backward]], mirrored by sorting time
+    * DESCENDING and taking the running `last(ignoreNulls)` — Spark
+    * evaluates the [unboundedPreceding, currentRow] frame
+    * incrementally in O(n) per key partition, whereas the naive
+    * [currentRow, unboundedFollowing] + `first` frame re-aggregates
+    * the whole remainder for every row (O(n²) on a hot key). At equal
+    * times the right side sorts BEFORE the left (a right row at
+    * exactly the left row's time is eligible under >= semantics).
     * @param tolerance max lookahead in the time columns' own units —
     *                  a match further than `leftTime + tolerance`
     *                  comes back null. Requires numeric time columns.
@@ -78,14 +87,16 @@ object AsOfJoin {
     val (lTagged, rAligned) = tagAndAlign(left, right, keys, leftTime,
       rightTime, rightCols, pType)
 
-    // __side: left=1, right=0. Descending side at equal __t puts the
-    // left row FIRST, so an equal-time right payload is inside the
-    // current-row→unboundedFollowing frame (>= semantics).
+    // Descending time: the running last() is the right row with the
+    // SMALLEST __t >= the current left row's __t. __side asc at equal
+    // __t scans rights before the left row; last() takes the FINAL
+    // row of a fully-tied (key, time) group, so tiebreak asc makes
+    // the max-hash payload win, matching [[backward]]'s choice.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__side").asc, tiebreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val rawMatch = first(col("__payload"), ignoreNulls = true).over(w)
+    val rawMatch = last(col("__payload"), ignoreNulls = true).over(w)
     val joined = lTagged.unionByName(rAligned)
       .withColumn("__match", tolerance match {
         case None => rawMatch
@@ -121,12 +132,17 @@ object AsOfJoin {
     val (lTagged, rAligned) = tagAndAlign(left, right, keys, leftTime,
       rightTime, rightCols, pType)
 
+    // Both legs run as RUNNING frames (incremental O(n) per key
+    // partition): the forward candidate comes from a second,
+    // descending intra-partition sort rather than an
+    // unboundedFollowing frame, which Spark re-aggregates from
+    // scratch per row (O(n²) on a hot key).
     val wBack = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, tiebreak.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__side").asc, tiebreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     def within(m: Column): Column = tolerance match {
       case None => m
@@ -135,7 +151,7 @@ object AsOfJoin {
           m).otherwise(lit(null).cast(pType))
     }
     val back = within(last(col("__payload"), ignoreNulls = true).over(wBack))
-    val fwd = within(first(col("__payload"), ignoreNulls = true).over(wFwd))
+    val fwd = within(last(col("__payload"), ignoreNulls = true).over(wFwd))
 
     val joined = lTagged.unionByName(rAligned)
       .withColumn("__back", back)
@@ -154,6 +170,12 @@ object AsOfJoin {
       rightCols.map(_._2).map(d => col(s"__match.$d").as(d))
     joined.select(out: _*)
   }
+
+  /** Deterministic right-row tiebreak at equal (key, time): xxhash64
+    * of the payload struct. Left rows carry a null payload, which
+    * hash expressions pass through (the seed), so the tiebreak never
+    * reorders a left row relative to its __side slot. */
+  private def tiebreak: Column = xxhash64(col("__payload"))
 
   /** Shared union-input construction: left tagged (side=1, null
     * payload), right projected to (keys, __t, side=0, payload struct)

@@ -20,8 +20,8 @@ object Bootstrap {
 
   /** @param keyCol a stable unique row key (drives replicate
     *               membership; md5 of its string form)
-    * @param b      replicate count, 1..32 (bits of the first 8 md5
-    *               hex digits)
+    * @param b      replicate count in [2, 32] (bits of the first 8
+    *               md5 hex digits)
     * @return (groupCol, n, mean, se, lo95, hi95) — mean of the value,
     *         half-sample standard error (stddev of replicate means),
     *         and the +-1.96 se interval, all rounded 2dp (the repo's

@@ -24,6 +24,13 @@ object Expectations {
     * pass). */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
+    // check names are spliced into a selectExpr stack() and into
+    // column aliases — restrict them to plain identifiers so a quote
+    // / space / dot / backtick can't break parsing or inject SQL
+    checks.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"check name must match [A-Za-z_][A-Za-z0-9_]*, got '$name'")
+    }
     val aggs = count(lit(1)).as("__n") +:
       checks.map { case (name, pred) =>
         sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))

@@ -35,7 +35,7 @@ object Reputation {
     *         share), rep_e4 = ((10000 - dup_e4)*5 + mean_stop_e4*3 +
     *         lang_share_e4*2) div 10 — integer weights, exactly
     *         replayable. */
-  def sourceStats(docs: DataFrame, idCol: String, textCol: String,
+  def sourceStats(docs: DataFrame, textCol: String,
                   sourceCol: String, langCol: String,
                   stopwordVocab: Seq[String]): DataFrame = {
     val nWords = graft.functions.TextFunctions.tokenCount(col(textCol))
@@ -81,10 +81,10 @@ object Reputation {
     * source scores `rep_e4 >= minRep`. The reputation table is tiny
     * (one row per source), so the gate is a broadcast semi-join —
     * document text never re-shuffles. */
-  def sourceFilter(docs: DataFrame, idCol: String, textCol: String,
+  def sourceFilter(docs: DataFrame, textCol: String,
                    sourceCol: String, langCol: String,
                    stopwordVocab: Seq[String], minRep: Long): DataFrame = {
-    val keep = sourceStats(docs, idCol, textCol, sourceCol, langCol,
+    val keep = sourceStats(docs, textCol, sourceCol, langCol,
         stopwordVocab)
       .filter(col("rep_e4") >= minRep)
       .select(col("source").as(sourceCol))

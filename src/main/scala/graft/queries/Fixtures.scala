@@ -39,6 +39,25 @@ object Fixtures {
     Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures", key)
   }
 
+  /** Per-JVM reusable scratch slots for queries that write through
+    * the filesystem (avro/arrow/orc/csv round-trips, the streaming
+    * file sink). One root per process, deleted by a shutdown hook;
+    * each named slot is WIPED on re-entry — a bench/probe loop that
+    * re-invokes a query reuses one directory instead of leaking a
+    * fresh temp per run for the life of the machine. */
+  private lazy val scratchRoot: Path = {
+    val p = Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p
+  }
+
+  private[queries] def scratch(name: String): Path = synchronized {
+    val d = scratchRoot.resolve(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+    Files.createDirectories(d)
+  }
+
   /** Move tmp into place. ATOMIC_MOVE where the filesystem supports
     * it; a plain rename otherwise (tmp dir on a different mount). In
     * both cases losing the publish race — the target already exists,

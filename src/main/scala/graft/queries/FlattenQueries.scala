@@ -91,7 +91,7 @@ object FlattenQueries {
       val sample = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey") % 37 === 0)
         .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
-      val path = java.nio.file.Files.createTempDirectory("graft_avro_q")
+      val path = Fixtures.scratch("avro_q")
         .resolve("li.avro").toString
       graft.sources.avro.GraftAvroWriter.write(path, sample.schema,
         sample.collect().toSeq)
@@ -110,7 +110,7 @@ object FlattenQueries {
         .select(col("l_orderkey"),
           map(lit("disc"), col("l_discount"),
             lit("qty"), col("l_quantity")).as("m"))
-      val path = java.nio.file.Files.createTempDirectory("graft_avro_map_q")
+      val path = Fixtures.scratch("avro_map_q")
         .resolve("li_map.avro").toString
       graft.sources.avro.GraftAvroWriter.write(path, sample.schema,
         sample.collect().toSeq)
@@ -134,7 +134,7 @@ object FlattenQueries {
       val sample = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey") % 47 === 0)
         .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
-      val path = java.nio.file.Files.createTempDirectory("graft_arrow_q")
+      val path = Fixtures.scratch("arrow_q")
         .resolve("li.arrows").toString
       // small batches force the multi-batch read path
       graft.sources.ArrowSource.toArrowStream(sample, path, batchRows = 256)
@@ -147,7 +147,7 @@ object FlattenQueries {
       val sample = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey") % 41 === 0)
         .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
-      val path = java.nio.file.Files.createTempDirectory("graft_orc_q")
+      val path = Fixtures.scratch("orc_q")
         .resolve("li.orc").toString
       sample.write.mode("overwrite").orc(path)
       s.read.orc(path)
@@ -159,7 +159,7 @@ object FlattenQueries {
       val sample = Tables(s, dir, "lineitem")
         .filter(col("l_orderkey") % 43 === 0)
         .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
-      val path = java.nio.file.Files.createTempDirectory("graft_csv_q")
+      val path = Fixtures.scratch("csv_q")
         .resolve("li.csv").toString
       sample.write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true")

@@ -283,7 +283,8 @@ object StreamQueries {
     * of the memory sink — the path a production ingest job actually
     * writes, including the _spark_metadata manifest a downstream
     * reader consults to see only committed files. Sink + checkpoint
-    * dirs are per-invocation temps (fixture-scale data); the result
+    * dirs live in a per-session scratch slot wiped on re-entry
+    * (fixture-scale data; bench loops don't leak dirs); the result
     * is the committed files read BACK through the batch reader, so
     * the gate hashes exactly what a downstream consumer would see. */
   private def dedupIngestFileSink(spark: SparkSession, dir: String): DataFrame = {
@@ -300,7 +301,7 @@ object StreamQueries {
       .parquet(s"$feedDir/batch_*.parquet")
     val streamed = StreamOps.dedupAgainstCorpus(
       input, "doc_id", "text", index, numHashes = K, bands = BANDS)
-    val base = java.nio.file.Files.createTempDirectory("graft_fsink")
+    val base = Fixtures.scratch("fsink")
     val outDir = base.resolve("out").toString
     val q = streamed.writeStream.format("parquet")
       .option("path", outDir)

@@ -120,7 +120,7 @@ object TextQueries {
     // source (Reputation.scala — the RefinedWeb per-domain gate)
     "q_source_reputation" -> ((s, dir) =>
       graft.operators.Reputation.sourceStats(
-        Tables(s, dir, "documents"), "doc_id", "text", "source", "lang",
+        Tables(s, dir, "documents"), "text", "source", "lang",
         stopwords("en"))),
 
     // the document gate on that reputation: keep docs whose source
@@ -128,7 +128,7 @@ object TextQueries {
     // source table, document text never re-shuffles
     "q_source_filter" -> ((s, dir) =>
       graft.operators.Reputation.sourceFilter(
-          Tables(s, dir, "documents"), "doc_id", "text", "source", "lang",
+          Tables(s, dir, "documents"), "text", "source", "lang",
           stopwords("en"), minRep = 5900L)
         .select(col("doc_id"), col("source"), col("lang"))),
 

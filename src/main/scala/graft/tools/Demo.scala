@@ -292,12 +292,12 @@ object Demo {
     println("asof nearest within 1d=" +
       near.filter(col("near_us").isNotNull).count())
     // per-source reputation gate
-    val rep = graft.operators.Reputation.sourceStats(docs5, "doc_id",
+    val rep = graft.operators.Reputation.sourceStats(docs5,
       "text", "source", "lang", graft.functions.TextFunctions.stopwords("en"))
     val worst = rep.orderBy(col("rep_e4").asc).head()
     println(s"worst source=${worst.getString(0)} rep_e4=${worst.getLong(7)}")
     println("reputation-kept docs=" + graft.operators.Reputation
-      .sourceFilter(docs5, "doc_id", "text", "source", "lang",
+      .sourceFilter(docs5, "text", "source", "lang",
         graft.functions.TextFunctions.stopwords("en"), minRep = 5900L)
       .count() + "/" + docs5.count())
     // warehouse maintenance: SCD2 history + CDC latest-wins snapshot

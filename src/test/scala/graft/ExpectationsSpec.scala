@@ -25,6 +25,16 @@ class ExpectationsSpec extends SparkSpec {
       ("v_not_null", 4L, 1L, 0), ("v_positive", 4L, 2L, 0)))
   }
 
+  test("rowChecks rejects non-identifier check names") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    for (bad <- Seq("has space", "quo'te", "dot.ted", "back`tick", "")) {
+      intercept[IllegalArgumentException] {
+        Expectations.rowChecks(df, Seq(bad -> (col("v") > 0)))
+      }
+    }
+  }
+
   test("unique counts rows beyond the first per key tuple") {
     import spark.implicits._
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"))

@@ -27,7 +27,7 @@ class ReputationSpec extends SparkSpec {
   }
 
   test("sourceStats: dup flags are corpus-wide; ties break on lang asc") {
-    val got = Reputation.sourceStats(docs, "doc_id", "text", "source",
+    val got = Reputation.sourceStats(docs, "text", "source",
         "lang", sw)
       .orderBy("source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -42,7 +42,7 @@ class ReputationSpec extends SparkSpec {
   }
 
   test("rep_e4 is the exact integer formula") {
-    val r = Reputation.sourceStats(docs, "doc_id", "text", "source",
+    val r = Reputation.sourceStats(docs, "text", "source",
         "lang", sw)
       .filter(col("source") === "spam").collect().head
     val dup = r.getLong(3); val stop = r.getLong(4); val share = r.getLong(6)
@@ -51,11 +51,11 @@ class ReputationSpec extends SparkSpec {
 
   test("sourceFilter keeps only docs from sources above the bar") {
     // spam: dup_e4=10000 -> rep collapses; good and mirror mix
-    val kept = Reputation.sourceFilter(docs, "doc_id", "text", "source",
+    val kept = Reputation.sourceFilter(docs, "text", "source",
         "lang", sw, minRep = 4000L)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(!kept.contains(3L) && !kept.contains(4L))
-    val all = Reputation.sourceFilter(docs, "doc_id", "text", "source",
+    val all = Reputation.sourceFilter(docs, "text", "source",
         "lang", sw, minRep = 0L).count()
     assert(all == 5L)
   }
