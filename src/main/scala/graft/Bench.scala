@@ -19,6 +19,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // trip-wire for silent interpreted fallbacks (see CodegenGuard):
+    // a "failed to compile" ERROR during any trial fails the run
+    graft.tools.CodegenGuard.install()
 
     // JVM/codegen warmup so the first measured query isn't charged
     // session startup
@@ -192,12 +195,13 @@ object Bench {
       val hi = if (warm.isEmpty) -1.0 else warm.max
       "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
     }.mkString("{", ",", "}")
+    val codegenErrors = graft.tools.CodegenGuard.report()
     val (slotHits, slotMisses) = graft.operators.PersistSlots.stats
     val trialsJson = trialLog.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"bands":$bandsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"codegen_errors":$codegenErrors$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"bands":$bandsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that
@@ -219,11 +223,12 @@ object Bench {
     def fmt(v: Double): String = f"$v%.2f"
     val compactErrJson =
       if (failed.isEmpty) "" else s""","errors":${failed.length}"""
+    val cgJson = if (codegenErrors == 0) "" else s""","codegen_errors":$codegenErrors"""
     def compactLine(keep: Seq[(String, Double)], omitted: Int): String = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$om,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$om,"detail":"bench_detail.json"}"""
     }
     val ok = results.collect { case (n, (v, true)) => (n, v) }
     val byTimeDesc = ok.sortBy(-_._2)
@@ -239,5 +244,12 @@ object Bench {
     spark.stop()
     println(line)
     System.out.flush()
+    // FAIL the run on any codegen fallback — after the contract line
+    // has landed, so the timings are still recorded alongside the
+    // failure instead of being discarded with it
+    if (codegenErrors > 0) {
+      System.err.println(s"[bench] FAILING: $codegenErrors codegen fallback error(s) — see bench_detail.json and stderr above")
+      sys.exit(2)
+    }
   }
 }

@@ -74,6 +74,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail the probe on silent interpreted fallbacks (CodegenGuard)
+    CodegenGuard.install()
     import spark.implicits._
 
     // A bare directory is NOT proof of a complete dataset — a run
@@ -167,8 +169,13 @@ object ScaleProbe {
     val qs = results.map { case (n, t, rows) =>
       "\"" + n + "\":{\"sec\":" + f"$t%.3f" + ",\"rows\":" + rows + "}"
     }.mkString("{", ",", "}")
+    val codegenErrors = CodegenGuard.report()
     spark.stop()
-    println(s"""{"probe":"scale","r":$r,"mode":"$mode","src":"$src","queries":$qs}""")
+    println(s"""{"probe":"scale","r":$r,"mode":"$mode","src":"$src","codegen_errors":$codegenErrors,"queries":$qs}""")
+    if (codegenErrors > 0) {
+      System.err.println(s"[scale] FAILING: $codegenErrors codegen fallback error(s)")
+      sys.exit(2)
+    }
   }
 
   private def deleteTree(root: String): Unit = {
