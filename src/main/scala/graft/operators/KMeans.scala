@@ -57,13 +57,15 @@ object KMeans {
     *    [[graft.plans.DotProductLong]] kernel against centroid
     *    literals — |v|^2 once per row, |c|^2 folded on the driver.
     *    The oracle-replayable form.
-    *  - k > exprMax: ONE kernel udf against the broadcast centroid
-    *    matrix. Thousands of per-centroid expression branches would
-    *    blow generated-method size past codegen limits (autoK at
-    *    n = 10^5..10^9 wants k in the thousands-to-millions), while
-    *    the matrix stays a few MB broadcast. Same integer sums, same
-    *    smallest-id tiebreak (ids scanned sorted, strict <), so
-    *    results are bit-identical — pinned by KMeansSpec.
+    *  - k > exprMax: ONE codegen'd kernel expression
+    *    ([[graft.plans.NearestCentroidLong]]) over the embedded
+    *    centroid matrix. Thousands of per-centroid expression
+    *    branches would blow generated-method size past codegen limits
+    *    (autoK at n = 10^5..10^9 wants k in the
+    *    thousands-to-millions), while the kernel stays one compact
+    *    k×dim loop inside whole-stage codegen. Same integer sums,
+    *    same smallest-id tiebreak (ids scanned sorted, strict <), so
+    *    results are bit-identical — pinned by Round5OpsSpec.
     */
   private[graft] def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]],
                               exprMax: Int = 256): DataFrame = {
@@ -91,40 +93,20 @@ object KMeans {
               array_position(col("__d"), array_min(col("__d"))).cast("int"))))
         .drop("__d", "__vn")
     } else {
-      val bc = q0.sparkSession.sparkContext.broadcast(
-        ids.map(i => (i, centroids(i).toArray)).toArray)
-      val assign = udf { (v: Seq[Long]) =>
-        // null vector -> null struct, so cluster/dist come out null
-        // exactly as the expression form's null-propagating arithmetic
-        // does — the two paths must stay bit-identical on ALL inputs
-        if (v == null) null
-        else {
-        // unbox ONCE per row: the quantized array arrives as a boxed
-        // Seq (nullable element type), and indexing it inside the
-        // k*dim loop costs an unboxing per access — measured 6x on
-        // the whole assignment at k~2300
-        val vv = new Array[Long](v.length)
-        var t = 0
-        while (t < vv.length) { vv(t) = v(t); t += 1 }
-        val cs = bc.value
-        var bestC = -1
-        var bestD = Long.MaxValue
-        var i = 0
-        while (i < cs.length) {
-          val cent = cs(i)._2
-          var d = 0L
-          var j = 0
-          val n = math.min(vv.length, cent.length)
-          while (j < n) { val dt = vv(j) - cent(j); d += dt * dt; j += 1 }
-          if (d < bestD) { bestD = d; bestC = cs(i)._1 }
-          i += 1
-        }
-        (bestC, bestD)
-        }
-      }
-      q0.withColumn("__a", assign(col("__q")))
-        .withColumn("cluster", col("__a").getField("_1"))
-        .withColumn("dist", col("__a").getField("_2"))
+      // ONE codegen'd kernel expression against the embedded centroid
+      // matrix (graft.plans.NearestCentroidLong): a compact k*dim loop
+      // that inlines into the surrounding whole-stage-codegen
+      // projection — no per-row boxed ser/de, and generated-method
+      // size does not grow with k (the per-centroid expansion above
+      // would blow past JIT limits at autoK's thousands of clusters).
+      // Null vector or null element -> null struct, exactly the
+      // expression form's null-propagating arithmetic — the two paths
+      // must stay bit-identical on ALL inputs (pinned by Round5OpsSpec)
+      val assigned = graft.plans.VectorExpressions.nearestCentroidLong(
+        col("__q"), ids.map(i => (i, centroids(i))))
+      q0.withColumn("__a", assigned)
+        .withColumn("cluster", col("__a").getField("cluster"))
+        .withColumn("dist", col("__a").getField("dist"))
         .drop("__a")
     }
   }

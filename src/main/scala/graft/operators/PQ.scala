@@ -211,14 +211,16 @@ object PQ {
   def ivfpqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cidCol: String, books: Codebooks,
                 query: Seq[Double], nProbe: Int = 4, n: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
     val cents = Similarity.collectCentroids(centroids, cidCol, vecCol)
-    val bc = spark.sparkContext.broadcast(cents)
-    val assignU = org.apache.spark.sql.functions.udf {
-      (v: Seq[Float]) => Similarity.nearestCell(v, bc.value) }
     val probed = Similarity.probeCells(query.map(_.toFloat), cents, nProbe)
 
-    val withCell = corpus.withColumn("__cell", assignU(col(vecCol)))
+    // codegen'd cell assignment over the embedded centroid matrix
+    // (the ScalaUDF form blocked whole-stage codegen on the
+    // corpus-wide scan; same kernel as Similarity.ivfTopK)
+    val withCell = corpus.withColumn("__cell",
+      graft.plans.VectorExpressions.nearestCell(
+        col(vecCol).cast("array<float>"),
+        cents.map { case (cid, cv, _) => (cid, cv.toSeq) }.toSeq))
     val codes = encode(withCell, idCol, vecCol, books, keep = Seq("__cell"))
       .filter(col("__cell").isin(probed: _*))
 

@@ -587,16 +587,20 @@ object Similarity {
               qidCol: String, idCol: String, vecCol: String,
               centroids: DataFrame, cidCol: String,
               k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
     val cents = collectCentroids(centroids, cidCol, vecCol)
-    val bc = spark.sparkContext.broadcast(cents)
-    val assignU = udf { (v: Seq[Float]) => nearestCell(v, bc.value) }
-    val probeU = udf { (v: Seq[Float]) => probeCells(v, bc.value, nProbe) }
+    // codegen'd kernels over the embedded centroid matrix (the
+    // ScalaUDF forms blocked whole-stage codegen on the corpus-wide
+    // assignment scan; equivalence to the driver-side probe helpers
+    // is pinned by VectorExpressionsSpec)
+    val centSeq: Seq[(Long, Seq[Float])] =
+      cents.map { case (cid, cv, _) => (cid, cv.toSeq) }.toSeq
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", assignU(col("__cv")))
+      .withColumn("__cell", graft.plans.VectorExpressions
+        .nearestCell(col("__cv").cast("array<float>"), centSeq))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__cell", explode(probeU(col("__qv"))))
+      .withColumn("__cell", explode(graft.plans.VectorExpressions
+        .probeCells(col("__qv").cast("array<float>"), centSeq, nProbe)))
     val sims = broadcast(q).join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))

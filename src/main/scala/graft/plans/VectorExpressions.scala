@@ -380,6 +380,277 @@ object FloatLshBuckets {
   }
 }
 
+/** Nearest quantized centroid of an `array<bigint>` vector: argmin
+  * exact integer squared-L2 over the centroid matrix, smallest
+  * centroid id on ties. Replaces the per-row ScalaUDF kernel in
+  * [[graft.operators.KMeans.assignTo]]'s large-k branch: the UDF
+  * blocked whole-stage codegen and paid boxed ser/de per row on
+  * corpus-wide assignment passes (k-means fit, IVF+PQ coarse
+  * quantization). One compact k×dim loop at ANY k — unlike the
+  * per-centroid expression expansion, generated-method size does not
+  * grow with k.
+  *
+  * Arithmetic contract identical to both prior forms: exact long
+  * (v_j - c_j)^2 sums over min(|v|, dim), ids scanned in ascending
+  * order with strict `<` (smallest id wins ties). A null ELEMENT
+  * nulls the result — the same null-propagating semantics as the
+  * expression form's [[DotProductLong]] arithmetic (the two paths
+  * must stay bit-identical on all inputs).
+  *
+  * Centroids are held structurally (Seq of (id, Seq)) so two
+  * independently-built identical plans compare `sameResult`; both
+  * eval paths run over a memoized primitive mirror.
+  */
+case class NearestCentroidLong(child: Expression,
+                               centroids: Seq[(Int, Seq[Long])])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "graft_nearest_centroid: empty centroid set")
+
+  @transient private lazy val sorted = centroids.sortBy(_._1)
+  @transient private lazy val idArr: Array[Int] = sorted.map(_._1).toArray
+  @transient private lazy val matArr: Array[Array[Long]] =
+    sorted.map(_._2.toArray).toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  // nullable even over non-null input: element nulls null the result
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid requires an array<bigint> argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    NearestCentroidLong.assignNearest(a.asInstanceOf[ArrayData], idArr, matArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ids = ctx.addReferenceObj("centroidIds", idArr, "int[]")
+      val mat = ctx.addReferenceObj("centroidMat", matArr, "long[][]")
+      val r = ctx.freshName("assigned")
+      s"""
+         |InternalRow $r = graft.plans.NearestCentroidLong.assignNearest(
+         |  $a, $ids, $mat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidLong =
+    copy(child = newChild)
+}
+
+object NearestCentroidLong {
+
+  /** Shared hot loop of both eval paths (NOT named `eval` — see
+    * [[FloatLshBuckets.evalBuckets]] on the suppressed-static-
+    * forwarder trap). Returns null on a null vector element. */
+  def assignNearest(v: ArrayData, ids: Array[Int],
+                    mat: Array[Array[Long]]): InternalRow = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    var bestC = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < mat.length) {
+      val cent = mat(c)
+      var d = 0L
+      var j = 0
+      val m = math.min(n, cent.length)
+      while (j < m) { val dt = v.getLong(j) - cent(j); d += dt * dt; j += 1 }
+      if (d < bestD) { bestD = d; bestC = ids(c) }
+      c += 1
+    }
+    InternalRow(bestC, bestD)
+  }
+}
+
+/** Shared float-centroid scoring for the IVF cell expressions:
+  * round-to-6 cosine of a float vector against every centroid,
+  * index-order double sums, NaN mapped to -2.0 — the exact
+  * arithmetic of [[graft.operators.Similarity]]'s `centroidScores`
+  * (which the driver-side single-query probe still uses), pinned
+  * equivalent by VectorExpressionsSpec. A null vector ELEMENT
+  * contributes 0 to both the dot and the norm (the SQL oracle's
+  * `coalesce(v[i], 0)` semantics; corpus embeddings carry no element
+  * nulls). */
+object CellScoring {
+
+  def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def score(v: ArrayData, cv: Array[Float], sv: Double,
+                    sc: Double): Double = {
+    var s = 0.0
+    var d = 0
+    val n = math.min(v.numElements(), cv.length)
+    while (d < n) {
+      if (!v.isNullAt(d)) s += v.getFloat(d).toDouble * cv(d).toDouble
+      d += 1
+    }
+    val cosine = s / math.sqrt(sv * sc)
+    if (cosine.isNaN) -2.0 else round6(cosine)
+  }
+
+  private def selfNorm(v: ArrayData): Double = {
+    var sv = 0.0
+    var i = 0
+    val nv = v.numElements()
+    while (i < nv) {
+      if (!v.isNullAt(i)) {
+        val x = v.getFloat(i).toDouble
+        sv += x * x
+      }
+      i += 1
+    }
+    sv
+  }
+
+  /** Argmax rounded cosine, smallest cid on ties (cids arrive sorted
+    * ascending, so strict `>` keeps the first). */
+  def nearestCell(v: ArrayData, cids: Array[Long], vecs: Array[Array[Float]],
+                  norms: Array[Double]): Long = {
+    val sv = selfNorm(v)
+    var bestCid = -1L
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < vecs.length) {
+      val s = score(v, vecs(i), sv, norms(i))
+      if (s > bestS) { bestS = s; bestCid = cids(i) }
+      i += 1
+    }
+    bestCid
+  }
+
+  /** The nProbe nearest cell ids, ordered (score desc, cid asc) —
+    * bounded insertion over the centroid scan, equivalent to the
+    * driver probe's full sortBy((-s, cid)).take(nProbe). */
+  def probeCells(v: ArrayData, cids: Array[Long], vecs: Array[Array[Float]],
+                 norms: Array[Double], nProbe: Int): ArrayData = {
+    val sv = selfNorm(v)
+    val n = math.min(nProbe, vecs.length)
+    val topS = new Array[Double](n)
+    val topC = new Array[Long](n)
+    var filled = 0
+    var i = 0
+    while (i < vecs.length) {
+      val cid = cids(i)
+      val s = score(v, vecs(i), sv, norms(i))
+      // find insertion point: before the first kept entry that is
+      // strictly worse ((s, -cid) lexicographically larger wins)
+      if (filled < n || s > topS(n - 1) ||
+          (s == topS(n - 1) && cid < topC(n - 1))) {
+        var p = math.min(filled, n - 1)
+        while (p > 0 && (s > topS(p - 1) ||
+            (s == topS(p - 1) && cid < topC(p - 1)))) {
+          topS(p) = topS(p - 1); topC(p) = topC(p - 1); p -= 1
+        }
+        topS(p) = s; topC(p) = cid
+        if (filled < n) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(topC.take(filled))
+  }
+}
+
+/** Codegen'd IVF cell assignment: nearest-centroid id (argmax
+  * round-to-6 cosine, cid tiebreak) of an `array<float>` vector —
+  * replaces the broadcast-closure ScalaUDF in
+  * [[graft.operators.Similarity.ivfTopK]] / PQ's `ivfpqTopK` that
+  * blocked whole-stage codegen on the corpus-wide assignment scan.
+  * Centroids are held structurally for `sameResult`; the primitive
+  * mirror (vectors + precomputed |c|^2) materializes lazily per
+  * (deserialized) instance. */
+case class NearestCellFloat(child: Expression,
+                            centroids: Seq[(Long, Seq[Float])])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "graft_nearest_cell: empty centroid set")
+
+  @transient private lazy val sorted = centroids.sortBy(_._1)
+  @transient private lazy val cidArr: Array[Long] = sorted.map(_._1).toArray
+  @transient private lazy val vecArr: Array[Array[Float]] =
+    sorted.map(_._2.toArray).toArray
+  @transient private lazy val normArr: Array[Double] =
+    vecArr.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell requires an array<float> argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    CellScoring.nearestCell(a.asInstanceOf[ArrayData], cidArr, vecArr, normArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cids = ctx.addReferenceObj("cellIds", cidArr, "long[]")
+      val vecs = ctx.addReferenceObj("cellVecs", vecArr, "float[][]")
+      val norms = ctx.addReferenceObj("cellNorms", normArr, "double[]")
+      s"""${ev.value} = graft.plans.CellScoring.nearestCell(
+         |  $a, $cids, $vecs, $norms);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellFloat =
+    copy(child = newChild)
+}
+
+/** Codegen'd IVF query probing: the `nProbe` nearest cell ids
+  * (round-to-6 cosine desc, cid asc) of an `array<float>` query
+  * vector — the sibling of [[NearestCellFloat]] for the probe side
+  * of [[graft.operators.Similarity.ivfTopK]]. */
+case class ProbeCellsFloat(child: Expression,
+                           centroids: Seq[(Long, Seq[Float])], nProbe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "graft_probe_cells: empty centroid set")
+  require(nProbe >= 1, s"graft_probe_cells: nProbe must be >= 1, got $nProbe")
+
+  @transient private lazy val sorted = centroids.sortBy(_._1)
+  @transient private lazy val cidArr: Array[Long] = sorted.map(_._1).toArray
+  @transient private lazy val vecArr: Array[Array[Float]] =
+    sorted.map(_._2.toArray).toArray
+  @transient private lazy val normArr: Array[Double] =
+    vecArr.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_probe_cells requires an array<float> argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    CellScoring.probeCells(a.asInstanceOf[ArrayData], cidArr, vecArr,
+      normArr, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cids = ctx.addReferenceObj("cellIds", cidArr, "long[]")
+      val vecs = ctx.addReferenceObj("cellVecs", vecArr, "float[][]")
+      val norms = ctx.addReferenceObj("cellNorms", normArr, "double[]")
+      s"""${ev.value} = graft.plans.CellScoring.probeCells(
+         |  $a, $cids, $vecs, $norms, $nProbe);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCellsFloat =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftglue.Bridge
   import org.apache.spark.sql.functions.{sqrt => sqrtCol}
@@ -407,4 +678,20 @@ object VectorExpressions {
     * array<float> vector — see [[FloatLshBuckets]]. */
   def lshBuckets(v: Column, dim: Int, nPlanes: Int, tables: Int): Column =
     Bridge.column(FloatLshBuckets(Bridge.expression(v), dim, nPlanes, tables))
+
+  /** Nearest quantized centroid (codegen'd): struct(cluster, dist)
+    * of an array<bigint> vector — see [[NearestCentroidLong]]. */
+  def nearestCentroidLong(v: Column, centroids: Seq[(Int, Seq[Long])]): Column =
+    Bridge.column(NearestCentroidLong(Bridge.expression(v), centroids))
+
+  /** Nearest IVF cell id (codegen'd) of an array<float> vector —
+    * see [[NearestCellFloat]]. */
+  def nearestCell(v: Column, centroids: Seq[(Long, Seq[Float])]): Column =
+    Bridge.column(NearestCellFloat(Bridge.expression(v), centroids))
+
+  /** The nProbe nearest IVF cell ids (codegen'd) of an array<float>
+    * query vector — see [[ProbeCellsFloat]]. */
+  def probeCells(v: Column, centroids: Seq[(Long, Seq[Float])],
+                 nProbe: Int): Column =
+    Bridge.column(ProbeCellsFloat(Bridge.expression(v), centroids, nProbe))
 }

@@ -226,7 +226,20 @@ class VectorExpressionsSpec extends SparkSpec {
         graft.plans.DotProductLong(
           BoundReference(0, ArrayType(LongType), nullable = true),
           BoundReference(0, ArrayType(LongType), nullable = true)),
-        InternalRow(lv)))
+        InternalRow(lv)),
+      ("NearestCellFloat",
+        graft.plans.NearestCellFloat(
+          BoundReference(0, ArrayType(FloatType), nullable = false),
+          Seq.tabulate(5)(c => (c.toLong,
+            Seq.tabulate(64)(d => (math.sin(c * 64 + d + 1) * 0.5).toFloat)))),
+        InternalRow(fv)),
+      ("ProbeCellsFloat",
+        graft.plans.ProbeCellsFloat(
+          BoundReference(0, ArrayType(FloatType), nullable = false),
+          Seq.tabulate(5)(c => (c.toLong,
+            Seq.tabulate(64)(d => (math.sin(c * 64 + d + 1) * 0.5).toFloat))),
+          nProbe = 3),
+        InternalRow(fv)))
     cases.foreach { case (name, expr, row) =>
       val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "x")()))
       val gen = proj(row).get(0, expr.dataType)
@@ -240,6 +253,67 @@ class VectorExpressionsSpec extends SparkSpec {
       }
       assert(norm(gen) == norm(interp), name)
       assert(interp != null, s"$name interpreted eval returned null")
+    }
+  }
+
+  test("NearestCentroidLong force-compiles; struct result matches " +
+    "interpreted eval; null element nulls the struct") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val cents = Seq.tabulate(7)(c =>
+      (c, Seq.tabulate(16)(d => ((c * 16 + d) * 13 % 61 - 30).toLong)))
+    val expr = graft.plans.NearestCentroidLong(
+      BoundReference(0, ArrayType(LongType), nullable = true), cents)
+    val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "a")()))
+    val v = ArrayData.toArrayData(Array.tabulate(16)(i => (i * 5 - 30).toLong))
+    val row = InternalRow(v)
+    val genRow = proj(row).getStruct(0, 2)
+    val interp = expr.eval(row).asInstanceOf[InternalRow]
+    assert(genRow.getInt(0) == interp.getInt(0) &&
+      genRow.getLong(1) == interp.getLong(1))
+    // brute-force reference: strict < over ascending ids
+    val vv = v.toLongArray()
+    val best = cents.map { case (id, cv) =>
+      (id, cv.zip(vv).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.minBy { case (id, d) => (d, id) }
+    assert((interp.getInt(0), interp.getLong(1)) == best)
+    // a null ELEMENT nulls the whole struct in both paths
+    val withNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](16)(i => if (i == 3) null else (i * 5 - 30).toLong))
+    val nullRow = InternalRow(withNull)
+    assert(expr.eval(nullRow) == null)
+    assert(proj(nullRow).isNullAt(0))
+  }
+
+  test("cell expressions agree with the driver-side probe helpers") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val dim = 32
+    val cents: Seq[(Long, Seq[Float])] = Seq.tabulate(9)(c =>
+      (c.toLong, Seq.tabulate(dim)(d => (math.cos(c * dim + d + 1) * 0.8).toFloat)))
+    val collected = cents.map { case (cid, cv) =>
+      (cid, cv.toArray, cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }.toArray
+    val assignE = graft.plans.NearestCellFloat(
+      BoundReference(0, ArrayType(FloatType), nullable = false), cents)
+    val probeE = graft.plans.ProbeCellsFloat(
+      BoundReference(0, ArrayType(FloatType), nullable = false), cents, 4)
+    // includes a zero vector (NaN cosine -> smallest cid) and near-tie
+    // directions; every query must agree with Similarity's helpers
+    val queries = Seq.tabulate(12)(qi =>
+      Array.tabulate(dim)(d => (math.sin((qi + 1) * (d + 3)) * 0.9).toFloat)) :+
+      Array.fill(dim)(0.0f)
+    queries.foreach { q =>
+      val row = InternalRow(ArrayData.toArrayData(q))
+      assert(assignE.eval(row) ==
+        graft.operators.Similarity.nearestCell(q.toSeq, collected))
+      assert(probeE.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq ==
+        graft.operators.Similarity.probeCells(q.toSeq, collected, 4))
     }
   }
 
