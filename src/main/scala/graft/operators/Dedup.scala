@@ -529,6 +529,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Deterministic md5-keyed membership: true iff the first 32 md5
+    * bits of the column's decimal string fall in residue 0 mod `m` —
+    * the same replayable-sampling discipline as
+    * [[Bootstrap.halfSampleCI]]'s replicate bits (uniform, engine
+    * portable, partitioning-independent). */
+  private[operators] def md5Sampled(c: Column, m: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long") % m === 0
+
+  /** SAMPLED exact-Jaccard ground truth: the pairs of
+    * [[ngramJaccardPairs]] restricted to pairs whose SMALLER id
+    * falls in a deterministic md5 sample of rate 1/`sampleMod`.
+    * Every (a, b) pair with a < b is included iff a is sampled, so
+    * pair inclusion is uniform at exactly 1/sampleMod — an unbiased
+    * frame for estimating pair-level recall of a sketch — while the
+    * shared-shingle self-join (the all-pairs-shaped cost the full
+    * form pays) shrinks by the same factor: only sampled documents'
+    * shingles enter the left side. This is the scale path for
+    * sketch-quality evaluation on a real corpus (FAISS-style evals
+    * measure recall on sampled queries for the same reason); the
+    * full form remains the small-sf equivalence contract. */
+  def ngramJaccardPairsSampled(df: DataFrame, idCol: String, textCol: String,
+                               shingleLen: Int = 3, minJaccard: Double = 0.5,
+                               sampleMod: Int = 4): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val raw = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("tok"))
+      .distinct()
+    val t = PersistSlots.swap("dedup.ngramTokens.uncapped", raw)
+    val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = t.filter(md5Sampled(col("id"), sampleMod))
+      .select(col("id").as("id_a"), col("tok"))
+      .join(t.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact shingle Jaccard for GIVEN candidate pairs — the
+    * verification kernel of sketch-quality evaluation (precision
+    * leg): cost is linear in |pairs| x shingles-per-doc, never a
+    * corpus self-join. Pairs sharing no shingle (pure band
+    * collisions) come back with jaccard 0. Same round-to-4
+    * arithmetic as [[ngramJaccardPairs]]. */
+  def exactJaccardFor(pairs: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, shingleLen: Int = 3): DataFrame = {
+    val raw = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("tok"))
+      .distinct()
+    val t = PersistSlots.swap("dedup.ngramTokens.uncapped", raw)
+    val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val inter = p
+      .join(t.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    p.join(inter, Seq("id_a", "id_b"), "left")
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", round(
+        coalesce(col("__i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("__i"), lit(0L))), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** DIRECTED containment near-dup pairs (Broder's containment
     * coefficient): containment(a→b) = |S_a ∩ S_b| / |S_a| over the
     * df-capped distinct shingle sets — catches a document EMBEDDED

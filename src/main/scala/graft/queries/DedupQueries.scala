@@ -25,33 +25,24 @@ object DedupQueries {
     // sketch-quality evaluation: precision/recall of the MinHash-LSH
     // pair set against exact shingle-Jaccard ground truth at the same
     // 0.5 threshold — the tuning loop that justifies (numHashes,
-    // bands) before pointing the sketch at a corpus. Both legs are
-    // pair frames (bounded by the banded join, never all-pairs); the
-    // comparison joins pairs, so the eval costs pair-scale rows.
-    // One summary row, exact e4 fixed point.
-    "dedup_pr_eval" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleLen = 3, minJaccard = 0.5).select(col("id_a"), col("id_b"))
-      val approx = Dedup.minhashPairs(docs, "doc_id", "text",
-        numHashes = K, bands = BANDS, minEstimate = 0.5)
-        .select(col("id_a"), col("id_b"))
-      val exAgg = exact.agg(count(lit(1)).as("n_exact"))
-      approx.join(exact.withColumn("__hit", lit(1L)),
-          Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_approx"),
-          // sum over ZERO rows is NULL — an empty approx leg must
-          // report tp = 0 like the oracle's scalar count, not NULL
-          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("tp"))
-        .crossJoin(broadcast(exAgg))
-        .select(col("n_exact"), col("n_approx"), col("tp"),
-          when(col("n_approx") > 0, graft.operators.IntMath
-            .scaledDivTrunc(col("tp"), 10000L, col("n_approx")))
-            .as("precision_e4"),
-          when(col("n_exact") > 0, graft.operators.IntMath
-            .scaledDivTrunc(col("tp"), 10000L, col("n_exact")))
-            .as("recall_e4"))
-    }),
+    // bands) before pointing the sketch at a corpus.
+    //   - PRECISION is a census: every sketch pair gets its exact
+    //     Jaccard verified (cost linear in |sketch pairs|, never a
+    //     corpus self-join).
+    //   - RECALL runs against a SAMPLED ground truth — pairs whose
+    //     smaller id falls in a deterministic md5 1/4 sample
+    //     (uniform pair inclusion, so the ratio is an unbiased
+    //     recall estimate) — because the full exact-Jaccard pair
+    //     frame is the one all-pairs-shaped cost in the repo (warm
+    //     trials spanned 4-58 s at sf0.1; the sampled leg caps it at
+    //     1/sampleMod). The full-exact form remains the sf0.001
+    //     equivalence contract (PrEvalSpec).
+    //   - Both estimates carry a 32-replicate HALF-SAMPLE 95% CI
+    //     (the Bootstrap.halfSampleCI fold, ratio-of-sums per
+    //     replicate, md5-bit membership): ONE aggregation pass per
+    //     leg, no resampled copies, exactly replayable in SQL.
+    "dedup_pr_eval" -> ((s, dir) =>
+      prEvalSampled(Tables(s, dir, "documents"))),
 
     // incremental ingest dedup: docs with doc_id % 10 = 7 are "the
     // new batch", the rest "the existing corpus"; pairs touching the
@@ -330,19 +321,144 @@ object DedupQueries {
   // rebuilt in one WITH over the shared shingle CTE, then pair-set
   // precision/recall with truncating integer division (NULL on an
   // empty leg — same contract as the guarded Spark side)
+  /** 32-bit md5 value of a string column — replicate-membership /
+    * sampling bits (the [[graft.operators.Bootstrap]] discipline). */
+  private def md5Bits(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val CiB = 32
+
+  /** One CI leg: rows carrying (__hit in {0,1}, __bits) fold to a
+    * single row (n, tp, se) in ONE map-combined aggregation — per
+    * replicate i the ratio sum(hit where bit i)/count(bit i), se =
+    * the replicate ratios' spread (half-sample standard error, same
+    * fold as Bootstrap.halfSampleCI specialized to a proportion). */
+  private def ciLeg(rows: DataFrame, prefix: String): DataFrame = {
+    def inRep(i: Int) = col("__bits").bitwiseAND(lit(1L << i)) =!= 0
+    val repC = (0 until CiB).map(i =>
+      sum(when(inRep(i), 1L).otherwise(0L)).as(s"__c$i"))
+    val repH = (0 until CiB).map(i =>
+      sum(when(inRep(i), col("__hit")).otherwise(lit(0L))).as(s"__h$i"))
+    val agg = rows.agg(count(lit(1)).as("n"),
+      (Seq(coalesce(sum(col("__hit")), lit(0L)).as("tp")) ++ repC ++ repH): _*)
+    val ratios = array((0 until CiB).map(i =>
+      when(col(s"__c$i") > 0, col(s"__h$i").cast("double") / col(s"__c$i"))): _*)
+    agg
+      .withColumn("__m", filter(ratios, m => m.isNotNull))
+      .withColumn("__k", size(col("__m")).cast("double"))
+      .withColumn("__mbar", when(col("__k") > 0,
+        aggregate(col("__m"), lit(0.0), (a, x) => a + x) / col("__k")))
+      .withColumn("__se", when(col("__k") > 1, sqrt(
+        aggregate(col("__m"), lit(0.0),
+          (a, x) => a + (x - col("__mbar")) * (x - col("__mbar"))) /
+          (col("__k") - 1))).otherwise(lit(0.0)))
+      .select(col("n").as(s"${prefix}_n"), col("tp").as(s"${prefix}_tp"),
+        col("__se").as(s"${prefix}_se"))
+  }
+
+  /** The sampled sketch-quality eval behind `dedup_pr_eval` — see
+    * the queries-map comment for the design. Single summary row. */
+  private[graft] def prEvalSampled(docs: DataFrame): DataFrame = {
+    import graft.operators.IntMath.scaledDivTrunc
+    val approx = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = K, bands = BANDS, minEstimate = 0.5)
+      .select(col("id_a"), col("id_b"))
+    // precision census: exact Jaccard for every sketch pair
+    val prec = Dedup.exactJaccardFor(approx, docs, "doc_id", "text",
+        shingleLen = 3)
+      .withColumn("__hit", (col("jaccard") >= 0.5).cast("long"))
+      .withColumn("__bits", md5Bits(concat(lit("r:"),
+        col("id_a").cast("string"), lit(":"), col("id_b").cast("string"))))
+    // recall vs the md5 1/4-sampled exact ground truth; replicate
+    // bits key on the SAMPLED endpoint (cluster-aware half-samples)
+    val truth = Dedup.ngramJaccardPairsSampled(docs, "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5, sampleMod = 4)
+      .select(col("id_a"), col("id_b"))
+      .join(approx.withColumn("__f", lit(1L)), Seq("id_a", "id_b"), "left")
+      .withColumn("__hit", coalesce(col("__f"), lit(0L)))
+      .withColumn("__bits", md5Bits(concat(lit("r:"),
+        col("id_a").cast("string"))))
+    ciLeg(prec, "ap").crossJoin(broadcast(ciLeg(truth, "tr")))
+      .select(
+        col("ap_n").as("n_approx"), col("ap_tp").as("tp"),
+        when(col("ap_n") > 0,
+          scaledDivTrunc(col("ap_tp"), 10000L, col("ap_n")))
+          .as("precision_e4"),
+        when(col("ap_n") > 0, round(col("ap_tp").cast("double") / col("ap_n")
+          - lit(1.96) * col("ap_se"), 4)).as("prec_lo95"),
+        when(col("ap_n") > 0, round(col("ap_tp").cast("double") / col("ap_n")
+          + lit(1.96) * col("ap_se"), 4)).as("prec_hi95"),
+        col("tr_n").as("n_truth_sample"), col("tr_tp").as("tp_sample"),
+        when(col("tr_n") > 0,
+          scaledDivTrunc(col("tr_tp"), 10000L, col("tr_n")))
+          .as("recall_e4"),
+        when(col("tr_n") > 0, round(col("tr_tp").cast("double") / col("tr_n")
+          - lit(1.96) * col("tr_se"), 4)).as("rec_lo95"),
+        when(col("tr_n") > 0, round(col("tr_tp").cast("double") / col("tr_n")
+          + lit(1.96) * col("tr_se"), 4)).as("rec_hi95"))
+  }
+
+  /** The FULL-exact eval (every true pair counted — the original
+    * dedup_pr_eval form): all-pairs-shaped via the shared-shingle
+    * join, so it stays an sf0.001-scale equivalence contract
+    * (PrEvalSpec pins sampled-vs-exact agreement within the CI),
+    * never a benched path. */
+  private[graft] def prEvalExact(docs: DataFrame): DataFrame = {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 3, minJaccard = 0.5).select(col("id_a"), col("id_b"))
+    val approx = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = K, bands = BANDS, minEstimate = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val exAgg = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact.withColumn("__hit", lit(1L)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_approx"),
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("tp"))
+      .crossJoin(broadcast(exAgg))
+      .select(col("n_exact"), col("n_approx"), col("tp"),
+        when(col("n_approx") > 0, graft.operators.IntMath
+          .scaledDivTrunc(col("tp"), 10000L, col("n_approx")))
+          .as("precision_e4"),
+        when(col("n_exact") > 0, graft.operators.IntMath
+          .scaledDivTrunc(col("tp"), 10000L, col("n_exact")))
+          .as("recall_e4"))
+  }
+
+  // dedup_pr_eval replay: both legs rebuilt over the shared shingle
+  // CTE — the precision census (exact Jaccard per sketch pair) and
+  // the md5 1/4-sampled exact ground truth — then per-leg
+  // 32-replicate half-sample CI via the q_bootstrap_ci list-fold
+  // pattern (bit-membership sums, replicate ratios, spread)
   private val prEvalOracle: String = {
     val sigCols = minhashSigCols
     val bandExprs = minhashBandExprs
     val matchSum = minhashMatchSum
+    val b = CiB
+    val sums = (0 until b).map { i =>
+      s"sum(CASE WHEN (bits >> $i) & 1 = 1 THEN 1 ELSE 0 END) AS c$i, " +
+        s"sum(CASE WHEN (bits >> $i) & 1 = 1 THEN hit ELSE 0 END) AS h$i"
+    }.mkString(",\n        ")
+    val ratioList = (0 until b).map(i =>
+      s"CASE WHEN c$i > 0 THEN h$i * 1.0 / c$i END").mkString("[", ", ", "]")
+    def ciChain(src: String, p: String) =
+      s"""${p}a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(coalesce(sum(hit), 0) AS BIGINT) AS tp,
+         |        $sums
+         |      FROM $src),
+         |${p}f AS (SELECT n, tp,
+         |        list_filter($ratioList, x -> x IS NOT NULL) AS ms
+         |      FROM ${p}a),
+         |${p}s AS (SELECT n, tp, ms, CAST(len(ms) AS DOUBLE) AS kk,
+         |        CASE WHEN len(ms) > 0
+         |          THEN list_sum(ms) / CAST(len(ms) AS DOUBLE) END AS mbar
+         |      FROM ${p}f),
+         |${p}e AS (SELECT n, tp,
+         |        CASE WHEN kk > 1 THEN sqrt(list_sum(list_transform(ms,
+         |          x -> (x - mbar) * (x - mbar))) / (kk - 1))
+         |          ELSE 0.0 END AS se
+         |      FROM ${p}s)""".stripMargin
     s"""WITH $shingleCte,
        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-       |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
-       |ex AS (SELECT id_a, id_b
-       |       FROM pp JOIN n na ON na.doc_id = id_a
-       |         JOIN n nb ON nb.doc_id = id_b
-       |       WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5),
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_key FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -352,16 +468,52 @@ object DedupQueries {
        |       FROM cand JOIN sig sa ON sa.doc_id = id_a
        |         JOIN sig sb ON sb.doc_id = id_b
        |       WHERE round(($matchSum) / $K.0, 4) >= 0.5),
-       |t AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
-       |        (SELECT count(*) FROM ap) AS n_approx,
-       |        (SELECT count(*) FROM ap JOIN ex USING (id_a, id_b)) AS tp)
-       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
-       |  CAST(n_approx AS BIGINT) AS n_approx, CAST(tp AS BIGINT) AS tp,
-       |  CAST(CASE WHEN n_approx > 0 THEN (tp * 10000) // n_approx END
+       |api AS (SELECT p.id_a, p.id_b, count(*) AS inter
+       |        FROM ap p JOIN sh a ON a.doc_id = p.id_a
+       |          JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+       |        GROUP BY 1, 2),
+       |apl AS (SELECT p.id_a, p.id_b,
+       |          CASE WHEN round(coalesce(i.inter, 0) * 1.0 /
+       |            (na.c + nb.c - coalesce(i.inter, 0)), 4) >= 0.5
+       |            THEN 1 ELSE 0 END AS hit,
+       |          CAST('0x' || substring(md5('r:' || CAST(p.id_a AS VARCHAR)
+       |            || ':' || CAST(p.id_b AS VARCHAR)), 1, 8) AS BIGINT) AS bits
+       |        FROM ap p
+       |          LEFT JOIN api i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |          JOIN n na ON na.doc_id = p.id_a
+       |          JOIN n nb ON nb.doc_id = p.id_b),
+       |pps AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        WHERE CAST('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)),
+       |            1, 8) AS BIGINT) % 4 = 0
+       |        GROUP BY 1, 2),
+       |exs AS (SELECT id_a, id_b FROM pps
+       |          JOIN n na ON na.doc_id = id_a
+       |          JOIN n nb ON nb.doc_id = id_b
+       |        WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.5),
+       |trl AS (SELECT e.id_a, e.id_b,
+       |          CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+       |          CAST('0x' || substring(md5('r:' || CAST(e.id_a AS VARCHAR)),
+       |            1, 8) AS BIGINT) AS bits
+       |        FROM exs e
+       |          LEFT JOIN ap p ON p.id_a = e.id_a AND p.id_b = e.id_b),
+       |${ciChain("apl", "p")},
+       |${ciChain("trl", "r")}
+       |SELECT pe.n AS n_approx, pe.tp AS tp,
+       |  CAST(CASE WHEN pe.n > 0 THEN (pe.tp * 10000) // pe.n END
        |    AS BIGINT) AS precision_e4,
-       |  CAST(CASE WHEN n_exact > 0 THEN (tp * 10000) // n_exact END
-       |    AS BIGINT) AS recall_e4
-       |FROM t""".stripMargin
+       |  CASE WHEN pe.n > 0
+       |    THEN round(pe.tp * 1.0 / pe.n - 1.96 * pe.se, 4) END AS prec_lo95,
+       |  CASE WHEN pe.n > 0
+       |    THEN round(pe.tp * 1.0 / pe.n + 1.96 * pe.se, 4) END AS prec_hi95,
+       |  re.n AS n_truth_sample, re.tp AS tp_sample,
+       |  CAST(CASE WHEN re.n > 0 THEN (re.tp * 10000) // re.n END
+       |    AS BIGINT) AS recall_e4,
+       |  CASE WHEN re.n > 0
+       |    THEN round(re.tp * 1.0 / re.n - 1.96 * re.se, 4) END AS rec_lo95,
+       |  CASE WHEN re.n > 0
+       |    THEN round(re.tp * 1.0 / re.n + 1.96 * re.se, 4) END AS rec_hi95
+       |FROM pe CROSS JOIN re""".stripMargin
   }
 
   private val simhashOracle: String = {
