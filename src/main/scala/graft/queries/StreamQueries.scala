@@ -358,7 +358,55 @@ object StreamQueries {
         col("typ").as("event_type"))
   }
 
+  /** NATIVE session windows under the streaming gate: Spark's
+    * `session_window` aggregation (30-minute gap) over the whole
+    * event log, append mode — a (user, session) row emits when the
+    * watermark passes the session's close. This is the production
+    * streaming shape of q_sessionize (gap-windows are built-in
+    * merging state, one row per OPEN session per user in the store —
+    * bounded — vs the funnel's flatMapGroupsWithState custom state).
+    *
+    * Boundary semantics: session_window merges INCLUSIVELY at
+    * exactly-gap spacing (pinned by SessionBoundarySpec), which
+    * equals the batch query's strict `> 30 min` split — so the plain
+    * gap string needs no adjustment and the oracle is the batch
+    * q_sessionize SQL verbatim. Feed = the funnel fixture
+    * ((us, event_id)-sorted tertiles, so nothing is late under a
+    * zero-delay watermark; two far-future sentinels close every real
+    * user's last session while their own stays open, unemitted —
+    * user -1 filtered before the gate). The final per-user fold
+    * (n_sessions, n_events) is a batch projection over the sink. */
+  private def sessionizeMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val feedDir = Fixtures.streamFunnelFeed(spark, dir)
+    val input = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("us", LongType), StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val sink = s"graft_stream_sessionize_sink_${sinkIds.incrementAndGet()}"
+    // few state groups, 8 state partitions (the driftMonitor sizing)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try input
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("__n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out.filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("__n")).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessionize" -> ((s, dir) => sessionizeMonitor(s, dir)),
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
     "stream_sink_parquet" -> ((s, dir) => dedupIngestFileSink(s, dir)),
     "stream_cdc_upsert" -> ((s, dir) => cdcUpsertMonitor(s, dir)),
@@ -452,6 +500,10 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // stream == batch: session membership is a pure function of the
+    // event times once every session closes (the sentinels close all
+    // real ones), so the oracle is the batch q_sessionize replay
+    "stream_sessionize" -> EventQueries.oracles("q_sessionize"),
     "stream_dedup_ingest" -> dedupIngestOracle,
     // the sink changes WHERE rows land, not which rows exist: the
     // committed-files read-back must equal the memory-sink multiset
