@@ -35,8 +35,15 @@ object DedupQueries {
     //     recall estimate) — because the full exact-Jaccard pair
     //     frame is the one all-pairs-shaped cost in the repo (warm
     //     trials spanned 4-58 s at sf0.1; the sampled leg caps it at
-    //     1/sampleMod). The full-exact form remains the sf0.001
-    //     equivalence contract (PrEvalSpec).
+    //     1/sampleMod). The sample is keyed on DOCUMENTS, not
+    //     stratified by MinHash-estimated similarity: a
+    //     sketch-bucket-stratified frame can only contain pairs the
+    //     sketch's own candidate generator reaches, which is
+    //     circular when the quantity under test is what the sketch
+    //     MISSES — the doc-keyed sample draws uniformly from the
+    //     true pair space (any pair with Jaccard > 0 shares a
+    //     shingle) independent of the sketch. The full-exact form
+    //     remains the sf0.001 equivalence contract (PrEvalSpec).
     //   - Both estimates carry a 32-replicate HALF-SAMPLE 95% CI
     //     (the Bootstrap.halfSampleCI fold, ratio-of-sums per
     //     replicate, md5-bit membership): ONE aggregation pass per
