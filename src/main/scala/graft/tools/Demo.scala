@@ -329,6 +329,19 @@ object Demo {
       .orderBy("l_returnflag").head()
     println(f"bootstrap ci flag=${ci.getString(0)} mean=${ci.getDouble(2)}%.2f" +
       f" +-1.96se=[${ci.getDouble(4)}%.2f, ${ci.getDouble(5)}%.2f]")
+    // round 12: sampled sketch-quality eval (precision census + md5
+    // doc-keyed recall sample, both with half-sample 95% CIs)
+    val pr = graft.queries.DedupQueries.prEvalSampled(docs5).head()
+    println(s"pr_eval precision_e4=${pr.getAs[Long]("precision_e4")}" +
+      s" recall_e4=${pr.getAs[Long]("recall_e4")}" +
+      f" rec95=[${pr.getAs[Double]("rec_lo95")}%.4f," +
+      f" ${pr.getAs[Double]("rec_hi95")}%.4f]" +
+      s" truth_sample=${pr.getAs[Long]("n_truth_sample")}")
+    // round 12: native streaming session windows (gap aggregation)
+    val sess = graft.SparkEntry.queries("stream_sessionize")(spark,
+      "/root/testdata/sf0.001")
+    println("stream sessionize users=" + sess.count() + " sessions=" +
+      sess.agg(sum(col("n_sessions"))).head().getLong(0))
     spark.stop()
   }
 }
