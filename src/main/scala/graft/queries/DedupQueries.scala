@@ -51,6 +51,44 @@ object DedupQueries {
     "dedup_pr_eval" -> ((s, dir) =>
       prEvalSampled(Tables(s, dir, "documents"))),
 
+    // sketch CALIBRATION curve — the stratified-by-estimate view of
+    // sketch quality: EVERY banded candidate pair (estimate threshold
+    // 0, i.e. the sketch's own candidate volume) bucketed by its
+    // MinHash estimate (width-0.2 buckets, est=1 folds into the top
+    // one), with a per-bucket exact-Jaccard census: pair count, mean
+    // estimate, mean exact Jaccard, and P(exact >= 0.5). This is the
+    // curve that picks the estimate THRESHOLD (the per-bucket hit
+    // rate is the precision a threshold at that bucket's floor would
+    // buy) — and unlike a recall sample it is safe to stratify by
+    // the sketch's own estimate, because every quantity conditions
+    // on the sketch's candidate set. Cost: linear in candidate
+    // pairs (the exact census joins each pair to its two shingle
+    // sets — never a corpus self-join). All-integer e4 outputs
+    // (floor per pair, integer sum, integer div) replay exactly.
+    "dedup_sketch_calibration" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = K, bands = BANDS, minEstimate = 0.0)
+      val ex = Dedup.exactJaccardFor(cand.select(col("id_a"), col("id_b")),
+        docs, "doc_id", "text", shingleLen = 3)
+      cand.join(ex, Seq("id_a", "id_b"))
+        .select(
+          least(floor(col("est_jaccard") * 5).cast("long"), lit(4L))
+            .as("bucket"),
+          floor(col("est_jaccard") * 10000).cast("long").as("__est_e4"),
+          floor(col("jaccard") * 10000).cast("long").as("__ex_e4"),
+          (col("jaccard") >= 0.5).cast("long").as("__hit"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("__est_e4")).as("__se"),
+          sum(col("__ex_e4")).as("__sx"),
+          sum(col("__hit")).as("__sh"))
+        .select(col("bucket"), col("n_pairs"),
+          expr("__se div n_pairs").as("mean_est_e4"),
+          expr("__sx div n_pairs").as("mean_exact_e4"),
+          expr("__sh * 10000 div n_pairs").as("hit_rate_e4"))
+    }),
+
     // incremental ingest dedup: docs with doc_id % 10 = 7 are "the
     // new batch", the rest "the existing corpus"; pairs touching the
     // batch are found by probing the corpus band index — never a
@@ -521,6 +559,45 @@ object DedupQueries {
        |  CASE WHEN re.n > 0
        |    THEN round(re.tp * 1.0 / re.n + 1.96 * re.se, 4) END AS rec_hi95
        |FROM pe CROSS JOIN re""".stripMargin
+  }
+
+  // dedup_sketch_calibration replay: the banded candidate set WITHOUT
+  // an estimate threshold, each pair's estimate + exact Jaccard over
+  // the shared shingle CTE, all-integer e4 bucket aggregates
+  private val sketchCalibrationOracle: String = {
+    val sigCols = minhashSigCols
+    val bandExprs = minhashBandExprs
+    val matchSum = minhashMatchSum
+    s"""WITH $shingleCte,
+       |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b, round(($matchSum) / $K.0, 4) AS est
+       |        FROM cand JOIN sig sa ON sa.doc_id = id_a
+       |          JOIN sig sb ON sb.doc_id = id_b),
+       |api AS (SELECT c.id_a, c.id_b, count(*) AS inter
+       |        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |        GROUP BY 1, 2),
+       |j AS (SELECT e.id_a, e.id_b, e.est,
+       |        round(coalesce(i.inter, 0) * 1.0 /
+       |          (na.c + nb.c - coalesce(i.inter, 0)), 4) AS ex
+       |      FROM est e
+       |        LEFT JOIN api i ON i.id_a = e.id_a AND i.id_b = e.id_b
+       |        JOIN n na ON na.doc_id = e.id_a
+       |        JOIN n nb ON nb.doc_id = e.id_b)
+       |SELECT LEAST(CAST(floor(est * 5) AS BIGINT), 4) AS bucket,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(CAST(floor(est * 10000) AS BIGINT)) // count(*)
+       |    AS BIGINT) AS mean_est_e4,
+       |  CAST(sum(CAST(floor(ex * 10000) AS BIGINT)) // count(*)
+       |    AS BIGINT) AS mean_exact_e4,
+       |  CAST(sum(CASE WHEN ex >= 0.5 THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS hit_rate_e4
+       |FROM j GROUP BY 1""".stripMargin
   }
 
   private val simhashOracle: String = {
@@ -994,6 +1071,7 @@ object DedupQueries {
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,
     "dedup_pr_eval" -> prEvalOracle,
+    "dedup_sketch_calibration" -> sketchCalibrationOracle,
     "dedup_cluster_sizes" -> clusterSizesOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
