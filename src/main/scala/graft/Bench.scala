@@ -92,7 +92,8 @@ object Bench {
     val gateOnly: Set[String] = Set(
       "dedup_cdc", "dedup_cdc_remove",
       "stream_funnel", "stream_approx_users", "stream_cdc_upsert",
-      "stream_media_ingest", "stream_sink_parquet", "stream_sessionize")
+      "stream_media_ingest", "stream_sink_parquet", "stream_sessionize",
+      "stream_attribution")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => gateOnly.contains(n) }
       .map { case (name, fn) =>

@@ -405,7 +405,62 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_sessions"), sum(col("__n")).as("n_events"))
   }
 
+  /** STREAM-STREAM JOIN under the gate — the one Structured
+    * Streaming surface the other entries don't exercise (two
+    * watermarked sources, symmetric join state, time-range
+    * condition, left-outer null emission on state timeout): view →
+    * purchase attribution, each view left-joined to every purchase
+    * by the same user within the following hour. Both sides read
+    * the SAME funnel feed (two FileStreamSources advance in
+    * lockstep, one file per side per micro-batch); the time-range
+    * condition bounds the join state (a view evicts once the
+    * watermark passes view_ts + 1h — and the feed's global
+    * (us, event_id) sort guarantees its matches have all arrived by
+    * then, so eviction can never lose a pair). Far-future sentinels
+    * (user -1) pass BOTH event-type filters so each side's
+    * watermark — and therefore the query's global minimum — clears
+    * every real view's window, firing the outer join's null-padded
+    * emissions for never-converted views; the sentinels' own
+    * self-match is filtered before the gate. Oracle = the batch
+    * interval left-join replay (pair multiset is batch-boundary
+    * independent). */
+  private def attributionMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val feedDir = Fixtures.streamFunnelFeed(spark, dir)
+    def src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("us", LongType), StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val views = src.withWatermark("ts", "0 seconds")
+      .filter(col("event_type") === "view" || col("user_id") === -1L)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"), col("us").as("view_us"))
+    val purchases = src.withWatermark("ts", "0 seconds")
+      .filter(col("event_type") === "purchase" || col("user_id") === -1L)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("us").as("purchase_us"))
+    val sink = s"graft_stream_attr_sink_${sinkIds.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try views.join(purchases,
+          expr("v_user = p_user AND p_ts >= v_ts AND " +
+            "p_ts <= v_ts + interval 1 hour"), "leftOuter")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out.filter(col("v_user") =!= -1L)
+      .select(col("v_user").as("user_id"), col("view_id"), col("view_us"),
+        col("purchase_id"), col("purchase_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_attribution" -> ((s, dir) => attributionMonitor(s, dir)),
     "stream_sessionize" -> ((s, dir) => sessionizeMonitor(s, dir)),
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
     "stream_sink_parquet" -> ((s, dir) => dedupIngestFileSink(s, dir)),
@@ -500,6 +555,23 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // stream == batch: the attributed pair multiset is a pure
+    // function of the event times (batch boundaries only change WHEN
+    // a pair emits, never WHETHER) — the oracle is the batch
+    // interval left-join
+    "stream_attribution" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |             epoch_us(ts) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |        epoch_us(ts) AS purchase_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, v.view_us,
+        |  p.purchase_id, p.purchase_us
+        |FROM v LEFT JOIN p
+        |  ON p.user_id = v.user_id
+        |  AND p.purchase_us >= v.view_us
+        |  AND p.purchase_us <= v.view_us + 3600000000""".stripMargin,
     // stream == batch: session membership is a pure function of the
     // event times once every session closes (the sentinels close all
     // real ones), so the oracle is the batch q_sessionize replay

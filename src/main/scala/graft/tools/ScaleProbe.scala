@@ -138,7 +138,8 @@ object ScaleProbe {
       "q_source_filter", "stream_approx_users", "q_scd2", "q_cdc_merge",
       "q_rolling", "q_expectations", "knn_graph", "stream_sink_parquet",
       "knn_graph_ingest", "stream_cdc_upsert", "q_bootstrap_ci",
-      "stream_sessionize", "dedup_sketch_calibration")
+      "stream_sessionize", "dedup_sketch_calibration",
+      "stream_attribution")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
