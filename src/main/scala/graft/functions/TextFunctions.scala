@@ -63,21 +63,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
-  /** Per-code-point counts sorted by code point ascending — the base
-    * of the char-distribution statistics. Code-point ascending equals
-    * UTF-8 byte order equals Spark's `array_sort` over 1-char
-    * strings, so the fold order matches the old HOF form and the SQL
-    * replay exactly. */
-  private def charCounts(t: String): Array[(Int, Long)] = {
-    val m = scala.collection.mutable.HashMap.empty[Int, Long]
-    var i = 0
-    while (i < t.length) {
-      val cp = t.codePointAt(i)
-      m.update(cp, m.getOrElse(cp, 0L) + 1L)
-      i += Character.charCount(cp)
-    }
-    m.toArray.sortBy(_._1)
-  }
+  /** One codegen'd [[graft.plans.CharProfile]] per text — Catalyst
+    * subexpression elimination shares it when a projection reads
+    * both fields (the old per-field ScalaUDFs each ran their own
+    * hash-counting pass AND blocked whole-stage codegen). */
+  private def charProfile(text: Column): Column =
+    org.apache.spark.sql.graftglue.Bridge.column(
+      graft.plans.CharProfile(
+        org.apache.spark.sql.graftglue.Bridge.expression(text)))
 
   /** Char-distribution Shannon entropy in e4 fixed-point NATS — the
     * classic gibberish/boilerplate signal (natural prose sits near
@@ -87,45 +80,21 @@ object TextFunctions {
     * counts so the single-distinct-char case is EXACTLY zero
     * (ln(n)·n − n·ln(n) cancels bit-exactly; the naive
     * ln(n) − Σ(c/n)·ln(c)... form rounds twice and can floor to −1).
-    * UDF with one hash-counting pass per row — the previous
-    * distinct-chars × filter-count HOF form cost O(n·distinct)
-    * INTERPRETED expression evaluations per document (43 s at sf0.1
-    * once the bench stopped count()-pruning it). The c·ln c terms
+    * One codegen'd hash-counting pass per row (the CharProfile
+    * expression; the earlier distinct-chars × filter-count HOF form
+    * cost O(n·distinct) INTERPRETED evaluations per document — 43 s
+    * at sf0.1 once the bench stopped count()-pruning it, and its UDF
+    * successor still paid per-row ser/de twice). The c·ln c terms
     * fold left-to-right over code-point-ascending distinct chars —
     * the same order as `array_sort` over 1-char strings (UTF-8 byte
     * order preserves code-point order), so results are bit-identical
     * to the old form and the SQL replay. Empty/null text scores 0. */
-  // stable UDF identities (one val, not a closure per invocation):
-  // Catalyst compares ScalaUDFs by function reference, so fresh
-  // closures would make identical plans never sameResult — the
-  // plan-reuse discipline LanguageModel's scorer cache documents
-  private val charEntropyUdf = udf { (t: String) =>
-    if (t == null || t.isEmpty) 0L
-    else {
-      val counts = charCounts(t)
-      var n = 0L
-      var k = 0
-      while (k < counts.length) { n += counts(k)._2; k += 1 }
-      var s = 0.0
-      k = 0
-      while (k < counts.length) {
-        val c = counts(k)._2.toDouble
-        s += c * math.log(c)
-        k += 1
-      }
-      val nd = n.toDouble
-      math.floor((math.log(nd) * nd - s) * 10000.0 / nd).toLong
-    }
-  }
-
-  def charEntropyE4(text: Column): Column = charEntropyUdf(text)
-
-  private val charDistinctUdf = udf { (t: String) =>
-    if (t == null || t.isEmpty) 0L else charCounts(t).length.toLong
-  }
+  def charEntropyE4(text: Column): Column =
+    coalesce(charProfile(text).getField("entropy_e4"), lit(0L))
 
   /** Distinct-character count (0 for empty/null text). */
-  def charDistinct(text: Column): Column = charDistinctUdf(text)
+  def charDistinct(text: Column): Column =
+    coalesce(charProfile(text).getField("n_uniq"), lit(0L))
 
   /** 48-bit hash per shingle (first 12 md5 hex digits as BIGINT —
     * portable: DuckDB `CAST('0x'||substring(md5(s),1,12) AS BIGINT)`).

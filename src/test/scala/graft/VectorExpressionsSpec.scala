@@ -227,6 +227,10 @@ class VectorExpressionsSpec extends SparkSpec {
           BoundReference(0, ArrayType(LongType), nullable = true),
           BoundReference(0, ArrayType(LongType), nullable = true)),
         InternalRow(lv)),
+      ("CharProfile",
+        graft.plans.CharProfile(
+          BoundReference(0, StringType, nullable = false)),
+        InternalRow(UTF8String.fromString("aabbc"))),
       ("NearestCellFloat",
         graft.plans.NearestCellFloat(
           BoundReference(0, ArrayType(FloatType), nullable = false),
@@ -248,6 +252,13 @@ class VectorExpressionsSpec extends SparkSpec {
         case a: ArrayData => expr.dataType match {
           case ArrayType(LongType, _) => a.toLongArray().toSeq
           case _ => a.toIntArray().toSeq
+        }
+        // UnsafeRow (generated) vs GenericInternalRow (interpreted):
+        // compare field-by-field through the declared struct type
+        case r: InternalRow => expr.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.indices.map(i => r.get(i, st.fields(i).dataType)).toSeq
+          case _ => r
         }
         case other => other
       }
