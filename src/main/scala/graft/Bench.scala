@@ -93,7 +93,7 @@ object Bench {
       "dedup_cdc", "dedup_cdc_remove",
       "stream_funnel", "stream_approx_users", "stream_cdc_upsert",
       "stream_media_ingest", "stream_sink_parquet", "stream_sessionize",
-      "stream_attribution")
+      "stream_attribution", "stream_redelivery_dedup")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => gateOnly.contains(n) }
       .map { case (name, fn) =>
@@ -123,7 +123,7 @@ object Bench {
       "knn_ivfpq", "q_curate_e2e", "knn_ivfpq_res",
       "dedup_embedding_lsh_auto", "dedup_semantic_auto", "q_bpe_train",
       "knn_graph", "knn_graph_ingest", "q_source_reputation", "q_scd2",
-      "q_expectations")
+      "q_expectations", "dedup_pr_eval", "dedup_sketch_calibration")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

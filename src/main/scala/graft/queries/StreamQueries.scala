@@ -459,7 +459,47 @@ object StreamQueries {
         col("purchase_id"), col("purchase_us"))
   }
 
+  /** AT-LEAST-ONCE REDELIVERY DEDUP under the gate: the idempotent
+    * ingest primitive (`dropDuplicatesWithinWatermark`) that turns an
+    * at-least-once source (Kafka redelivery, retried file drops)
+    * into exactly-once rows. The duplicate feed is REAL: two
+    * FileStreamSources over the same directory union into one stream
+    * — every micro-batch delivers every event twice — and the keyed
+    * dedup state (bounded by the watermark: an event_id evicts once
+    * the watermark clears its event time) lets exactly the first
+    * arrival through. Oracle = the event log, each event once — the
+    * whole point is that the doubled delivery is invisible
+    * downstream. Sentinels (user -1) advance the watermark through
+    * the union and are filtered before the gate. */
+  private def redeliveryDedupMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val feedDir = Fixtures.streamFunnelFeed(spark, dir)
+    def src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("us", LongType), StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feedDir/batch_*.parquet")
+    val sink = s"graft_stream_rdd_sink_${sinkIds.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try src.unionByName(src)
+        .withWatermark("ts", "1 second")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    out.filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("event_id"), col("us").as("ts_us"),
+        col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_redelivery_dedup" -> ((s, dir) => redeliveryDedupMonitor(s, dir)),
     "stream_attribution" -> ((s, dir) => attributionMonitor(s, dir)),
     "stream_sessionize" -> ((s, dir) => sessionizeMonitor(s, dir)),
     "stream_dedup_ingest" -> ((s, dir) => dedupIngest(s, dir)),
@@ -555,6 +595,11 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the doubled delivery must be invisible: the oracle is the
+    // plain event log, each event exactly once
+    "stream_redelivery_dedup" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events""".stripMargin,
     // stream == batch: the attributed pair multiset is a pure
     // function of the event times (batch boundaries only change WHEN
     // a pair emits, never WHETHER) — the oracle is the batch

@@ -139,7 +139,7 @@ object ScaleProbe {
       "q_rolling", "q_expectations", "knn_graph", "stream_sink_parquet",
       "knn_graph_ingest", "stream_cdc_upsert", "q_bootstrap_ci",
       "stream_sessionize", "dedup_sketch_calibration",
-      "stream_attribution")
+      "stream_attribution", "stream_redelivery_dedup")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
