@@ -79,4 +79,32 @@ class AsOfPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tied (key, time) right payloads resolve deterministically " +
+    "across partitionings and directions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // five right rows ALL at the same (key, time) with distinct
+    // payloads: any of them is a semantically valid match, so the
+    // xxhash64 tiebreak must make the CHOICE a pure function of the
+    // data (backward and forward agree at the exact-tie instant, and
+    // shuffling the input cannot move it)
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val rRows = Seq.tabulate(5)(i => (1L, 100L, s"payload_$i"))
+    def pick(parts: Int, dir: String): String = {
+      val r = rRows.toDF("k", "rt", "p").repartition(parts)
+      val f = dir match {
+        case "backward" => graft.operators.AsOfJoin.backward(
+          l, r, Seq("k"), "t", "rt", Seq("p" -> "mp"))
+        case "forward" => graft.operators.AsOfJoin.forward(
+          l, r, Seq("k"), "t", "rt", Seq("p" -> "mp"))
+      }
+      f.select(col("mp")).collect().head.getString(0)
+    }
+    val choices = for (parts <- Seq(1, 3, 8);
+                       dir <- Seq("backward", "forward"))
+      yield pick(parts, dir)
+    assert(choices.distinct.size == 1,
+      s"tied-payload choice not deterministic: $choices")
+  }
 }
