@@ -107,7 +107,8 @@ object Explain {
     "q_rolling",         // RANGE-frame rolling window, one key exchange
     "q_expectations",    // one pass per table + broadcast FK anti-joins
     "knn_graph",         // auto-banded id-only join + TopK partial agg
-    "q_bootstrap_ci"     // 32 replicates in ONE map-combined pass
+    "q_bootstrap_ci",    // 32 replicates in ONE map-combined pass
+    "dedup_sketch_calibration" // banded candidates + per-pair exact census
   )
 
   def main(args: Array[String]): Unit = {
