@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.tools.TrialMeter
+
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query
   * wall-clock seconds. local[32] with shuffle partitions = cores so
@@ -11,6 +13,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cores = try cpus.toInt catch { case _: Throwable =>
+      Runtime.getRuntime.availableProcessors() }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,8 +24,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // trip-wire for silent interpreted fallbacks (see CodegenGuard):
-    // a "failed to compile" ERROR during any trial fails the run
+    // a codegen-compile ERROR during any trial fails the run
     graft.tools.CodegenGuard.install()
+    val loadStart = TrialMeter.load1()
 
     // JVM/codegen warmup so the first measured query isn't charged
     // session startup
@@ -36,12 +41,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warm failed: ${e.getMessage}") }
 
-    // ISOLATION MODE (round 9, tightened round 11): one UNTIMED
-    // warmup execution per query, then MEDIAN OF FIVE timed trials
-    // (round 10 proved median-of-3 too loose: byte-identical code
-    // moved +14.5% total and single queries up to +72%, with 4x
-    // spreads among warm trials — median-of-5 is robust to two
-    // outlier trials) — so the reported
+    // ISOLATION MODE (round 9, tightened round 11, contention-aware
+    // round 12->13): one UNTIMED warmup execution per query, then
+    // MEDIAN OF FIVE timed trials (round 10 proved median-of-3 too
+    // loose: byte-identical code moved +14.5% total and single
+    // queries up to +72%, with 4x spreads among warm trials —
+    // median-of-5 is robust to two outlier trials) — so the reported
     // number is the warm steady-state a long-lived cluster session
     // sees, and the first-execution cold spike (codegen compile,
     // page-cache fill, persist-slot population: 2-6x on the heavier
@@ -52,6 +57,22 @@ object Bench {
     // cold-start regressions stay visible without polluting the
     // median. A trial that throws marks the query failed
     // (time-to-failure is NOT a measurement) -> -1 + error marker.
+    //
+    // CONTENTION AWARENESS (round 13, after BENCH_r12's driver
+    // artifact recorded a phantom 2.3x pinned regression that a
+    // quiet-box re-run refuted): every trial also records this
+    // process's cpu seconds and the rest of the box's busy share
+    // (TrialMeter — /proc/stat + OperatingSystemMXBean). A warm
+    // trial is FLAGGED when external processes ate >25% of the box
+    // during it, or when its cpu/wall parallelism collapsed >2x
+    // below the same query's median while its wall inflated >1.5x
+    // (the descheduled-executor signature). Flagged trials are
+    // RETRIED (up to 3 replacement trials per query) and excluded
+    // from the median; per-trial cpu/ext arrays, flagged indices,
+    // and a top-level contaminated_trials count ride
+    // bench_detail.json so a loaded-box run self-reports instead of
+    // masquerading as a regression.
+    //
     // Evaluation is a NOOP-datasource write, not count(): count()
     // lets Catalyst prune every column and ELIMINATE left joins
     // whose right side is unique-keyed (exactly the report-shaped
@@ -59,26 +80,55 @@ object Bench {
     // plan for those queries. The noop write evaluates the full
     // projection, which is what a consumer of the result pays.
     val WarmTrials = 5
-    val trialLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val MaxRetries = 3
+
+    /** Full timing record of one query: stats(0) is the untimed
+      * warmup, the rest are warm trials in execution order (retries
+      * appended). `flagged` holds contaminated warm indices (into
+      * `stats`); the median is over unflagged warm trials. */
+    final case class QTimes(median: Double, ok: Boolean,
+                            stats: Seq[TrialMeter.TrialStat],
+                            flagged: Seq[Int], retried: Int)
+    val trialLog = scala.collection.mutable.LinkedHashMap.empty[String, QTimes]
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              dir: String, logAs: String = ""): (Double, Boolean) = {
-      val times = Seq.newBuilder[Double]
+              dir: String, logAs: String = "",
+              warmTrials: Int = WarmTrials): QTimes = {
+      val stats = scala.collection.mutable.ArrayBuffer.empty[TrialMeter.TrialStat]
       var failed = false
-      var trial = 0
-      while (trial < 1 + WarmTrials && !failed) { // first failure decides — don't re-run a broken query
-        val t0 = System.nanoTime()
+      def runTrial(): Unit = {
+        val a = TrialMeter.snap()
         try fn(spark, dir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => failed = true }
-        times += (System.nanoTime() - t0) / 1e9
-        trial += 1
+        stats += TrialMeter.stat(a, TrialMeter.snap(), cores)
       }
-      if (logAs.nonEmpty) trialLog(logAs) = times.result()
-      if (failed) (-1.0, false)
-      // median of the five WARM trials (trials 1-5; trial 0 = warmup)
-      else {
-        val warm = times.result().drop(1).sorted
-        (warm(warm.length / 2), true)
+      var trial = 0
+      // first failure decides — don't re-run a broken query
+      while (trial < 1 + warmTrials && !failed) { runTrial(); trial += 1 }
+      var retried = 0
+      def warmFlags: Seq[Boolean] = TrialMeter.flags(stats.drop(1).toSeq)
+      if (!failed) {
+        var fl = warmFlags
+        while (!failed && fl.contains(true) && fl.count(!_) < warmTrials &&
+               retried < MaxRetries) {
+          runTrial(); retried += 1
+          if (!failed) fl = warmFlags
+        }
       }
+      val res =
+        if (failed) QTimes(-1.0, ok = false, stats.toSeq, Nil, retried)
+        else {
+          val fl = warmFlags
+          val flaggedIdx = fl.zipWithIndex.collect { case (true, i) => i + 1 }
+          val clean = stats.drop(1).zip(fl).collect { case (s, false) => s.wallSec }
+          // all-flagged fallback: median over everything rather than
+          // nothing — the flags still say the number is suspect
+          val pool = (if (clean.nonEmpty) clean else stats.drop(1).map(_.wallSec))
+            .sorted
+          QTimes(pool(pool.length / 2), ok = true, stats.toSeq, flaggedIdx,
+            retried)
+        }
+      if (logAs.nonEmpty) trialLog(logAs) = res
+      res
     }
     // GATE-ONLY queries (round 12): correctness-gated by Verify every
     // round but NOT benched — either a contract twin whose production
@@ -88,7 +138,10 @@ object Bench {
     // cost is micro-batch commit overhead that measures the engine,
     // not the operator (two representative stream entries stay
     // benched: stream_dedup_ingest = stream-static band probe,
-    // stream_drift_monitor = stateful watermarked window agg).
+    // stream_drift_monitor = stateful watermarked window agg). Since
+    // round 13 Verify records one untimed wall-clock per gate-only
+    // entry (verify_meta.json) with a generous ceiling, so a 10x
+    // regression in an untimed entry still surfaces.
     val gateOnly: Set[String] = Set(
       "dedup_cdc", "dedup_cdc_remove",
       "stream_funnel", "stream_approx_users", "stream_cdc_upsert",
@@ -99,10 +152,10 @@ object Bench {
       .map { case (name, fn) =>
         (name, timed(fn, sfDir, logAs = name))
       }
-    val failed = results.collect { case (n, (_, false)) => n }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (n, q) if !q.ok => n }
+    val qs = results.map { case (k, q) => "\"" + k + "\":" + q.median }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (v, true)) => v }.sum
+    val total = results.collect { case (_, q) if q.ok => q.median }.sum
     val errJson =
       if (failed.isEmpty) ""
       else s""","errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
@@ -113,7 +166,12 @@ object Bench {
     // a ratio well under the 10x row ratio means fixed overheads
     // still dominate; a ratio ABOVE it flags superlinear behavior
     // (the thing that kills a 100 TB run) on exactly the operators
-    // whose join fan-out could produce it.
+    // whose join fan-out could produce it. Round 13: the probe times
+    // BOTH sides itself (warmup + median-of-3 each, same
+    // contamination discipline) instead of reusing the main run's
+    // median — one contaminated main trial burst used to poison the
+    // recorded ratio (dedup_pr_eval read "15.7x" in the r12 artifact
+    // from a 45s contaminated numerator over a clean base).
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_SF_DIR",
       "/root/testdata/sf0.01")
     val probeNames = Seq("dedup_minhash", "dedup_winnow", "dedup_components",
@@ -129,33 +187,38 @@ object Bench {
       else {
         try graft.queries.Fixtures.warm(spark, baseDir)
         catch { case _: Throwable => }
-        val mainTimes = results.toMap
         val probes = probeNames.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            val (base, baseOk) = timed(fn, baseDir)
-            val (main, mainOk) = mainTimes.getOrElse(name, (-1.0, false))
+            val base = timed(fn, baseDir, warmTrials = 3)
+            val main = timed(fn, sfDir, warmTrials = 3)
             // a failed trial invalidates the ratio — emit an explicit
             // err flag rather than a ratio built from time-to-failure
-            if (baseOk && mainOk) {
-              "\"" + name + "\":{\"base\":" + base + ",\"main\":" + main +
-                ",\"ratio\":" + (main / base) + "}"
+            if (base.ok && main.ok) {
+              "\"" + name + "\":{\"base\":" + base.median +
+                ",\"main\":" + main.median +
+                ",\"ratio\":" + (main.median / base.median) + "}"
             } else {
-              "\"" + name + "\":{\"base\":" + base + ",\"main\":" + main +
-                ",\"err\":true}"
+              "\"" + name + "\":{\"base\":" + base.median +
+                ",\"main\":" + main.median + ",\"err\":true}"
             }
           }
         }
-        s""","scale_probe":{"base_sf":"$baseDir","queries":${probes.mkString("{", ",", "}")}}"""
+        s""","scale_probe":{"base_sf":"$baseDir","isolation":"warmup1+median3-warm-selftimed","queries":${probes.mkString("{", ",", "}")}}"""
       }
     // PINNED cross-round subset: the 167 query names BENCH_r10 timed,
     // with ONE r12 roster change (per the r11 verdict): the benched
     // CDC forms are the production Gear kernel (dedup_cdc_gear /
     // _gear_remove) — the md5-per-position contract twins they
-    // replaced are gate-only above. `value` keeps covering every
-    // benched query, but `pinned_total` sums only this set, so
-    // round-over-round totals compare near-identical workloads — the
-    // r9<->r10 "headline churn" was the compact line's by-time
-    // truncation shifting 2 names between rounds.
+    // replaced are gate-only above. IMPLEMENTATION-CHANGE note (per
+    // the r12 advice): "dedup_pr_eval" kept its pinned slot across
+    // round 12's rewrite from the full exact-pairs eval to the
+    // sampled eval (precision census + md5 1/4-sampled recall frame)
+    // — its r11->r12 delta (6.0s -> 3.7s quiet-box) is that rewrite,
+    // not a pure perf movement on a fixed body. `value` keeps
+    // covering every benched query, but `pinned_total` sums only
+    // this set, so round-over-round totals compare near-identical
+    // workloads — the r9<->r10 "headline churn" was the compact
+    // line's by-time truncation shifting 2 names between rounds.
     val pinned: Set[String] = Set(
     "arrow_source", "avro_source", "csv_source", "dedup_cdc_gear",
     "dedup_cdc_gear_remove", "dedup_cluster_sizes", "dedup_components",
@@ -203,24 +266,51 @@ object Bench {
     "text_tokens", "text_winnow"
 )
     val pinnedTotal = results
-      .collect { case (n, (v, true)) if pinned.contains(n) => v }.sum
-    val pinnedN = results.count { case (n, (_, ok)) => ok && pinned.contains(n) }
-    // per-query NOISE BAND over the warm trials [min, max]: a
-    // cross-round delta inside the band is session noise, not a
-    // regression — the signal-vs-noise context the 2x gate needs
-    val bandsJson = trialLog.map { case (k, ts) =>
-      val warm = ts.drop(1)
+      .collect { case (n, q) if q.ok && pinned.contains(n) => q.median }.sum
+    val pinnedN = results.count { case (n, q) => q.ok && pinned.contains(n) }
+    // per-query NOISE BAND over the ACCEPTED (unflagged) warm trials
+    // [min, max]: a cross-round delta inside the band is session
+    // noise, not a regression — the signal-vs-noise context the 2x
+    // gate needs
+    def acceptedWalls(q: QTimes): Seq[Double] = {
+      val warm = q.stats.drop(1).zipWithIndex
+        .collect { case (s, i) if !q.flagged.contains(i + 1) => s.wallSec }
+      if (warm.nonEmpty) warm else q.stats.drop(1).map(_.wallSec)
+    }
+    val bandsJson = trialLog.map { case (k, q) =>
+      val warm = acceptedWalls(q)
       val lo = if (warm.isEmpty) -1.0 else warm.min
       val hi = if (warm.isEmpty) -1.0 else warm.max
       "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
     }.mkString("{", ",", "}")
     val codegenErrors = graft.tools.CodegenGuard.report()
     val (slotHits, slotMisses) = graft.operators.PersistSlots.stats
-    val trialsJson = trialLog.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val trialsJson = trialLog.map { case (k, q) =>
+      "\"" + k + "\":" + q.stats.map(s => f"${s.wallSec}%.3f")
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-trial process-cpu seconds and external-busy box share,
+    // parallel to "trials" — the self-diagnosis record: a
+    // contaminated run shows trial_ext spikes / cpu-wall collapse
+    // exactly on the inflated trials
+    val cpuJson = trialLog.map { case (k, q) =>
+      "\"" + k + "\":" + q.stats.map(s => f"${s.cpuSec}%.2f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val extJson = trialLog.map { case (k, q) =>
+      "\"" + k + "\":" + q.stats.map(s => f"${s.extShare}%.3f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val flaggedPairs = trialLog.toSeq.collect {
+      case (k, q) if q.flagged.nonEmpty =>
+        "\"" + k + "\":" + q.flagged.mkString("[", ",", "]")
+    }
+    val flaggedJson = flaggedPairs.mkString("{", ",", "}")
+    val contaminatedTrials = trialLog.valuesIterator.map(_.flagged.length).sum
+    val retriedTrials = trialLog.valuesIterator.map(_.retried).sum
+    val loadEnd = TrialMeter.load1()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"codegen_errors":$codegenErrors,"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"bands":$bandsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials,"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"flagged_trials":$flaggedJson,"bands":$bandsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that
@@ -243,13 +333,15 @@ object Bench {
     val compactErrJson =
       if (failed.isEmpty) "" else s""","errors":${failed.length}"""
     val cgJson = if (codegenErrors == 0) "" else s""","codegen_errors":$codegenErrors"""
+    val contJson = if (contaminatedTrials == 0) ""
+      else s""","contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials"""
     def compactLine(keep: Seq[(String, Double)], omitted: Int): String = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$om,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$contJson$om,"detail":"bench_detail.json"}"""
     }
-    val ok = results.collect { case (n, (v, true)) => (n, v) }
+    val ok = results.collect { case (n, q) if q.ok => (n, q.median) }
     val byTimeDesc = ok.sortBy(-_._2)
     var keepN = byTimeDesc.length
     var line = compactLine(byTimeDesc.take(keepN), byTimeDesc.length - keepN)
@@ -265,7 +357,10 @@ object Bench {
     System.out.flush()
     // FAIL the run on any codegen fallback — after the contract line
     // has landed, so the timings are still recorded alongside the
-    // failure instead of being discarded with it
+    // failure instead of being discarded with it. (Local-mode
+    // caveat: executors share this JVM's log4j context, which is the
+    // only reason the guard sees every fallback — on a real cluster
+    // the count covers the driver only.)
     if (codegenErrors > 0) {
       System.err.println(s"[bench] FAILING: $codegenErrors codegen fallback error(s) — see bench_detail.json and stderr above")
       sys.exit(2)

@@ -2,7 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round 13 adds `verify_meta.json` alongside the dumps — the gate's
+  * self-diagnosis record:
+  *
+  *  - `codegen_errors`: CodegenGuard counter over the WHOLE gate run.
+  *    The bench already fails on silent interpreted fallbacks, but it
+  *    never executes the ten gate-only entries — a fallback that only
+  *    manifests there was invisible until now.
+  *  - `seconds`: one untimed-run wall-clock per entry (this is a
+  *    correctness dump, not a benchmark — no warmup/median, just the
+  *    single execution the gate pays anyway).
+  *  - `gate_only_over_ceiling`: gate-only entries (never benched)
+  *    whose single-run wall exceeded a generous fixed ceiling (~3x
+  *    their round-12 sf0.01 times), so a 10x regression in an untimed
+  *    entry surfaces instead of hiding until someone promotes it.
+  *    RECORDED AND WARNED, never a nonzero exit: a wall-clock
+  *    assertion inside the correctness gate would reintroduce the
+  *    box-contention false-failure class round 13 exists to kill
+  *    (BENCH_r12's phantom 2.3x regression) — per-entry `ext_share`
+  *    rides along so a reader can tell load from regression.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -11,6 +32,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cores = try cpus.toInt catch { case _: Throwable =>
+      Runtime.getRuntime.availableProcessors() }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,15 +41,33 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.CodegenGuard.install()
     new java.io.File(outDir).mkdirs()
+    // generous per-entry ceilings (seconds) for the gate-only
+    // entries: ~4x their measured round-13 single-run sf0.01 walls
+    // (local[4], quiet box: dedup_cdc 1.1s ... stream_attribution
+    // 10.3s). Generous by design — this catches order-of-magnitude
+    // regressions in never-benched plans, not percent drift.
+    val gateOnlyCeiling: Map[String, Double] = Map(
+      "dedup_cdc" -> 6.0, "dedup_cdc_remove" -> 6.0,
+      "stream_funnel" -> 18.0, "stream_approx_users" -> 40.0,
+      "stream_cdc_upsert" -> 15.0, "stream_media_ingest" -> 12.0,
+      "stream_sink_parquet" -> 18.0, "stream_sessionize" -> 25.0,
+      "stream_attribution" -> 45.0, "stream_redelivery_dedup" -> 15.0)
+    val seconds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val extShare = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val a = graft.tools.TrialMeter.snap()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val st = graft.tools.TrialMeter.stat(a, graft.tools.TrialMeter.snap(), cores)
+      seconds(name) = st.wallSec
+      extShare(name) = st.extShare
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -43,6 +84,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val codegenErrors = graft.tools.CodegenGuard.report()
+    if (codegenErrors > 0)
+      System.err.println(s"[verify] WARNING: $codegenErrors codegen fallback" +
+        " error(s) during the gate run — a plan is silently interpreted")
+    val over = gateOnlyCeiling.toSeq.sorted.collect {
+      case (n, ceil) if seconds.get(n).exists(_ > ceil) =>
+        System.err.println(f"[verify] WARNING: gate-only $n took" +
+          f" ${seconds(n)}%.1fs (> ceiling ${ceil}%.0fs," +
+          f" ext_share ${extShare.getOrElse(n, -1.0)}%.2f)")
+        n
+    }
+    def secMap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => q(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val meta =
+      s"""{"codegen_errors":$codegenErrors,""" +
+      s""""gate_only_over_ceiling":${over.map(q).mkString("[", ",", "]")},""" +
+      s""""gate_only_ceiling":${secMap(gateOnlyCeiling)},""" +
+      s""""seconds":${secMap(seconds)},"ext_share":${secMap(extShare)}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta + "\n")
     spark.stop()
   }
 }

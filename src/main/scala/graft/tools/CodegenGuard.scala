@@ -39,8 +39,15 @@ object CodegenGuard {
         val logger = Option(event.getLoggerName).getOrElse("")
         val msg = Option(event.getMessage)
           .map(_.getFormattedMessage).getOrElse("")
+        // the message heuristic is SCOPED to codegen-adjacent loggers
+        // (catalyst/execution) so an unrelated component logging the
+        // phrase "failed to compile" can't hard-fail a bench run;
+        // the CodeGenerator logger-name match needs no message at all
+        val codegenAdjacent =
+          logger.startsWith("org.apache.spark.sql.catalyst") ||
+          logger.startsWith("org.apache.spark.sql.execution")
         if (logger.contains("CodeGenerator") ||
-            msg.toLowerCase.contains("failed to compile")) {
+            (codegenAdjacent && msg.toLowerCase.contains("failed to compile"))) {
           count.incrementAndGet()
           if (samples.size < MaxSamples)
             samples.add(s"$logger: ${msg.take(300)}")

@@ -1,0 +1,139 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Paths}
+
+/** Per-trial box-contention instrumentation for the bench harness.
+  *
+  * Round 12's driver bench artifact recorded a 2.3x "pinned
+  * regression" (277.9s vs 118.8s) that a quiet-box re-run refuted
+  * (116.9s on identical bytes): external box load inflated warm
+  * trials 4-40x in alphabetically-consecutive bursts, and nothing in
+  * the harness could tell a contaminated trial from a real
+  * regression. This meter records, per trial:
+  *
+  *   - wall seconds and THIS PROCESS's cpu seconds
+  *     (`OperatingSystemMXBean.getProcessCpuTime` — process total,
+  *     not per-thread: Spark's executor pool spreads a trial over
+  *     many threads);
+  *   - the WHOLE BOX's busy cpu seconds over the same window
+  *     (`/proc/stat` first line, busy = total - idle - iowait), so
+  *     `extShare` = (box busy - our busy) / (cores x wall) is the
+  *     fraction of machine capacity OTHER processes consumed during
+  *     the trial — a direct external-load gauge that needs no
+  *     before/after comparison;
+  *   - `/proc/loadavg` 1-minute load for run-level context.
+  *
+  * Flagging combines an ABSOLUTE gauge (extShare above a threshold:
+  * someone else was eating the box) with a RELATIVE one (a trial
+  * whose cpu/wall parallelism collapsed vs the same query's other
+  * trials while its wall inflated: the classic descheduled-executor
+  * signature even when the thief finished between /proc/stat reads).
+  * Pure function — spec'd on synthetic trials and on an injected
+  * external busy-spin.
+  *
+  * Linux-only by design (the bench box); on a platform without
+  * /proc the box-level gauge degrades to -1 and only the relative
+  * flag applies.
+  */
+object TrialMeter {
+
+  /** Linux USER_HZ jiffy length. Fixed at 100 Hz, the value every
+    * mainstream distro compiles with (getconf CLK_TCK); only the
+    * /proc/stat conversion uses it. */
+  private val JiffySec = 0.01
+
+  final case class Snap(wallNanos: Long, procCpuNanos: Long,
+                        boxBusyJiffies: Long, load1: Double)
+
+  /** One measured trial window. `cpuSec` is this process's cpu time;
+    * `extShare` in [0,1] is other processes' share of total box
+    * capacity during the window (-1 when /proc/stat is unavailable). */
+  final case class TrialStat(wallSec: Double, cpuSec: Double,
+                             extShare: Double, load1: Double) {
+    /** Effective parallelism: process cpu seconds per wall second. */
+    def cpuWallRatio: Double = if (wallSec > 0) cpuSec / wallSec else 0.0
+  }
+
+  private val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+
+  /** Busy jiffies from /proc/stat's aggregate cpu line: user + nice +
+    * system + irq + softirq + steal (idle and iowait excluded). */
+  private def busyJiffies(): Long =
+    try {
+      val src = Files.readString(Paths.get("/proc/stat"))
+      val line = src.substring(0, math.max(0, src.indexOf('\n')))
+      if (!line.startsWith("cpu ")) -1L
+      else {
+        val f = line.trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        def j(i: Int) = if (i < f.length) f(i).toLong else 0L
+        j(1) + j(2) + j(3) + j(6) + j(7) + j(8)
+      }
+    } catch { case _: Throwable => -1L }
+
+  def load1(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  def snap(): Snap = Snap(
+    System.nanoTime(),
+    osBean.map(_.getProcessCpuTime).getOrElse(-1L),
+    busyJiffies(),
+    load1())
+
+  def stat(a: Snap, b: Snap, cores: Int): TrialStat = {
+    val wall = math.max(0.0, (b.wallNanos - a.wallNanos) / 1e9)
+    val cpu =
+      if (a.procCpuNanos < 0 || b.procCpuNanos < 0) -1.0
+      else math.max(0.0, (b.procCpuNanos - a.procCpuNanos) / 1e9)
+    val ext =
+      if (a.boxBusyJiffies < 0 || b.boxBusyJiffies < 0 || cpu < 0 ||
+          wall <= 0 || cores <= 0) -1.0
+      else {
+        val boxBusy = (b.boxBusyJiffies - a.boxBusyJiffies) * JiffySec
+        math.max(0.0, math.min(1.0, (boxBusy - cpu) / (cores * wall)))
+      }
+    TrialStat(wall, cpu, ext, math.max(a.load1, b.load1))
+  }
+
+  /** Which trials look contaminated by external load. A trial is
+    * flagged when EITHER:
+    *
+    *  - `extShare > extShareMax` — other processes consumed more than
+    *    that fraction of the whole box during the trial (absolute
+    *    gauge, needs /proc/stat); or
+    *  - its cpu/wall parallelism fell below `1/relFactor` of the
+    *    median parallelism of the SAME query's trials while its wall
+    *    exceeded `wallFactor` x the median wall (relative gauge:
+    *    byte-identical work on the same warm plan repeats its
+    *    parallelism; a descheduled trial has wall >> cpu).
+    *
+    * Trials shorter than `minWallSec` are never flagged (sub-50ms
+    * timings are scheduler noise either way), and the relative gauge
+    * needs >= 3 trials for a meaningful median. Pure — spec'd on
+    * synthetic inputs.
+    */
+  def flags(stats: Seq[TrialStat], extShareMax: Double = 0.25,
+            relFactor: Double = 2.0, wallFactor: Double = 1.5,
+            minWallSec: Double = 0.05): Seq[Boolean] = {
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
+    val medRatio = med(stats.map(_.cpuWallRatio))
+    val medWall = med(stats.map(_.wallSec))
+    stats.map { s =>
+      if (s.wallSec < minWallSec) false
+      else {
+        val abs = s.extShare >= 0 && s.extShare > extShareMax
+        val rel = stats.length >= 3 && s.cpuSec >= 0 && medRatio > 0 &&
+          s.cpuWallRatio * relFactor < medRatio &&
+          s.wallSec > medWall * wallFactor
+        abs || rel
+      }
+    }
+  }
+}

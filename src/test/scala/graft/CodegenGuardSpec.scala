@@ -21,7 +21,14 @@ class CodegenGuardSpec extends SparkSpec {
     org.apache.logging.log4j.LogManager.getLogger("graft.unrelated")
       .error("some unrelated error")
     assert(CodegenGuard.errorCount == before + 1)
-    // message-based match catches fallbacks logged under other names
+    // message-based match catches fallbacks logged under other
+    // catalyst/execution names...
+    org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.execution.WholeStageCodegenExec")
+      .error("Failed to compile the generated class")
+    assert(CodegenGuard.errorCount == before + 2)
+    // ...but is SCOPED to codegen-adjacent loggers: an unrelated
+    // component using the phrase must not hard-fail a bench run
     org.apache.logging.log4j.LogManager.getLogger("graft.unrelated")
       .error("Failed to compile the generated class")
     assert(CodegenGuard.errorCount == before + 2)

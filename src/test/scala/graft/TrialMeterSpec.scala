@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.TrialMeter
+import graft.tools.TrialMeter.TrialStat
+
+/** The bench's contention self-diagnosis (round 13, after BENCH_r12's
+  * driver artifact masqueraded as a 2.3x regression until a quiet-box
+  * re-run refuted it): the pure flagger on synthetic trials, the
+  * /proc-based measurement plumbing, and the verdict-requested
+  * end-to-end demonstration — an INJECTED external busy-spin during a
+  * measured window trips the flag, a quiet window does not.
+  */
+class TrialMeterSpec extends AnyFunSuite {
+
+  private def quiet(wall: Double) =
+    TrialStat(wall, cpuSec = wall * 8.0, extShare = 0.02, load1 = 1.0)
+
+  test("flags: five consistent quiet trials flag nothing") {
+    val fl = TrialMeter.flags(Seq.fill(5)(quiet(1.0)))
+    assert(fl == Seq(false, false, false, false, false))
+  }
+
+  test("flags: inflated wall with flat cpu (descheduled executor) is flagged") {
+    // four quiet 1s trials at 8x parallelism + one 10s trial whose
+    // cpu stayed ~8s: ratio collapsed 10x, wall inflated 10x —
+    // exactly q5_join's 9.05s->41.95s r12 signature
+    val bad = TrialStat(10.0, cpuSec = 8.0, extShare = 0.02, load1 = 1.0)
+    val fl = TrialMeter.flags(Seq.fill(4)(quiet(1.0)) :+ bad)
+    assert(fl == Seq(false, false, false, false, true))
+  }
+
+  test("flags: high external busy share is flagged even with stable ratio") {
+    val loaded = TrialStat(2.0, cpuSec = 16.0, extShare = 0.6, load1 = 40.0)
+    val fl = TrialMeter.flags(Seq.fill(4)(quiet(2.0)) :+ loaded)
+    assert(fl.last)
+  }
+
+  test("flags: a genuinely slower trial that KEPT its parallelism is NOT flagged") {
+    // 2x wall with 2x cpu = the same plan doing more work (spill,
+    // GC) — a real signal the median should see, not contamination
+    val slow = TrialStat(2.0, cpuSec = 16.0, extShare = 0.02, load1 = 1.0)
+    val fl = TrialMeter.flags(Seq.fill(4)(quiet(1.0)) :+ slow)
+    assert(!fl.last)
+  }
+
+  test("flags: sub-50ms trials are never flagged (scheduler noise)") {
+    val tiny = TrialStat(0.04, cpuSec = 0.001, extShare = 0.9, load1 = 1.0)
+    assert(!TrialMeter.flags(Seq.fill(5)(tiny)).exists(identity))
+  }
+
+  test("flags: missing /proc data (ext=-1, cpu=-1) degrades to no absolute flag") {
+    val noProc = TrialStat(1.0, cpuSec = -1.0, extShare = -1.0, load1 = -1.0)
+    assert(!TrialMeter.flags(Seq.fill(5)(noProc)).exists(identity))
+  }
+
+  test("snap/stat measure real process cpu against wall") {
+    val a = TrialMeter.snap()
+    // ~200ms of single-thread spin: cpu and wall should both be
+    // positive and the ratio sane (not 32x, not 0)
+    val until = System.nanoTime() + 200L * 1000 * 1000
+    var x = 0L
+    while (System.nanoTime() < until) { x += 1 }
+    val st = TrialMeter.stat(a, TrialMeter.snap(), cores = 32)
+    assert(x > 0)
+    assert(st.wallSec > 0.15 && st.wallSec < 5.0)
+    assert(st.cpuSec > 0.05, s"process cpu not measured: $st")
+    assert(st.cpuWallRatio > 0.2 && st.cpuWallRatio < 4.0, s"ratio off: $st")
+  }
+
+  test("injected external busy-spin trips the flag; quiet window does not") {
+    val cores = Runtime.getRuntime.availableProcessors()
+    def window(seconds: Double): TrialMeter.TrialStat = {
+      val a = TrialMeter.snap()
+      Thread.sleep((seconds * 1000).toLong)
+      TrialMeter.stat(a, TrialMeter.snap(), cores)
+    }
+    val base = window(0.5)
+    assume(base.extShare >= 0, "no /proc/stat on this platform")
+    assume(base.extShare < 0.2,
+      s"box already loaded (ext=${base.extShare}) — can't demonstrate")
+    // saturate ~all cores with EXTERNAL processes (in-process threads
+    // would raise our own cpu, which is exactly what external load
+    // does not do), self-terminating via timeout
+    val burners = (1 to cores).map { _ =>
+      new ProcessBuilder("timeout", "3", "sh", "-c", "while :; do :; done")
+        .start()
+    }
+    try {
+      Thread.sleep(300) // let the burners reach full burn
+      val loaded = window(1.0)
+      assert(loaded.extShare > 0.3,
+        s"external load not visible: $loaded (base $base)")
+      // and the absolute gauge flags it among quiet trials
+      val fl = TrialMeter.flags(Seq(base, base, base, base, loaded))
+      assert(fl.last, s"loaded window not flagged: $loaded")
+    } finally burners.foreach(_.destroyForcibly())
+  }
+}
