@@ -549,15 +549,37 @@ object Dedup {
     * shingles enter the left side. This is the scale path for
     * sketch-quality evaluation on a real corpus (FAISS-style evals
     * measure recall on sampled queries for the same reason); the
-    * full form remains the small-sf equivalence contract. */
+    * full form remains the small-sf equivalence contract.
+    *
+    * `maxDocFreq` (default: uncapped) bounds the remaining fan-out:
+    * a shingle appearing in more than that many documents is dropped
+    * from BOTH the intersection join and the per-doc set sizes (the
+    * same capped-Jaccard semantics as the production
+    * `dedup_jaccard_capped` path), so a pathological stop-shingle
+    * can no longer make the recall frame quadratic. Capping the
+    * TRUTH biases it — a pair whose overlap rides only ultra-common
+    * shingles scores lower — but at sane caps the bias on the
+    * recall ESTIMATE is ~0 because such pairs have true Jaccard far
+    * below any useful threshold; [[graft.PrEvalSpec]] measures the
+    * bias against the uncapped truth on the test corpus. */
   def ngramJaccardPairsSampled(df: DataFrame, idCol: String, textCol: String,
                                shingleLen: Int = 3, minJaccard: Double = 0.5,
-                               sampleMod: Int = 4): DataFrame = {
+                               sampleMod: Int = 4,
+                               maxDocFreq: Int = Int.MaxValue): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val raw = df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
       .select(col("id"), explode(shinglesOfWords(col("__w"), shingleLen)).as("tok"))
       .distinct()
-    val t = PersistSlots.swap("dedup.ngramTokens.uncapped", raw)
+    val capped =
+      if (maxDocFreq == Int.MaxValue) raw
+      else
+        raw.withColumn("__df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+    val slot = if (maxDocFreq == Int.MaxValue) "dedup.ngramTokens.uncapped"
+               else "dedup.ngramTokens.sampledCapped"
+    val t = PersistSlots.swap(slot, capped)
     val counts = t.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = t.filter(md5Sampled(col("id"), sampleMod))
       .select(col("id").as("id_a"), col("tok"))
@@ -591,12 +613,24 @@ object Dedup {
       .join(t.select(col("id").as("id_a"), col("tok")), "id_a")
       .join(t.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    // counts join LEFT with a 0 fill: a pair referencing a doc with
+    // ZERO shingles (text shorter than shingleLen) must come back
+    // with jaccard 0 per the contract above, not silently drop —
+    // unreachable from minhash candidates (>=1 shingle each) but
+    // this method is public. Both-empty pairs (denominator 0) are
+    // defined as jaccard 0 too (no evidence of similarity).
     p.join(inter, Seq("id_a", "id_b"), "left")
-      .join(counts.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard", round(
-        coalesce(col("__i"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("__i"), lit(0L))), 4))
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")),
+        Seq("id_a"), "left")
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")),
+        Seq("id_b"), "left")
+      .withColumn("__na", coalesce(col("na"), lit(0L)))
+      .withColumn("__nb", coalesce(col("nb"), lit(0L)))
+      .withColumn("jaccard",
+        when(col("__na") + col("__nb") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("__i"), lit(0L)).cast("double") /
+              (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))), 4)))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -55,6 +55,72 @@ class PrEvalSpec extends SparkSpec {
     assert(got == sampledKeys)
   }
 
+  test("capped recall frame: cap bites on a planted stop-shingle, " +
+    "recall-estimate bias vs the uncapped truth is ~0") {
+    // the synthetic corpus has max shingle df = 9 — no natural
+    // stop-shingle — so plant one: the same boilerplate footer on
+    // EVERY document (df = 500 for its interior shingles). This is
+    // the pathological fan-out the cap exists for: uncapped, the
+    // recall frame's shared-shingle self-join grows a 500^2-shaped
+    // bucket on those tokens.
+    val planted = docs.withColumn("text",
+      concat(col("text"),
+        lit(" standard legal boilerplate footer notice applies here")))
+    val cap = 50
+    def truthPairs(maxDf: Int) = graft.operators.Dedup
+      .ngramJaccardPairsSampled(planted, "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5, sampleMod = 4, maxDocFreq = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = truthPairs(Int.MaxValue)
+    val capped = truthPairs(cap)
+    assert(uncapped.nonEmpty)
+    // the sketch leg, unchanged (same pairs both recalls score;
+    // same K/bands as dedup_pr_eval)
+    val sketch = graft.operators.Dedup.minhashPairs(planted, "doc_id",
+        "text", numHashes = 12, bands = 4, minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(truth: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 0.0
+      else truth.count(sketch.contains).toDouble / truth.size
+    val bias = recall(capped) - recall(uncapped)
+    assert(math.abs(bias) <= 0.05,
+      s"capped-truth recall bias $bias (cap=$cap, " +
+        s"|uncapped|=${uncapped.size}, |capped|=${capped.size})")
+    // the cap must actually have bitten — otherwise this spec proves
+    // nothing (guard against fixture drift): the planted footer's
+    // interior shingle must have df = |corpus| >> cap
+    val footerDf = planted
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .shinglesOfWords(graft.functions.TextFunctions.words(col("text")), 3))
+        .as("tok"))
+      .filter(col("tok") === "legal boilerplate footer")
+      .select(col("doc_id")).distinct().count()
+    assert(footerDf > cap,
+      s"planted stop-shingle df $footerDf does not exceed cap $cap")
+  }
+
+  test("exactJaccardFor: zero-shingle doc comes back jaccard 0, not dropped") {
+    import spark.implicits._
+    // doc 2's text is shorter than the shingle length -> zero
+    // shingles; the pair must STILL come back, with jaccard 0
+    // (the docstring contract — was silently dropped by the inner
+    // counts join before round 13)
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "xy"),
+      (3L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.exactJaccardFor(pairs, tiny, "doc_id",
+        "text", shingleLen = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.size == 3, s"pairs dropped: $got")
+    assert(got((1L, 2L)) == 0.0)
+    assert(got((2L, 3L)) == 0.0)
+    assert(got((1L, 3L)) > 0.0)
+  }
+
   test("exactJaccardFor agrees with the pair frame on shared pairs " +
     "and zeroes band-collision pairs") {
     val full = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id",
