@@ -211,17 +211,10 @@ object LanguageModel {
       s"NgramModel: need tables for orders 1..$order, got ${tables.length}")
   }
 
-  /** 0.4^k backoff multipliers as decimal LITERALS, indexed by the
-    * number of backoff steps. Literals, not computed powers: IEEE
-    * 0.4*0.4 = 0.16000000000000003 != the literal 0.16 that the
-    * scorers have always used and the DuckDB oracles carry — the
-    * multiplier at each level must be the same parsed constant in
-    * both engines. Supports orders up to 8. */
-  private val BackoffMult: Array[Double] =
-    Array(1.0, 0.4, 0.16, 0.064, 0.0256, 0.01024, 0.004096, 0.0016384)
-
-  /** Max supported order (the literal multiplier table bounds it). */
-  val MaxOrder: Int = BackoffMult.length - 1
+  /** Max supported order (the scoring kernel's literal multiplier
+    * table bounds it — [[graft.plans.NgramNll.BackoffMult]], the one
+    * place the 0.4^k decimal literals live). */
+  val MaxOrder: Int = graft.plans.NgramNll.BackoffMult.length - 1
 
   /** The shared KenLM-style pruned n-gram count-table builder: one
     * map-combined count per gram key, count floor + frequency-desc
@@ -301,68 +294,17 @@ object LanguageModel {
       scala.collection.immutable.ArraySeq.unsafeWrapArray(tables), total)
   }
 
-  // one stable scorer UDF per MODEL: Catalyst compares ScalaUDFs by
-  // function reference, so a fresh closure per invocation would make
-  // two identical scoring plans never sameResult — breaking the
-  // PersistSlots reuse ccnetBuckets depends on (observed: slot
-  // misses on every bench trial). Structural case-class keys; the
-  // one-time hash of a model's maps is microseconds next to a scan.
-  // BOUNDED: each entry pins a vocabulary-scale model in memory, so
-  // the cache clears past a few entries (a session reusing one model
-  // keeps its identity; one training many models doesn't leak them
-  // all — plan reuse only mattered for the repeated-model case).
-  private val ScoreCacheCap = 4
-  private val ngramScoreCache = scala.collection.concurrent.TrieMap
-    .empty[NgramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
-  private def cached[K](cache: scala.collection.concurrent.TrieMap[K,
-      org.apache.spark.sql.expressions.UserDefinedFunction], key: K)(
-      mk: => org.apache.spark.sql.expressions.UserDefinedFunction) = {
-    if (!cache.contains(key) && cache.size >= ScoreCacheCap) cache.clear()
-    cache.getOrElseUpdate(key, mk)
-  }
-
-  /** Micro-nat cost of the position whose context window starts at
-    * i (gram = w(i .. i+order-1)) — THE stupid-backoff recursion,
-    * shared by the summing scorer ([[ngramNllNarrowOfWords]]) and
-    * the cost-array scorer ([[minKProbNll]]): level k scores
-    * MULT(N−k) · c(gram_k)/c(ctx_{k−1}) (a surviving k-gram's
-    * context survives in the table below — lower-order consistency,
-    * [[trainNgrams]]), the unigram level MULT(N−1) · c(cur)/total,
-    * unknown MULT(N−1)/(total·10); per-position floor to the
-    * integer micro-nat grid. */
-  private def positionCost(tables: Array[Map[String, Long]],
-                           totalD: Double, mult: Array[Double],
-                           order: Int, w: Seq[String], i: Int): Long = {
-    var ratio = 0.0
-    var found = false
-    var k = order
-    while (k >= 2 && !found) {
-      val lo = i + order - k // gram = last k words of the window
-      tables(k - 1).get(sliceKey(w, lo, i + order)) match {
-        case Some(c) =>
-          ratio = mult(order - k) * (c.toDouble /
-            tables(k - 2)(sliceKey(w, lo, i + order - 1)).toDouble)
-          found = true
-        case None => k -= 1
-      }
-    }
-    if (!found) {
-      ratio = tables(0).get(w(i + order - 1)) match {
-        case Some(c) => mult(order - 1) * (c.toDouble / totalD)
-        case None => mult(order - 1) / (totalD * 10.0)
-      }
-    }
-    math.floor(1000000.0 * -math.log(ratio)).toLong
-  }
-
-  /** The space-joined key of w(lo..hi-1) — exactly the
-    * `a + " " + b` concatenation the count-table keys use. */
-  private def sliceKey(w: Seq[String], lo: Int, hi: Int): String = {
-    val sb = new java.lang.StringBuilder(w(lo))
-    var j = lo + 1
-    while (j < hi) { sb.append(' ').append(w(j)); j += 1 }
-    sb.toString
-  }
+  // THE stupid-backoff recursion lives in graft.plans.NgramNll (one
+  // recursion in source, shared by the summing and cost-array
+  // scorers, interpreted and codegen'd paths alike). Model identity
+  // for plan reuse: the expression embeds an LmModelRef whose
+  // equality is a content digest, so two INDEPENDENTLY TRAINED equal
+  // models produce sameResult plans (the PersistSlots reuse
+  // ccnetBuckets depends on) — strictly stronger than the per-model
+  // ScalaUDF cache this replaced, which only achieved identity reuse
+  // for the same model instance.
+  private def modelRef(model: NgramModel): graft.plans.LmModelRef =
+    new graft.plans.LmModelRef(model.order, model.total, model.tables)
 
   /** Order-N NLL against an in-memory [[NgramModel]]: the
     * broadcast-narrow deployment form — per-token costs from map
@@ -377,7 +319,10 @@ object LanguageModel {
     * MULT(N-1)/(total·10) — multipliers from the literal table so
     * orders 2-4 reproduce the old per-order scorers byte-for-byte
     * (1.0·x == x in IEEE; re-validated against the unchanged
-    * oracles). HashMap UDF, NOT typedLit map literals: element_at on
+    * oracles). The scorer is a codegen'd Catalyst expression over
+    * java HashMaps ([[graft.plans.NgramNllSum]] — replaced the
+    * per-row ScalaUDF in round 13; same arithmetic, whole-stage
+    * codegen preserved). NOT typedLit map literals: element_at on
     * a Catalyst literal map is a LINEAR key scan (the old literal
     * form measured 84 s at sf0.1).
     * @return (idCol, n_scored, nll_e6, avg_nll_e6) — positions
@@ -395,21 +340,7 @@ object LanguageModel {
                             wordsCol: String,
                             model: NgramModel): DataFrame = {
     val order = model.order
-    val score = cached(ngramScoreCache, model) {
-      val tables = model.tables.toArray
-      val totalD = model.total.toDouble
-      val mult = BackoffMult
-      udf { (w: Seq[String]) =>
-        var nll = 0L
-        var i = 0
-        val n = w.length
-        while (i <= n - order) {
-          nll += positionCost(tables, totalD, mult, order, w, i)
-          i += 1
-        }
-        nll
-      }
-    }
+    val ref = modelRef(model)
     docs
       // the <order-words dropout filters on the CHEAP word-array
       // size BEFORE the score expression exists
@@ -417,12 +348,9 @@ object LanguageModel {
       .filter(size(col("__gpnw")) >= order)
       .select(col(idCol),
         (size(col("__gpnw")) - (order - 1)).cast("long").as("n_scored"),
-        score(col("__gpnw")).as("nll_e6"))
+        graft.plans.LmExpressions.nllSum(col("__gpnw"), ref).as("nll_e6"))
       .withColumn("avg_nll_e6", expr("nll_e6 div n_scored"))
   }
-
-  private val ngramCostsCache = scala.collection.concurrent.TrieMap
-    .empty[NgramModel, org.apache.spark.sql.expressions.UserDefinedFunction]
 
   /** Min-K% prob membership / contamination signal (Shi et al. 2023,
     * "Detecting Pretraining Data from Large Language Models"): the
@@ -436,8 +364,9 @@ object LanguageModel {
     * leaked text was lightly edited.
     *
     * Per-token costs come from the SAME broadcast-model
-    * stupid-backoff fold as [[ngramNllNarrow]] ([[positionCost]] —
-    * one recursion in source); the selection is a per-document
+    * stupid-backoff fold as [[ngramNllNarrow]]
+    * ([[graft.plans.NgramNll]] — one recursion in source, codegen'd);
+    * the selection is a per-document
     * order statistic computed entirely in-row (sort the cost array
     * descending, mean the first max(1, n·k/100) on the integer
     * micro-nat grid) — zero exchanges, zero joins, stream-safe,
@@ -449,25 +378,12 @@ object LanguageModel {
     require(kPct >= 1 && kPct <= 100,
       s"minKProbNll: kPct must be in [1, 100], got $kPct")
     val order = model.order
-    val costs = cached(ngramCostsCache, model) {
-      val tables = model.tables.toArray
-      val totalD = model.total.toDouble
-      val mult = BackoffMult
-      udf { (w: Seq[String]) =>
-        val n = w.length - order + 1
-        val out = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          out(i) = positionCost(tables, totalD, mult, order, w, i)
-          i += 1
-        }
-        out
-      }
-    }
+    val ref = modelRef(model)
     docs
       .select(col(idCol), words(col(textCol)).as("__mkw"))
       .filter(size(col("__mkw")) >= order)
-      .select(col(idCol), costs(col("__mkw")).as("__mkc"))
+      .select(col(idCol),
+        graft.plans.LmExpressions.nllCosts(col("__mkw"), ref).as("__mkc"))
       .select(col(idCol),
         size(col("__mkc")).cast("long").as("n_scored"),
         greatest(lit(1L),

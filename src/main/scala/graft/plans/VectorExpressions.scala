@@ -380,6 +380,42 @@ object FloatLshBuckets {
   }
 }
 
+/** Centroid matrix embedded in [[NearestCentroidLong]] behind a
+  * content digest: the expression's docstring targets k in the
+  * thousands-to-millions (autoK), and holding the matrix
+  * structurally made every plan transform / sameResult check touch
+  * an O(k*dim) value (round-12 advice). Equality compares the
+  * 128-bit MD5 of the sorted (id, dims) content — two
+  * independently-built identical centroid sets still compare equal
+  * (the PersistSlots plan-reuse contract), plan comparison is O(1). */
+final class CentroidsLongRef(val centroids: Seq[(Int, Seq[Long])])
+    extends Serializable {
+  require(centroids.nonEmpty, "graft_nearest_centroid: empty centroid set")
+
+  @transient private lazy val sorted = centroids.sortBy(_._1)
+  @transient lazy val idArr: Array[Int] = sorted.map(_._1).toArray
+  @transient lazy val matArr: Array[Array[Long]] =
+    sorted.map(_._2.toArray).toArray
+
+  @transient private lazy val digest: (Long, Long) = ContentDigest.md5 { f =>
+    f.int(centroids.length)
+    sorted.foreach { case (id, v) =>
+      f.int(id); f.int(v.length); v.foreach(f.long)
+    }
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case that: CentroidsLongRef =>
+      (this eq that) ||
+        (centroids.length == that.centroids.length && digest == that.digest)
+    case _ => false
+  }
+  override def hashCode(): Int = digest._1.toInt
+  // appears in plan strings — a fingerprint, never the matrix
+  override def toString: String =
+    f"centroids(k=${centroids.length},md5=${digest._1}%016x)"
+}
+
 /** Nearest quantized centroid of an `array<bigint>` vector: argmin
   * exact integer squared-L2 over the centroid matrix, smallest
   * centroid id on ties. Replaces the per-row ScalaUDF kernel in
@@ -396,21 +432,12 @@ object FloatLshBuckets {
   * nulls the result — the same null-propagating semantics as the
   * expression form's [[DotProductLong]] arithmetic (the two paths
   * must stay bit-identical on all inputs).
-  *
-  * Centroids are held structurally (Seq of (id, Seq)) so two
-  * independently-built identical plans compare `sameResult`; both
-  * eval paths run over a memoized primitive mirror.
   */
-case class NearestCentroidLong(child: Expression,
-                               centroids: Seq[(Int, Seq[Long])])
+case class NearestCentroidLong(child: Expression, cents: CentroidsLongRef)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(centroids.nonEmpty, "graft_nearest_centroid: empty centroid set")
-
-  @transient private lazy val sorted = centroids.sortBy(_._1)
-  @transient private lazy val idArr: Array[Int] = sorted.map(_._1).toArray
-  @transient private lazy val matArr: Array[Array[Long]] =
-    sorted.map(_._2.toArray).toArray
+  private def idArr: Array[Int] = cents.idArr
+  private def matArr: Array[Array[Long]] = cents.matArr
 
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
@@ -561,26 +588,55 @@ object CellScoring {
   }
 }
 
+/** Float centroid/cell matrix embedded in [[NearestCellFloat]] /
+  * [[ProbeCellsFloat]] behind a content digest — the same
+  * plan-comparison-cost fix as [[CentroidsLongRef]] (cell counts
+  * scale ~n/B with the corpus under autoK). Carries the primitive
+  * mirror (sorted ids, vectors, precomputed |c|^2 norms), rebuilt
+  * lazily per deserialized instance. */
+final class CellsFloatRef(val centroids: Seq[(Long, Seq[Float])])
+    extends Serializable {
+  require(centroids.nonEmpty, "graft cell expressions: empty centroid set")
+
+  @transient private lazy val sorted = centroids.sortBy(_._1)
+  @transient lazy val cidArr: Array[Long] = sorted.map(_._1).toArray
+  @transient lazy val vecArr: Array[Array[Float]] =
+    sorted.map(_._2.toArray).toArray
+  @transient lazy val normArr: Array[Double] =
+    vecArr.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  @transient private lazy val digest: (Long, Long) = ContentDigest.md5 { f =>
+    f.int(centroids.length)
+    sorted.foreach { case (id, v) =>
+      f.long(id); f.int(v.length)
+      v.foreach(x => f.int(java.lang.Float.floatToIntBits(x)))
+    }
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case that: CellsFloatRef =>
+      (this eq that) ||
+        (centroids.length == that.centroids.length && digest == that.digest)
+    case _ => false
+  }
+  override def hashCode(): Int = digest._1.toInt
+  override def toString: String =
+    f"cells(k=${centroids.length},md5=${digest._1}%016x)"
+}
+
 /** Codegen'd IVF cell assignment: nearest-centroid id (argmax
   * round-to-6 cosine, cid tiebreak) of an `array<float>` vector —
   * replaces the broadcast-closure ScalaUDF in
   * [[graft.operators.Similarity.ivfTopK]] / PQ's `ivfpqTopK` that
   * blocked whole-stage codegen on the corpus-wide assignment scan.
-  * Centroids are held structurally for `sameResult`; the primitive
-  * mirror (vectors + precomputed |c|^2) materializes lazily per
-  * (deserialized) instance. */
-case class NearestCellFloat(child: Expression,
-                            centroids: Seq[(Long, Seq[Float])])
+  * Centroids ride a content-digest ref ([[CellsFloatRef]]) so two
+  * independently-built identical plans compare `sameResult` in O(1). */
+case class NearestCellFloat(child: Expression, cells: CellsFloatRef)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(centroids.nonEmpty, "graft_nearest_cell: empty centroid set")
-
-  @transient private lazy val sorted = centroids.sortBy(_._1)
-  @transient private lazy val cidArr: Array[Long] = sorted.map(_._1).toArray
-  @transient private lazy val vecArr: Array[Array[Float]] =
-    sorted.map(_._2.toArray).toArray
-  @transient private lazy val normArr: Array[Double] =
-    vecArr.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  private def cidArr: Array[Long] = cells.cidArr
+  private def vecArr: Array[Array[Float]] = cells.vecArr
+  private def normArr: Array[Double] = cells.normArr
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -611,19 +667,15 @@ case class NearestCellFloat(child: Expression,
   * (round-to-6 cosine desc, cid asc) of an `array<float>` query
   * vector — the sibling of [[NearestCellFloat]] for the probe side
   * of [[graft.operators.Similarity.ivfTopK]]. */
-case class ProbeCellsFloat(child: Expression,
-                           centroids: Seq[(Long, Seq[Float])], nProbe: Int)
+case class ProbeCellsFloat(child: Expression, cells: CellsFloatRef,
+                           nProbe: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(centroids.nonEmpty, "graft_probe_cells: empty centroid set")
   require(nProbe >= 1, s"graft_probe_cells: nProbe must be >= 1, got $nProbe")
 
-  @transient private lazy val sorted = centroids.sortBy(_._1)
-  @transient private lazy val cidArr: Array[Long] = sorted.map(_._1).toArray
-  @transient private lazy val vecArr: Array[Array[Float]] =
-    sorted.map(_._2.toArray).toArray
-  @transient private lazy val normArr: Array[Double] =
-    vecArr.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  private def cidArr: Array[Long] = cells.cidArr
+  private def vecArr: Array[Array[Float]] = cells.vecArr
+  private def normArr: Array[Double] = cells.normArr
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -682,16 +734,19 @@ object VectorExpressions {
   /** Nearest quantized centroid (codegen'd): struct(cluster, dist)
     * of an array<bigint> vector — see [[NearestCentroidLong]]. */
   def nearestCentroidLong(v: Column, centroids: Seq[(Int, Seq[Long])]): Column =
-    Bridge.column(NearestCentroidLong(Bridge.expression(v), centroids))
+    Bridge.column(NearestCentroidLong(Bridge.expression(v),
+      new CentroidsLongRef(centroids)))
 
   /** Nearest IVF cell id (codegen'd) of an array<float> vector —
     * see [[NearestCellFloat]]. */
   def nearestCell(v: Column, centroids: Seq[(Long, Seq[Float])]): Column =
-    Bridge.column(NearestCellFloat(Bridge.expression(v), centroids))
+    Bridge.column(NearestCellFloat(Bridge.expression(v),
+      new CellsFloatRef(centroids)))
 
   /** The nProbe nearest IVF cell ids (codegen'd) of an array<float>
     * query vector — see [[ProbeCellsFloat]]. */
   def probeCells(v: Column, centroids: Seq[(Long, Seq[Float])],
                  nProbe: Int): Column =
-    Bridge.column(ProbeCellsFloat(Bridge.expression(v), centroids, nProbe))
+    Bridge.column(ProbeCellsFloat(Bridge.expression(v),
+      new CellsFloatRef(centroids), nProbe))
 }

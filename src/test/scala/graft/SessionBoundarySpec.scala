@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
   * boundary: the batch q_sessionize splits on STRICTLY greater than
   * the gap (diff == gap stays one session), so the streaming twin's
   * gap duration must make session_window agree. This spec documents
-  * which side Spark's merge takes and guards the +1us adjustment in
-  * stream_sessionize against Spark version drift.
+  * which side Spark's merge takes and guards that NO +1us adjustment
+  * is needed — session_window's inclusive exactly-gap merge already
+  * matches the batch strict-> split, so stream_sessionize passes the
+  * plain 30-minute gap; if a Spark version ever flips the boundary,
+  * this is the spec that fails.
   */
 class SessionBoundarySpec extends SparkSpec {
 

@@ -234,14 +234,14 @@ class VectorExpressionsSpec extends SparkSpec {
       ("NearestCellFloat",
         graft.plans.NearestCellFloat(
           BoundReference(0, ArrayType(FloatType), nullable = false),
-          Seq.tabulate(5)(c => (c.toLong,
-            Seq.tabulate(64)(d => (math.sin(c * 64 + d + 1) * 0.5).toFloat)))),
+          new graft.plans.CellsFloatRef(Seq.tabulate(5)(c => (c.toLong,
+            Seq.tabulate(64)(d => (math.sin(c * 64 + d + 1) * 0.5).toFloat))))),
         InternalRow(fv)),
       ("ProbeCellsFloat",
         graft.plans.ProbeCellsFloat(
           BoundReference(0, ArrayType(FloatType), nullable = false),
-          Seq.tabulate(5)(c => (c.toLong,
-            Seq.tabulate(64)(d => (math.sin(c * 64 + d + 1) * 0.5).toFloat))),
+          new graft.plans.CellsFloatRef(Seq.tabulate(5)(c => (c.toLong,
+            Seq.tabulate(64)(d => (math.sin(c * 64 + d + 1) * 0.5).toFloat)))),
           nProbe = 3),
         InternalRow(fv)))
     cases.foreach { case (name, expr, row) =>
@@ -277,7 +277,8 @@ class VectorExpressionsSpec extends SparkSpec {
     val cents = Seq.tabulate(7)(c =>
       (c, Seq.tabulate(16)(d => ((c * 16 + d) * 13 % 61 - 30).toLong)))
     val expr = graft.plans.NearestCentroidLong(
-      BoundReference(0, ArrayType(LongType), nullable = true), cents)
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      new graft.plans.CentroidsLongRef(cents))
     val proj = GenerateUnsafeProjection.generate(Seq(Alias(expr, "a")()))
     val v = ArrayData.toArrayData(Array.tabulate(16)(i => (i * 5 - 30).toLong))
     val row = InternalRow(v)
@@ -311,9 +312,11 @@ class VectorExpressionsSpec extends SparkSpec {
       (cid, cv.toArray, cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
     }.toArray
     val assignE = graft.plans.NearestCellFloat(
-      BoundReference(0, ArrayType(FloatType), nullable = false), cents)
+      BoundReference(0, ArrayType(FloatType), nullable = false),
+      new graft.plans.CellsFloatRef(cents))
     val probeE = graft.plans.ProbeCellsFloat(
-      BoundReference(0, ArrayType(FloatType), nullable = false), cents, 4)
+      BoundReference(0, ArrayType(FloatType), nullable = false),
+      new graft.plans.CellsFloatRef(cents), 4)
     // includes a zero vector (NaN cosine -> smallest cid) and near-tie
     // directions; every query must agree with Similarity's helpers
     val queries = Seq.tabulate(12)(qi =>
