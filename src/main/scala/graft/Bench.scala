@@ -28,6 +28,15 @@ object Bench {
     graft.tools.CodegenGuard.install()
     val loadStart = TrialMeter.load1()
 
+    // run-level external-load baseline: what other processes consume
+    // while we idle. On this class of shared host /proc/stat reads
+    // ~100% busy at rest (other tenants; our cgroup still gets its
+    // quota), so the absolute contamination gauge calibrates itself
+    // off rather than flagging every trial; a dedicated box measures
+    // ~0 and keeps the gauge live. The relative cpu/wall gauge works
+    // either way.
+    val extBaseline = TrialMeter.calibrateExtShare(cores)
+
     // JVM/codegen warmup so the first measured query isn't charged
     // session startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -105,7 +114,8 @@ object Bench {
       // first failure decides — don't re-run a broken query
       while (trial < 1 + warmTrials && !failed) { runTrial(); trial += 1 }
       var retried = 0
-      def warmFlags: Seq[Boolean] = TrialMeter.flags(stats.drop(1).toSeq)
+      def warmFlags: Seq[Boolean] =
+        TrialMeter.flags(stats.drop(1).toSeq, extBaseline = extBaseline)
       if (!failed) {
         var fl = warmFlags
         while (!failed && fl.contains(true) && fl.count(!_) < warmTrials &&
@@ -310,7 +320,7 @@ object Bench {
     val retriedTrials = trialLog.valuesIterator.map(_.retried).sum
     val loadEnd = TrialMeter.load1()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials,"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"flagged_trials":$flaggedJson,"bands":$bandsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"flagged_trials":$flaggedJson,"bands":$bandsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that

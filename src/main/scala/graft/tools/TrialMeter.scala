@@ -101,17 +101,37 @@ object TrialMeter {
     TrialStat(wall, cpu, ext, math.max(a.load1, b.load1))
   }
 
+  /** Fraction of box capacity OTHER processes consume while THIS
+    * process idles — the run-level calibration for [[flags]]'s
+    * absolute gauge. On a dedicated box this is ~0 and the gauge is
+    * live; on shared infrastructure where /proc/stat reports a
+    * host that is ALWAYS saturated by other tenants (this box: 32/32
+    * cores busy at rest) while our cgroup still gets its quota, the
+    * baseline is ~1 and the absolute gauge self-disables — measured,
+    * not assumed. The relative cpu/wall gauge carries the detection
+    * there (it needs no box-level truth). */
+  def calibrateExtShare(cores: Int, windowMs: Long = 300): Double = {
+    val a = snap()
+    Thread.sleep(windowMs)
+    stat(a, snap(), cores).extShare
+  }
+
   /** Which trials look contaminated by external load. A trial is
     * flagged when EITHER:
     *
-    *  - `extShare > extShareMax` — other processes consumed more than
-    *    that fraction of the whole box during the trial (absolute
-    *    gauge, needs /proc/stat); or
+    *  - `extShare > extShareMax + extBaseline` — other processes
+    *    consumed meaningfully MORE of the box during this trial than
+    *    they do at this run's rest state (absolute gauge, needs
+    *    /proc/stat + a [[calibrateExtShare]] baseline; the default
+    *    baseline 1.0 keeps the gauge OFF when uncalibrated, because
+    *    on shared hosts /proc/stat's always-busy reading would flag
+    *    every trial — observed: 1536/1536 on this box); or
     *  - its cpu/wall parallelism fell below `1/relFactor` of the
     *    median parallelism of the SAME query's trials while its wall
     *    exceeded `wallFactor` x the median wall (relative gauge:
     *    byte-identical work on the same warm plan repeats its
-    *    parallelism; a descheduled trial has wall >> cpu).
+    *    parallelism; a descheduled trial has wall >> cpu — the
+    *    BENCH_r12 signature, q5_join 9.05s -> 41.95s with flat cpu).
     *
     * Trials shorter than `minWallSec` are never flagged (sub-50ms
     * timings are scheduler noise either way), and the relative gauge
@@ -120,7 +140,8 @@ object TrialMeter {
     */
   def flags(stats: Seq[TrialStat], extShareMax: Double = 0.25,
             relFactor: Double = 2.0, wallFactor: Double = 1.5,
-            minWallSec: Double = 0.05): Seq[Boolean] = {
+            minWallSec: Double = 0.05,
+            extBaseline: Double = 1.0): Seq[Boolean] = {
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
     val medRatio = med(stats.map(_.cpuWallRatio))
@@ -128,7 +149,8 @@ object TrialMeter {
     stats.map { s =>
       if (s.wallSec < minWallSec) false
       else {
-        val abs = s.extShare >= 0 && s.extShare > extShareMax
+        val abs = s.extShare >= 0 && extBaseline >= 0 &&
+          s.extShare > extShareMax + extBaseline
         val rel = stats.length >= 3 && s.cpuSec >= 0 && medRatio > 0 &&
           s.cpuWallRatio * relFactor < medRatio &&
           s.wallSec > medWall * wallFactor

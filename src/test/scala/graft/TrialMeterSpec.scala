@@ -31,10 +31,24 @@ class TrialMeterSpec extends AnyFunSuite {
     assert(fl == Seq(false, false, false, false, true))
   }
 
-  test("flags: high external busy share is flagged even with stable ratio") {
+  test("flags: high external busy share is flagged even with stable ratio " +
+    "(calibrated-quiet box)") {
     val loaded = TrialStat(2.0, cpuSec = 16.0, extShare = 0.6, load1 = 40.0)
-    val fl = TrialMeter.flags(Seq.fill(4)(quiet(2.0)) :+ loaded)
+    val fl = TrialMeter.flags(Seq.fill(4)(quiet(2.0)) :+ loaded,
+      extBaseline = 0.0)
     assert(fl.last)
+  }
+
+  test("flags: absolute gauge self-disables on an always-saturated host") {
+    // shared infra: /proc/stat reads ~full busy at rest (other
+    // tenants) — with the measured baseline, steady high extShare is
+    // the box's normal, not contamination (observed: 1536/1536 trials
+    // false-flagged before calibration)
+    val steady = TrialStat(1.0, cpuSec = 8.0, extShare = 0.85, load1 = 35.0)
+    val fl = TrialMeter.flags(Seq.fill(5)(steady), extBaseline = 0.8)
+    assert(!fl.exists(identity))
+    // ...and uncalibrated (default baseline) it is off entirely
+    assert(!TrialMeter.flags(Seq.fill(5)(steady)).exists(identity))
   }
 
   test("flags: a genuinely slower trial that KEPT its parallelism is NOT flagged") {
@@ -47,7 +61,8 @@ class TrialMeterSpec extends AnyFunSuite {
 
   test("flags: sub-50ms trials are never flagged (scheduler noise)") {
     val tiny = TrialStat(0.04, cpuSec = 0.001, extShare = 0.9, load1 = 1.0)
-    assert(!TrialMeter.flags(Seq.fill(5)(tiny)).exists(identity))
+    assert(!TrialMeter.flags(Seq.fill(5)(tiny), extBaseline = 0.0)
+      .exists(identity))
   }
 
   test("flags: missing /proc data (ext=-1, cpu=-1) degrades to no absolute flag") {
@@ -90,10 +105,12 @@ class TrialMeterSpec extends AnyFunSuite {
     try {
       Thread.sleep(300) // let the burners reach full burn
       val loaded = window(1.0)
-      assert(loaded.extShare > 0.3,
+      assert(loaded.extShare > base.extShare + 0.3,
         s"external load not visible: $loaded (base $base)")
-      // and the absolute gauge flags it among quiet trials
-      val fl = TrialMeter.flags(Seq(base, base, base, base, loaded))
+      // and the absolute gauge, calibrated at this run's own rest
+      // state, flags it among quiet trials
+      val fl = TrialMeter.flags(Seq(base, base, base, base, loaded),
+        extBaseline = base.extShare)
       assert(fl.last, s"loaded window not flagged: $loaded")
     } finally burners.foreach(_.destroyForcibly())
   }
