@@ -138,4 +138,51 @@ object Quality {
           .cast("long").as("n_blocked"))
       .withColumn("keep", (col("n_blocked") <= maxHits).cast("int"))
   }
+
+  /** Filter-threshold RETENTION CURVE in one corpus pass — the
+    * knob-tuning harness every curation pipeline runs BEFORE
+    * committing a quality threshold at scale (the FineWeb/Gopher
+    * ablation table: "keep score >= t" vs how much data survives):
+    * for every score bucket `t` (scores floored to `step`-wide
+    * buckets), the documents and weight (tokens) retained by the
+    * filter `score >= t`, plus e4 shares of the full corpus.
+    *
+    * Scale shape: one map-combined histogram over (bucket) — output
+    * bounded by score range / step, never by documents — then a
+    * cumulative window over the HISTOGRAM (the ccnetBuckets
+    * order-statistic pattern: the window orders distinct buckets,
+    * not docs) and one broadcast totals row. All integer arithmetic
+    * (counts, weight sums, truncating e4 shares); the bucket floor
+    * uses double division exact for |score| < 2^52.
+    *
+    * @param scored frame carrying a per-doc integer score + weight
+    * @return (threshold, docs_kept, weight_kept, doc_share_e4,
+    *         weight_share_e4) — one row per occupied bucket,
+    *         cumulative from the TOP score down */
+  def retentionCurve(scored: DataFrame, scoreCol: String, weightCol: String,
+                     step: Long = 1L): DataFrame = {
+    require(step >= 1, s"retentionCurve: step must be >= 1, got $step")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (floor(col(scoreCol).cast("double") / lit(step.toDouble))
+      .cast("long") * step).as("threshold")
+    val hist = scored
+      .select(bucket, col(weightCol).cast("long").as("__w"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__d"), sum(col("__w")).as("__hw"))
+    val totals = scored.agg(
+      count(lit(1)).as("__td"),
+      sum(col(weightCol).cast("long")).as("__tw"))
+    // constant-key partition over the value histogram (bounded by
+    // buckets, not docs) — non-foldable key, see ccnetBuckets
+    val w = Window.partitionBy(col("threshold") * 0)
+      .orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("docs_kept", sum(col("__d")).over(w))
+      .withColumn("weight_kept", sum(col("__hw")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("docs_kept"), col("weight_kept"),
+        expr("docs_kept * 10000 div __td").as("doc_share_e4"),
+        expr("weight_kept * 10000 div __tw").as("weight_share_e4"))
+  }
 }

@@ -301,6 +301,93 @@ object Sampling {
       .drop("__ppm", "__copies")
   }
 
+  /** Epoch-capped token-budget WATERFILL — the planner that derives
+    * the per-source budgets [[tokenBudgetMix]] consumes from ONE
+    * global token budget: allocate `budget` tokens across sources
+    * proportionally to sqrt(T_s) (the standard size-smoothing that
+    * keeps big crawls from drowning small curated sources — the
+    * alpha=0.5 point of temperature mixing), but never give a source
+    * more than `maxEpochs` x its own tokens (repeating data beyond a
+    * few epochs stops helping — Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": ~4 epochs is the knee).
+    * Sources that hit their cap release budget to the rest — the
+    * classic exact waterfill, computed here with windows over the
+    * per-source table:
+    *
+    *  1. T_s = Σ weight per source (the only corpus-scale pass, one
+    *     map-combined aggregation; everything after runs on a frame
+    *     with ONE ROW PER SOURCE);
+    *  2. w_s = isqrt(T_s) (exact integer sqrt — floor(sqrt) with a
+    *     +-1 correction, so both engines agree bit-for-bit),
+    *     cap_s = maxEpochs * T_s;
+    *  3. sort by cap_s/w_s ascending (cheapest-to-cap first; source
+    *     tiebreak): the capped set is a PREFIX of this order. Row k
+    *     is capped iff every row j <= k satisfies
+    *     cap_j * sufW_j <= (budget - prefixC_j) * w_j — the
+    *     cumulative-AND prefix test of the waterfill fixpoint;
+    *  4. uncapped rows get floor((budget - Σ capped caps) / Σ
+    *     uncapped w * w_s) — fill-rate arithmetic in IEEE doubles
+    *     with the IDENTICAL expression on both engines (division and
+    *     multiply are correctly rounded, so the oracle replays
+    *     bit-for-bit; products stay exact in doubles at word-count
+    *     magnitudes).
+    *
+    * Output one row per source: (source, tokens, cap, capped,
+    * alloc_tokens, epochs_e4 = alloc*10000 div tokens). Feed
+    * `alloc_tokens` into [[tokenBudgetMix]] as the budgets map and
+    * the mixture realizes the plan. Σ alloc <= budget (floors), off
+    * by at most one token per uncapped source. */
+  def budgetWaterfill(df: DataFrame, keyCol: String, weightCol: String,
+                      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0, s"budgetWaterfill: negative budget $budget")
+    require(maxEpochs >= 1, s"budgetWaterfill: maxEpochs must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val totals = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("source"))
+      .agg(sum(col(weightCol).cast("long")).as("tokens"))
+      .filter(col("tokens") > 0)
+    // exact integer sqrt: floor(sqrt(double)) with +-1 correction
+    val c0 = floor(sqrt(col("tokens").cast("double"))).cast("long")
+    val base = totals
+      .withColumn("__c0", c0)
+      .withColumn("__w", when((col("__c0") + 1) * (col("__c0") + 1)
+          <= col("tokens"), col("__c0") + 1)
+        .when(col("__c0") * col("__c0") > col("tokens"), col("__c0") - 1)
+        .otherwise(col("__c0")))
+      .withColumn("cap", lit(maxEpochs.toLong) * col("tokens"))
+      .drop("__c0")
+    // ascending cap/weight = cheapest-to-cap first; the frame is one
+    // row per source, so the constant-key window is the point
+    val ord = Window.partitionBy(col("tokens") * 0)
+      .orderBy((col("cap").cast("double") / col("__w").cast("double")).asc,
+        col("source").asc)
+    val prefixC = coalesce(sum(col("cap")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val sufW = sum(col("__w")).over(
+      ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val staged = base
+      .withColumn("__test",
+        when(col("cap").cast("double") * sufW.cast("double")
+          <= (lit(budget) - prefixC).cast("double") * col("__w").cast("double"),
+          1L).otherwise(0L))
+      .withColumn("capped", min(col("__test")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1L)
+    val all = Window.partitionBy(col("tokens") * 0)
+      .orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cappedC = coalesce(sum(when(col("capped"), col("cap"))).over(all), lit(0L))
+    val uncW = coalesce(sum(when(!col("capped"), col("__w"))).over(all), lit(0L))
+    staged
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap"))
+          .otherwise(floor((lit(budget) - cappedC).cast("double")
+            / uncW.cast("double") * col("__w").cast("double")).cast("long")))
+      .select(col("source"), col("tokens"), col("cap"), col("capped"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 10000 div tokens").as("epochs_e4"))
+  }
+
   /** Leakage-safe train/val/test split: assign whole NEAR-DUP
     * COMPONENTS to splits, never individual documents — a random
     * per-doc split puts one copy of a duplicated document in train

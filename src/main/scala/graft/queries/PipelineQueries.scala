@@ -192,6 +192,28 @@ object PipelineQueries {
         TOKEN_BUDGETS)
         .select(col("doc_id"), col("source"), col("epoch"))),
 
+    // epoch-capped token-budget waterfill: derive per-source budgets
+    // from ONE global budget under a max-epochs cap (sqrt-smoothed
+    // proportional fill, capped sources release budget to the rest) —
+    // the planner whose output feeds q_token_mix's budgets map
+    "q_budget_waterfill" -> ((s, dir) =>
+      graft.operators.Sampling.budgetWaterfill(
+        Tables(s, dir, "documents"), "source", "n_chars",
+        budget = WF_BUDGET, maxEpochs = WF_EPOCHS)),
+
+    // filter-threshold retention curve over the trained quality
+    // score: how many docs/tokens survive "score >= t" per t bucket —
+    // the one-pass ablation table a threshold choice rides on
+    "q_threshold_sweep" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val w = graft.operators.Quality.trainPerceptron(
+        docs, "text", "__y", buckets = QUAL_B, epochs = 2)
+      graft.operators.Quality.retentionCurve(
+        graft.operators.Quality.scoreLinear(docs, "doc_id", "text", w),
+        "score", "n_words", step = 5L)
+    }),
+
     // fastText-style quality filter: label en docs positive, train a
     // 2-epoch integer batch perceptron over hashed unigram buckets,
     // score the corpus — trained weights AND keep set replay exactly
@@ -269,6 +291,14 @@ object PipelineQueries {
     * array stays cheap to ship, large enough that the synthetic
     * vocabulary doesn't all collide). */
   private val DSIR_B = 1024
+
+  /** q_budget_waterfill global char budget + epoch cap: calibrated so
+    * the sf0.01 GATE exercises BOTH regimes (per-source totals there
+    * are 6.3-8.6 k chars -> cap/weight ratios 318-373; the fill rate
+    * lands mid-range, so the cheap-to-cap sources cap and release
+    * budget to the rest — the waterfill's whole point). */
+  private val WF_BUDGET = 590000L
+  private val WF_EPOCHS = 4
 
   /** Mixture weights in basis points: src0 -> 2500 ... cycling 25%,
     * 50%, 75%, 100% across the 20 synthetic sources. */
@@ -634,33 +664,124 @@ object PipelineQueries {
     // consumers -> MATERIALIZED (inlining would rescan the parquet
     // per consumer).
     "q_quality_filter" ->
-      s"""WITH d AS MATERIALIZED (SELECT doc_id,
-         |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         |       regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
-         |     FROM documents),
-         |tok AS MATERIALIZED (
-         |  SELECT doc_id, y,
-         |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $QUAL_B
-         |      AS INTEGER) AS b
-         |  FROM (SELECT doc_id, y, unnest(wl) AS w FROM d)),
-         |w1 AS MATERIALIZED (
-         |  SELECT b, CAST(sum(y) AS BIGINT) AS w FROM tok GROUP BY 1),
-         |s1 AS MATERIALIZED (
-         |  SELECT t.doc_id, CAST(sum(w1.w) AS BIGINT) AS s
-         |  FROM tok t JOIN w1 USING (b) GROUP BY 1),
-         |d2 AS (SELECT t.b, CAST(sum(t.y) AS BIGINT) AS dw
-         |       FROM tok t JOIN s1 USING (doc_id)
-         |       WHERE t.y * s1.s <= 0 GROUP BY 1),
-         |w2 AS MATERIALIZED (
-         |  SELECT w1.b, w1.w + coalesce(d2.dw, 0) AS w
-         |  FROM w1 LEFT JOIN d2 USING (b)),
-         |s2 AS (SELECT t.doc_id, CAST(sum(w2.w) AS BIGINT) AS s
-         |       FROM tok t JOIN w2 USING (b) GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(len(d.wl) AS BIGINT) AS n_words,
-         |  CAST(coalesce(s2.s, 0) AS BIGINT) AS score,
-         |  CAST(CASE WHEN coalesce(s2.s, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
-         |    AS keep
-         |FROM d LEFT JOIN s2 USING (doc_id)""".stripMargin
+      s"""WITH $qualityScoreCtes
+         |SELECT doc_id, n_words, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM sc""".stripMargin,
+
+    // q_threshold_sweep replay: the same perceptron-score chain, then
+    // the retention curve = histogram over floor(score/5)*5 buckets +
+    // a descending cumulative window + truncating e4 shares
+    "q_threshold_sweep" ->
+      s"""WITH $qualityScoreCtes,
+         |h AS (SELECT CAST(floor(score / 5.0) AS BIGINT) * 5 AS threshold,
+         |             CAST(count(*) AS BIGINT) AS d_,
+         |             CAST(sum(n_words) AS BIGINT) AS w_
+         |      FROM sc GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS td,
+         |             CAST(sum(n_words) AS BIGINT) AS tw FROM sc),
+         |c AS (SELECT threshold,
+         |        CAST(sum(d_) OVER (ORDER BY threshold DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS docs_kept,
+         |        CAST(sum(w_) OVER (ORDER BY threshold DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS weight_kept
+         |      FROM h)
+         |SELECT c.threshold, c.docs_kept, c.weight_kept,
+         |  CAST(c.docs_kept * 10000 // t.td AS BIGINT) AS doc_share_e4,
+         |  CAST(c.weight_kept * 10000 // t.tw AS BIGINT) AS weight_share_e4
+         |FROM c, t""".stripMargin,
+
+    // q_budget_waterfill replay: per-source token totals -> exact
+    // integer sqrt weights -> the prefix-test waterfill over the
+    // cap/weight-ascending order, fill rate in IEEE doubles with the
+    // IDENTICAL expression shape as the Spark side
+    "q_budget_waterfill" ->
+      s"""WITH t0 AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+         |       FROM documents WHERE source IS NOT NULL
+         |       GROUP BY 1 HAVING sum(n_chars) > 0),
+         |b AS (SELECT source, tokens,
+         |        CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS c0
+         |      FROM t0),
+         |w AS (SELECT source, tokens,
+         |        CASE WHEN (c0+1)*(c0+1) <= tokens THEN c0+1
+         |             WHEN c0*c0 > tokens THEN c0-1 ELSE c0 END AS wt,
+         |        CAST($WF_EPOCHS AS BIGINT) * tokens AS cap
+         |      FROM b),
+         |o AS (SELECT *,
+         |        coalesce(CAST(sum(cap) OVER (ORDER BY
+         |          CAST(cap AS DOUBLE) / CAST(wt AS DOUBLE) ASC, source ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          AS BIGINT), 0) AS prefix_c,
+         |        CAST(sum(wt) OVER (ORDER BY
+         |          CAST(cap AS DOUBLE) / CAST(wt AS DOUBLE) ASC, source ASC
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |          AS BIGINT) AS suf_w
+         |      FROM w),
+         |s AS (SELECT *,
+         |        CASE WHEN CAST(cap AS DOUBLE) * CAST(suf_w AS DOUBLE)
+         |          <= CAST($WF_BUDGET - prefix_c AS DOUBLE) * CAST(wt AS DOUBLE)
+         |          THEN 1 ELSE 0 END AS test_
+         |      FROM o),
+         |g AS (SELECT *,
+         |        CAST(min(test_) OVER (ORDER BY
+         |          CAST(cap AS DOUBLE) / CAST(wt AS DOUBLE) ASC, source ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) = 1 AS capped
+         |      FROM s),
+         |f AS (SELECT *,
+         |        coalesce(CAST(sum(CASE WHEN capped THEN cap END) OVER ()
+         |          AS BIGINT), 0) AS capped_c,
+         |        coalesce(CAST(sum(CASE WHEN NOT capped THEN wt END) OVER ()
+         |          AS BIGINT), 0) AS unc_w
+         |      FROM g)
+         |SELECT source, tokens, cap, capped,
+         |  CAST(CASE WHEN capped THEN cap
+         |    ELSE CAST(floor(CAST($WF_BUDGET - capped_c AS DOUBLE)
+         |      / CAST(unc_w AS DOUBLE) * CAST(wt AS DOUBLE)) AS BIGINT)
+         |    END AS BIGINT) AS alloc_tokens,
+         |  CAST((CASE WHEN capped THEN cap
+         |    ELSE CAST(floor(CAST($WF_BUDGET - capped_c AS DOUBLE)
+         |      / CAST(unc_w AS DOUBLE) * CAST(wt AS DOUBLE)) AS BIGINT)
+         |    END) * 10000 // tokens AS BIGINT) AS epochs_e4
+         |FROM f""".stripMargin
   )
+
+  // the shared perceptron-score chain (q_quality_filter and
+  // q_threshold_sweep replay the same trained model; the whole
+  // 2-epoch train loop unrolls into CTEs). Epoch 1 from zero weights
+  // misclassifies everything (y*0 <= 0), so w1 = per-bucket sum of
+  // labels over ALL word occurrences; epoch 2 gates the same sum on
+  // y*score_1 <= 0; final scoring joins occurrences to w2.
+  // tok/w1/s1 feed multiple consumers -> MATERIALIZED (inlining
+  // would rescan the parquet per consumer). `sc` = one row per doc:
+  // (doc_id, n_words, score).
+  private lazy val qualityScoreCtes: String =
+    s"""d AS MATERIALIZED (SELECT doc_id,
+       |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |       regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
+       |     FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $QUAL_B
+       |      AS INTEGER) AS b
+       |  FROM (SELECT doc_id, y, unnest(wl) AS w FROM d)),
+       |w1 AS MATERIALIZED (
+       |  SELECT b, CAST(sum(y) AS BIGINT) AS w FROM tok GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT t.doc_id, CAST(sum(w1.w) AS BIGINT) AS s
+       |  FROM tok t JOIN w1 USING (b) GROUP BY 1),
+       |d2 AS (SELECT t.b, CAST(sum(t.y) AS BIGINT) AS dw
+       |       FROM tok t JOIN s1 USING (doc_id)
+       |       WHERE t.y * s1.s <= 0 GROUP BY 1),
+       |w2 AS MATERIALIZED (
+       |  SELECT w1.b, w1.w + coalesce(d2.dw, 0) AS w
+       |  FROM w1 LEFT JOIN d2 USING (b)),
+       |s2 AS (SELECT t.doc_id, CAST(sum(w2.w) AS BIGINT) AS s
+       |       FROM tok t JOIN w2 USING (b) GROUP BY 1),
+       |sc AS MATERIALIZED (SELECT d.doc_id,
+       |       CAST(len(d.wl) AS BIGINT) AS n_words,
+       |       CAST(coalesce(s2.s, 0) AS BIGINT) AS score
+       |     FROM d LEFT JOIN s2 USING (doc_id))""".stripMargin
 }

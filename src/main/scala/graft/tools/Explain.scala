@@ -108,7 +108,9 @@ object Explain {
     "q_expectations",    // one pass per table + broadcast FK anti-joins
     "knn_graph",         // auto-banded id-only join + TopK partial agg
     "q_bootstrap_ci",    // 32 replicates in ONE map-combined pass
-    "dedup_sketch_calibration" // banded candidates + per-pair exact census
+    "dedup_sketch_calibration", // banded candidates + per-pair exact census
+    "q_threshold_sweep", // histogram + cumulative window over BUCKETS
+    "q_budget_waterfill" // one corpus agg, then windows over sources
   )
 
   def main(args: Array[String]): Unit = {

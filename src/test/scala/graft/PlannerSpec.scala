@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quality, Sampling}
+
+/** The two curation-PLANNING operators (round 13): the filter-
+  * threshold retention curve and the epoch-capped token-budget
+  * waterfill — hand-computed expectations on planted frames, the
+  * waterfill's budget identity, and the plumb-through into
+  * tokenBudgetMix (the planner's output is exactly the mixer's
+  * input).
+  */
+class PlannerSpec extends SparkSpec {
+
+  test("retentionCurve: descending cumulative docs/weight + e4 shares, " +
+    "negative scores floor into their step bucket") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, 5L), (2L, 10L, 5L), (3L, 7L, 2L),
+      (4L, 3L, 1L), (5L, -2L, 7L)
+    ).toDF("doc_id", "score", "weight")
+    val got = Quality.retentionCurve(scored, "score", "weight", step = 5L)
+      .orderBy(col("threshold").desc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 10L, 4000L, 5000L),
+      (5L, 3L, 12L, 6000L, 6000L),
+      (0L, 4L, 13L, 8000L, 6500L),
+      (-5L, 5L, 20L, 10000L, 10000L)))
+  }
+
+  test("retentionCurve: step=1 keeps exact integer thresholds") {
+    import spark.implicits._
+    val scored = Seq((1L, 4L, 1L), (2L, 2L, 1L), (3L, 2L, 1L))
+      .toDF("doc_id", "score", "weight")
+    val got = Quality.retentionCurve(scored, "score", "weight")
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((4L, 1L), (2L, 3L)))
+  }
+
+  test("budgetWaterfill: hand-computed split regime — cheap source " +
+    "caps, the rest absorb the released budget") {
+    import spark.implicits._
+    // A: T=100 -> w=10, cap=400, r=40;  B: T=10000 -> w=100,
+    // cap=40000, r=400. Budget 10000: A caps (400), B gets
+    // floor(9600/100*100) = 9600; sum = budget exactly.
+    val docs = Seq(("A", 100L), ("B", 10000L)).toDF("source", "n_chars")
+    val got = Sampling.budgetWaterfill(docs, "source", "n_chars",
+        budget = 10000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("A") == ((100L, 400L, true, 400L, 40000L)))
+    assert(got("B") == ((10000L, 40000L, false, 9600L, 9600L)))
+  }
+
+  test("budgetWaterfill: budget above the cap sum caps everyone; " +
+    "zero budget allocates zero") {
+    import spark.implicits._
+    val docs = Seq(("A", 100L), ("B", 400L)).toDF("source", "n_chars")
+    val rich = Sampling.budgetWaterfill(docs, "source", "n_chars",
+        budget = 1000000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4)))
+      .toMap
+    assert(rich("A") == ((true, 200L)) && rich("B") == ((true, 800L)))
+    val broke = Sampling.budgetWaterfill(docs, "source", "n_chars",
+        budget = 0L, maxEpochs = 2)
+      .collect().map(r => (r.getBoolean(3), r.getLong(4)))
+    assert(broke.forall { case (capped, alloc) => !capped && alloc == 0L })
+  }
+
+  test("budgetWaterfill: sum(alloc) <= budget on the real corpus, " +
+    "short by at most one token per uncapped source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Sampling.budgetWaterfill(docs, "source", "n_chars",
+        budget = 40000L, maxEpochs = 4)
+      .collect()
+    val alloc = rows.map(_.getLong(4)).sum
+    val uncapped = rows.count(!_.getBoolean(3))
+    val capSum = rows.map(_.getLong(2)).sum
+    val expectTotal = math.min(40000L, capSum)
+    assert(alloc <= expectTotal)
+    assert(alloc >= expectTotal - uncapped,
+      s"floor loss ${expectTotal - alloc} > $uncapped uncapped sources")
+    // every allocation respects its own cap
+    rows.foreach(r => assert(r.getLong(4) <= r.getLong(2), r.toString))
+  }
+
+  test("waterfill output plumbs into tokenBudgetMix: an exactly-capped " +
+    "source realizes its allocation to the token") {
+    import spark.implicits._
+    // A's cap binds at exactly 4.0 epochs -> ppm = 4,000,000 -> every
+    // row emits exactly 4 copies, zero fractional remainder: realized
+    // chars = alloc deterministically
+    val docs = Seq((1L, "A", 60L), (2L, "A", 40L), (3L, "B", 10000L))
+      .toDF("doc_id", "source", "n_chars")
+    val plan = Sampling.budgetWaterfill(docs, "source", "n_chars",
+        budget = 10000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val mixed = Sampling.tokenBudgetMix(docs, "doc_id", "source",
+      "n_chars", plan)
+    val realizedA = mixed.filter(col("source") === "A")
+      .agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(plan("A") == 400L)
+    assert(realizedA == 400L)
+  }
+}
