@@ -89,13 +89,18 @@ object Verify {
     if (codegenErrors > 0)
       System.err.println(s"[verify] WARNING: $codegenErrors codegen fallback" +
         " error(s) during the gate run — a plan is silently interpreted")
-    val over = gateOnlyCeiling.toSeq.sorted.collect {
-      case (n, ceil) if seconds.get(n).exists(_ > ceil) =>
-        System.err.println(f"[verify] WARNING: gate-only $n took" +
-          f" ${seconds(n)}%.1fs (> ceiling ${ceil}%.0fs," +
-          f" ext_share ${extShare.getOrElse(n, -1.0)}%.2f)")
-        n
-    }
+    // ceilings are calibrated at the driver's gate scale (sf0.01) —
+    // a manual run at another sf must not read as a regression
+    val ceilingScale = sfDir.contains("sf0.01")
+    val over =
+      if (!ceilingScale) Seq.empty[String]
+      else gateOnlyCeiling.toSeq.sorted.collect {
+        case (n, ceil) if seconds.get(n).exists(_ > ceil) =>
+          System.err.println(f"[verify] WARNING: gate-only $n took" +
+            f" ${seconds(n)}%.1fs (> ceiling ${ceil}%.0fs," +
+            f" ext_share ${extShare.getOrElse(n, -1.0)}%.2f)")
+          n
+      }
     def secMap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val meta =
