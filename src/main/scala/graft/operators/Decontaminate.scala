@@ -56,6 +56,57 @@ object Decontaminate {
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
   }
 
+  /** The PLANNER view of decontamination — a per-(group × eval-set)
+    * contamination matrix instead of [[overlapReport]]'s per-document
+    * flags: for every training group (source, domain, snapshot) and
+    * every benchmark in the eval suite, how many of the group's
+    * documents share an n-gram with that benchmark, and the rate in
+    * basis points. This is the table a curation review reads BEFORE
+    * choosing what to drop — one hot (source, benchmark) cell means
+    * a leaked benchmark mirror in that source, while a uniform warm
+    * row usually means the benchmark itself contains boilerplate.
+    *
+    * Scale shape: identical to [[overlapReport]] — the whole eval
+    * SUITE's distinct (set, gram) pairs broadcast (benchmarks are
+    * thousands of docs; a suite of them still is), the corpus pays
+    * one scan producing distinct per-doc grams, one broadcast join,
+    * then aggregation over (group, set, doc) hit triples — bounded
+    * by contaminated docs × sets, tiny next to the corpus. The
+    * final matrix is |groups| × |sets| rows: driver-scale by
+    * construction.
+    *
+    * @param evals eval suite with a set-label column — union the
+    *              individual benchmarks with a literal label
+    * @return (groupCol, eval_set, n_docs, n_contam, contam_rate_e4),
+    *         a dense matrix (0-hit cells present)
+    */
+  def contaminationMatrix(train: DataFrame, groupCol: String,
+                          evals: DataFrame, setCol: String,
+                          idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    val tw = train.select(col(groupCol).as("__grp"), col(idCol).as("id"),
+      words(col(textCol)).as("__w"))
+    val evalGrams = broadcast(
+      evals.select(col(setCol).as("eval_set"),
+          explode(array_distinct(
+            shinglesOfWords(words(col(textCol)), n))).as("gram"))
+        .distinct())
+    val contam = tw
+      .select(col("__grp"), col("id"),
+        explode(array_distinct(shinglesOfWords(col("__w"), n))).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .select(col("__grp"), col("eval_set"), col("id")).distinct()
+      .groupBy(col("__grp"), col("eval_set"))
+      .agg(count(lit(1)).as("n_contam"))
+    val totals = tw.groupBy(col("__grp")).agg(count(lit(1)).as("n_docs"))
+    val sets = evalGrams.select(col("eval_set")).distinct()
+    totals.crossJoin(broadcast(sets))
+      .join(contam, Seq("__grp", "eval_set"), "left")
+      .select(col("__grp").as(groupCol), col("eval_set"), col("n_docs"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .withColumn("contam_rate_e4", expr("n_contam * 10000 div n_docs"))
+  }
+
   /** The REWRITE half of decontamination — scrub the LEAK, keep the
     * document: remove every word that lies inside an n-gram shared
     * with the eval set and emit the cleaned text, instead of

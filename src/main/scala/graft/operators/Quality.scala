@@ -185,4 +185,121 @@ object Quality {
         expr("docs_kept * 10000 div __td").as("doc_share_e4"),
         expr("weight_kept * 10000 div __tw").as("weight_share_e4"))
   }
+
+  /** Trained Naive Bayes quality model: per-bucket log-odds and the
+    * class-prior bias, both in micro-nat fixed point (e6). */
+  final case class NbModel(biasE6: Long, weightsE6: Seq[Long])
+
+  /** Closed-form multinomial Naive Bayes over hashed unigram buckets
+    * — the GENERATIVE one-pass twin of [[trainPerceptron]] (and the
+    * pre-fastText classifier CCNet-era quality filters actually
+    * shipped): no epochs, no misclassification loop, just Laplace-
+    * smoothed per-class occurrence counts folded into per-bucket
+    * log-odds. Where the perceptron needs `epochs` corpus passes,
+    * NB trains in ONE map-combined aggregation whose output is at
+    * most `buckets` rows — the cheapest possible labeled-filter
+    * bootstrap, and the standard first model before a discriminative
+    * refit.
+    *
+    * Engine portability: the counts are exact BIGINTs, each log-odds
+    * is `floor(1e6 * ln((cpos+1)(Nneg+B) / (cneg+1)(Npos+B)))` where
+    * the two products are exact integers cast to double (exact below
+    * 2^53 — ~9e15 token-count products, far above any single
+    * training sample) and the division is one IEEE op — the
+    * [[LanguageModel]] micro-nat discipline, so the model AND the
+    * keep set replay in SQL. The bias is the smoothed log prior
+    * ratio `floor(1e6 * ln((dpos+1)/(dneg+1)))`.
+    *
+    * Scale shape: one aggregation over exploded tokens (map-side
+    * combined, `buckets`-bounded output), one tiny doc-count
+    * aggregate; the returned table is B longs — broadcast-literal
+    * sized by construction. At 100 TB train on a labeled SAMPLE and
+    * let the narrow scoring pass be the only full-corpus touch (the
+    * [[trainPerceptron]] recipe).
+    */
+  def trainNaiveBayes(docs: DataFrame, textCol: String, labelCol: String,
+                      buckets: Int = 4096): NbModel = {
+    val toks = docs.select(col(labelCol).cast("long").as("__y"),
+      words(col(textCol)).as("__w"))
+    val dc = toks.agg(
+      sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("dp"),
+      sum(when(col("__y") === -1L, 1L).otherwise(0L)).as("dn")).head()
+    val (dp, dn) = (dc.getLong(0), dc.getLong(1))
+    require(dp > 0 && dn > 0,
+      s"trainNaiveBayes: both classes must be present (got +$dp/-$dn)")
+    val perBucket: Map[Int, (Long, Long)] = toks
+      .select(col("__y"), explode(col("__w")).as("__wd"))
+      .groupBy(bucketOf(col("__wd"), buckets).as("__b"))
+      .agg(sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("__y") === -1L, 1L).otherwise(0L)).as("cn"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val np = perBucket.valuesIterator.map(_._1).sum
+    val nn = perBucket.valuesIterator.map(_._2).sum
+    val w = (0 until buckets).map { b =>
+      val (cp, cn) = perBucket.getOrElse(b, (0L, 0L))
+      // exact integer products, one double division, floor — the
+      // micro-nat replay contract (see scaladoc)
+      math.floor(1e6 * math.log(
+        ((cp + 1) * (nn + buckets)).toDouble /
+          ((cn + 1) * (np + buckets)).toDouble)).toLong
+    }
+    NbModel(
+      math.floor(1e6 * math.log((dp + 1).toDouble / (dn + 1).toDouble)).toLong,
+      w)
+  }
+
+  /** Score with a trained NB model: (id, n_words, score_e6, keep =
+    * score_e6 > 0) — one narrow projection against the broadcast
+    * log-odds literal, scan speed (the [[scoreLinear]] shape plus
+    * the prior bias). */
+  def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                      model: NbModel): DataFrame =
+    docs.select(col(idCol),
+        words(col(textCol)).as("__gqw"))
+      .select(col(idCol),
+        size(col("__gqw")).cast("long").as("n_words"),
+        (lit(model.biasE6) +
+          scoreExpr(col("__gqw"), model.weightsE6)).as("score_e6"))
+      .withColumn("keep", (col("score_e6") > 0).cast("int"))
+
+  /** Per-group percentile normalization of a score column — the
+    * "don't let one domain's score distribution eat another's" move:
+    * a GLOBAL threshold over a quality score silently drops entire
+    * domains whose honest style scores low (legal text vs chat), so
+    * production filters threshold each document's percentile WITHIN
+    * its source instead, retaining the same fraction of every
+    * domain while still cutting each domain's worst documents.
+    *
+    * `pct_e4` is the exact integer percent-rank in basis points:
+    * `(rank - 1) * 10000 div (n - 1)` over a total order
+    * (`scoreCol` ascending, `idCol` tiebreak), so 0 = the group's
+    * worst document, 10000 = its best, and a single-document group
+    * pins to 10000 (nothing below it). All-integer, replays
+    * bit-identically in SQL's `row_number()`/`count(*)` windows.
+    *
+    * Scale shape: ONE shuffle on the group key, then two window
+    * passes inside each partition — no joins, no second exchange
+    * (rank and count share the partitioning). Skew bound = the
+    * largest single source; a mega-domain that outgrows an executor
+    * partition moves to the two-pass histogram form (bucket counts
+    * per source, then a cumulative lookup), which trades exactness
+    * of low-order rank bits for a bounded-memory merge. At typical
+    * web-corpus shape (1e4-1e6 docs per host) the windowed form is
+    * the right default.
+    */
+  def percentileNormalize(scored: DataFrame, groupCol: String,
+                          scoreCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pct_e4",
+        when(col("__n") > 1,
+          expr("(__rk - 1) * 10000 div (__n - 1)"))
+          .otherwise(lit(10000L)))
+      .drop("__rk", "__n")
+  }
 }

@@ -226,6 +226,39 @@ object PipelineQueries {
       graft.operators.Quality.scoreLinear(docs, "doc_id", "text", w)
     }),
 
+    // closed-form Naive Bayes quality filter — the one-pass
+    // GENERATIVE twin of q_quality_filter's perceptron: same labels,
+    // same hashed buckets, but the model is Laplace-smoothed
+    // log-odds from ONE aggregation (no epochs); micro-nat integer
+    // scores replay exactly in SQL
+    "q_nb_quality" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val m = graft.operators.Quality.trainNaiveBayes(
+        docs, "text", "__y", buckets = QUAL_B)
+      graft.operators.Quality.scoreNaiveBayes(docs, "doc_id", "text", m)
+    }),
+
+    // per-source percentile normalization of the trained quality
+    // score: a GLOBAL threshold would drop whole domains whose
+    // honest style scores low, so the keep decision thresholds each
+    // document's exact integer percent-rank WITHIN its source —
+    // the same retained fraction from every domain, each domain's
+    // worst quartile cut. One shuffle on source, no joins after it.
+    "q_score_normalize" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val w = graft.operators.Quality.trainPerceptron(
+        docs, "text", "__y", buckets = QUAL_B, epochs = 2)
+      val scored = graft.operators.Quality
+        .scoreLinear(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.operators.Quality
+        .percentileNormalize(scored, "source", "score", "doc_id")
+        .select(col("doc_id"), col("source"), col("score"), col("pct_e4"),
+          (col("pct_e4") >= NORM_KEEP_E4).cast("int").as("keep"))
+    }),
+
     // source-quality PageRank: nodes are (source, lang) corpora,
     // edges link nodes whose documents share a normalized 6-word
     // opening (the shared-boilerplate/copy signal a host-quality
@@ -266,12 +299,47 @@ object PipelineQueries {
           (est(col("term")) >= col("cnt") &&
             est(col("term")) <= col("cnt") + lit(cap)).cast("int")
             .as("within_bound"))
+    }),
+
+    // semi-supervised host labeling: seed the en corpora good (+1)
+    // and the de corpora bad (-1), spread belief over the SAME
+    // shared-opening boilerplate graph q_pagerank ranks — 3 unrolled
+    // integer fixed-point rounds (Zhu-Ghahramani harmonic form), so
+    // every unlabeled (source, lang) corpus comes back with the
+    // belief its copy-neighbors lend it; exact SQL replay
+    "q_label_prop" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        concat_ws("/", col("source"), col("lang")).as("node"),
+        concat_ws(" ", slice(
+          graft.functions.TextFunctions.words(col("text")), 1, 6)).as("pfx"))
+      val nodes = d.select(col("node"))
+      val e = d.alias("a").join(d.alias("b"),
+          col("a.pfx") === col("b.pfx") && col("a.node") =!= col("b.node"))
+        .select(col("a.node").as("src"), col("b.node").as("dst"))
+      val seeds = nodes.distinct().select(col("node"),
+          when(col("node").endsWith("/en"), 1)
+            .when(col("node").endsWith("/de"), -1).as("y"))
+        .filter(col("y").isNotNull)
+      graft.operators.LabelProp.propagate(e, "src", "dst",
+          seeds, "node", "y", nodes, "node", iters = LP_ITERS)
+        .withColumn("side",
+          when(col("belief_e12") > graft.operators.LabelProp.MID, 1)
+            .when(col("belief_e12") < graft.operators.LabelProp.MID, -1)
+            .otherwise(0))
     })
   )
 
   /** q_pagerank iteration count (constant by design — rank consumers
     * threshold, they don't chase a fixpoint). */
   private val PR_ITERS = 5
+
+  /** q_label_prop unrolled propagation rounds (constant by design —
+    * belief consumers threshold at MID, they don't chase a fixpoint). */
+  private val LP_ITERS = 3
+
+  /** q_score_normalize keep threshold in basis points: retain the
+    * top 75% of every source's own score distribution. */
+  private val NORM_KEEP_E4 = 2500L
 
   /** q_cms overestimate bound (fraction of total token count). */
   private val CMS_EPS = 0.001
@@ -463,10 +531,53 @@ object PipelineQueries {
        |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r$PR_ITERS""".stripMargin
   }
 
+  // q_label_prop replay: the same symmetric distinct edge set as the
+  // pagerank oracle (the a/b equality join already emits both
+  // directions), seeds clamped every round, unseeded nodes replaced
+  // by the floor mean of their neighbors — beliefs stay in
+  // [0, SCALE] so DuckDB's floor `//` and Spark's truncating `div`
+  // agree on every division
+  private val labelPropOracle: String = {
+    val scale = graft.operators.LabelProp.SCALE
+    val mid = graft.operators.LabelProp.MID
+    val iterCtes = (1 to LP_ITERS).map { k =>
+      s"""r$k AS (SELECT nd.node,
+         |  CASE WHEN sd.seed IS NOT NULL THEN sd.seed
+         |       WHEN c.s IS NOT NULL THEN c.s // dg.deg
+         |       ELSE $mid END AS r
+         |  FROM nodes nd
+         |  LEFT JOIN seeds sd ON sd.node = nd.node
+         |  LEFT JOIN (SELECT e.dst, sum(r.r) AS s
+         |             FROM e JOIN r${k - 1} r ON r.node = e.src
+         |             GROUP BY e.dst) c ON c.dst = nd.node
+         |  LEFT JOIN deg dg ON dg.src = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT source || '/' || lang AS node,
+       |    array_to_string(
+       |      (regexp_split_to_array(trim(lower(text)), '\\s+'))[1:6], ' ')
+       |      AS pfx
+       |  FROM documents),
+       |nodes AS (SELECT DISTINCT node FROM d),
+       |e AS (SELECT DISTINCT a.node AS src, b.node AS dst
+       |      FROM d a JOIN d b ON a.pfx = b.pfx AND a.node <> b.node),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |seeds AS (SELECT node,
+       |    CASE WHEN node LIKE '%/en' THEN $scale ELSE 0 END AS seed
+       |  FROM nodes WHERE node LIKE '%/en' OR node LIKE '%/de'),
+       |r0 AS (SELECT nd.node, coalesce(sd.seed, $mid) AS r
+       |       FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node),
+       |$iterCtes
+       |SELECT node, CAST(r AS BIGINT) AS belief_e12,
+       |  CAST(CASE WHEN r > $mid THEN 1 WHEN r < $mid THEN -1 ELSE 0 END
+       |    AS INTEGER) AS side
+       |FROM r$LP_ITERS""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_curate_e2e" -> curateOracle,
     "q_curate_rw" -> curateRwOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_label_prop" -> labelPropOracle,
     // the CMS bound is the claim under test on the Spark side
     // (q_approx_distinct technique); the oracle pins the exact top-15
     // and asserts within_bound as the constant 1
@@ -668,6 +779,68 @@ object PipelineQueries {
          |SELECT doc_id, n_words, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM sc""".stripMargin,
+
+    // q_nb_quality replay: the same (doc, label, bucket) projection
+    // as the perceptron chain, then the closed-form NB weights —
+    // exact BIGINT count products, ONE double division, ln, floor
+    // (the LanguageModel micro-nat discipline) — and a per-doc
+    // log-odds sum plus the smoothed log prior bias
+    "q_nb_quality" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id,
+         |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |       regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
+         |     FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $QUAL_B
+         |      AS INTEGER) AS b
+         |  FROM (SELECT doc_id, y, unnest(wl) AS w FROM d)),
+         |cnt AS MATERIALIZED (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+         |               CAST(sum(cn) AS BIGINT) AS nn FROM cnt),
+         |w AS MATERIALIZED (
+         |  SELECT b, CAST(floor(1000000 * ln(
+         |      CAST((cp + 1) * (nn + $QUAL_B) AS DOUBLE) /
+         |      CAST((cn + 1) * (np + $QUAL_B) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM cnt, tot),
+         |dc AS (SELECT
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
+         |  FROM d),
+         |bias AS (SELECT CAST(floor(1000000 * ln(
+         |    CAST(dp + 1 AS DOUBLE) / CAST(dn + 1 AS DOUBLE))) AS BIGINT)
+         |    AS bias FROM dc),
+         |s AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS sw
+         |      FROM tok t JOIN w USING (b) GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.wl) AS BIGINT) AS n_words,
+         |  CAST(bias.bias + coalesce(s.sw, 0) AS BIGINT) AS score_e6,
+         |  CAST(CASE WHEN bias.bias + coalesce(s.sw, 0) > 0
+         |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM d LEFT JOIN s USING (doc_id), bias""".stripMargin,
+
+    // q_score_normalize replay: the same trained score chain, then
+    // exact integer percent-rank windows within each source (rank
+    // ties broken by doc_id, single-doc sources pin to 10000)
+    "q_score_normalize" ->
+      s"""WITH $qualityScoreCtes,
+         |j AS (SELECT sc.doc_id, dd.source, sc.score
+         |      FROM sc JOIN documents dd USING (doc_id)),
+         |r AS (SELECT doc_id, source, score,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY score, doc_id) AS BIGINT) AS rk,
+         |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM j)
+         |SELECT doc_id, source, score,
+         |  CAST(CASE WHEN n > 1 THEN (rk - 1) * 10000 // (n - 1)
+         |       ELSE 10000 END AS BIGINT) AS pct_e4,
+         |  CAST(CASE WHEN (CASE WHEN n > 1 THEN (rk - 1) * 10000 // (n - 1)
+         |       ELSE 10000 END) >= $NORM_KEEP_E4 THEN 1 ELSE 0 END
+         |    AS INTEGER) AS keep
+         |FROM r""".stripMargin,
 
     // q_threshold_sweep replay: the same perceptron-score chain, then
     // the retention curve = histogram over floor(score/5)*5 buckets +

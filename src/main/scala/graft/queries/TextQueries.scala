@@ -295,6 +295,24 @@ object TextQueries {
         idCol = "doc_id", textCol = "text", n = 3)
     }),
 
+    // the PLANNER view of decontamination: per-(source x benchmark)
+    // contamination matrix over a two-benchmark eval suite
+    // (deterministic pseudo-benchmarks: doc_id % 13 / % 17 slices;
+    // train = everything in neither) — the table a curation review
+    // reads before choosing drops
+    "q_contamination_matrix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val evals = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("eval_set", lit("eval_a"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .withColumn("eval_set", lit("eval_b")))
+      graft.operators.Decontaminate.contaminationMatrix(
+        train = docs.filter(col("doc_id") % 13 =!= 0 &&
+          col("doc_id") % 17 =!= 0),
+        groupCol = "source", evals = evals, setCol = "eval_set",
+        idCol = "doc_id", textCol = "text", n = 3)
+    }),
+
     // C4/UT1-style blocklist pass: count blocklisted tokens per doc,
     // keep under a hit budget — the exclusion twin of the Gopher
     // required-stopwords rule. Zero exchanges: the list is a
@@ -1310,6 +1328,40 @@ object TextQueries {
         |       AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // contamination-matrix replay: the same 3-gram machinery as
+    // text_decontaminate, labeled eval slices unioned into one
+    // (set, gram) frame, hit triples distinct on (source, set, doc),
+    // dense matrix via the groups x sets cross join
+    "q_contamination_matrix" ->
+      """WITH w AS (SELECT doc_id, source,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+        |           FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         CASE WHEN len(wl) >= 3 THEN
+        |           list_transform(range(1, len(wl) - 1),
+        |             i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |       FROM w),
+        |ex AS (SELECT doc_id, source, unnest(list_distinct(s)) AS g FROM sh),
+        |ev AS (SELECT DISTINCT 'eval_a' AS eval_set, g FROM ex
+        |       WHERE doc_id % 13 = 0
+        |       UNION
+        |       SELECT DISTINCT 'eval_b', g FROM ex WHERE doc_id % 17 = 0),
+        |hits AS (SELECT DISTINCT ex.source, ev.eval_set, ex.doc_id
+        |         FROM ex JOIN ev USING (g)
+        |         WHERE ex.doc_id % 13 <> 0 AND ex.doc_id % 17 <> 0),
+        |c AS (SELECT source, eval_set, CAST(count(*) AS BIGINT) AS n_contam
+        |      FROM hits GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM w
+        |        WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0 GROUP BY 1),
+        |sets AS (SELECT DISTINCT eval_set FROM ev)
+        |SELECT tot.source, sets.eval_set, tot.n_docs,
+        |  CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contam,
+        |  CAST(coalesce(c.n_contam, 0) * 10000 // tot.n_docs AS BIGINT)
+        |    AS contam_rate_e4
+        |FROM tot CROSS JOIN sets
+        |LEFT JOIN c ON c.source = tot.source AND c.eval_set = sets.eval_set
+        |""".stripMargin,
     // blocklist replay: same tokenization, list_filter hit count,
     // integer hit budget
     "q_blocklist" ->

@@ -298,8 +298,39 @@ object VectorQueries {
       val approx = graft.operators.Binary.hammingTopK(qs, emb,
         "vec_id", "vec_id", "embedding", DIM, k = 10)
       Similarity.recallAtK(exact, approx, 10)
+    }),
+
+    // matryoshka dim-truncation planner: recall@10 of cosine search
+    // over the first d dims vs the full-dim exact top-10, one row
+    // per (d, query) — the curve an index-dimension choice rides on
+    // (MRL-trained embeddings keep high recall at d/4; this measures
+    // YOUR embeddings instead of assuming). The full-dim leg doubles
+    // as the sanity row: recall_e4 = 10000 by construction.
+    // Production fuses the per-dim passes into one corpus scan (all
+    // truncations share the prefix) and samples the query set; the
+    // per-dim form here keeps each leg independently planned.
+    "q_dim_truncate_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(qs, emb,
+        "vec_id", "vec_id", "embedding", k = 10)
+      TRUNC_DIMS.map { d =>
+        val qd = qs.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val cd = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val approx = Similarity.bruteForceTopK(qd, cd,
+          "vec_id", "vec_id", "embedding", k = 10)
+        Similarity.recallAtK(exact, approx, 10)
+          .withColumn("dim", lit(d))
+      }.reduce(_.unionByName(_))
+        .select(col("dim"), col("query_id"), col("hits"), col("recall_e4"))
     })
   )
+
+  /** q_dim_truncate_recall truncation ladder (the full DIM leg is
+    * the recall=1 sanity row). */
+  private val TRUNC_DIMS = Seq(16, 32, DIM)
 
   private val PQ_M = 4
   private val PQ_K = 8
@@ -830,6 +861,42 @@ object VectorQueries {
        |  CAST((hits * 10000) // least(10, n_ex) AS BIGINT) AS recall_e4
        |FROM h""".stripMargin
 
+  // ---- q_dim_truncate_recall replay: the exact full-dim leg once,
+  // then one truncated-prefix knn + recall aggregation per dim,
+  // UNION ALL'd — slice semantics e[1:d] match Spark's slice(), and
+  // the round-6/id tie order is the TopK contract
+  private def dimTruncOracle: String = {
+    def ap(d: Int): String =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |            q.e[1:$d], c.e[1:$d]), 6) DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM q JOIN c ON q.vec_id <> c.vec_id) WHERE rank <= 10"""
+        .stripMargin
+    val legs = TRUNC_DIMS.map { d =>
+      s"""SELECT CAST($d AS INTEGER) AS dim, ex.query_id,
+         |  CAST(count(ap.query_id) AS BIGINT) AS hits,
+         |  CAST((count(ap.query_id) * 10000) // least(10, count(*))
+         |    AS BIGINT) AS recall_e4
+         |FROM ex LEFT JOIN (${ap(d)}) ap
+         |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |          c.vec_id ASC) AS rank
+       |    FROM q JOIN c ON q.vec_id <> c.vec_id) WHERE rank <= 10)
+       |$legs""".stripMargin
+  }
+
   private def binHammingRerankOracle: String =
     s"""WITH $binSigCtes,
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -886,6 +953,7 @@ object VectorQueries {
     "knn_ivfpq_res" -> pqResidualOracle,
     "knn_cosine" -> knnCosineOracle,
     "q_recall_eval" -> recallEvalOracle,
+    "q_dim_truncate_recall" -> dimTruncOracle,
     "knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
