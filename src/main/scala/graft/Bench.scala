@@ -191,7 +191,9 @@ object Bench {
       "knn_ivfpq", "q_curate_e2e", "knn_ivfpq_res",
       "dedup_embedding_lsh_auto", "dedup_semantic_auto", "q_bpe_train",
       "knn_graph", "knn_graph_ingest", "q_source_reputation", "q_scd2",
-      "q_expectations", "dedup_pr_eval", "dedup_sketch_calibration")
+      "q_expectations", "dedup_pr_eval", "dedup_sketch_calibration",
+      "q_label_prop", "q_nb_quality", "q_score_normalize",
+      "q_contamination_matrix", "q_dim_truncate_recall")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

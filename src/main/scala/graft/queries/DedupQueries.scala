@@ -145,6 +145,35 @@ object DedupQueries {
           col("n_clusters"), col("n_docs"))
     }),
 
+    // per-source unique-token YIELD after near-dup resolution: which
+    // sources still contribute data once the corpus is deduplicated,
+    // and which are mostly mirrors of content credited elsewhere
+    // (survivor = the component's min-id doc, the dedup_keep-first
+    // convention — a source full of copies of OTHER sources' docs
+    // yields near zero). The marginal-value table a source-budget
+    // decision reads next to q_budget_waterfill's totals. Components
+    // resolve as in dedup_components; everything after is one token
+    // projection and one per-source aggregation.
+    "q_dedup_yield" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 3, window = 4, minJaccard = 0.3)
+      val comp = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("component"))
+      docs.select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.bpeishTokenCount(col("text"))
+            .cast("long").as("n_tok"))
+        .join(comp, "doc_id")
+        .withColumn("__sv",
+          (col("doc_id") === col("component")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__sv")).as("n_unique_docs"),
+          sum(col("n_tok")).as("raw_tok"),
+          sum(col("n_tok") * col("__sv")).as("unique_tok"))
+        .withColumn("yield_e4", expr("unique_tok * 10000 div raw_tok"))
+    }),
+
     // the same group resolution via large-star/small-star contraction
     // — O(log n) rounds instead of O(diameter), the form that
     // survives chain-shaped components; same recursive-reachability
@@ -755,6 +784,34 @@ object DedupQueries {
        |  count(*) AS n_clusters, CAST(sum(s) AS BIGINT) AS n_docs
        |FROM sz GROUP BY s""".stripMargin
 
+  // q_dedup_yield replay: component labels as in componentsOracle,
+  // then survivor = (doc_id == component) and one per-source
+  // aggregation over the bpe-ish token counts (the q_shard TOK
+  // regex)
+  private val dedupYieldOracle: String =
+    s"""WITH RECURSIVE $winnowCtes,
+       |und AS (SELECT id_a AS a, id_b AS b FROM wpairs
+       |        UNION SELECT id_b, id_a FROM wpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS component
+       |         FROM reach GROUP BY a),
+       |tk AS (SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(text,
+       |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |j AS (SELECT tk.source, tk.n_tok,
+       |        CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END AS sv
+       |      FROM tk JOIN comp c ON c.doc_id = tk.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(sv) AS BIGINT) AS n_unique_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS raw_tok,
+       |  CAST(sum(n_tok * sv) AS BIGINT) AS unique_tok,
+       |  CAST(sum(n_tok * sv) * 10000 // sum(n_tok) AS BIGINT) AS yield_e4
+       |FROM j GROUP BY 1""".stripMargin
+
   // q_split_leakage replay: component labels as in componentsOracle,
   // then the split is the width-6 md5 bucket of the label string —
   // Spark conv(substring(md5)) == DuckDB CAST('0x'||substring(md5))
@@ -1073,6 +1130,7 @@ object DedupQueries {
     "dedup_pr_eval" -> prEvalOracle,
     "dedup_sketch_calibration" -> sketchCalibrationOracle,
     "dedup_cluster_sizes" -> clusterSizesOracle,
+    "q_dedup_yield" -> dedupYieldOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_jaccard_capped" -> cappedJaccardOracle,

@@ -301,24 +301,37 @@ object PipelineQueries {
             .as("within_bound"))
     }),
 
-    // semi-supervised host labeling: seed the en corpora good (+1)
-    // and the de corpora bad (-1), spread belief over the SAME
-    // shared-opening boilerplate graph q_pagerank ranks — 3 unrolled
-    // integer fixed-point rounds (Zhu-Ghahramani harmonic form), so
-    // every unlabeled (source, lang) corpus comes back with the
-    // belief its copy-neighbors lend it; exact SQL replay
+    // semi-supervised host labeling: seed TWO trusted/spam sources
+    // (src0 good, src1 bad — the handful-of-known-domains shape),
+    // spread belief over the shared-content graph: (source, lang)
+    // corpora are linked when they share >= 10 distinct word
+    // 3-grams (the boilerplate/copy signal, df-bounded since grams
+    // are node-distinct — at web scale cap gram df like the dedup
+    // band tables). 3 unrolled integer fixed-point rounds
+    // (Zhu-Ghahramani harmonic form), so every unlabeled corpus
+    // comes back with the belief its copy-neighbors lend it — a
+    // properly GRADED field (mixed neighborhoods average), not a
+    // seed echo; exact SQL replay
     "q_label_prop" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(
+      import graft.functions.TextFunctions.{words, shinglesOfWords}
+      val w = Tables(s, dir, "documents").select(
         concat_ws("/", col("source"), col("lang")).as("node"),
-        concat_ws(" ", slice(
-          graft.functions.TextFunctions.words(col("text")), 1, 6)).as("pfx"))
-      val nodes = d.select(col("node"))
-      val e = d.alias("a").join(d.alias("b"),
-          col("a.pfx") === col("b.pfx") && col("a.node") =!= col("b.node"))
+        words(col("text")).as("__w"))
+      val grams = w.select(col("node"),
+          explode(array_distinct(shinglesOfWords(col("__w"), 3)))
+            .as("gram"))
+        .distinct()
+      val e = grams.alias("a").join(grams.alias("b"),
+          col("a.gram") === col("b.gram") && col("a.node") =!= col("b.node"))
         .select(col("a.node").as("src"), col("b.node").as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= LP_MIN_SHARED)
+        .select(col("src"), col("dst"))
+      val nodes = w.select(col("node"))
       val seeds = nodes.distinct().select(col("node"),
-          when(col("node").endsWith("/en"), 1)
-            .when(col("node").endsWith("/de"), -1).as("y"))
+          when(col("node").startsWith("src0/"), 1)
+            .when(col("node").startsWith("src1/"), -1).as("y"))
         .filter(col("y").isNotNull)
       graft.operators.LabelProp.propagate(e, "src", "dst",
           seeds, "node", "y", nodes, "node", iters = LP_ITERS)
@@ -336,6 +349,10 @@ object PipelineQueries {
   /** q_label_prop unrolled propagation rounds (constant by design —
     * belief consumers threshold at MID, they don't chase a fixpoint). */
   private val LP_ITERS = 3
+
+  /** q_label_prop edge threshold: two corpora are linked when they
+    * share at least this many distinct word 3-grams. */
+  private val LP_MIN_SHARED = 10
 
   /** q_score_normalize keep threshold in basis points: retain the
     * top 75% of every source's own score distribution. */
@@ -531,10 +548,10 @@ object PipelineQueries {
        |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r$PR_ITERS""".stripMargin
   }
 
-  // q_label_prop replay: the same symmetric distinct edge set as the
-  // pagerank oracle (the a/b equality join already emits both
-  // directions), seeds clamped every round, unseeded nodes replaced
-  // by the floor mean of their neighbors — beliefs stay in
+  // q_label_prop replay: the shared-3-gram edge set (node-distinct
+  // grams, pair count >= threshold; the a/b equality join already
+  // emits both directions), seeds clamped every round, unseeded
+  // nodes replaced by the floor mean of their neighbors — beliefs stay in
   // [0, SCALE] so DuckDB's floor `//` and Spark's truncating `div`
   // agree on every division
   private val labelPropOracle: String = {
@@ -552,18 +569,25 @@ object PipelineQueries {
          |             GROUP BY e.dst) c ON c.dst = nd.node
          |  LEFT JOIN deg dg ON dg.src = nd.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT source || '/' || lang AS node,
-       |    array_to_string(
-       |      (regexp_split_to_array(trim(lower(text)), '\\s+'))[1:6], ' ')
-       |      AS pfx
+    s"""WITH w AS (SELECT source || '/' || lang AS node,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
        |  FROM documents),
-       |nodes AS (SELECT DISTINCT node FROM d),
-       |e AS (SELECT DISTINCT a.node AS src, b.node AS dst
-       |      FROM d a JOIN d b ON a.pfx = b.pfx AND a.node <> b.node),
+       |sh AS (SELECT node,
+       |         CASE WHEN len(wl) >= 3 THEN
+       |           list_transform(range(1, len(wl) - 1),
+       |             i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+       |         ELSE CAST([] AS VARCHAR[]) END AS s
+       |       FROM w),
+       |g AS (SELECT DISTINCT node, gram FROM
+       |        (SELECT node, unnest(list_distinct(s)) AS gram FROM sh)),
+       |nodes AS (SELECT DISTINCT node FROM w),
+       |e AS (SELECT a.node AS src, b.node AS dst
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.node <> b.node
+       |      GROUP BY 1, 2 HAVING count(*) >= $LP_MIN_SHARED),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |seeds AS (SELECT node,
-       |    CASE WHEN node LIKE '%/en' THEN $scale ELSE 0 END AS seed
-       |  FROM nodes WHERE node LIKE '%/en' OR node LIKE '%/de'),
+       |    CASE WHEN node LIKE 'src0/%' THEN $scale ELSE 0 END AS seed
+       |  FROM nodes WHERE node LIKE 'src0/%' OR node LIKE 'src1/%'),
        |r0 AS (SELECT nd.node, coalesce(sd.seed, $mid) AS r
        |       FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node),
        |$iterCtes

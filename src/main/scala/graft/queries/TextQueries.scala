@@ -15,6 +15,11 @@ object TextQueries {
   private[queries] def sqlStopwords(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q_vocab_coverage candidate vocabulary sizes — spans the regimes
+    * where the corpus's bigram-unit vocabulary is partially and
+    * fully covered (ascending; max bounds the TakeOrdered cut). */
+  private val VOCAB_SIZES = Seq(100, 400, 8000)
+
   /** Shared DuckDB replay of Reputation.sourceStats — one CTE chain;
     * `filtered` swaps the final projection between the per-source
     * stats table and the reputation-gated document list. Integer
@@ -293,6 +298,46 @@ object TextQueries {
         train = docs.filter(col("doc_id") % 97 =!= 0),
         eval = docs.filter(col("doc_id") % 97 === 0),
         idCol = "doc_id", textCol = "text", n = 3)
+    }),
+
+    // vocabulary coverage curve: what fraction of unit OCCURRENCES
+    // the top-V most-frequent unit types cover, per candidate vocab
+    // size — the OOV-rate planner a tokenizer/vocab-size choice
+    // rides on (the complement of coverage_e4 is the UNK/fallback
+    // rate a V-sized vocab would eat). Units here are word BIGRAMS
+    // (merge candidates, the BPE-vocab planning frame; the synthetic
+    // corpus's unigram vocabulary is a few dozen types — flat curve
+    // — while its bigram space actually exercises the ladder). The
+    // top-maxV cut is a bounded TakeOrdered (never a full vocabulary
+    // sort); the windows after it run over <= maxV rows. 100 TB
+    // shape: the corpus pays one map-combined unit count; everything
+    // downstream is vocabulary-bounded.
+    "q_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(s, dir, "documents")
+        .select(explode(
+          shinglesOfWords(words(col("text")), 2)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val freqP = graft.operators.PersistSlots.swap(
+        "text.vocabCoverageFreq", freq)
+      val top = freqP
+        .orderBy(col("cnt").desc, col("term").asc).limit(VOCAB_SIZES.max)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      val topP = graft.operators.PersistSlots.swap(
+        "text.vocabCoverageTop", top)
+      val totals = freqP.agg(sum(col("cnt")).as("total_tok"),
+        count(lit(1)).as("n_types"))
+      VOCAB_SIZES.map { v =>
+        topP.filter(col("rk") <= v)
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("cnt")).as("covered_tok"))
+          .withColumn("vocab_size", lit(v))
+      }.reduce(_.unionByName(_))
+        .crossJoin(broadcast(totals))
+        .select(col("vocab_size"), col("n_terms"), col("covered_tok"),
+          col("total_tok"), col("n_types"),
+          expr("covered_tok * 10000 div total_tok").as("coverage_e4"))
     }),
 
     // the PLANNER view of decontamination: per-(source x benchmark)
@@ -1328,6 +1373,37 @@ object TextQueries {
         |       AS INTEGER) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // vocab-coverage replay: bigram-unit frequency -> global
+    // (cnt desc, term asc) rank -> one cumulative leg per candidate
+    // size, UNION ALL'd; all-integer so the curve hashes exactly
+    "q_vocab_coverage" -> {
+      val legs = VOCAB_SIZES.map { v =>
+        s"""SELECT CAST($v AS INTEGER) AS vocab_size,
+           |  CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(cnt) AS BIGINT) AS covered_tok,
+           |  tot.total_tok, tot.n_types,
+           |  CAST(sum(cnt) * 10000 // tot.total_tok AS BIGINT)
+           |    AS coverage_e4
+           |FROM rkd, tot WHERE rk <= $v
+           |GROUP BY tot.total_tok, tot.n_types""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(lower(text)),
+         |             '\\s+') AS wl
+         |           FROM documents),
+         |t AS (SELECT unnest(CASE WHEN len(wl) >= 2 THEN
+         |          list_transform(range(1, len(wl)),
+         |            i -> wl[i] || ' ' || wl[i+1])
+         |        ELSE CAST([] AS VARCHAR[]) END) AS term
+         |      FROM w),
+         |f AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY 1),
+         |rkd AS (SELECT cnt,
+         |          row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+         |        FROM f),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tok,
+         |               CAST(count(*) AS BIGINT) AS n_types FROM f)
+         |$legs""".stripMargin
+    },
     // contamination-matrix replay: the same 3-gram machinery as
     // text_decontaminate, labeled eval slices unioned into one
     // (set, gram) frame, hit triples distinct on (source, set, doc),

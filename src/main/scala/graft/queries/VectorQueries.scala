@@ -325,12 +325,38 @@ object VectorQueries {
           .withColumn("dim", lit(d))
       }.reduce(_.unionByName(_))
         .select(col("dim"), col("query_id"), col("hits"), col("recall_e4"))
+    }),
+
+    // IVF probe-width tuning curve: recall@10 vs the exact top-10
+    // for nProbe in {1,2,4,8} over the same 16-cell index knn_ivf
+    // runs — the cost/recall table an nProbe choice rides on (probe
+    // width multiplies the scanned fraction of the corpus; this
+    // measures what each extra probe buys). Exact leg computed once.
+    "q_ivf_recall_curve" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(qs, emb,
+        "vec_id", "vec_id", "embedding", k = 10)
+      NPROBES.map { p =>
+        val approx = Similarity.ivfTopK(qs, emb,
+          "vec_id", "vec_id", "embedding",
+          centroids = emb.filter(col("vec_id") < 16), cidCol = "vec_id",
+          k = 10, nProbe = p)
+        Similarity.recallAtK(exact, approx, 10)
+          .withColumn("nprobe", lit(p))
+      }.reduce(_.unionByName(_))
+        .select(col("nprobe"), col("query_id"), col("hits"),
+          col("recall_e4"))
     })
   )
 
   /** q_dim_truncate_recall truncation ladder (the full DIM leg is
     * the recall=1 sanity row). */
   private val TRUNC_DIMS = Seq(16, 32, DIM)
+
+  /** q_ivf_recall_curve probe-width ladder (nProbe = 8 probes half
+    * the 16 cells — the diminishing-returns end of the curve). */
+  private val NPROBES = Seq(1, 2, 4, 8)
 
   private val PQ_M = 4
   private val PQ_K = 8
@@ -897,6 +923,55 @@ object VectorQueries {
        |$legs""".stripMargin
   }
 
+  // ---- q_ivf_recall_curve replay: the knn_ivf cell machinery with
+  // the probe-rank CTE computed once (uncut), one nprobe leg per
+  // probe width re-filtering it, each leg's IVF top-10 recalled
+  // against the shared exact leg
+  private def ivfRecallOracle: String = {
+    def leg(p: Int): String =
+      s"""SELECT CAST($p AS INTEGER) AS nprobe, ex.query_id,
+         |  CAST(count(ap.query_id) AS BIGINT) AS hits,
+         |  CAST((count(ap.query_id) * 10000) // least(10, count(*))
+         |    AS BIGINT) AS recall_e4
+         |FROM ex LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY round(s.sim, 6) DESC, s.neighbor_id ASC) AS rank
+         |    FROM (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |            list_cosine_similarity(qe.v, ne.v) AS sim
+         |          FROM (SELECT query_id, cid FROM pr WHERE rn <= $p) p
+         |          JOIN asg a ON p.cid = a.cid
+         |          JOIN e qe ON qe.vec_id = p.query_id
+         |          JOIN e ne ON ne.vec_id = a.vec_id
+         |          WHERE p.query_id <> a.vec_id) s) WHERE rank <= 10) ap
+         |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY 2""".stripMargin
+    val legs = NPROBES.map(leg).mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+       |                 cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |pr AS (SELECT e.vec_id AS query_id, cent.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6)
+       |             DESC, cent.cid ASC) AS rn
+       |       FROM e CROSS JOIN cent WHERE e.vec_id < 8),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |          c.vec_id ASC) AS rank
+       |    FROM (SELECT * FROM e WHERE vec_id < 8) q
+       |    JOIN e c ON q.vec_id <> c.vec_id) WHERE rank <= 10)
+       |$legs""".stripMargin
+  }
+
   private def binHammingRerankOracle: String =
     s"""WITH $binSigCtes,
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -954,6 +1029,7 @@ object VectorQueries {
     "knn_cosine" -> knnCosineOracle,
     "q_recall_eval" -> recallEvalOracle,
     "q_dim_truncate_recall" -> dimTruncOracle,
+    "q_ivf_recall_curve" -> ivfRecallOracle,
     "knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -110,7 +110,14 @@ object Explain {
     "q_bootstrap_ci",    // 32 replicates in ONE map-combined pass
     "dedup_sketch_calibration", // banded candidates + per-pair exact census
     "q_threshold_sweep", // histogram + cumulative window over BUCKETS
-    "q_budget_waterfill" // one corpus agg, then windows over sources
+    "q_budget_waterfill", // one corpus agg, then windows over sources
+    "q_label_prop",      // shown plan = final round: edge join + floor-mean,
+                         // reads the cached previous round (flat lineage)
+    "q_nb_quality",      // NB scoring: narrow fold vs log-odds literal
+                         // (training is one bucket-bounded agg at build)
+    "q_score_normalize", // ONE source exchange, two same-order windows
+    "q_contamination_matrix", // broadcast suite grams, hit-triple agg
+    "q_dim_truncate_recall"   // per-dim broadcast probes + TopK partials
   )
 
   def main(args: Array[String]): Unit = {
