@@ -193,7 +193,9 @@ object Bench {
       "knn_graph", "knn_graph_ingest", "q_source_reputation", "q_scd2",
       "q_expectations", "dedup_pr_eval", "dedup_sketch_calibration",
       "q_label_prop", "q_nb_quality", "q_score_normalize",
-      "q_contamination_matrix", "q_dim_truncate_recall")
+      "q_contamination_matrix", "q_dim_truncate_recall",
+      "q_ivf_recall_curve", "q_vocab_coverage", "q_dedup_yield",
+      "q_pair_mine", "q_curriculum_order")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

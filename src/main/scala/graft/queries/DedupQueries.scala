@@ -116,6 +116,23 @@ object DedupQueries {
       Dedup.winnowJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, window = 4, minJaccard = 0.3)),
 
+    // contrastive weak-positive pair MINING: the dedup machinery
+    // pointed at training-data generation instead of removal —
+    // mid-similarity embedding pairs (cosine in [0.30, 0.42), just
+    // BELOW the dedup threshold) are the anchor-positive pairs
+    // embedding/reranker training mines from a corpus (copies teach
+    // nothing, dissimilar pairs are trivial negatives; the mid band
+    // is where the signal is). Same banded LSH candidate path as
+    // dedup_embedding_lsh with the band's lower cut, one extra
+    // upper-bound filter on the already-rounded cosine — mined pairs
+    // are a SUBSET of what the bands surface, exactly as in
+    // production ANN-candidate mining.
+    "q_pair_mine" -> ((s, dir) =>
+      graft.operators.Similarity.embeddingNearDupPairsLSH(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.30, dim = 64, nPlanes = 0, targetBucket = 32L)
+        .filter(col("sim") < 0.42)),
+
     // near-dup group resolution: connected components over the
     // winnow pair graph; component label = surviving doc id
     "dedup_components" -> ((s, dir) => {
@@ -676,7 +693,9 @@ object DedupQueries {
   // sf the oracle gate runs at; the Spark operator itself is uncapped).
   private val LSH_AUTO_MAXP = 16
 
-  private def embeddingLshAutoOracle(targetBucket: Long): String = {
+  private def embeddingLshAutoOracle(targetBucket: Long,
+                                     lo: Double = 0.42,
+                                     hi: Option[Double] = None): String = {
     def dot(t: Int, p: Int): String =
       (0 until LSH_DIM).map { d =>
         s"coalesce(v[${d + 1}], 0) * ${Similarity.planeComponent(100 * t + p, d)}"
@@ -702,7 +721,8 @@ object DedupQueries {
        |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
        |                JOIN e eb ON eb.vec_id = cand.id_b)
-       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.42""".stripMargin
+       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
+       |WHERE sim >= $lo${hi.map(h => s" AND round(sim, 4) < $h").getOrElse("")}""".stripMargin
   }
 
   private val embeddingOracle: String =
@@ -1136,6 +1156,10 @@ object DedupQueries {
     "dedup_jaccard_capped" -> cappedJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_winnow" -> winnowOracle,
+    // pair mining = the LSH banded candidates with the mid band
+    // [0.30, 0.42) on the same rounded cosine
+    "q_pair_mine" -> embeddingLshAutoOracle(32L, lo = 0.30,
+      hi = Some(0.42)),
     "dedup_components" -> componentsOracle,
     "dedup_components_stars" -> componentsOracle,
     "dedup_keep_best" -> keepBestOracle,

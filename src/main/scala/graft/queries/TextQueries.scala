@@ -20,6 +20,10 @@ object TextQueries {
     * fully covered (ascending; max bounds the TakeOrdered cut). */
   private val VOCAB_SIZES = Seq(100, 400, 8000)
 
+  /** q_curriculum_order difficulty bucket width in micro-nats
+    * (0.2 nats of average NLL per curriculum phase). */
+  private val CURR_STEP = 200000L
+
   /** Shared DuckDB replay of Reputation.sourceStats — one CTE chain;
     * `filtered` swaps the final projection between the per-source
     * stats table and the reputation-gated document list. Integer
@@ -298,6 +302,41 @@ object TextQueries {
         train = docs.filter(col("doc_id") % 97 =!= 0),
         eval = docs.filter(col("doc_id") % 97 === 0),
         idCol = "doc_id", textCol = "text", n = 3)
+    }),
+
+    // difficulty-ordered curriculum plan: bucket every scored doc by
+    // its bigram-LM average NLL (0.2-nat steps), order buckets
+    // easy -> hard with per-bucket and cumulative doc/token counts —
+    // the schedule table a curriculum (or quality-annealing) run
+    // reads to decide where each training phase's token budget ends.
+    // Cumulative windows run over the BUCKET histogram (the
+    // ccnetBuckets order-statistic pattern), never over docs; docs
+    // under 2 words carry no score and drop (the bigram rule).
+    "q_curriculum_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
+      val nll = graft.operators.LanguageModel.ngramNllNarrow(
+        docs, "doc_id", "text", model)
+      val tk = docs.select(col("doc_id"),
+        bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      val h = nll.join(tk, "doc_id")
+        .select(expr(s"(avg_nll_e6 div $CURR_STEP) * $CURR_STEP")
+          .as("difficulty_e6"), col("n_tok"))
+      val hist = h.groupBy(col("difficulty_e6"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      val totals = h.agg(sum(col("n_tok")).as("__tt"))
+      val w = Window.partitionBy(col("difficulty_e6") * 0)
+        .orderBy(col("difficulty_e6").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .withColumn("cum_tok", sum(col("sum_tok")).over(w))
+        .crossJoin(broadcast(totals))
+        .select(col("difficulty_e6"), col("n_docs"), col("sum_tok"),
+          col("cum_docs"), col("cum_tok"),
+          expr("cum_tok * 10000 div __tt").as("tok_share_e4"))
     }),
 
     // vocabulary coverage curve: what fraction of unit OCCURRENCES
@@ -888,6 +927,38 @@ object TextQueries {
        |  CAST(sum(cost_e6) AS BIGINT) AS nll_e6,
        |  CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
        |FROM c GROUP BY doc_id""".stripMargin
+
+  // q_curriculum_order replay: the same per-token cost CTE folded to
+  // per-doc average NLL, floor-stepped difficulty buckets, ascending
+  // cumulative windows over the bucket histogram, e4 token shares
+  private val curriculumOracle: String =
+    s"""WITH $perplexityCtes,
+       |px AS (SELECT doc_id,
+       |         CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |       FROM c GROUP BY doc_id),
+       |tk AS (SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text,
+       |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |hsrc AS (SELECT (px.avg_nll_e6 // $CURR_STEP) * $CURR_STEP
+       |           AS difficulty_e6, tk.n_tok
+       |         FROM px JOIN tk USING (doc_id)),
+       |h AS (SELECT difficulty_e6, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_tok) AS BIGINT) AS sum_tok
+       |      FROM hsrc GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM hsrc),
+       |c2 AS (SELECT difficulty_e6, n_docs, sum_tok,
+       |        CAST(sum(n_docs) OVER (ORDER BY difficulty_e6 ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum_docs,
+       |        CAST(sum(sum_tok) OVER (ORDER BY difficulty_e6 ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum_tok
+       |      FROM h)
+       |SELECT c2.difficulty_e6, c2.n_docs, c2.sum_tok, c2.cum_docs,
+       |  c2.cum_tok, CAST(c2.cum_tok * 10000 // t.tt AS BIGINT)
+       |    AS tok_share_e4
+       |FROM c2, t""".stripMargin
 
   // q_min_k_prob replay: the same per-token cost CTE, then the
   // order statistic as a windowed rank — rank the costs per doc
@@ -1776,5 +1847,6 @@ object TextQueries {
     // the broadcast-model form computes byte-identical results to the
     // join form, so it replays with the same SQL
     "q_perplexity_bcast" -> perplexityOracle,
+    "q_curriculum_order" -> curriculumOracle,
     "q_ccnet_buckets" -> ccnetBucketsOracle)
 }

@@ -117,7 +117,12 @@ object Explain {
                          // (training is one bucket-bounded agg at build)
     "q_score_normalize", // ONE source exchange, two same-order windows
     "q_contamination_matrix", // broadcast suite grams, hit-triple agg
-    "q_dim_truncate_recall"   // per-dim broadcast probes + TopK partials
+    "q_dim_truncate_recall",  // per-dim broadcast probes + TopK partials
+    "q_ivf_recall_curve",// shared cell assign, per-width probe filters
+    "q_vocab_coverage",  // map-combined unit count + bounded TakeOrdered
+    "q_dedup_yield",     // components + token projection + source agg
+    "q_pair_mine",       // winnow band join + mid-band filter
+    "q_curriculum_order" // broadcast-LM scan + bucket-histogram windows
   )
 
   def main(args: Array[String]): Unit = {
