@@ -312,8 +312,13 @@ object VectorQueries {
     "q_dim_truncate_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
-      val exact = Similarity.bruteForceTopK(qs, emb,
-        "vec_id", "vec_id", "embedding", k = 10)
+      // slot-persisted: every per-dim recall leg joins against this
+      // k x |queries| frame — unpersisted, the full-corpus exact
+      // scan (the expensive leg) would rerun once per dim
+      val exact = graft.operators.PersistSlots.swap(
+        "vector.dimTruncExact",
+        Similarity.bruteForceTopK(qs, emb,
+          "vec_id", "vec_id", "embedding", k = 10))
       TRUNC_DIMS.map { d =>
         val qd = qs.select(col("vec_id"),
           slice(col("embedding"), 1, d).as("embedding"))
@@ -335,8 +340,12 @@ object VectorQueries {
     "q_ivf_recall_curve" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
-      val exact = Similarity.bruteForceTopK(qs, emb,
-        "vec_id", "vec_id", "embedding", k = 10)
+      // slot-persisted for the same reason as q_dim_truncate_recall:
+      // four probe-width legs share one exact frame
+      val exact = graft.operators.PersistSlots.swap(
+        "vector.ivfCurveExact",
+        Similarity.bruteForceTopK(qs, emb,
+          "vec_id", "vec_id", "embedding", k = 10))
       NPROBES.map { p =>
         val approx = Similarity.ivfTopK(qs, emb,
           "vec_id", "vec_id", "embedding",
