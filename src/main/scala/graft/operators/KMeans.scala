@@ -258,4 +258,58 @@ object KMeans {
             col("__na").cast("decimal(19,0)") * col("__nb").cast("decimal(19,0)"))
       .select(col("id_a"), col("id_b"), col("cluster"))
   }
+
+  /** Incremental centroid maintenance — the INGEST companion of
+    * [[fit]] (the dedup_incremental / knn_graph_ingest pattern for
+    * clustering): the standing corpus keeps its fitted centroids,
+    * and an arriving batch is absorbed with ONE mini-batch Lloyd
+    * step (the web-scale k-means update, batch-granular): batch rows
+    * assign to the nearest fitted centroid, every centroid moves to
+    * the exact weighted mean floor((sum_base + sum_batch) /
+    * (n_base + n_batch)) — folding SUMS, not already-floored means,
+    * so the merge loses nothing and replays exactly — and the batch
+    * re-assigns against the UPDATED centroids.
+    *
+    * Scale shape: the corpus pays [[fit]]'s assignment scans (which
+    * a standing pipeline has already paid and slot-persisted); the
+    * increment itself costs one batch-sized assignment scan plus two
+    * k*dim aggregations. The corpus NEVER joins the batch — the
+    * handoff is the k*dim centroid statistics, driver-scale by
+    * construction. Double-precision caveat: the summed milliunit
+    * coordinates must stay under 2^53 per (cluster, dim) — ~9e12
+    * unit-norm members per cluster — before the mean divide; far
+    * beyond any real cluster.
+    *
+    * @return the BATCH assignment (idCol, cluster, dist) against the
+    *         updated centroids */
+  def updateAssign(base: DataFrame, batch: DataFrame, idCol: String,
+                   vecCol: String, k: Int, steps: Int = 2): DataFrame = {
+    def stats(assigned: DataFrame): Map[(Int, Int), (Long, Long)] =
+      assigned
+        .select(col("cluster"), posexplode(col("__q")).as(Seq("pos", "val")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .collect() // k * dim rows — centroid statistics, not data
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    val assignedBase = fitAssigned(base, idCol, vecCol, k, steps)
+    val baseStats = stats(assignedBase)
+    // the fit's final centroids (floor means of the last assignment)
+    val cents: Map[Int, Seq[Long]] = baseStats.groupBy(_._1._1).map {
+      case (c, m) =>
+        c -> m.toSeq.sortBy(_._1._2)
+          .map { case (_, (s, n)) => math.floor(s.toDouble / n).toLong }
+    }
+    val qBatch = batch.select(col(idCol), quantize(col(vecCol)).as("__q"))
+    val batchStats = stats(assignTo(qBatch, cents))
+    val merged: Map[Int, Seq[Long]] = cents.map { case (c, v) =>
+      c -> v.indices.map { i =>
+        val (sb, nb) = baseStats((c, i))
+        val (sx, nx) = batchStats.getOrElse((c, i), (0L, 0L))
+        math.floor((sb + sx).toDouble / (nb + nx)).toLong
+      }
+    }
+    assignTo(qBatch, merged)
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
 }

@@ -80,6 +80,21 @@ object VectorQueries {
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, steps = 2)),
 
+    // incremental clustering ingest: the standing corpus (vec_id %
+    // 10 != 7) keeps its fitted centroids; the arriving tenth is
+    // absorbed with ONE exact mini-batch Lloyd step (sums folded,
+    // not floored means, so the merge replays bit-identically) and
+    // returns its assignment against the UPDATED centroids — the
+    // clustering member of the ingest family (dedup_incremental,
+    // knn_graph_ingest, stream_media_ingest)
+    "q_kmeans_update" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.KMeans.updateAssign(
+        emb.filter(col("vec_id") % 10 =!= 7),
+        emb.filter(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", k = 8, steps = 2)
+    }),
+
     // SEMANTIC drift: the embedding-space member of the drift family
     // — scalar PSI and categorical JS can hold steady while the
     // MEANING mix shifts; clustering the embeddings (deterministic
@@ -1067,6 +1082,52 @@ object VectorQueries {
         |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
         |FROM r WHERE rank <= 10""".stripMargin,
     "q_kmeans" -> (kmeansCtes + "\nSELECT vec_id, cluster, dist FROM a2"),
+    // incremental replay: the base fit over the standing subset,
+    // exact per-(cluster, dim) sums from its final assignment, the
+    // batch's provisional assignment to the fit's floor-mean
+    // centroids, the weighted-mean merge, and the re-assignment
+    "q_kmeans_update" -> ("WITH " + kmeansBody("8",
+      "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)") + s""",
+      |c2m AS (SELECT a2.cluster, pos.i, CAST(sum(q.v[pos.i]) AS BIGINT) AS s,
+      |          CAST(count(*) AS BIGINT) AS n
+      |        FROM a2 JOIN q USING (vec_id) CROSS JOIN pos
+      |        GROUP BY 1, 2),
+      |c2 AS (SELECT cluster AS c,
+      |         list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+      |           ORDER BY i) AS v
+      |       FROM c2m GROUP BY 1),
+      |qb AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |         x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      |       FROM embeddings WHERE vec_id % 10 = 7),
+      |d3 AS (SELECT qb.vec_id, c2.c,
+      |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+      |           i -> (qb.v[i] - c2.v[i]) * (qb.v[i] - c2.v[i]))) AS BIGINT)
+      |           AS d
+      |       FROM qb CROSS JOIN c2),
+      |a3 AS (SELECT vec_id, c AS cluster FROM (
+      |         SELECT vec_id, c,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |         FROM d3) WHERE rn = 1),
+      |bm AS (SELECT a3.cluster, pos.i, CAST(sum(qb.v[pos.i]) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM a3 JOIN qb USING (vec_id) CROSS JOIN pos GROUP BY 1, 2),
+      |mm AS (SELECT c2m.cluster, c2m.i,
+      |         CAST(floor(CAST(c2m.s + coalesce(bm.s, 0) AS DOUBLE) /
+      |           (c2m.n + coalesce(bm.n, 0))) AS BIGINT) AS m
+      |       FROM c2m LEFT JOIN bm
+      |         ON bm.cluster = c2m.cluster AND bm.i = c2m.i),
+      |cu AS (SELECT cluster AS c, list(m ORDER BY i) AS v FROM mm
+      |       GROUP BY 1),
+      |d4 AS (SELECT qb.vec_id, cu.c,
+      |         CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+      |           i -> (qb.v[i] - cu.v[i]) * (qb.v[i] - cu.v[i]))) AS BIGINT)
+      |           AS d
+      |       FROM qb CROSS JOIN cu),
+      |a4 AS (SELECT vec_id, cluster, dist FROM (
+      |         SELECT vec_id, c AS cluster, d AS dist,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |         FROM d4) WHERE rn = 1)
+      |SELECT vec_id, cluster, dist FROM a4""".stripMargin),
     // semantic drift: the kmeans replay's a2 assignment feeds the
     // q_drift_js arithmetic keyed on cluster (same smoothing, same
     // per-half micro-unit floors, null-safe key alignment)
@@ -1151,11 +1212,15 @@ object VectorQueries {
     * (first assign), pos/m/c1 (centroid update), d2/a2 (second
     * assign). `k` is any SQL scalar expression — a literal for the
     * frozen queries, a count(*)-derived subquery for the auto twin. */
-  private def kmeansBody(k: String): String =
+  private def kmeansBody(k: String): String = kmeansBody(k, "embeddings")
+
+  /** [[kmeansBody]] over an arbitrary source relation (the
+    * incremental-update oracle fits on the base subset). */
+  private def kmeansBody(k: String, src: String): String =
     s"""q AS (SELECT vec_id,
        |             list_transform(CAST(embedding AS DOUBLE[]),
        |               x -> CAST(floor(x * 1000) AS BIGINT)) AS v
-       |           FROM embeddings),
+       |           FROM $src),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
        |         AS c, v
        |       FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),

@@ -121,8 +121,10 @@ object Explain {
     "q_ivf_recall_curve",// shared cell assign, per-width probe filters
     "q_vocab_coverage",  // map-combined unit count + bounded TakeOrdered
     "q_dedup_yield",     // components + token projection + source agg
-    "q_pair_mine",       // winnow band join + mid-band filter
-    "q_curriculum_order" // broadcast-LM scan + bucket-histogram windows
+    "q_pair_mine",       // banded LSH candidates + mid-band filter
+    "q_curriculum_order", // broadcast-LM scan + bucket-histogram windows
+    "q_kmeans_update"    // shown plan = batch re-assignment vs merged
+                         // centroid literals (fit scans run at build)
   )
 
   def main(args: Array[String]): Unit = {

@@ -139,7 +139,11 @@ object ScaleProbe {
       "q_rolling", "q_expectations", "knn_graph", "stream_sink_parquet",
       "knn_graph_ingest", "stream_cdc_upsert", "q_bootstrap_ci",
       "stream_sessionize", "dedup_sketch_calibration",
-      "stream_attribution", "stream_redelivery_dedup")
+      "stream_attribution", "stream_redelivery_dedup",
+      "q_label_prop", "q_nb_quality", "q_score_normalize",
+      "q_contamination_matrix", "q_dedup_yield", "q_pair_mine",
+      "q_curriculum_order", "q_vocab_coverage",
+      "q_dim_truncate_recall", "q_ivf_recall_curve", "q_kmeans_update")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

@@ -62,6 +62,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(m1 == m2)
   }
 
+  test("KMeans.updateAssign: hand-computed mini-batch fold — sums " +
+    "merge exactly, batch re-assigns against the moved centroids") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(0.2f, 0.0f)), (11L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // fit: c0=[50,0] (members 0,2), c1=[950,0] (members 1,3) in
+    // milliunits; batch folds: c0=floor((100+200)/3)=[100,0],
+    // c1=floor((1900+1000)/3)=[966,0]; re-assignment distances are
+    // exact integer squares
+    val got = graft.operators.KMeans.updateAssign(
+        base, batch, "vec_id", "embedding", k = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 0, 10000L), (11L, 1, 1156L)))
+  }
+
   test("contaminationMatrix: dense group x set cells, distinct-doc " +
     "hit counting, e4 rates") {
     import spark.implicits._
