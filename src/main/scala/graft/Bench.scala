@@ -195,7 +195,8 @@ object Bench {
       "q_label_prop", "q_nb_quality", "q_score_normalize",
       "q_contamination_matrix", "q_dim_truncate_recall",
       "q_ivf_recall_curve", "q_vocab_coverage", "q_dedup_yield",
-      "q_pair_mine", "q_curriculum_order", "q_kmeans_update")
+      "q_pair_mine", "q_curriculum_order", "q_kmeans_update",
+      "q_score_normalize_hist", "q_quality_ensemble")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

@@ -302,4 +302,50 @@ object Quality {
           .otherwise(lit(10000L)))
       .drop("__rk", "__n")
   }
+
+  /** The two-pass HISTOGRAM form of [[percentileNormalize]] — the
+    * documented mega-domain escape hatch, now as code: the windowed
+    * form sorts each group inside one partition, so a single domain
+    * that outgrows an executor partition (a 1e9-doc crawl host)
+    * breaks it. This form never materializes a group in one place:
+    * pass 1 buckets each score into `buckets` equal-width steps of
+    * the group's [min, max] span (one map-combined agg for the
+    * spans, one for the bucket counts — both bounded by
+    * |groups| * buckets rows); pass 2 joins each doc to its
+    * bucket's CUMULATIVE count of strictly-lower buckets, giving
+    * `pct_e4 = below * 10000 div (n - 1)` — every doc in a bucket
+    * shares the percentile of the bucket's floor, an error bounded
+    * by the bucket's occupancy share (<= 1/buckets for uniform
+    * scores; `PlannerSpec`'s twin test measures the bias against the
+    * exact form). All arithmetic is integer on nonnegative operands,
+    * so the approximation itself replays exactly in SQL.
+    */
+  def percentileNormalizeHist(scored: DataFrame, groupCol: String,
+                              scoreCol: String,
+                              buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val spans = scored.groupBy(col(groupCol))
+      .agg(min(col(scoreCol)).cast("long").as("__lo"),
+        max(col(scoreCol)).cast("long").as("__hi"),
+        count(lit(1)).as("__n"))
+    val bucketed = scored.join(spans, groupCol)
+      // span + 1 so max lands in bucket B-1, not B; single-value
+      // groups collapse to bucket 0
+      .withColumn("__b",
+        expr(s"(($scoreCol - __lo) * $buckets) div (__hi - __lo + 1)")
+          .cast("int"))
+    val hist = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = hist
+      .withColumn("__below", sum(col("__c")).over(wCum) - col("__c"))
+      .select(col(groupCol), col("__b"), col("__below"))
+    bucketed.join(below, Seq(groupCol, "__b"))
+      .withColumn("pct_e4",
+        when(col("__n") > 1, expr("__below * 10000 div (__n - 1)"))
+          .otherwise(lit(10000L)))
+      .drop("__b", "__lo", "__hi", "__n", "__below")
+  }
 }

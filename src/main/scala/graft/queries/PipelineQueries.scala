@@ -259,6 +259,58 @@ object PipelineQueries {
           (col("pct_e4") >= NORM_KEEP_E4).cast("int").as("keep"))
     }),
 
+    // the two-pass HISTOGRAM twin of q_score_normalize — the
+    // mega-domain form that never sorts a whole source in one
+    // partition: equal-width score buckets per source, cumulative
+    // strictly-below counts over the BUCKET histogram, every doc
+    // inherits its bucket-floor percentile (error bounded by bucket
+    // occupancy; the exact twin stays the default at normal domain
+    // sizes). Same keep threshold as the exact form.
+    "q_score_normalize_hist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val w = graft.operators.Quality.trainPerceptron(
+        docs, "text", "__y", buckets = QUAL_B, epochs = 2)
+      val scored = graft.operators.Quality
+        .scoreLinear(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.operators.Quality
+        .percentileNormalizeHist(scored, "source", "score",
+          buckets = NORM_HIST_B)
+        .select(col("doc_id"), col("source"), col("score"), col("pct_e4"),
+          (col("pct_e4") >= NORM_KEEP_E4).cast("int").as("keep"))
+    }),
+
+    // quality ENSEMBLE: majority vote of three independent gates —
+    // the trained perceptron, the closed-form Naive Bayes, and the
+    // Gopher-style length rule — the "no single filter decides"
+    // pattern production curation actually ships (each model's
+    // mistakes are uncorrelated; the ensemble keeps the union of
+    // their agreement). One corpus scan per scorer, all narrow.
+    "q_quality_ensemble" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val w = graft.operators.Quality.trainPerceptron(
+        docs, "text", "__y", buckets = QUAL_B, epochs = 2)
+      val nb = graft.operators.Quality.trainNaiveBayes(
+        docs, "text", "__y", buckets = QUAL_B)
+      val p = graft.operators.Quality
+        .scoreLinear(docs, "doc_id", "text", w)
+        .select(col("doc_id"), col("n_words"),
+          col("keep").as("vote_perc"))
+      val n = graft.operators.Quality
+        .scoreNaiveBayes(docs, "doc_id", "text", nb)
+        .select(col("doc_id"), col("keep").as("vote_nb"))
+      p.join(n, "doc_id")
+        .withColumn("vote_len",
+          (col("n_words") >= 30 && col("n_words") <= 300).cast("int"))
+        .withColumn("votes",
+          col("vote_perc") + col("vote_nb") + col("vote_len"))
+        .withColumn("keep", (col("votes") >= 2).cast("int"))
+        .select(col("doc_id"), col("vote_perc"), col("vote_nb"),
+          col("vote_len"), col("votes"), col("keep"))
+    }),
+
     // source-quality PageRank: nodes are (source, lang) corpora,
     // edges link nodes whose documents share a normalized 6-word
     // opening (the shared-boilerplate/copy signal a host-quality
@@ -357,6 +409,11 @@ object PipelineQueries {
   /** q_score_normalize keep threshold in basis points: retain the
     * top 75% of every source's own score distribution. */
   private val NORM_KEEP_E4 = 2500L
+
+  /** q_score_normalize_hist bucket count (64 over ~25-doc sf0.01
+    * sources exercises both the shared-bucket and the
+    * one-doc-per-bucket regimes). */
+  private val NORM_HIST_B = 64
 
   /** q_cms overestimate bound (fraction of total token count). */
   private val CMS_EPS = 0.001
@@ -865,6 +922,83 @@ object PipelineQueries {
          |       ELSE 10000 END) >= $NORM_KEEP_E4 THEN 1 ELSE 0 END
          |    AS INTEGER) AS keep
          |FROM r""".stripMargin,
+
+    // q_score_normalize_hist replay: per-source [min, max] spans,
+    // equal-width buckets, cumulative strictly-below counts over the
+    // bucket histogram, bucket-floor percentile — all operands
+    // nonnegative, so `//` == `div`
+    "q_score_normalize_hist" ->
+      s"""WITH $qualityScoreCtes,
+         |j AS (SELECT sc.doc_id, dd.source, sc.score
+         |      FROM sc JOIN documents dd USING (doc_id)),
+         |sp AS (SELECT source, CAST(min(score) AS BIGINT) AS lo,
+         |         CAST(max(score) AS BIGINT) AS hi,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM j GROUP BY 1),
+         |bk AS (SELECT j.doc_id, j.source, j.score, sp.n,
+         |         CAST(((j.score - sp.lo) * $NORM_HIST_B)
+         |           // (sp.hi - sp.lo + 1) AS INTEGER) AS b
+         |       FROM j JOIN sp USING (source)),
+         |h AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+         |      FROM bk GROUP BY 1, 2),
+         |bl AS (SELECT source, b,
+         |         CAST(sum(c) OVER (PARTITION BY source ORDER BY b ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+         |           AS BIGINT) AS below
+         |       FROM h)
+         |SELECT bk.doc_id, bk.source, bk.score,
+         |  CAST(CASE WHEN bk.n > 1 THEN bl.below * 10000 // (bk.n - 1)
+         |       ELSE 10000 END AS BIGINT) AS pct_e4,
+         |  CAST(CASE WHEN (CASE WHEN bk.n > 1
+         |         THEN bl.below * 10000 // (bk.n - 1) ELSE 10000 END)
+         |       >= $NORM_KEEP_E4 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM bk JOIN bl ON bl.source = bk.source AND bl.b = bk.b
+         |""".stripMargin,
+
+    // q_quality_ensemble replay: the perceptron chain (shared d/tok
+    // projections) plus the NB chain under n-prefixed CTE names,
+    // three integer votes, majority keep
+    "q_quality_ensemble" ->
+      s"""WITH $qualityScoreCtes,
+         |ncnt AS MATERIALIZED (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+         |  FROM tok GROUP BY 1),
+         |ntot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+         |                CAST(sum(cn) AS BIGINT) AS nn FROM ncnt),
+         |nw AS MATERIALIZED (
+         |  SELECT b, CAST(floor(1000000 * ln(
+         |      CAST((cp + 1) * (nn + $QUAL_B) AS DOUBLE) /
+         |      CAST((cn + 1) * (np + $QUAL_B) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM ncnt, ntot),
+         |ndc AS (SELECT
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
+         |  FROM d),
+         |nbias AS (SELECT CAST(floor(1000000 * ln(
+         |    CAST(dp + 1 AS DOUBLE) / CAST(dn + 1 AS DOUBLE))) AS BIGINT)
+         |    AS bias FROM ndc),
+         |ns AS (SELECT t.doc_id, CAST(sum(nw.w) AS BIGINT) AS sw
+         |       FROM tok t JOIN nw USING (b) GROUP BY 1),
+         |nsc AS (SELECT d.doc_id,
+         |          CAST(CASE WHEN nbias.bias + coalesce(ns.sw, 0) > 0
+         |               THEN 1 ELSE 0 END AS INTEGER) AS vote_nb
+         |        FROM d LEFT JOIN ns USING (doc_id), nbias)
+         |SELECT sc.doc_id,
+         |  CAST(CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS vote_perc,
+         |  nsc.vote_nb,
+         |  CAST(CASE WHEN sc.n_words BETWEEN 30 AND 300 THEN 1 ELSE 0 END
+         |    AS INTEGER) AS vote_len,
+         |  CAST((CASE WHEN sc.score > 0 THEN 1 ELSE 0 END) + nsc.vote_nb +
+         |    (CASE WHEN sc.n_words BETWEEN 30 AND 300 THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS votes,
+         |  CAST(CASE WHEN (CASE WHEN sc.score > 0 THEN 1 ELSE 0 END) +
+         |    nsc.vote_nb +
+         |    (CASE WHEN sc.n_words BETWEEN 30 AND 300 THEN 1 ELSE 0 END) >= 2
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM sc JOIN nsc USING (doc_id)""".stripMargin,
 
     // q_threshold_sweep replay: the same perceptron-score chain, then
     // the retention curve = histogram over floor(score/5)*5 buckets +

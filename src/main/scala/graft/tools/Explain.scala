@@ -123,8 +123,11 @@ object Explain {
     "q_dedup_yield",     // components + token projection + source agg
     "q_pair_mine",       // banded LSH candidates + mid-band filter
     "q_curriculum_order", // broadcast-LM scan + bucket-histogram windows
-    "q_kmeans_update"    // shown plan = batch re-assignment vs merged
+    "q_kmeans_update",   // shown plan = batch re-assignment vs merged
                          // centroid literals (fit scans run at build)
+    "q_score_normalize_hist", // span agg + bucket histogram windows +
+                              // (group, bucket) join-back — no group sort
+    "q_quality_ensemble" // three narrow scoring scans, one id join
   )
 
   def main(args: Array[String]): Unit = {

@@ -108,4 +108,43 @@ class PlannerSpec extends SparkSpec {
     assert(plan("A") == 400L)
     assert(realizedA == 400L)
   }
+
+  test("percentileNormalizeHist: bucket-floor approximation tracks " +
+    "the exact percent-rank within one bucket's occupancy share") {
+    import spark.implicits._
+    // 100 uniform integer scores in one group, 10 buckets -> each
+    // bucket holds 10 docs; the histogram pct is the bucket-floor
+    // percentile, so |hist - exact| < one bucket's share (10/99 of
+    // the range) plus the floor step
+    val scored = (0 until 100).map(i => (i.toLong, "g", i.toLong))
+      .toDF("doc_id", "source", "score")
+    val exact = Quality.percentileNormalize(scored, "source", "score",
+        "doc_id")
+      .select(col("doc_id"), col("pct_e4").as("p_exact"))
+    val hist = Quality.percentileNormalizeHist(scored, "source", "score",
+        buckets = 10)
+      .select(col("doc_id"), col("pct_e4").as("p_hist"))
+    val both = exact.join(hist, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(both.length == 100)
+    // monotone nonneg error, bounded by one bucket's occupancy
+    assert(both.forall { case (e, h) => h <= e })
+    assert(both.forall { case (e, h) => e - h <= (10L * 10000L) / 99L })
+    // bucket floors are exact: every 10th score matches exactly
+    val h0 = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h0(0L) == 0L && h0(10L) == 1010L && h0(90L) == 9090L)
+  }
+
+  test("percentileNormalizeHist: single-doc group pins to 10000, " +
+    "constant-score group collapses to bucket 0 with pct 0") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "solo", 5L),
+      (2L, "flat", 7L), (3L, "flat", 7L), (4L, "flat", 7L)
+    ).toDF("doc_id", "source", "score")
+    val got = Quality.percentileNormalizeHist(scored, "source", "score", 8)
+      .select(col("doc_id"), col("pct_e4"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10000L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
 }
