@@ -357,13 +357,16 @@ object PipelineQueries {
     // (src0 good, src1 bad — the handful-of-known-domains shape),
     // spread belief over the shared-content graph: (source, lang)
     // corpora are linked when they share >= 10 distinct word
-    // 3-grams (the boilerplate/copy signal, df-bounded since grams
-    // are node-distinct — at web scale cap gram df like the dedup
-    // band tables). 3 unrolled integer fixed-point rounds
-    // (Zhu-Ghahramani harmonic form), so every unlabeled corpus
-    // comes back with the belief its copy-neighbors lend it — a
-    // properly GRADED field (mixed neighborhoods average), not a
-    // seed echo; exact SQL replay
+    // 3-grams (the boilerplate/copy signal). Grams shared by more
+    // than LP_MAX_DF nodes drop BEFORE the self-join — the dedup
+    // df-cap discipline: a universal stop-gram is no copy evidence
+    // AND would fan the join out df^2-per-gram at web scale; the
+    // cap is part of the pinned semantics, so it oracle-checks.
+    // 3 unrolled integer fixed-point rounds (Zhu-Ghahramani
+    // harmonic form), so every unlabeled corpus comes back with the
+    // belief its copy-neighbors lend it — a properly GRADED field
+    // (mixed neighborhoods average), not a seed echo; exact SQL
+    // replay
     "q_label_prop" -> ((s, dir) => {
       import graft.functions.TextFunctions.{words, shinglesOfWords}
       val w = Tables(s, dir, "documents").select(
@@ -373,6 +376,12 @@ object PipelineQueries {
           explode(array_distinct(shinglesOfWords(col("__w"), 3)))
             .as("gram"))
         .distinct()
+        // node-level df as a window count: ONE exchange on the gram,
+        // output stays gram-partitioned for the join that follows
+        // (the ngramJaccardPairs pattern)
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+        .filter(col("__df") <= LP_MAX_DF).drop("__df")
       val e = grams.alias("a").join(grams.alias("b"),
           col("a.gram") === col("b.gram") && col("a.node") =!= col("b.node"))
         .select(col("a.node").as("src"), col("b.node").as("dst"))
@@ -405,6 +414,13 @@ object PipelineQueries {
   /** q_label_prop edge threshold: two corpora are linked when they
     * share at least this many distinct word 3-grams. */
   private val LP_MIN_SHARED = 10
+
+  /** q_label_prop gram df cap (nodes per gram): grams on more nodes
+    * are stop-boilerplate, not copy evidence, and would fan the
+    * candidate join out quadratically — dropped before the join.
+    * 5 BITES at sf0.01 (gram df reaches 7; 454 -> 436 edges), so
+    * the gate exercises the capped path, not a no-op. */
+  private val LP_MAX_DF = 5
 
   /** q_score_normalize keep threshold in basis points: retain the
     * top 75% of every source's own score distribution. */
@@ -635,8 +651,12 @@ object PipelineQueries {
        |             i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
        |         ELSE CAST([] AS VARCHAR[]) END AS s
        |       FROM w),
-       |g AS (SELECT DISTINCT node, gram FROM
+       |g0 AS (SELECT DISTINCT node, gram FROM
        |        (SELECT node, unnest(list_distinct(s)) AS gram FROM sh)),
+       |g AS (SELECT node, gram FROM
+       |        (SELECT node, gram,
+       |           count(*) OVER (PARTITION BY gram) AS df FROM g0)
+       |      WHERE df <= $LP_MAX_DF),
        |nodes AS (SELECT DISTINCT node FROM w),
        |e AS (SELECT a.node AS src, b.node AS dst
        |      FROM g a JOIN g b ON a.gram = b.gram AND a.node <> b.node

@@ -342,6 +342,30 @@ object Demo {
       "/root/testdata/sf0.001")
     println("stream sessionize users=" + sess.count() + " sessions=" +
       sess.agg(sum(col("n_sessions"))).head().getLong(0))
+    // round 13: semi-supervised host labeling over the shared-gram
+    // graph (src0 seeded good, src1 bad; belief in [0, 1e12])
+    val lp = graft.SparkEntry.queries("q_label_prop")(spark,
+      "/root/testdata/sf0.001")
+    println("label prop nodes=" + lp.count() +
+      " good=" + lp.filter(col("side") === 1).count() +
+      " bad=" + lp.filter(col("side") === -1).count() +
+      " graded=" + lp.filter(col("belief_e12") % 500000000000L =!= 0)
+        .count())
+    // round 13: closed-form Naive Bayes filter vs the perceptron —
+    // the ensemble's agreement rate through the public API
+    val ens = graft.SparkEntry.queries("q_quality_ensemble")(spark,
+      "/root/testdata/sf0.001")
+    println("quality ensemble docs=" + ens.count() +
+      " unanimous=" + ens.filter(col("votes") === 3).count() +
+      " kept=" + ens.filter(col("keep") === 1).count())
+    // round 13: incremental k-means ingest — the arriving tenth
+    // re-assigned against exactly-folded centroids
+    val ku = graft.operators.KMeans.updateAssign(
+      emb5.filter(col("vec_id") % 10 =!= 7),
+      emb5.filter(col("vec_id") % 10 === 7),
+      "vec_id", "embedding", k = 8, steps = 2)
+    println("kmeans ingest batch=" + ku.count() + " clusters=" +
+      ku.select("cluster").distinct().count())
     spark.stop()
   }
 }
