@@ -116,6 +116,36 @@ object DedupQueries {
       Dedup.winnowJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, window = 4, minJaccard = 0.3)),
 
+    // MinHash-LSH parameter planner: the analytic S-curve
+    // P(candidate | jaccard j) = 1 - (1 - j^r)^b for each candidate
+    // (bands, rows-per-band) config over a j grid — the table that
+    // picks b and r BEFORE a run (its empirical counterpart,
+    // dedup_sketch_calibration, verifies the choice after). All
+    // arithmetic is engine-portable WITHOUT pow(): j = k/20 makes
+    // j^r an exact integer ratio (k^r / 20^r, both exact longs), the
+    // one division is a single IEEE op, and the ^b fold is unrolled
+    // multiplication — identical left-to-right products in both
+    // engines, micro-unit floor at the end. Corpus-independent by
+    // design (a planner, not a measurement): built from a range
+    // frame, zero scans, zero exchanges.
+    "q_lsh_power" -> ((s, dir) => {
+      import s.implicits._
+      val grid = s.range(1, 20).select(col("id").cast("int").as("k"))
+      LSH_CONFIGS.map { case (b, r) =>
+        val den = math.pow(20, r).toLong // exact: 20^r <= 20^8
+        val kr = (1 until r).foldLeft(col("k").cast("long")) {
+          (acc, _) => acc * col("k")
+        }
+        val x = (lit(den) - kr).cast("double") / lit(den.toDouble)
+        val xb = (1 until b).foldLeft(x)((acc, _) => acc * x)
+        grid.select(
+          lit(b).as("bands"), lit(r).as("rows_per_band"),
+          (col("k") * 5).as("j_e2"),
+          floor(lit(1000000.0) * (lit(1.0) - xb)).cast("long")
+            .as("p_collision_e6"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // contrastive weak-positive pair MINING: the dedup machinery
     // pointed at training-data generation instead of removal —
     // mid-similarity embedding pairs (cosine in [0.30, 0.42), just
@@ -774,6 +804,34 @@ object DedupQueries {
        |FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
        |WHERE round(inter * 1.0 / (na.c + nb.c - inter), 4) >= 0.3""".stripMargin
 
+  /** q_lsh_power configs: three ways to spend a 128-hash sketch
+    * budget (bands x rows = 128). More rows per band -> steeper
+    * S-curve (fewer false candidates, lower recall at low j);
+    * 20^r must stay a long, so r <= 14. */
+  private val LSH_CONFIGS = Seq((32, 4), (16, 8), (64, 2))
+
+  // q_lsh_power replay: identical unrolled arithmetic — exact k^r /
+  // 20^r integer ratio, ONE IEEE division, left-associated repeated
+  // multiplication for ^b (no pow(), whose rounding is not pinned
+  // across libm implementations), micro-unit floor
+  private def lshPowerOracle: String = {
+    val legs = LSH_CONFIGS.map { case (b, r) =>
+      val den = math.pow(20, r).toLong
+      val kr = (1 until r).foldLeft("CAST(k AS BIGINT)")(
+        (acc, _) => s"($acc * k)")
+      val x = s"(CAST($den - $kr AS DOUBLE) / CAST($den AS DOUBLE))"
+      val xb = (1 until b).foldLeft(x)((acc, _) => s"($acc * $x)")
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+         |  CAST($r AS INTEGER) AS rows_per_band,
+         |  CAST(k * 5 AS INTEGER) AS j_e2,
+         |  CAST(floor(1000000.0 * (1.0 - $xb)) AS BIGINT)
+         |    AS p_collision_e6
+         |FROM grid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH grid AS (SELECT CAST(unnest(range(1, 20)) AS INTEGER) AS k)
+       |$legs""".stripMargin
+  }
+
   // reachability closure over the winnow pair graph; component =
   // smallest reachable id (including self, so isolated docs keep
   // their own id)
@@ -1158,6 +1216,7 @@ object DedupQueries {
     "dedup_winnow" -> winnowOracle,
     // pair mining = the LSH banded candidates with the mid band
     // [0.30, 0.42) on the same rounded cosine
+    "q_lsh_power" -> lshPowerOracle,
     "q_pair_mine" -> embeddingLshAutoOracle(32L, lo = 0.30,
       hi = Some(0.42)),
     "dedup_components" -> componentsOracle,
