@@ -99,7 +99,10 @@ object Decontaminate {
       .groupBy(col("__grp"), col("eval_set"))
       .agg(count(lit(1)).as("n_contam"))
     val totals = tw.groupBy(col("__grp")).agg(count(lit(1)).as("n_docs"))
-    val sets = evalGrams.select(col("eval_set")).distinct()
+    // sets come from the eval SUITE itself, not its grams: a
+    // benchmark whose items are all shorter than n words still owns
+    // a (trivially clean) matrix row — the dense-matrix contract
+    val sets = evals.select(col(setCol).as("eval_set")).distinct()
     totals.crossJoin(broadcast(sets))
       .join(contam, Seq("__grp", "eval_set"), "left")
       .select(col("__grp").as(groupCol), col("eval_set"), col("n_docs"),

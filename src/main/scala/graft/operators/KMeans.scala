@@ -111,20 +111,33 @@ object KMeans {
     }
   }
 
-  /** New centroid per surviving cluster: componentwise
-    * floor(sum / count) — one aggregation, k*dim result rows. */
-  private[operators] def update(assigned: DataFrame): Map[Int, Seq[Long]] =
+  /** Exact per-(cluster, dim) coordinate sums and member counts of
+    * an assignment — the sufficient statistics BOTH the Lloyd update
+    * and the incremental fold ([[updateAssign]]) consume; one
+    * aggregation, k*dim result rows. */
+  private def clusterStats(assigned: DataFrame): Map[(Int, Int), (Long, Long)] =
     assigned
       .select(col("cluster"), posexplode(col("__q")).as(Seq("pos", "val")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-      .select(col("cluster"), col("pos"),
-        floor(col("s").cast("double") / col("n")).cast("long").as("m"))
-      .collect() // k * dim rows — centroids, not data
-      .groupBy(_.getInt(0))
-      .map { case (c, rows) =>
-        c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-      }
+      .collect() // k * dim rows — centroid statistics, not data
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  /** Componentwise floor(sum / count) over cluster statistics — the
+    * ONE definition of the centroid-mean arithmetic (fit and ingest
+    * paths cannot diverge). */
+  private def floorMeans(st: Map[(Int, Int), (Long, Long)])
+  : Map[Int, Seq[Long]] =
+    st.groupBy(_._1._1).map { case (c, m) =>
+      c -> m.toSeq.sortBy(_._1._2)
+        .map { case (_, (s, n)) => math.floor(s.toDouble / n).toLong }
+    }
+
+  /** New centroid per surviving cluster: componentwise
+    * floor(sum / count). */
+  private[operators] def update(assigned: DataFrame): Map[Int, Seq[Long]] =
+    floorMeans(clusterStats(assigned))
 
   /** [[fit]] keeping the quantized vector column `__q` alongside the
     * assignment — callers that compare vectors within clusters
@@ -284,24 +297,11 @@ object KMeans {
     *         updated centroids */
   def updateAssign(base: DataFrame, batch: DataFrame, idCol: String,
                    vecCol: String, k: Int, steps: Int = 2): DataFrame = {
-    def stats(assigned: DataFrame): Map[(Int, Int), (Long, Long)] =
-      assigned
-        .select(col("cluster"), posexplode(col("__q")).as(Seq("pos", "val")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .collect() // k * dim rows — centroid statistics, not data
-        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-    val assignedBase = fitAssigned(base, idCol, vecCol, k, steps)
-    val baseStats = stats(assignedBase)
+    val baseStats = clusterStats(fitAssigned(base, idCol, vecCol, k, steps))
     // the fit's final centroids (floor means of the last assignment)
-    val cents: Map[Int, Seq[Long]] = baseStats.groupBy(_._1._1).map {
-      case (c, m) =>
-        c -> m.toSeq.sortBy(_._1._2)
-          .map { case (_, (s, n)) => math.floor(s.toDouble / n).toLong }
-    }
+    val cents = floorMeans(baseStats)
     val qBatch = batch.select(col(idCol), quantize(col(vecCol)).as("__q"))
-    val batchStats = stats(assignTo(qBatch, cents))
+    val batchStats = clusterStats(assignTo(qBatch, cents))
     val merged: Map[Int, Seq[Long]] = cents.map { case (c, v) =>
       c -> v.indices.map { i =>
         val (sb, nb) = baseStats((c, i))

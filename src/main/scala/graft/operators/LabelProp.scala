@@ -79,6 +79,13 @@ object LabelProp {
     val und = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      // edges to nodes OUTSIDE the universe drop entirely — a host
+      // link table naturally references hosts absent from the node
+      // snapshot, and keeping such an edge in deg while its
+      // neighbor's belief never joins would silently deflate every
+      // unseeded neighbor toward 0 (deg counts only known neighbors)
+      .join(nd.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nd.select(col("node").as("dst")), Seq("dst"), "left_semi")
     val sd = seeds
       .select(col(seedNodeCol).as("node"),
         col(labelCol).cast("long").as("__y"))

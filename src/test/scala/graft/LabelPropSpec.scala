@@ -51,6 +51,16 @@ class LabelPropSpec extends SparkSpec {
     assert(base("B") == S) // B's only neighbor is the clamped seed
   }
 
+  test("edges to nodes outside the universe drop entirely — deg " +
+    "counts only known neighbors") {
+    val got = run(
+      edges = Seq("A" -> "B", "A" -> "X", "X" -> "B"),
+      seeds = Seq("B" -> 1), nodes = Seq("A", "B"), iters = 1)
+    // were the ghost edge kept in deg, A would read (S + nothing)/2
+    // = MID; with it dropped, A's one known neighbor is the seed
+    assert(got == Map("A" -> S, "B" -> S))
+  }
+
   test("contradictory seed rejected; label outside +1/-1 rejected") {
     intercept[IllegalArgumentException] {
       run(Seq("A" -> "B"), Seq("A" -> 1, "A" -> -1), Seq("A", "B"))
