@@ -43,6 +43,43 @@ object Retrieval {
     scorePosts(toks, posts, idCol, k1, b, topK, perQuery = false)
   }
 
+  /** BM25 with RM3-style pseudo-relevance feedback — the classic
+    * query-expansion loop (Lavrenko & Croft's relevance models, the
+    * form Anserini/Lucene ship as RM3): score the seed query, treat
+    * the top `fbDocs` results as relevant, lift the `fbTerms`
+    * most-frequent non-seed terms out of them, and rescore with the
+    * expanded query. Expansion recovers vocabulary-mismatch recall
+    * (documents about the topic that never use the seed words).
+    *
+    * Deterministic end-to-end: both ranking passes are [[bm25]]'s
+    * integer micro-unit scores with id tiebreaks, and the expansion
+    * pick orders by exact occurrence count then term — so the
+    * expanded TERM SET (and thus the final ranking) replays in SQL.
+    *
+    * Scale shape: two corpus scans (the two BM25 passes — each the
+    * [[bm25]] posting shape) plus one term count over the FEEDBACK
+    * docs only (fbDocs documents — driver-bounded the way model
+    * collects are; the expansion set is fbTerms strings).
+    */
+  def bm25Rm3(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], fbDocs: Int = 5, fbTerms: Int = 3,
+              k1: Double = 1.2, b: Double = 0.75,
+              topK: Int = 20): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "need fbDocs >= 1, fbTerms >= 1")
+    import graft.functions.TextFunctions.words
+    val fb = bm25(docs, idCol, textCol, queryTerms, k1, b, topK = fbDocs)
+      .select(col(idCol))
+    val expansion = docs
+      .join(fb, idCol)
+      .select(explode(words(col(textCol))).as("term"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term").asc)
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq // fbTerms strings — driver-bounded
+    bm25(docs, idCol, textCol, queryTerms ++ expansion, k1, b, topK)
+  }
+
   /** Batched BM25: many queries at once — the production retrieval
     * workload. `queries` is (qidCol, termCol), one row per query
     * term; the union of query terms filters the corpus explode (one

@@ -630,6 +630,15 @@ object TextQueries {
       graft.operators.Retrieval.bm25(Tables(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "query", "join"))),
 
+    // RM3 pseudo-relevance feedback: score the seed query, lift the
+    // 3 most-frequent non-seed terms from the top-5 results, rescore
+    // with the expanded query — vocabulary-mismatch recall, the
+    // Lucene/Anserini RM3 recipe, deterministic end-to-end (integer
+    // scores + exact-count/term-order expansion pick)
+    "q_bm25_rm3" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25Rm3(Tables(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "query", "join"))),
+
     // batched BM25 — three queries in one pass: union of terms
     // filters the corpus once, per-query fan-out is a broadcast term
     // join, top-5 per query via the bounded TopK aggregate
@@ -1688,6 +1697,54 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(sum(s_e6) AS BIGINT) AS score_e6
         |FROM sc GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // q_bm25_rm3 replay: the seed pass LIMIT 5, the occurrence-count
+    // expansion pick (non-seed terms, count desc / term asc, LIMIT
+    // 3), and the second pass over seeds UNION expansion — identical
+    // micro-unit arithmetic in both passes
+    "q_bm25_rm3" ->
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |           FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+        |m1 AS (SELECT * FROM t WHERE term IN ('spark', 'query', 'join')),
+        |tf1 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM m1 GROUP BY doc_id, dl, term),
+        |dft1 AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |         FROM m1 GROUP BY term),
+        |sc1 AS (SELECT doc_id,
+        |          CAST(floor((ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |            ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 *
+        |              (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))))
+        |            * 1000000.0) AS BIGINT) AS s_e6
+        |        FROM tf1 JOIN dft1 USING (term) CROSS JOIN st),
+        |fbd AS (SELECT doc_id FROM (
+        |          SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |          FROM sc1 GROUP BY doc_id
+        |          ORDER BY score_e6 DESC, doc_id ASC LIMIT 5)),
+        |ft AS (SELECT term FROM t JOIN fbd USING (doc_id)
+        |       WHERE term NOT IN ('spark', 'query', 'join')
+        |       GROUP BY term
+        |       ORDER BY count(*) DESC, term ASC LIMIT 3),
+        |qt AS (SELECT 'spark' AS term UNION ALL SELECT 'query'
+        |       UNION ALL SELECT 'join' UNION ALL SELECT term FROM ft),
+        |m2 AS (SELECT * FROM t WHERE term IN (SELECT term FROM qt)),
+        |tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM m2 GROUP BY doc_id, dl, term),
+        |dft2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |         FROM m2 GROUP BY term),
+        |sc2 AS (SELECT doc_id,
+        |          CAST(floor((ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        |            ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 *
+        |              (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))))
+        |            * 1000000.0) AS BIGINT) AS s_e6
+        |        FROM tf2 JOIN dft2 USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |FROM sc2 GROUP BY doc_id
         |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // q_bm25_batch replay: same per-term micro-unit scores, fan-out
     // via the VALUES query table, rank window per qid (integer
