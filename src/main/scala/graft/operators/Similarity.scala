@@ -318,7 +318,9 @@ object Similarity {
                                minCosine: Double, dim: Int = 64,
                                nPlanes: Int = 6, tables: Int = 4,
                                nEstimate: Long = 0L,
-                               targetBucket: Long = 64L): DataFrame = {
+                               targetBucket: Long = 64L,
+                               maxCosine: Double = Double.MaxValue)
+  : DataFrame = {
     // Empty corpus short-circuits to an empty pair set: the frozen
     // nPlanes path returns empty there too, and autoPlanes needs n > 0.
     val n = if (nPlanes > 0) -1L
@@ -369,7 +371,12 @@ object Similarity {
       .join(vecs.select(col("__vid").as("id_a"), col("__vec").as("__va")), "id_a")
       .join(vecs.select(col("__vid").as("id_b"), col("__vec").as("__vb")), "id_b")
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
-      .filter(col("sim") >= minCosine)
+      // both band bounds compare the ROUND-6 sim (the stability
+      // grade every ordering in this file already bets on) — a
+      // bound on the round-4 display value would flip on exact
+      // .xxxx5 halves, where Spark's HALF_UP and DuckDB's correctly
+      // rounded double disagree (observed at sf0.1)
+      .filter(col("sim") >= minCosine && col("sim") < maxCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 

@@ -153,15 +153,19 @@ object DedupQueries {
     // embedding/reranker training mines from a corpus (copies teach
     // nothing, dissimilar pairs are trivial negatives; the mid band
     // is where the signal is). Same banded LSH candidate path as
-    // dedup_embedding_lsh with the band's lower cut, one extra
-    // upper-bound filter on the already-rounded cosine — mined pairs
-    // are a SUBSET of what the bands surface, exactly as in
-    // production ANN-candidate mining.
+    // dedup_embedding_lsh with both band bounds applied to the
+    // round-6 cosine INSIDE the operator — mined pairs are a SUBSET
+    // of what the bands surface, exactly as in production
+    // ANN-candidate mining. Output is the pair LIST (what a
+    // training-pair consumer reads); the display-rounded sim is
+    // deliberately dropped — a round-4 value sits on .xxxx5 halves
+    // where engines' rounding modes disagree.
     "q_pair_mine" -> ((s, dir) =>
       graft.operators.Similarity.embeddingNearDupPairsLSH(
           Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.30, dim = 64, nPlanes = 0, targetBucket = 32L)
-        .filter(col("sim") < 0.42)),
+          minCosine = 0.30, maxCosine = 0.42, dim = 64, nPlanes = 0,
+          targetBucket = 32L)
+        .select(col("id_a"), col("id_b"))),
 
     // near-dup group resolution: connected components over the
     // winnow pair graph; component label = surviving doc id
@@ -751,8 +755,13 @@ object DedupQueries {
        |        round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
        |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
        |                JOIN e eb ON eb.vec_id = cand.id_b)
-       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
-       |WHERE sim >= $lo${hi.map(h => s" AND round(sim, 4) < $h").getOrElse("")}""".stripMargin
+       |${hi match {
+        // band form (pair mining): both bounds on the ROUND-6 sim,
+        // id pairs only — a round-4 output value would sit on .xxxx5
+        // halves where engine rounding modes disagree
+        case Some(h) => s"SELECT id_a, id_b FROM s WHERE sim >= $lo AND sim < $h"
+        case None => s"SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= $lo"
+      }}""".stripMargin
   }
 
   private val embeddingOracle: String =
