@@ -196,7 +196,8 @@ object Bench {
       "q_contamination_matrix", "q_dim_truncate_recall",
       "q_ivf_recall_curve", "q_vocab_coverage", "q_dedup_yield",
       "q_pair_mine", "q_curriculum_order", "q_kmeans_update",
-      "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3")
+      "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
+      "q_write_plan")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

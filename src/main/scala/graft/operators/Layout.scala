@@ -34,6 +34,34 @@ object Layout {
       .sortWithinPartitions(clusterBy.map(col): _*)
   }
 
+  /** Per-group BYTE-budget write plan — the table that turns "write
+    * each source as its own partition directory" into concrete file
+    * geometry: per group, the estimated payload bytes (an exact
+    * octet-length sum over the payload column), the file count that
+    * keeps each file under `targetBytes` (ceil division), and the
+    * per-file row cap to pass to [[cappedWriter]] /
+    * `maxRecordsPerFile`. Planning on BYTES rather than rows is what
+    * matters when payload sizes are skewed (a source of long
+    * documents needs more files for the same row count).
+    *
+    * All-integer (exact sums, ceil by `(a + b - 1) div b`), so the
+    * plan replays in SQL. One map-combined aggregation per group —
+    * the output is |groups| rows; the write itself then uses
+    * [[sized]]/[[cappedWriter]] per group with `rows_per_file`.
+    */
+  def writePlan(df: DataFrame, groupCol: String, payloadCol: String,
+                targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    df.select(col(groupCol),
+        octet_length(col(payloadCol)).cast("long").as("__bytes"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__bytes")).as("est_bytes"))
+      .withColumn("n_files",
+        expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes"))
+      .withColumn("rows_per_file",
+        expr("(n_rows + n_files - 1) div n_files"))
+  }
+
   /** Writer with a hard per-file row cap — belt to [[sized]]'s
     * braces: even if a partition ends up oversized (skewed range,
     * upstream change), no single file exceeds `maxRecordsPerFile`. */

@@ -60,6 +60,17 @@ object PipelineQueries {
           "doc_id", "n_tok", SHARDS, BUDGET)
         .select(col("doc_id"), col("shard"), col("cum_before"), col("pack_id"))),
 
+    // per-source BYTE-budget write plan: file counts + per-file row
+    // caps that keep every output file under the target size — the
+    // small-files/giant-files planner for a partitioned-by-source
+    // write (plans on bytes, not rows: long-document sources need
+    // more files per row). Target scaled so sf0.01 exercises
+    // multi-file splits.
+    "q_write_plan" -> ((s, dir) =>
+      graft.operators.Layout.writePlan(
+        Tables(s, dir, "documents"), "source", "text",
+        targetBytes = WRITE_TARGET_BYTES)),
+
     // length-bucketing for padded batches (the no-concat complement
     // of q_pack): smallest power-of-two boundary >= token count,
     // exact e4 padding efficiency per bucket — all-integer, one
@@ -430,6 +441,10 @@ object PipelineQueries {
     * sources exercises both the shared-bucket and the
     * one-doc-per-bucket regimes). */
   private val NORM_HIST_B = 64
+
+  /** q_write_plan target file size: 2 KiB splits sf0.01's ~7-9 KiB
+    * per-source payloads into several files (production: 512 MiB). */
+  private val WRITE_TARGET_BYTES = 2048L
 
   /** q_cms overestimate bound (fraction of total token count). */
   private val CMS_EPS = 0.001
@@ -914,6 +929,19 @@ object PipelineQueries {
          |       ELSE 10000 END) >= $NORM_KEEP_E4 THEN 1 ELSE 0 END
          |    AS INTEGER) AS keep
          |FROM r""".stripMargin,
+
+    // q_write_plan replay: exact octet-length sums, integer ceil
+    // divisions
+    "q_write_plan" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS est_bytes,
+         |  CAST((sum(strlen(text)) + ${WRITE_TARGET_BYTES - 1})
+         |    // $WRITE_TARGET_BYTES AS BIGINT) AS n_files,
+         |  CAST((count(*) + ((sum(strlen(text)) +
+         |      ${WRITE_TARGET_BYTES - 1}) // $WRITE_TARGET_BYTES) - 1)
+         |    // ((sum(strlen(text)) + ${WRITE_TARGET_BYTES - 1})
+         |      // $WRITE_TARGET_BYTES) AS BIGINT) AS rows_per_file
+         |FROM documents GROUP BY source""".stripMargin,
 
     // q_score_normalize_hist replay: per-source [min, max] spans,
     // equal-width buckets, cumulative strictly-below counts over the

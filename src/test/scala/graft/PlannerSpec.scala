@@ -135,6 +135,56 @@ class PlannerSpec extends SparkSpec {
     assert(h0(0L) == 0L && h0(10L) == 1010L && h0(90L) == 9090L)
   }
 
+  test("percentile normalization differential fuzz: 40 random frames, " +
+    "both forms vs independent references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    for (trial <- 1 to 40) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (0 until nGroups).flatMap { g =>
+        (0 until (1 + rnd.nextInt(30))).map { _ =>
+          (rnd.nextLong(1000000), s"g$g", rnd.nextInt(12).toLong)
+        }
+      }.zipWithIndex.map { case ((_, g, s), i) => (i.toLong, g, s) }
+      val df = rows.toDF("doc_id", "source", "score")
+      val b = 2 + rnd.nextInt(15)
+
+      // independent exact reference: per-group (score, id) sort
+      val refExact = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(r => (r._3, r._1))
+        val n = sorted.length
+        sorted.zipWithIndex.map { case (r, i) =>
+          r._1 -> (if (n > 1) i.toLong * 10000L / (n - 1) else 10000L)
+        }
+      }.toMap
+      val gotExact = graft.operators.Quality
+        .percentileNormalize(df, "source", "score", "doc_id")
+        .select(col("doc_id"), col("pct_e4"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotExact == refExact, s"exact form, trial $trial")
+
+      // independent histogram reference: equal-width buckets of the
+      // group span, strictly-below counts
+      val refHist = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val n = grp.length
+        val lo = grp.map(_._3).min; val hi = grp.map(_._3).max
+        def bucket(s: Long) = ((s - lo) * b / (hi - lo + 1)).toInt
+        val cnt = grp.groupBy(r => bucket(r._3)).map { case (k, v) =>
+          k -> v.length
+        }
+        grp.map { r =>
+          val below = cnt.filter(_._1 < bucket(r._3)).values.sum.toLong
+          r._1 -> (if (n > 1) below * 10000L / (n - 1) else 10000L)
+        }
+      }.toMap
+      val gotHist = graft.operators.Quality
+        .percentileNormalizeHist(df, "source", "score", buckets = b)
+        .select(col("doc_id"), col("pct_e4"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotHist == refHist, s"hist form b=$b, trial $trial")
+    }
+  }
+
   test("percentileNormalizeHist: single-doc group pins to 10000, " +
     "constant-score group collapses to bucket 0 with pct 0") {
     import spark.implicits._
