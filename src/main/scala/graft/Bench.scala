@@ -91,17 +91,29 @@ object Bench {
     val WarmTrials = 5
     val MaxRetries = 3
 
-    /** Full timing record of one query: stats(0) is the untimed
-      * warmup, the rest are warm trials in execution order (retries
-      * appended). `flagged` holds contaminated warm indices (into
-      * `stats`); the median is over unflagged warm trials. */
+    /** Full timing record of one query: stats(0 until warmups) are
+      * the untimed warmups, the rest are warm trials in execution
+      * order (retries appended). `flagged` holds contaminated warm
+      * indices (into `stats`); the median is over unflagged warm
+      * trials. */
     final case class QTimes(median: Double, ok: Boolean,
                             stats: Seq[TrialMeter.TrialStat],
-                            flagged: Seq[Int], retried: Int)
+                            flagged: Seq[Int], retried: Int,
+                            warmups: Int = 1)
     val trialLog = scala.collection.mutable.LinkedHashMap.empty[String, QTimes]
+    // SLOT-RELEASE pass (round 14): after each query's trials, evict
+    // every PersistSlots frame the query did NOT touch. Cross-trial
+    // reuse WITHIN a query is untouched (its slots carry this query's
+    // epoch stamp); what goes away is the r13 shape where a 210-query
+    // run held every operator's cache to session end (536 hits / 133
+    // misses, zero releases) and the tail of the alphabet paid the
+    // accumulated heap pressure as GC time — now visible per-trial in
+    // trial_gc and bounded by construction.
+    var slotReleases = 0L
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
               dir: String, logAs: String = "",
-              warmTrials: Int = WarmTrials): QTimes = {
+              warmTrials: Int = WarmTrials, warmups: Int = 1): QTimes = {
+      val mark = graft.operators.PersistSlots.advanceEpoch()
       val stats = scala.collection.mutable.ArrayBuffer.empty[TrialMeter.TrialStat]
       var failed = false
       def runTrial(): Unit = {
@@ -112,10 +124,10 @@ object Bench {
       }
       var trial = 0
       // first failure decides — don't re-run a broken query
-      while (trial < 1 + warmTrials && !failed) { runTrial(); trial += 1 }
+      while (trial < warmups + warmTrials && !failed) { runTrial(); trial += 1 }
       var retried = 0
       def warmFlags: Seq[Boolean] =
-        TrialMeter.flags(stats.drop(1).toSeq, extBaseline = extBaseline)
+        TrialMeter.flags(stats.drop(warmups).toSeq, extBaseline = extBaseline)
       if (!failed) {
         var fl = warmFlags
         while (!failed && fl.contains(true) && fl.count(!_) < warmTrials &&
@@ -125,18 +137,21 @@ object Bench {
         }
       }
       val res =
-        if (failed) QTimes(-1.0, ok = false, stats.toSeq, Nil, retried)
+        if (failed) QTimes(-1.0, ok = false, stats.toSeq, Nil, retried, warmups)
         else {
           val fl = warmFlags
-          val flaggedIdx = fl.zipWithIndex.collect { case (true, i) => i + 1 }
-          val clean = stats.drop(1).zip(fl).collect { case (s, false) => s.wallSec }
+          val flaggedIdx = fl.zipWithIndex.collect { case (true, i) =>
+            i + warmups }
+          val clean = stats.drop(warmups).zip(fl)
+            .collect { case (s, false) => s.wallSec }
           // all-flagged fallback: median over everything rather than
           // nothing — the flags still say the number is suspect
-          val pool = (if (clean.nonEmpty) clean else stats.drop(1).map(_.wallSec))
-            .sorted
+          val pool = (if (clean.nonEmpty) clean
+                      else stats.drop(warmups).map(_.wallSec)).sorted
           QTimes(pool(pool.length / 2), ok = true, stats.toSeq, flaggedIdx,
-            retried)
+            retried, warmups)
         }
+      slotReleases += graft.operators.PersistSlots.releaseUntouched(mark)
       if (logAs.nonEmpty) trialLog(logAs) = res
       res
     }
@@ -203,13 +218,24 @@ object Bench {
       else {
         try graft.queries.Fixtures.warm(spark, baseDir)
         catch { case _: Throwable => }
+        // DOUBLE warmup on both probe sides (round 14): the r13
+        // artifact recorded base medians ABOVE main on 10x less data
+        // (q_score_normalize base 12.83 s at sf0.01 vs main 1.99 s)
+        // — a single warmup at the just-switched sf dir evidently
+        // doesn't absorb first-touch costs (fresh slots, page cache,
+        // file listing) on some queries. Any surviving base > main
+        // inversion on these corpus-scale probes is self-evidently a
+        // measurement artifact, so it is named in probe_anomalies
+        // rather than left to pollute the recorded ratios.
+        val anomalies = scala.collection.mutable.ArrayBuffer.empty[String]
         val probes = probeNames.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            val base = timed(fn, baseDir, warmTrials = 3)
-            val main = timed(fn, sfDir, warmTrials = 3)
+            val base = timed(fn, baseDir, warmTrials = 3, warmups = 2)
+            val main = timed(fn, sfDir, warmTrials = 3, warmups = 2)
             // a failed trial invalidates the ratio — emit an explicit
             // err flag rather than a ratio built from time-to-failure
             if (base.ok && main.ok) {
+              if (base.median > main.median) anomalies += name
               "\"" + name + "\":{\"base\":" + base.median +
                 ",\"main\":" + main.median +
                 ",\"ratio\":" + (main.median / base.median) + "}"
@@ -219,7 +245,8 @@ object Bench {
             }
           }
         }
-        s""","scale_probe":{"base_sf":"$baseDir","isolation":"warmup1+median3-warm-selftimed","queries":${probes.mkString("{", ",", "}")}}"""
+        val anomJson = anomalies.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","scale_probe":{"base_sf":"$baseDir","isolation":"warmup2+median3-warm-selftimed","probe_anomalies":$anomJson,"queries":${probes.mkString("{", ",", "}")}}"""
       }
     // PINNED cross-round subset: the 167 query names BENCH_r10 timed,
     // with ONE r12 roster change (per the r11 verdict): the benched
@@ -288,17 +315,30 @@ object Bench {
     // [min, max]: a cross-round delta inside the band is session
     // noise, not a regression — the signal-vs-noise context the 2x
     // gate needs
-    def acceptedWalls(q: QTimes): Seq[Double] = {
-      val warm = q.stats.drop(1).zipWithIndex
-        .collect { case (s, i) if !q.flagged.contains(i + 1) => s.wallSec }
-      if (warm.nonEmpty) warm else q.stats.drop(1).map(_.wallSec)
+    def acceptedStats(q: QTimes): Seq[TrialMeter.TrialStat] = {
+      val warm = q.stats.drop(q.warmups).zipWithIndex
+        .collect { case (s, i) if !q.flagged.contains(i + q.warmups) => s }
+      if (warm.nonEmpty) warm else q.stats.drop(q.warmups)
     }
+    def acceptedWalls(q: QTimes): Seq[Double] = acceptedStats(q).map(_.wallSec)
     val bandsJson = trialLog.map { case (k, q) =>
       val warm = acceptedWalls(q)
       val lo = if (warm.isEmpty) -1.0 else warm.min
       val hi = if (warm.isEmpty) -1.0 else warm.max
       "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
     }.mkString("{", ",", "}")
+    // CPU-seconds twin of the pinned wall total (round 14): on a
+    // host that is saturated at rest, wall medians carry ±10%
+    // irreducible noise (the 101.4–121.8 s same-code band) while
+    // process-cpu totals are nearly load-invariant — this is the
+    // lineage series that needs no quiet box. Median cpuSec over the
+    // same accepted trials the wall median pools.
+    def medianCpu(q: QTimes): Double = {
+      val cs = acceptedStats(q).map(_.cpuSec).filter(_ >= 0).sorted
+      if (cs.isEmpty) 0.0 else cs(cs.length / 2)
+    }
+    val pinnedCpuTotal = results.collect {
+      case (n, q) if q.ok && pinned.contains(n) => medianCpu(q) }.sum
     val codegenErrors = graft.tools.CodegenGuard.report()
     val (slotHits, slotMisses) = graft.operators.PersistSlots.stats
     val trialsJson = trialLog.map { case (k, q) =>
@@ -317,6 +357,13 @@ object Bench {
       "\"" + k + "\":" + q.stats.map(s => f"${s.extShare}%.3f")
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-trial stop-the-world GC seconds, parallel to "trials" — the
+    // work-vs-heap-pressure split for trials whose cpu AND wall both
+    // inflate (gc high = heap pressure, gc flat = real work)
+    val gcJson = trialLog.map { case (k, q) =>
+      "\"" + k + "\":" + q.stats.map(s => f"${s.gcSec}%.2f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val flaggedPairs = trialLog.toSeq.collect {
       case (k, q) if q.flagged.nonEmpty =>
         "\"" + k + "\":" + q.flagged.mkString("[", ",", "]")
@@ -326,7 +373,7 @@ object Bench {
     val retriedTrials = trialLog.valuesIterator.map(_.retried).sum
     val loadEnd = TrialMeter.load1()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"flagged_trials":$flaggedJson,"bands":$bandsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"pinned_cpu_total":${f"$pinnedCpuTotal%.2f"},"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses,"releases":$slotReleases,"held_end":${graft.operators.PersistSlots.size}},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"trial_gc":$gcJson,"flagged_trials":$flaggedJson,"bands":$bandsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that
@@ -355,7 +402,7 @@ object Bench {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$contJson$om,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"pinned_cpu_total":${fmt(pinnedCpuTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$contJson$om,"detail":"bench_detail.json"}"""
     }
     val ok = results.collect { case (n, q) if q.ok => (n, q.median) }
     val byTimeDesc = ok.sortBy(-_._2)

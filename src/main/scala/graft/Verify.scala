@@ -59,6 +59,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // slot hygiene (the Bench release pass): evict persist slots
+      // the current entry didn't touch, so a 220-entry gate run
+      // doesn't hold every operator's cache to session end
+      val mark = graft.operators.PersistSlots.advanceEpoch()
       val a = graft.tools.TrialMeter.snap()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -68,6 +72,7 @@ object Verify {
       val st = graft.tools.TrialMeter.stat(a, graft.tools.TrialMeter.snap(), cores)
       seconds(name) = st.wallSec
       extShare(name) = st.extShare
+      graft.operators.PersistSlots.releaseUntouched(mark): Unit
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -66,14 +66,18 @@ object Decontaminate {
     * a leaked benchmark mirror in that source, while a uniform warm
     * row usually means the benchmark itself contains boilerplate.
     *
-    * Scale shape: identical to [[overlapReport]] — the whole eval
-    * SUITE's distinct (set, gram) pairs broadcast (benchmarks are
-    * thousands of docs; a suite of them still is), the corpus pays
-    * one scan producing distinct per-doc grams, one broadcast join,
-    * then aggregation over (group, set, doc) hit triples — bounded
-    * by contaminated docs × sets, tiny next to the corpus. The
-    * final matrix is |groups| × |sets| rows: driver-scale by
-    * construction.
+    * Scale shape: the whole eval SUITE's distinct (set, gram) pairs
+    * broadcast (benchmarks are thousands of docs; a suite of them
+    * still is), the corpus pays one FULL scan producing distinct
+    * per-doc grams (parse + explode), one broadcast join, then
+    * aggregation over (group, set, doc) hit triples — bounded by
+    * contaminated docs × sets, tiny next to the corpus. The per-group
+    * totals are a SECOND pass, but one that reads only the group
+    * column — a pruned columnar scan, a fraction of a percent of the
+    * gram pass's text bytes (persisting the words projection instead
+    * would spill a corpus-sized cache to trade away that narrow
+    * rescan: the rescan wins at the 100 TB shape). The final matrix
+    * is |groups| × |sets| rows: driver-scale by construction.
     *
     * @param evals eval suite with a set-label column — union the
     *              individual benchmarks with a literal label
@@ -86,6 +90,9 @@ object Decontaminate {
                           n: Int = 3): DataFrame = {
     val tw = train.select(col(groupCol).as("__grp"), col(idCol).as("id"),
       words(col(textCol)).as("__w"))
+    // group-column-only projection for the totals pass: the pruned
+    // scan reads none of the text bytes the gram pass parses
+    val tg = train.select(col(groupCol).as("__grp"))
     val evalGrams = broadcast(
       evals.select(col(setCol).as("eval_set"),
           explode(array_distinct(
@@ -98,7 +105,7 @@ object Decontaminate {
       .select(col("__grp"), col("eval_set"), col("id")).distinct()
       .groupBy(col("__grp"), col("eval_set"))
       .agg(count(lit(1)).as("n_contam"))
-    val totals = tw.groupBy(col("__grp")).agg(count(lit(1)).as("n_docs"))
+    val totals = tg.groupBy(col("__grp")).agg(count(lit(1)).as("n_docs"))
     // sets come from the eval SUITE itself, not its grams: a
     // benchmark whose items are all shorter than n words still owns
     // a (trivially clean) matrix row — the dense-matrix contract

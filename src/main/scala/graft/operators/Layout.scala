@@ -56,8 +56,11 @@ object Layout {
         octet_length(col(payloadCol)).cast("long").as("__bytes"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), sum(col("__bytes")).as("est_bytes"))
+      // clamp: a non-empty group whose payloads sum to 0 bytes (empty
+      // or all-null) still needs ONE file — ceil division alone plans
+      // n_files = 0 there and rows_per_file divides by zero
       .withColumn("n_files",
-        expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes"))
+        expr(s"greatest((est_bytes + ${targetBytes - 1}) div $targetBytes, 1L)"))
       .withColumn("rows_per_file",
         expr("(n_rows + n_files - 1) div n_files"))
   }

@@ -28,6 +28,41 @@ private[graft] object PersistSlots {
   private val slots =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // Monotonic touch stamps for the bench harness's between-queries
+  // release pass: every swap (hit or miss) stamps its slot with the
+  // current epoch, and [[releaseUntouched]] evicts slots no query has
+  // touched since a caller-held mark. Without this, a 200+-query
+  // bench run accumulates every operator's cached frames for the
+  // life of the session (r13 measured 536 hits / 133 misses, zero
+  // releases) and late queries pay the heap pressure as GC time.
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong
+  private val touchedAt =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Long]
+
+  /** Advance and return the epoch. Callers take the returned mark
+    * BEFORE running a unit of work, then pass it to
+    * [[releaseUntouched]] afterwards. */
+  def advanceEpoch(): Long = epochCounter.incrementAndGet()
+
+  /** Unpersist and forget every slot whose last [[swap]] touch is
+    * OLDER than `mark` — i.e. slots the work since `mark` never
+    * reused. Slots touched at-or-after the mark stay warm (the
+    * within-query cross-trial reuse the bench depends on). Returns
+    * the number of slots released. */
+  def releaseUntouched(mark: Long): Int = synchronized {
+    val stale = slots.keys
+      .filter(k => touchedAt.getOrElse(k, 0L) < mark).toSeq
+    stale.foreach { k =>
+      try slots(k).unpersist() catch { case _: Throwable => }
+      slots.remove(k)
+      touchedAt.remove(k)
+    }
+    stale.size
+  }
+
+  /** Slots currently held (observability for the release pass). */
+  def size: Int = synchronized(slots.size)
+
   // Observability for the reuse path (bench_detail.json reports
   // these per run): a healthy median-of-3 bench shows ~2 hits per
   // slot-using query (trial 1 misses, 2-3 reuse); misses == swaps on
@@ -46,8 +81,9 @@ private[graft] object PersistSlots {
     * Returns the persisted frame. */
   def swap(name: String, df: DataFrame): DataFrame = synchronized {
     slots.keys.filter(_._1.sparkContext.isStopped).toSeq
-      .foreach(slots.remove)
+      .foreach { k => slots.remove(k); touchedAt.remove(k) }
     val key = (df.sparkSession, name)
+    touchedAt(key) = epochCounter.get()
     slots.get(key) match {
       // the reuse branch also requires the occupant to STILL be
       // persisted — an external cacheManager.clearCache()/unpersist

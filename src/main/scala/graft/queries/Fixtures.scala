@@ -88,18 +88,39 @@ object Fixtures {
     * witness. Shared with MultimodalQueries' payload corpora: media
     * queries must time decode over payloads AT REST, not synthetic
     * payload construction, for the same reason the flatten queries
-    * read nested fixtures (see the object scaladoc). */
-  private[queries] def cached(s: SparkSession, dir: String, name: String)
+    * read nested fixtures (see the object scaladoc).
+    *
+    * `parallel = true` (the media corpora) repartitions BOTH sides of
+    * the cache to the session's default parallelism: the build (so
+    * the one-time encode uses the machine and the fixture lands as
+    * many files, the at-rest shape a real corpus has) and the read
+    * (so the DECODE stage — the work under test — runs one task per
+    * core even over a fixture written before this round, instead of
+    * inheriting the source table's single-file single-task scan; the
+    * r13 verdict measured mm_audio_fp decoding serially at cpu/wall
+    * ~1.0 on a 32-thread session for exactly this reason). The read-
+    * side exchange moves only the payload bytes once and is orders
+    * of magnitude cheaper than the codec work it parallelizes; at
+    * production scale the corpus arrives as thousands of files and
+    * the scan parallelizes without it — the repartition models that
+    * multi-file distribution, it does not add work the real pipeline
+    * lacks. Row identity is untouched, so every mm_* oracle (all
+    * partitioning-independent) is unchanged. */
+  private[queries] def cached(s: SparkSession, dir: String, name: String,
+                              parallel: Boolean = false)
                     (build: => DataFrame): DataFrame = synchronized {
     val path = cacheRoot(dir).resolve(name)
     if (!Files.exists(path.resolve("_SUCCESS"))) {
       val tmp = cacheRoot(dir).resolve(
         s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
+      val df = if (parallel) build.repartition(s.sparkContext.defaultParallelism)
+               else build
+      df.write.mode("overwrite").parquet(tmp.toString)
       Files.createDirectories(path.getParent)
       publish(tmp, path)
     }
-    s.read.parquet(path.toString)
+    val out = s.read.parquet(path.toString)
+    if (parallel) out.repartition(s.sparkContext.defaultParallelism) else out
   }
 
   /** One-level nested lineitem: (l_orderkey, items[(l_linenumber,

@@ -28,7 +28,7 @@ object MultimodalQueries {
     * parquet fixture (see [[structuredImages]]): the timed queries
     * measure the PNG DECODE path, not payload construction. */
   private def syntheticImages(s: SparkSession, dir: String): DataFrame =
-   Fixtures.cached(s, dir, "synthetic_images_g1") {
+   Fixtures.cached(s, dir, "synthetic_images_g1", parallel = true) {
     val gen = udf { (id: Long) =>
       val w = 1 + (id % 37).toInt
       val h = 1 + ((id * 3) % 29).toInt
@@ -72,7 +72,7 @@ object MultimodalQueries {
     * fixture (see [[structuredImages]]): mm_video and mm_frames time
     * the GIF DECODE path over bytes from storage, never the encode. */
   private def syntheticVideos(s: SparkSession, dir: String): DataFrame =
-    Fixtures.cached(s, dir, "synthetic_gifs_g1") {
+    Fixtures.cached(s, dir, "synthetic_gifs_g1", parallel = true) {
       val gen = udf { (id: Long) =>
         val w = 1 + (id % 11).toInt
         val h = 1 + ((id * 3) % 13).toInt
@@ -112,7 +112,7 @@ object MultimodalQueries {
     * disk; the reference likewise times decode of already-written
     * files). */
   private[queries] def structuredImages(s: SparkSession, dir: String): DataFrame =
-    Fixtures.cached(s, dir, "structured_images_g2") {
+    Fixtures.cached(s, dir, "structured_images_g2", parallel = true) {
       val gen = udf { (id: Long) =>
         val group = id / 5
         val v = ((id % 5) % 3).toInt
@@ -190,6 +190,7 @@ object MultimodalQueries {
       }
       val payloads = Tables(s, dir, "documents")
         .select(col("doc_id"), gen(col("doc_id") % 100).as("payload"))
+        .repartition(s.sparkContext.defaultParallelism)
       Dedup.exact(payloads, "doc_id", sha2(col("payload"), 256))
         .select(col("keep_id"), col("cnt"))
     }),
@@ -201,8 +202,13 @@ object MultimodalQueries {
     // document frequency. The text-as-bytes payload mirrors mm_meta
     // so the oracle replays boundaries over hex(encode(text)).
     "mm_cdc" -> ((s, dir) => {
+      // repartition before the chunking kernel: the single-file
+      // documents scan would otherwise run the byte-CDC stage as one
+      // task (the Fixtures.cached `parallel` rationale — a real
+      // corpus arrives as many files and parallelizes for free)
       val payloads = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .repartition(s.sparkContext.defaultParallelism)
       graft.operators.Dedup.cdcChunkStatsBinary(
         payloads, "doc_id", "payload")
     }),
@@ -328,7 +334,7 @@ object MultimodalQueries {
     * oracle replays the fingerprint from doc_id alone. Payload-at-
     * rest parquet fixture like the other structured corpora. */
   private[queries] def structuredVideos(s: SparkSession, dir: String): DataFrame =
-    Fixtures.cached(s, dir, "structured_gifs_g1") {
+    Fixtures.cached(s, dir, "structured_gifs_g1", parallel = true) {
       val gen = udf { (id: Long) =>
         val group = id / 5
         val v = ((id % 5) % 3).toInt
@@ -349,7 +355,7 @@ object MultimodalQueries {
     * for the decode round-trip — payload-at-rest parquet fixture like
     * [[structuredImages]]. */
   private[queries] def syntheticWavs(s: SparkSession, dir: String): DataFrame =
-    Fixtures.cached(s, dir, "synthetic_wavs_g1") {
+    Fixtures.cached(s, dir, "synthetic_wavs_g1", parallel = true) {
       val N = 256
       val gen = Tables(s, dir, "documents").select(col("doc_id"),
         transform(sequence(lit(0), lit(N - 1)),
@@ -364,7 +370,7 @@ object MultimodalQueries {
     * perturbation variants — see the mm_audio_fp scaladoc above) —
     * payload-at-rest parquet fixture like [[structuredImages]]. */
   private[queries] def structuredWavs(s: SparkSession, dir: String): DataFrame =
-    Fixtures.cached(s, dir, "structured_wavs_g2") {
+    Fixtures.cached(s, dir, "structured_wavs_g2", parallel = true) {
       val N = 260
       val gen = Tables(s, dir, "documents").select(col("doc_id"),
         expr("doc_id DIV 5").as("__seed"),

@@ -326,13 +326,28 @@ object PipelineQueries {
     // edges link nodes whose documents share a normalized 6-word
     // opening (the shared-boilerplate/copy signal a host-quality
     // ranker keys on at web scale); 5 damped iterations in integer
-    // fixed point, so the whole iteration replays exactly in SQL
+    // fixed point, so the whole iteration replays exactly in SQL.
+    // Prefixes on more than PR_MAX_DF nodes drop BEFORE the
+    // self-join — the q_label_prop LP_MAX_DF discipline: a
+    // stop-prefix ("this page requires javascript ...") shared by
+    // 10^6 docs is no copy evidence AND would emit df^2 join rows
+    // per prefix at web scale; the node-distinct projection ahead
+    // of the df window additionally collapses each node's repeat
+    // uses of one opening to a single join row. The cap is pinned
+    // semantics, replayed in the oracle, and BITES at sf0.01 (one
+    // prefix reaches node-df 3; 48 -> 42 edges).
     "q_pagerank" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(
+      val d0 = Tables(s, dir, "documents").select(
         concat_ws("/", col("source"), col("lang")).as("node"),
         concat_ws(" ", slice(
           graft.functions.TextFunctions.words(col("text")), 1, 6)).as("pfx"))
-      val nodes = d.select(col("node"))
+      // node universe from the UNCAPPED frame: a node whose every
+      // opening is boilerplate still ranks (isolated, damping base)
+      val nodes = d0.select(col("node"))
+      val d = d0.distinct()
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pfx"))))
+        .filter(col("__df") <= PR_MAX_DF).drop("__df")
       val e = d.alias("a").join(d.alias("b"),
           col("a.pfx") === col("b.pfx") && col("a.node") =!= col("b.node"))
         .select(col("a.node").as("src"), col("b.node").as("dst"))
@@ -417,6 +432,14 @@ object PipelineQueries {
   /** q_pagerank iteration count (constant by design — rank consumers
     * threshold, they don't chase a fixpoint). */
   private val PR_ITERS = 5
+
+  /** q_pagerank prefix df cap (nodes per 6-word opening): openings
+    * shared by more nodes are stop-boilerplate, not copy evidence,
+    * and would fan the edge self-join out df^2 per prefix — dropped
+    * before the join (the LP_MAX_DF discipline). 2 BITES at sf0.01
+    * (node-df reaches 3; 48 -> 42 edges), so the gate exercises the
+    * capped path; production would set ~10^3. */
+  private val PR_MAX_DF = 2
 
   /** q_label_prop unrolled propagation rounds (constant by design —
     * belief consumers threshold at MID, they don't chase a fixpoint). */
@@ -621,12 +644,17 @@ object PipelineQueries {
          |           JOIN deg dg ON dg.src = e.src
          |    GROUP BY e.dst) c ON c.dst = nd.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT source || '/' || lang AS node,
+    s"""WITH d0 AS (SELECT source || '/' || lang AS node,
        |    array_to_string(
        |      (regexp_split_to_array(trim(lower(text)), '\\s+'))[1:6], ' ')
        |      AS pfx
        |  FROM documents),
-       |nodes AS (SELECT DISTINCT node FROM d),
+       |nodes AS (SELECT DISTINCT node FROM d0),
+       |d AS (SELECT node, pfx FROM
+       |        (SELECT node, pfx,
+       |           count(*) OVER (PARTITION BY pfx) AS df
+       |         FROM (SELECT DISTINCT node, pfx FROM d0))
+       |      WHERE df <= $PR_MAX_DF),
        |e AS (SELECT DISTINCT a.node AS src, b.node AS dst
        |      FROM d a JOIN d b ON a.pfx = b.pfx AND a.node <> b.node),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
@@ -931,17 +959,20 @@ object PipelineQueries {
          |FROM r""".stripMargin,
 
     // q_write_plan replay: exact octet-length sums, integer ceil
-    // divisions
+    // divisions, n_files clamped to >= 1 (both engines' greatest
+    // skips NULLs, so an all-null group also plans one file)
     "q_write_plan" ->
-      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(strlen(text)) AS BIGINT) AS est_bytes,
-         |  CAST((sum(strlen(text)) + ${WRITE_TARGET_BYTES - 1})
-         |    // $WRITE_TARGET_BYTES AS BIGINT) AS n_files,
-         |  CAST((count(*) + ((sum(strlen(text)) +
-         |      ${WRITE_TARGET_BYTES - 1}) // $WRITE_TARGET_BYTES) - 1)
-         |    // ((sum(strlen(text)) + ${WRITE_TARGET_BYTES - 1})
-         |      // $WRITE_TARGET_BYTES) AS BIGINT) AS rows_per_file
-         |FROM documents GROUP BY source""".stripMargin,
+      s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(strlen(text)) AS BIGINT) AS est_bytes
+         |  FROM documents GROUP BY source),
+         |f AS (SELECT source, n_rows, est_bytes,
+         |    greatest((est_bytes + ${WRITE_TARGET_BYTES - 1})
+         |      // $WRITE_TARGET_BYTES, 1) AS n_files
+         |  FROM a)
+         |SELECT source, n_rows, est_bytes,
+         |  CAST(n_files AS BIGINT) AS n_files,
+         |  CAST((n_rows + n_files - 1) // n_files AS BIGINT) AS rows_per_file
+         |FROM f""".stripMargin,
 
     // q_score_normalize_hist replay: per-source [min, max] spans,
     // equal-width buckets, cumulative strictly-below counts over the

@@ -373,6 +373,12 @@ object TextQueries {
             sum(col("cnt")).as("covered_tok"))
           .withColumn("vocab_size", lit(v))
       }.reduce(_.unionByName(_))
+        // degenerate-corpus guard: on a corpus with zero bigrams each
+        // leg's global agg still emits one (count=0, null) row while
+        // the oracle's legs emit none — dropping n_terms = 0 rows
+        // makes the empty-vocabulary shape match (and coverage_e4's
+        // divisor is never 0 past it)
+        .filter(col("n_terms") > 0)
         .crossJoin(broadcast(totals))
         .select(col("vocab_size"), col("n_terms"), col("covered_tok"),
           col("total_tok"), col("n_types"),

@@ -44,13 +44,21 @@ object TrialMeter {
   private val JiffySec = 0.01
 
   final case class Snap(wallNanos: Long, procCpuNanos: Long,
-                        boxBusyJiffies: Long, load1: Double)
+                        boxBusyJiffies: Long, load1: Double,
+                        gcMillis: Long = -1L)
 
   /** One measured trial window. `cpuSec` is this process's cpu time;
     * `extShare` in [0,1] is other processes' share of total box
-    * capacity during the window (-1 when /proc/stat is unavailable). */
+    * capacity during the window (-1 when /proc/stat is unavailable);
+    * `gcSec` is this JVM's stop-the-world collection time during the
+    * window (GarbageCollectorMXBean collection-time deltas; -1 when
+    * the beans don't report). GC attribution is what splits a trial
+    * whose cpu AND wall both inflate — the r13 `mm_audio_fp` 7→15 s
+    * in-run ramp, cpu tracking wall — into real work vs heap
+    * pressure from a long run's accumulated cache. */
   final case class TrialStat(wallSec: Double, cpuSec: Double,
-                             extShare: Double, load1: Double) {
+                             extShare: Double, load1: Double,
+                             gcSec: Double = -1.0) {
     /** Effective parallelism: process cpu seconds per wall second. */
     def cpuWallRatio: Double = if (wallSec > 0) cpuSec / wallSec else 0.0
   }
@@ -80,17 +88,34 @@ object TrialMeter {
     try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative stop-the-world collection millis across all of this
+    * JVM's collector beans (-1 when none report — a bean returns -1
+    * for collectionTime when the collector doesn't track it). */
+  private def gcMillis(): Long =
+    try {
+      val ts = ManagementFactory.getGarbageCollectorMXBeans
+        .toArray.toSeq.collect {
+          case b: java.lang.management.GarbageCollectorMXBean
+            if b.getCollectionTime >= 0 => b.getCollectionTime
+        }
+      if (ts.isEmpty) -1L else ts.sum
+    } catch { case _: Throwable => -1L }
+
   def snap(): Snap = Snap(
     System.nanoTime(),
     osBean.map(_.getProcessCpuTime).getOrElse(-1L),
     busyJiffies(),
-    load1())
+    load1(),
+    gcMillis())
 
   def stat(a: Snap, b: Snap, cores: Int): TrialStat = {
     val wall = math.max(0.0, (b.wallNanos - a.wallNanos) / 1e9)
     val cpu =
       if (a.procCpuNanos < 0 || b.procCpuNanos < 0) -1.0
       else math.max(0.0, (b.procCpuNanos - a.procCpuNanos) / 1e9)
+    val gc =
+      if (a.gcMillis < 0 || b.gcMillis < 0) -1.0
+      else math.max(0.0, (b.gcMillis - a.gcMillis) / 1e3)
     val ext =
       if (a.boxBusyJiffies < 0 || b.boxBusyJiffies < 0 || cpu < 0 ||
           wall <= 0 || cores <= 0) -1.0
@@ -98,7 +123,7 @@ object TrialMeter {
         val boxBusy = (b.boxBusyJiffies - a.boxBusyJiffies) * JiffySec
         math.max(0.0, math.min(1.0, (boxBusy - cpu) / (cores * wall)))
       }
-    TrialStat(wall, cpu, ext, math.max(a.load1, b.load1))
+    TrialStat(wall, cpu, ext, math.max(a.load1, b.load1), gc)
   }
 
   /** Fraction of box capacity OTHER processes consume while THIS

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.PersistSlots
+
+/** The bench/gate slot-release pass (round 14): after each query's
+  * trials, every slot the query did NOT touch is evicted, so a
+  * 200+-query run no longer accumulates all operators' caches to
+  * session end (the r13 heap-pressure source: 536 hits / 133 misses,
+  * zero releases, GC climbing through the alphabet).
+  */
+class PersistSlotsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("releaseUntouched evicts only slots untouched since the mark") {
+    val a = PersistSlots.swap("spec.release.a",
+      Seq(1, 2, 3).toDF("v").filter($"v" > 0))
+    a.count()
+    val mark = PersistSlots.advanceEpoch()
+    // touched after the mark: swap the SAME plan — reuse branch, but
+    // the touch stamp still updates
+    val b = PersistSlots.swap("spec.release.b",
+      Seq(4, 5).toDF("w").filter($"w" > 4))
+    b.count()
+    assert(a.storageLevel != StorageLevel.NONE)
+    assert(b.storageLevel != StorageLevel.NONE)
+    val released = PersistSlots.releaseUntouched(mark)
+    assert(released >= 1)
+    // the untouched slot lost its cache; the touched one kept it
+    assert(a.storageLevel == StorageLevel.NONE)
+    assert(b.storageLevel != StorageLevel.NONE)
+    // cleanup
+    PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
+  }
+
+  test("a re-swap inside the window refreshes the touch stamp (cross-" +
+    "trial reuse survives the release)") {
+    val df = Seq(1, 2).toDF("v").filter($"v" > 1)
+    val p1 = PersistSlots.swap("spec.release.c", df)
+    p1.count()
+    val mark = PersistSlots.advanceEpoch()
+    // trial 2 of the same query re-derives the same plan -> hit path
+    val p2 = PersistSlots.swap("spec.release.c", Seq(1, 2).toDF("v").filter($"v" > 1))
+    assert(p2.storageLevel != StorageLevel.NONE)
+    PersistSlots.releaseUntouched(mark): Unit
+    assert(p2.storageLevel != StorageLevel.NONE,
+      "slot touched during the window must survive the release")
+    PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
+  }
+
+  test("released slots re-persist cleanly on the next swap (self-healing)") {
+    val mk = () => Seq(7, 8).toDF("v").filter($"v" > 6)
+    val p1 = PersistSlots.swap("spec.release.d", mk())
+    p1.count()
+    PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
+    assert(p1.storageLevel == StorageLevel.NONE)
+    val p2 = PersistSlots.swap("spec.release.d", mk())
+    assert(p2.storageLevel != StorageLevel.NONE)
+    assert(p2.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+    PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
+  }
+}

@@ -42,6 +42,28 @@ class SinkSpec extends SparkSpec {
       plan)
   }
 
+  test("writePlan: zero-byte and all-null payload groups still plan one file") {
+    import spark.implicits._
+    val df = Seq(
+      ("g_empty", ""), ("g_empty", ""),
+      ("g_real", "x" * 5000), ("g_real", "y" * 100)
+    ).toDF("src", "payload")
+      .unionByName(Seq(("g_null", 1)).toDF("src", "ignore")
+        .select(col("src"), lit(null).cast("string").as("payload")))
+    val plan = graft.operators.Layout.writePlan(df, "src", "payload",
+      targetBytes = 2048L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+    // the r13 ADVICE degeneracy: ceil division alone planned 0 files
+    // for a 0-byte group and rows_per_file divided by zero
+    assert(plan("g_empty") == ((2L, 0L, 1L, 2L)), plan("g_empty"))
+    assert(plan("g_real") == ((2L, 5100L, 3L, 1L)), plan("g_real"))
+    // all-null payload: est_bytes is NULL (sum over nulls), n_files
+    // clamps to 1, rows_per_file stays defined
+    assert(plan("g_null") == ((1L, -1L, 1L, 1L)), plan("g_null"))
+  }
+
   test("Layout.sized controls output file count; cap bounds file rows") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet") // 6000 rows

@@ -84,6 +84,31 @@ class TrialMeterSpec extends AnyFunSuite {
     assert(st.cpuWallRatio > 0.2 && st.cpuWallRatio < 4.0, s"ratio off: $st")
   }
 
+  test("stat: gc seconds are a clamped delta of the snaps' gc millis") {
+    import TrialMeter.Snap
+    val a = Snap(0L, 0L, 0L, 1.0, gcMillis = 1000L)
+    val b = Snap(2L * 1000 * 1000 * 1000, 8L * 1000 * 1000 * 1000,
+      200L, 1.0, gcMillis = 1350L)
+    assert(math.abs(TrialMeter.stat(a, b, 32).gcSec - 0.35) < 1e-9)
+    // either side unavailable -> -1, never a fabricated zero
+    assert(TrialMeter.stat(a.copy(gcMillis = -1L), b, 32).gcSec == -1.0)
+    assert(TrialMeter.stat(a, b.copy(gcMillis = -1L), 32).gcSec == -1.0)
+  }
+
+  test("snap/stat attribute real GC time to the window (allocation burst)") {
+    val a = TrialMeter.snap()
+    assume(a.gcMillis >= 0, "no collection-time-reporting GC beans")
+    // force at least one collection inside the window: allocate
+    // garbage, then request a full GC (System.gc honored by default
+    // collectors; if a JVM ignores it the delta is simply >= 0)
+    var junk: Array[Byte] = null
+    (1 to 64).foreach { _ => junk = new Array[Byte](4 * 1024 * 1024) }
+    assert(junk != null)
+    System.gc()
+    val st = TrialMeter.stat(a, TrialMeter.snap(), cores = 32)
+    assert(st.gcSec >= 0.0, s"gc delta should be measurable, got $st")
+  }
+
   test("injected external busy-spin trips the flag; quiet window does not") {
     val cores = Runtime.getRuntime.availableProcessors()
     def window(seconds: Double): TrialMeter.TrialStat = {
