@@ -212,7 +212,7 @@ object Bench {
       "q_ivf_recall_curve", "q_vocab_coverage", "q_dedup_yield",
       "q_pair_mine", "q_curriculum_order", "q_kmeans_update",
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
-      "q_write_plan")
+      "q_write_plan", "q_domain_reweight", "q_k_anonymity")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {

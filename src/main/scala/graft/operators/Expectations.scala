@@ -79,4 +79,35 @@ object Expectations {
     * report. */
   def suite(parts: Seq[DataFrame]): DataFrame =
     parts.reduce(_.unionByName(_))
+
+  /** k-anonymity profile over a quasi-identifier combination — the
+    * re-identification-risk report a privacy review reads next to
+    * the PII scrub: group every row by its quasi-identifier tuple
+    * (the attributes an adversary can link externally: source
+    * domain, language, coarse length, ...), call the group size k,
+    * and report the k-distribution — how many equivalence classes
+    * and how many ROWS sit at each k, with classes below `kMin`
+    * flagged (a document alone in its (host, lang, length) cell is
+    * linkable even after its PII strings are scrubbed; Sweeney's
+    * k-anonymity, restated over corpus metadata).
+    *
+    * Scale shape: one map-combined aggregation over the
+    * quasi-identifier projection (the corpus pays one narrow scan —
+    * no text bytes unless a QI derives from them), then a second
+    * aggregation over the |classes| rows. Output is one row per
+    * DISTINCT k — bounded by the largest class size's divisor
+    * structure, in practice tens of rows. No row data leaves the
+    * aggregation, so the report itself is safe to share.
+    */
+  def kAnonymityProfile(df: DataFrame, quasiIds: Seq[Column],
+                        kMin: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier")
+    require(kMin >= 1, s"kMin must be >= 1, got $kMin")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_docs"))
+      .withColumn("at_risk", (col("k") < kMin).cast("int"))
+  }
 }

@@ -24,6 +24,15 @@ object TextQueries {
     * (0.2 nats of average NLL per curriculum phase). */
   private val CURR_STEP = 200000L
 
+  /** q_domain_reweight learning rate: base-share multiplier per
+    * micro-nat of excess hardness (2 ⇒ a source 0.5 nat above the
+    * corpus mean doubles its boost term). */
+  private val DR_ETA = 2L
+
+  /** q_k_anonymity risk threshold: quasi-identifier classes smaller
+    * than this are flagged (Sweeney's canonical k=5). */
+  private val K_MIN = 5L
+
   /** Shared DuckDB replay of Reputation.sourceStats — one CTE chain;
     * `filtered` swaps the final projection between the per-source
     * stats table and the reputation-gated document list. Integer
@@ -383,6 +392,41 @@ object TextQueries {
         .select(col("vocab_size"), col("n_terms"), col("covered_tok"),
           col("total_tok"), col("n_types"),
           expr("covered_tok * 10000 div total_tok").as("coverage_e4"))
+    }),
+
+    // DoReMi-shaped domain-mixture reweighting (Xie et al. 2023),
+    // linearized into integer fixed point (Mixture scaladoc): score
+    // every doc under the shared %5-slice bigram LM (one broadcast-
+    // model scan, the q_perplexity path), aggregate hardness per
+    // source, upweight sources above the corpus-mean NLL — the
+    // next-epoch sampling table a mixture scheduler reads
+    "q_domain_reweight" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val model = graft.operators.LanguageModel.trainNgrams(
+        docs.filter(col("doc_id") % 5 === 0), "text", order = 2)
+      val nll = graft.operators.LanguageModel.ngramNllNarrow(
+        docs, "doc_id", "text", model)
+      val perDoc = docs.select(col("doc_id"), col("source"),
+          bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+        .join(nll.select(col("doc_id"), col("avg_nll_e6")),
+          Seq("doc_id"), "left")
+      graft.operators.Mixture.domainReweightStep(perDoc, "source",
+        "avg_nll_e6", "n_tok", etaE0 = DR_ETA)
+    }),
+
+    // k-anonymity over corpus metadata (source x lang x 10-word
+    // length bucket as the quasi-identifier tuple): the group-size
+    // distribution with k < K_MIN classes flagged — the
+    // re-identification-risk report a privacy review reads next to
+    // text_pii's scrub (a doc alone in its cell is linkable even
+    // with its PII strings gone)
+    "q_k_anonymity" -> ((s, dir) => {
+      val nw = size(words(col("text"))).cast("long")
+      graft.operators.Expectations.kAnonymityProfile(
+        Tables(s, dir, "documents"),
+        Seq(col("source"), col("lang"),
+          (nw - pmod(nw, lit(10L))).as("len_bucket")),
+        kMin = K_MIN)
     }),
 
     // the PLANNER view of decontamination: per-(source x benchmark)
@@ -974,6 +1018,68 @@ object TextQueries {
        |  c2.cum_tok, CAST(c2.cum_tok * 10000 // t.tt AS BIGINT)
        |    AS tok_share_e4
        |FROM c2, t""".stripMargin
+
+  // q_domain_reweight replay: the same per-token cost CTE folded to
+  // per-doc average NLL, per-source aggregation, the corpus-mean
+  // scalar, then the linearized integer update — every division has
+  // nonnegative operands (`//` == `div`) and greatest/coalesce skip
+  // NULLs identically in both engines, so unscored sources replay as
+  // excess 0, never NULL
+  private val domainReweightOracle: String =
+    s"""WITH $perplexityCtes,
+       |px AS (SELECT doc_id,
+       |         CAST(sum(cost_e6) // count(*) AS BIGINT) AS avg_nll_e6
+       |       FROM c GROUP BY doc_id),
+       |tk AS (SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(text,
+       |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |j AS (SELECT tk.source, tk.n_tok, px.avg_nll_e6
+       |      FROM tk LEFT JOIN px USING (doc_id)),
+       |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(count(avg_nll_e6) AS BIGINT) AS n_scored,
+       |          CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       |          sum(avg_nll_e6) AS sum_nll
+       |        FROM j GROUP BY source),
+       |g2 AS (SELECT CASE WHEN sum(n_scored) > 0
+       |           THEN sum(sum_nll) // sum(n_scored) END AS g_e6,
+       |         sum(sum_tok) AS tt FROM dom),
+       |e AS (SELECT d.source, d.n_docs, d.n_scored, d.sum_tok,
+       |        CASE WHEN d.n_scored > 0
+       |          THEN d.sum_nll // d.n_scored END AS mean_nll_e6,
+       |        coalesce(greatest(
+       |          (CASE WHEN d.n_scored > 0
+       |             THEN d.sum_nll // d.n_scored END) - g2.g_e6,
+       |          0), 0) AS excess_e6,
+       |        CASE WHEN g2.tt > 0
+       |          THEN d.sum_tok * 1000000 // g2.tt
+       |          ELSE 0 END AS base_share_e6
+       |      FROM dom d, g2),
+       |w AS (SELECT *,
+       |        base_share_e6 * (1000000 + $DR_ETA * excess_e6) AS wgt
+       |      FROM e),
+       |sw AS (SELECT sum(wgt) AS s FROM w)
+       |SELECT w.source, w.n_docs, w.n_scored, w.sum_tok,
+       |  CAST(w.mean_nll_e6 AS BIGINT) AS mean_nll_e6,
+       |  CAST(w.excess_e6 AS BIGINT) AS excess_e6,
+       |  CAST(w.base_share_e6 AS BIGINT) AS base_share_e6,
+       |  CAST(CASE WHEN sw.s > 0 THEN w.wgt * 10000 // sw.s
+       |       ELSE 0 END AS BIGINT) AS new_share_e4
+       |FROM w, sw""".stripMargin
+
+  // q_k_anonymity replay: quasi-identifier class sizes, then the
+  // k-distribution — pure integer grouping
+  private val kAnonymityOracle: String =
+    s"""WITH q AS (SELECT source, lang,
+       |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nw
+       |  FROM documents),
+       |g AS (SELECT source, lang, nw - (nw % 10) AS len_bucket,
+       |        CAST(count(*) AS BIGINT) AS k
+       |      FROM q GROUP BY 1, 2, 3)
+       |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(k) AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN k < $K_MIN THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+       |FROM g GROUP BY k""".stripMargin
 
   // q_min_k_prob replay: the same per-token cost CTE, then the
   // order statistic as a windowed rank — rank the costs per doc
@@ -1914,5 +2020,7 @@ object TextQueries {
     // join form, so it replays with the same SQL
     "q_perplexity_bcast" -> perplexityOracle,
     "q_curriculum_order" -> curriculumOracle,
+    "q_domain_reweight" -> domainReweightOracle,
+    "q_k_anonymity" -> kAnonymityOracle,
     "q_ccnet_buckets" -> ccnetBucketsOracle)
 }

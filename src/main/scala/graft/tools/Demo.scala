@@ -366,6 +366,19 @@ object Demo {
       "vec_id", "embedding", k = 8, steps = 2)
     println("kmeans ingest batch=" + ku.count() + " clusters=" +
       ku.select("cluster").distinct().count())
+    // round 14: DoReMi-shaped mixture reweighting — sources above
+    // the corpus-mean NLL gain sampling share, integer-exact
+    val dr = graft.SparkEntry.queries("q_domain_reweight")(spark,
+      "/root/testdata/sf0.001")
+    println("domain reweight domains=" + dr.count() +
+      " upweighted=" + dr.filter(col("excess_e6") > 0).count() +
+      " share_sum_e4=" + dr.agg(sum(col("new_share_e4"))).head().getLong(0))
+    // round 14: k-anonymity risk profile over (source, lang, length)
+    val ka = graft.SparkEntry.queries("q_k_anonymity")(spark,
+      "/root/testdata/sf0.001")
+    println("k-anonymity k-levels=" + ka.count() +
+      " at_risk_docs=" + ka.filter(col("at_risk") === 1)
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
     spark.stop()
   }
 }

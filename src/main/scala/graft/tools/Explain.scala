@@ -130,7 +130,10 @@ object Explain {
     "q_quality_ensemble", // three narrow scoring scans, one id join
     "q_bm25_rm3",        // shown plan = the expanded second pass (the
                          // feedback pick runs at build, fbDocs-bounded)
-    "q_write_plan"       // one map-combined byte agg, |groups| rows out
+    "q_write_plan",      // one map-combined byte agg, |groups| rows out
+    "q_domain_reweight", // broadcast-LM scoring scan + |domains| agg +
+                         // scalar-mean broadcast + tiny window
+    "q_k_anonymity"      // quasi-id agg -> |classes| agg -> k histogram
   )
 
   def main(args: Array[String]): Unit = {

@@ -31,6 +31,53 @@ class Round14OpsSpec extends SparkSpec {
     assert(pairs.count() > 0, "near-dup pairs vanished after repartition")
   }
 
+  test("domainReweightStep: hard domains gain share, shares stay " +
+    "normalized, unscored domains keep base share") {
+    import spark.implicits._
+    // three domains: "hard" scores 2x the corpus-mean NLL, "easy"
+    // below it, "meta" has no scored docs at all (n_scored = 0)
+    val perDoc = Seq(
+      ("hard", 100L, Some(3000000L)), ("hard", 100L, Some(3000000L)),
+      ("easy", 100L, Some(1000000L)), ("easy", 100L, Some(1000000L)),
+      ("meta", 200L, None)
+    ).toDF("source", "n_tok", "avg_nll_e6")
+    val out = graft.operators.Mixture.domainReweightStep(
+        perDoc, "source", "avg_nll_e6", "n_tok", etaE0 = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // corpus mean = 2e6; excess: hard 1e6, easy 0, meta 0
+    assert(out("hard").getLong(5) == 1000000L)
+    assert(out("easy").getLong(5) == 0L)
+    assert(out("meta").getLong(5) == 0L)
+    assert(out("meta").isNullAt(4), "unscored domain mean must be NULL")
+    // base shares e6: hard 1/3, easy 1/3, meta 1/3 of 600 tokens
+    assert(out.values.map(_.getLong(6)).toSeq.distinct == Seq(333333L))
+    // hard's boost term is 3x (1e6 + 2*1e6); easy/meta stay at 1x ->
+    // new shares 3/5, 1/5, 1/5 up to flooring
+    val shares = Map("hard" -> out("hard").getLong(7),
+      "easy" -> out("easy").getLong(7), "meta" -> out("meta").getLong(7))
+    assert(shares("hard") == 6000L, shares)
+    assert(shares("easy") == 2000L && shares("meta") == 2000L, shares)
+    assert(shares.values.sum <= 10000L)
+  }
+
+  test("kAnonymityProfile: group-size histogram with sub-k classes flagged") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "en"), ("a", "en"), ("a", "en"),     // class of 3
+      ("b", "en"), ("b", "en"), ("b", "en"),     // class of 3
+      ("c", "de"),                               // singleton
+      ("d", "fr"), ("d", "fr"), ("d", "fr"),
+      ("d", "fr"), ("d", "fr")                   // class of 5
+    ).toDF("src", "lang")
+    val out = graft.operators.Expectations.kAnonymityProfile(
+        df, Seq($"src", $"lang"), kMin = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(3L) == ((2L, 6L, 1)))
+    assert(out(1L) == ((1L, 1L, 1)))
+    assert(out(5L) == ((1L, 5L, 0)))
+  }
+
   test("q_vocab_coverage: a corpus with zero bigrams emits zero rows " +
     "(matches the oracle's empty legs)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vocab_degen")
