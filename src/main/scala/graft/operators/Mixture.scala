@@ -60,12 +60,16 @@ object Mixture {
                          nllCol: String, tokCol: String,
                          etaE0: Long = 2L): DataFrame = {
     require(etaE0 >= 0, s"etaE0 must be >= 0, got $etaE0")
-    val dom = perDoc
+    // slot-persisted: the global-mean scalar below is a SECOND
+    // consumer of this frame, and without the cache its lineage
+    // would re-run the corpus scoring scan (the contaminationMatrix
+    // lesson) — the persisted frame is |domains| rows, not corpus
+    val dom = PersistSlots.swap("mixture.domainStats", perDoc
       .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         count(col(nllCol)).as("n_scored"),
         sum(col(tokCol)).as("sum_tok"),
-        sum(col(nllCol)).as("__sum_nll"))
+        sum(col(nllCol)).as("__sum_nll")))
     // global mean over SCORED docs and total token mass: two scalar
     // aggregates over the |domains|-row frame, broadcast back
     val g = dom.agg(
