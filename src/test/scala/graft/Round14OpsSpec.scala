@@ -60,6 +60,58 @@ class Round14OpsSpec extends SparkSpec {
     assert(shares.values.sum <= 10000L)
   }
 
+  test("domainReweightStep: 40-case randomized differential vs a pure-Scala " +
+    "replay (shares normalized, floor-exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 40).foreach { case_i =>
+      val nDom = 1 + rnd.nextInt(6)
+      val eta = rnd.nextInt(4).toLong
+      val rows = (0 until nDom).flatMap { d =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          (s"d$d", rnd.nextInt(500).toLong,
+            if (rnd.nextInt(4) == 0) None
+            else Some(rnd.nextInt(5000000).toLong))
+        }
+      }
+      val out = graft.operators.Mixture.domainReweightStep(
+          rows.toDF("source", "n_tok", "avg_nll_e6"),
+          "source", "avg_nll_e6", "n_tok", etaE0 = eta)
+        .collect().map(r => r.getString(0) -> r).toMap
+      // independent replay in plain Scala (floor = BigInt quot on
+      // nonnegative operands, same as both engines' integer div)
+      val byDom = rows.groupBy(_._1)
+      val scoredAll = rows.flatMap(_._3)
+      val gOpt = if (scoredAll.nonEmpty)
+        Some(scoredAll.sum / scoredAll.size) else None
+      val tt = rows.map(_._2).sum
+      val exp = byDom.map { case (dom, rs) =>
+        val scored = rs.flatMap(_._3)
+        val mean = if (scored.nonEmpty) Some(scored.sum / scored.size) else None
+        val excess = (mean, gOpt) match {
+          case (Some(m), Some(g)) => math.max(m - g, 0L)
+          case _ => 0L
+        }
+        val base = if (tt > 0) rs.map(_._2).sum * 1000000L / tt else 0L
+        dom -> (mean, excess, base, base * (1000000L + eta * excess))
+      }
+      val sw = exp.values.map(_._4).sum
+      exp.foreach { case (dom, (mean, excess, base, w)) =>
+        val r = out(dom)
+        assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == mean,
+          s"case $case_i $dom mean")
+        assert(r.getLong(5) == excess, s"case $case_i $dom excess")
+        assert(r.getLong(6) == base, s"case $case_i $dom base")
+        val want = if (sw > 0)
+          (BigInt(w) * 10000 / BigInt(sw)).toLong else 0L
+        assert(r.getLong(7) == want, s"case $case_i $dom share")
+      }
+      val total = out.values.map(_.getLong(7)).sum
+      assert(total <= 10000L && (sw == 0 || total > 10000L - nDom),
+        s"case $case_i share sum $total")
+    }
+  }
+
   test("kAnonymityProfile: group-size histogram with sub-k classes flagged") {
     import spark.implicits._
     val df = Seq(
