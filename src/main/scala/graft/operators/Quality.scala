@@ -265,6 +265,26 @@ object Quality {
     * score_e6 > 0) — one narrow projection against the broadcast
     * log-odds literal, scan speed (the [[scoreLinear]] shape plus
     * the prior bias). */
+  /** Fused one-scan ensemble scorer: the perceptron margin AND the
+    * Naive Bayes log-odds over a SINGLE words projection — a
+    * multi-gate quality ensemble's scoring half pays one corpus
+    * scan instead of one per gate plus an id join to zip them back
+    * together (at 100 TB the scans are the whole cost; the per-row
+    * folds are both narrow array aggregates against broadcast
+    * weight literals and fuse into one codegen stage). Identical
+    * values to [[scoreLinear]]/[[scoreNaiveBayes]] run separately —
+    * spec-pinned. */
+  def scoreEnsemble(docs: DataFrame, idCol: String, textCol: String,
+                    linWeights: Seq[Long], nb: NbModel): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("__gqw"))
+      .select(col(idCol),
+        size(col("__gqw")).cast("long").as("n_words"),
+        scoreExpr(col("__gqw"), linWeights).as("score"),
+        (lit(nb.biasE6) + scoreExpr(col("__gqw"), nb.weightsE6))
+          .as("score_e6"))
+      .withColumn("keep_lin", (col("score") > 0).cast("int"))
+      .withColumn("keep_nb", (col("score_e6") > 0).cast("int"))
+
   def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
                       model: NbModel): DataFrame =
     docs.select(col(idCol),

@@ -305,14 +305,13 @@ object PipelineQueries {
         docs, "text", "__y", buckets = QUAL_B, epochs = 2)
       val nb = graft.operators.Quality.trainNaiveBayes(
         docs, "text", "__y", buckets = QUAL_B)
-      val p = graft.operators.Quality
-        .scoreLinear(docs, "doc_id", "text", w)
+      // FUSED scoring (round 14): both gates fold over one words
+      // projection in a single corpus scan — no per-gate scans, no
+      // id join to zip the votes back together
+      graft.operators.Quality
+        .scoreEnsemble(docs, "doc_id", "text", w, nb)
         .select(col("doc_id"), col("n_words"),
-          col("keep").as("vote_perc"))
-      val n = graft.operators.Quality
-        .scoreNaiveBayes(docs, "doc_id", "text", nb)
-        .select(col("doc_id"), col("keep").as("vote_nb"))
-      p.join(n, "doc_id")
+          col("keep_lin").as("vote_perc"), col("keep_nb").as("vote_nb"))
         .withColumn("vote_len",
           (col("n_words") >= 30 && col("n_words") <= 300).cast("int"))
         .withColumn("votes",

@@ -130,6 +130,29 @@ class Round14OpsSpec extends SparkSpec {
     assert(out(5L) == ((1L, 5L, 0)))
   }
 
+  test("scoreEnsemble: fused one-scan scorer equals the separate " +
+    "perceptron and NB scorers value-for-value") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+    val w = graft.operators.Quality.trainPerceptron(
+      docs, "text", "__y", buckets = 512, epochs = 2)
+    val nb = graft.operators.Quality.trainNaiveBayes(
+      docs, "text", "__y", buckets = 512)
+    val fused = graft.operators.Quality
+      .scoreEnsemble(docs, "doc_id", "text", w, nb)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    val lin = graft.operators.Quality.scoreLinear(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    val nbs = graft.operators.Quality.scoreNaiveBayes(docs, "doc_id", "text", nb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(fused.keySet == lin.keySet && fused.keySet == nbs.keySet)
+    fused.foreach { case (id, (score, scoreE6, keepLin, keepNb)) =>
+      assert((score, keepLin) == lin(id), s"doc $id linear")
+      assert((scoreE6, keepNb) == nbs(id), s"doc $id nb")
+    }
+  }
+
   test("q_vocab_coverage: a corpus with zero bigrams emits zero rows " +
     "(matches the oracle's empty legs)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vocab_degen")
