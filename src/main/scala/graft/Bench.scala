@@ -223,10 +223,15 @@ object Bench {
         // (q_score_normalize base 12.83 s at sf0.01 vs main 1.99 s)
         // — a single warmup at the just-switched sf dir evidently
         // doesn't absorb first-touch costs (fresh slots, page cache,
-        // file listing) on some queries. Any surviving base > main
-        // inversion on these corpus-scale probes is self-evidently a
-        // measurement artifact, so it is named in probe_anomalies
-        // rather than left to pollute the recorded ratios.
+        // file listing) on some queries. A base median well ABOVE
+        // main on 10x less data is self-evidently a measurement
+        // artifact and is named in probe_anomalies rather than left
+        // to pollute the recorded ratios. The 1.5x margin separates
+        // artifacts from honest flatness: bounded-output queries
+        // (recall curves, label prop) legitimately read base ~ main
+        // within the box's ±10-15% trial noise, and flagging that
+        // jitter would bury the real signal the field exists for.
+        val AnomalyFactor = 1.5
         val anomalies = scala.collection.mutable.ArrayBuffer.empty[String]
         val probes = probeNames.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
@@ -235,7 +240,7 @@ object Bench {
             // a failed trial invalidates the ratio — emit an explicit
             // err flag rather than a ratio built from time-to-failure
             if (base.ok && main.ok) {
-              if (base.median > main.median) anomalies += name
+              if (base.median > main.median * AnomalyFactor) anomalies += name
               "\"" + name + "\":{\"base\":" + base.median +
                 ",\"main\":" + main.median +
                 ",\"ratio\":" + (main.median / base.median) + "}"
