@@ -212,7 +212,10 @@ object Bench {
       "q_ivf_recall_curve", "q_vocab_coverage", "q_dedup_yield",
       "q_pair_mine", "q_curriculum_order", "q_kmeans_update",
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
-      "q_write_plan", "q_domain_reweight", "q_k_anonymity")
+      "q_write_plan", "q_domain_reweight", "q_k_anonymity",
+      // the two r13 weak items stay probed every round: the capped
+      // prefix-edge pagerank and the parallel-decode audio near-dup
+      "q_pagerank", "mm_audio_fp")
     val probeJson =
       if (baseDir == sfDir || !new java.io.File(baseDir).isDirectory) ""
       else {
