@@ -341,12 +341,19 @@ object Bench {
     // process-cpu totals are nearly load-invariant — this is the
     // lineage series that needs no quiet box. Median cpuSec over the
     // same accepted trials the wall median pools.
-    def medianCpu(q: QTimes): Double = {
+    def medianCpu(q: QTimes): Option[Double] = {
       val cs = acceptedStats(q).map(_.cpuSec).filter(_ >= 0).sorted
-      if (cs.isEmpty) 0.0 else cs(cs.length / 2)
+      if (cs.isEmpty) None else Some(cs(cs.length / 2))
     }
-    val pinnedCpuTotal = results.collect {
-      case (n, q) if q.ok && pinned.contains(n) => medianCpu(q) }.sum
+    // -1 sentinel, never a fabricated 0: on a JVM without the
+    // process-CPU bean every trial's cpuSec is -1 and a summed 0.00
+    // would read as a (spectacular) regression-free run in the exact
+    // series the lineage table says to compare first
+    val pinnedCpuMedians = results.collect {
+      case (n, q) if q.ok && pinned.contains(n) => medianCpu(q) }
+    val pinnedCpuTotal =
+      if (pinnedCpuMedians.exists(_.isEmpty)) -1.0
+      else pinnedCpuMedians.flatten.sum
     val codegenErrors = graft.tools.CodegenGuard.report()
     val (slotHits, slotMisses) = graft.operators.PersistSlots.stats
     val trialsJson = trialLog.map { case (k, q) =>

@@ -94,9 +94,12 @@ object Mixture {
       // here is one tiny single-partition pass over domain rows, not
       // corpus data (constant-key partition spec keeps the planner
       // from warning about an empty one — the ccnetBuckets idiom)
+      // coalesce: length(NULL) is NULL and a NULL partition key would
+      // split a NULL-domain row into its own window — normalizing it
+      // against only itself — while the oracle's scalar sum is global
       .withColumn("__sw", sum(col("__w")).over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(length(col("domain")) * 0)))
+          .partitionBy(coalesce(length(col("domain")), lit(0)) * 0)))
       .withColumn("new_share_e4",
         when(col("__sw") > 0, expr("__w * 10000 div __sw"))
           .otherwise(lit(0L)))

@@ -261,10 +261,6 @@ object Quality {
       w)
   }
 
-  /** Score with a trained NB model: (id, n_words, score_e6, keep =
-    * score_e6 > 0) — one narrow projection against the broadcast
-    * log-odds literal, scan speed (the [[scoreLinear]] shape plus
-    * the prior bias). */
   /** Fused one-scan ensemble scorer: the perceptron margin AND the
     * Naive Bayes log-odds over a SINGLE words projection — a
     * multi-gate quality ensemble's scoring half pays one corpus
@@ -285,6 +281,10 @@ object Quality {
       .withColumn("keep_lin", (col("score") > 0).cast("int"))
       .withColumn("keep_nb", (col("score_e6") > 0).cast("int"))
 
+  /** Score with a trained NB model: (id, n_words, score_e6, keep =
+    * score_e6 > 0) — one narrow projection against the broadcast
+    * log-odds literal, scan speed (the [[scoreLinear]] shape plus
+    * the prior bias). */
   def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
                       model: NbModel): DataFrame =
     docs.select(col(idCol),

@@ -372,7 +372,8 @@ object Demo {
       "/root/testdata/sf0.001")
     println("domain reweight domains=" + dr.count() +
       " upweighted=" + dr.filter(col("excess_e6") > 0).count() +
-      " share_sum_e4=" + dr.agg(sum(col("new_share_e4"))).head().getLong(0))
+      " share_sum_e4=" + dr.agg(coalesce(sum(col("new_share_e4")), lit(0L)))
+        .head().getLong(0))
     // round 14: k-anonymity risk profile over (source, lang, length)
     val ka = graft.SparkEntry.queries("q_k_anonymity")(spark,
       "/root/testdata/sf0.001")

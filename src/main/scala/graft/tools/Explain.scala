@@ -127,7 +127,7 @@ object Explain {
                          // centroid literals (fit scans run at build)
     "q_score_normalize_hist", // span agg + bucket histogram windows +
                               // (group, bucket) join-back — no group sort
-    "q_quality_ensemble", // three narrow scoring scans, one id join
+    "q_quality_ensemble", // ONE fused scoring scan (both gates), no join
     "q_bm25_rm3",        // shown plan = the expanded second pass (the
                          // feedback pick runs at build, fbDocs-bounded)
     "q_write_plan",      // one map-combined byte agg, |groups| rows out

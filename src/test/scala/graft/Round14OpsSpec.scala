@@ -112,6 +112,27 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("domainReweightStep: a NULL domain normalizes against the GLOBAL " +
+    "weight sum (review finding: NULL partition key split the window)") {
+    import spark.implicits._
+    val perDoc = Seq(
+      (Option("a"), 100L, Some(3000000L)),
+      (Option("a"), 100L, Some(3000000L)),
+      (Option.empty[String], 200L, Some(1000000L)),
+      (Option.empty[String], 200L, Some(1000000L))
+    ).toDF("source", "n_tok", "avg_nll_e6")
+    val out = graft.operators.Mixture.domainReweightStep(
+        perDoc, "source", "avg_nll_e6", "n_tok", etaE0 = 2L)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(7))
+      .toMap
+    // mean 2e6; "a": excess 1e6, base 1/3 -> w = 1/3 * 3e6;
+    // NULL: excess 0, base 2/3 -> w = 2/3 * 1e6. shares 6000 / 4000.
+    assert(out == Map("a" -> 6000L, "<null>" -> 4000L), out)
+    assert(out.values.sum == 10000L,
+      "NULL-domain row must share the global normalizer")
+  }
+
   test("kAnonymityProfile: group-size histogram with sub-k classes flagged") {
     import spark.implicits._
     val df = Seq(
