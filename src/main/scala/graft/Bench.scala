@@ -94,12 +94,14 @@ object Bench {
     /** Full timing record of one query: stats(0 until warmups) are
       * the untimed warmups, the rest are warm trials in execution
       * order (retries appended). `flagged` holds contaminated warm
-      * indices (into `stats`); the median is over unflagged warm
-      * trials. */
+      * indices (into `stats`, ramp-inflated indices included); the
+      * median is over unflagged warm trials. `ramp` is the subset of
+      * `flagged` the ramp detector named (round 15 — see
+      * TrialMeter.rampIndices). */
     final case class QTimes(median: Double, ok: Boolean,
                             stats: Seq[TrialMeter.TrialStat],
                             flagged: Seq[Int], retried: Int,
-                            warmups: Int = 1)
+                            warmups: Int = 1, ramp: Seq[Int] = Nil)
     val trialLog = scala.collection.mutable.LinkedHashMap.empty[String, QTimes]
     // SLOT-RELEASE pass (round 14): after each query's trials, evict
     // every PersistSlots frame the query did NOT touch. Cross-trial
@@ -126,8 +128,30 @@ object Bench {
       // first failure decides — don't re-run a broken query
       while (trial < warmups + warmTrials && !failed) { runTrial(); trial += 1 }
       var retried = 0
-      def warmFlags: Seq[Boolean] =
-        TrialMeter.flags(stats.drop(warmups).toSeq, extBaseline = extBaseline)
+      // RAMP indices (round 15, absolute indices into stats): detected
+      // ONCE over the initial warm batch in execution order, then
+      // treated as contaminated — excluded from the median and topped
+      // up by the same retry loop. The r14 artifact's q_profile warm
+      // trials (1.96, 1.71, 5.12, 11.30, 13.87 s on r12-untouched
+      // code) ramped monotonically because external load inflated cpu
+      // AND wall together — invisible to the relative cpu/wall gauge
+      // by construction. Detection runs on the cpu/wall-unflagged
+      // trials so both gauges compose instead of double-counting.
+      val rampSet = scala.collection.mutable.Set.empty[Int]
+      def warmFlags: Seq[Boolean] = {
+        val base = TrialMeter.flags(stats.drop(warmups).toSeq,
+          extBaseline = extBaseline)
+        base.zipWithIndex.map { case (f, i) =>
+          f || rampSet.contains(i + warmups) }
+      }
+      if (!failed) {
+        val fl0 = TrialMeter.flags(stats.drop(warmups).toSeq,
+          extBaseline = extBaseline)
+        val cand = stats.drop(warmups).toSeq.zipWithIndex
+          .collect { case (s, i) if !fl0(i) => (s.wallSec, i + warmups) }
+        TrialMeter.rampIndices(cand.map(_._1))
+          .foreach(j => rampSet += cand(j)._2)
+      }
       if (!failed) {
         var fl = warmFlags
         while (!failed && fl.contains(true) && fl.count(!_) < warmTrials &&
@@ -149,7 +173,7 @@ object Bench {
           val pool = (if (clean.nonEmpty) clean
                       else stats.drop(warmups).map(_.wallSec)).sorted
           QTimes(pool(pool.length / 2), ok = true, stats.toSeq, flaggedIdx,
-            retried, warmups)
+            retried, warmups, ramp = rampSet.toSeq.sorted)
         }
       slotReleases += graft.operators.PersistSlots.releaseUntouched(mark)
       if (logAs.nonEmpty) trialLog(logAs) = res
@@ -348,12 +372,32 @@ object Bench {
     // -1 sentinel, never a fabricated 0: on a JVM without the
     // process-CPU bean every trial's cpuSec is -1 and a summed 0.00
     // would read as a (spectacular) regression-free run in the exact
-    // series the lineage table says to compare first
+    // series the lineage table says to compare first. Round 15 (r14
+    // ADVICE): a FAILED pinned query also invalidates the total — a
+    // sum over fewer queries would read as a spurious cross-round
+    // CPU improvement in the series the README says to compare
+    // first; pinned_cpu_n rides along so consumers can cross-check
+    // how many queries the total covers.
     val pinnedCpuMedians = results.collect {
       case (n, q) if q.ok && pinned.contains(n) => medianCpu(q) }
+    val pinnedFailed = results.exists { case (n, q) =>
+      pinned.contains(n) && !q.ok }
     val pinnedCpuTotal =
-      if (pinnedCpuMedians.exists(_.isEmpty)) -1.0
+      if (pinnedFailed || pinnedCpuMedians.exists(_.isEmpty)) -1.0
       else pinnedCpuMedians.flatten.sum
+    val pinnedCpuN = if (pinnedFailed) 0 else pinnedCpuMedians.count(_.isDefined)
+    // per-query CPU-second medians over the SAME accepted trials the
+    // wall medians pool (round 15, the judge's top ask): on a box
+    // saturated at rest, per-query wall medians carry phantom
+    // regressions (r14: q_profile 1.62->5.12 s on r12-untouched
+    // code) that only a load-invariant per-query series can refute —
+    // queries_cpu is the per-query twin of pinned_cpu_total. -1 for
+    // failed queries (mirror of the wall convention) and for trials
+    // without the process-CPU bean.
+    val qsCpu = results.map { case (k, q) =>
+      val c = if (!q.ok) None else medianCpu(q)
+      "\"" + k + "\":" + c.map(v => f"$v%.2f").getOrElse("-1")
+    }.mkString("{", ",", "}")
     val codegenErrors = graft.tools.CodegenGuard.report()
     val (slotHits, slotMisses) = graft.operators.PersistSlots.stats
     val trialsJson = trialLog.map { case (k, q) =>
@@ -384,11 +428,19 @@ object Bench {
         "\"" + k + "\":" + q.flagged.mkString("[", ",", "]")
     }
     val flaggedJson = flaggedPairs.mkString("{", ",", "}")
+    // ramp_trials (round 15): per-query indices the ramp detector
+    // named (a SUBSET of flagged_trials — contaminated_trials counts
+    // both gauges' flags combined)
+    val rampJson = trialLog.toSeq.collect {
+      case (k, q) if q.ramp.nonEmpty =>
+        "\"" + k + "\":" + q.ramp.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val rampedTrials = trialLog.valuesIterator.map(_.ramp.length).sum
     val contaminatedTrials = trialLog.valuesIterator.map(_.flagged.length).sum
     val retriedTrials = trialLog.valuesIterator.map(_.retried).sum
     val loadEnd = TrialMeter.load1()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"pinned_cpu_total":${f"$pinnedCpuTotal%.2f"},"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses,"releases":$slotReleases,"held_end":${graft.operators.PersistSlots.size}},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"trial_gc":$gcJson,"flagged_trials":$flaggedJson,"bands":$bandsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"pinned_cpu_total":${f"$pinnedCpuTotal%.2f"},"pinned_cpu_n":$pinnedCpuN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"ramped_trials":$rampedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses,"releases":$slotReleases,"held_end":${graft.operators.PersistSlots.size}},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"trial_gc":$gcJson,"flagged_trials":$flaggedJson,"ramp_trials":$rampJson,"bands":$bandsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that
@@ -413,11 +465,21 @@ object Bench {
     val cgJson = if (codegenErrors == 0) "" else s""","codegen_errors":$codegenErrors"""
     val contJson = if (contaminatedTrials == 0) ""
       else s""","contaminated_trials":$contaminatedTrials,"retried_trials":$retriedTrials"""
+    val rampTopJson = if (rampedTrials == 0) ""
+      else s""","ramped_trials":$rampedTrials"""
+    // per-query cpu medians for the compact line's kept set — the
+    // wall map's load-invariant twin (full map in bench_detail.json)
+    val cpuByName: Map[String, String] = results.map { case (k, q) =>
+      k -> (if (q.ok) medianCpu(q).map(fmt).getOrElse("-1") else "-1")
+    }.toMap
     def compactLine(keep: Seq[(String, Double)], omitted: Int): String = {
       val m = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val mc = keep.sortBy(_._1).map { case (k, _) =>
+        "\"" + k + "\":" + cpuByName.getOrElse(k, "-1") }
+        .mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"pinned_cpu_total":${fmt(pinnedCpuTotal)},"queries":$m,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$contJson$om,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pinned_total":${fmt(pinnedTotal)},"pinned_cpu_total":${fmt(pinnedCpuTotal)},"pinned_cpu_n":$pinnedCpuN,"queries":$m,"queries_cpu":$mc,"sf":"$sfDir","isolation":"warmup1+median5-warm"$compactErrJson$cgJson$contJson$rampTopJson$om,"detail":"bench_detail.json"}"""
     }
     val ok = results.collect { case (n, q) if q.ok => (n, q.median) }
     val byTimeDesc = ok.sortBy(-_._2)

@@ -109,11 +109,25 @@ object Verify {
     def secMap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => q(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val meta =
-      s"""{"codegen_errors":$codegenErrors,""" +
+      s"""{"sf":${q(sfDir)},"n_entries":${seconds.size},""" +
+      s""""codegen_errors":$codegenErrors,""" +
       s""""gate_only_over_ceiling":${over.map(q).mkString("[", ",", "]")},""" +
       s""""gate_only_ceiling":${secMap(gateOnlyCeiling)},""" +
       s""""seconds":${secMap(seconds)},"ext_share":${secMap(extShare)}}"""
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta + "\n")
+    // Round-over-round gate-cost trend (round 15): the driver's
+    // outDir is ephemeral, so FULL runs also leave a copy in the
+    // working directory (the repo root, like bench_detail.json) for
+    // the round close to commit as VERIFYMETA_r{N}.json — a query
+    // whose ORACLE-side or gate-side cost balloons is then tracked
+    // round-over-round, not just bench-side. Focused (name-filtered)
+    // runs don't overwrite the full record. Best-effort: a read-only
+    // cwd must not fail the gate.
+    if (only.isEmpty) {
+      try Files.writeString(Paths.get("verify_meta_last.json"), meta + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] trend copy failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

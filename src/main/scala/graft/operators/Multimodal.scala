@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   * bytes — no external libraries. AUDIO decode is REAL too:
   * `javax.sound.sampled` reads WAV/AIFF/AU, so [[decodeAudio]]
   * recovers actual PCM samples ([[encodeWavPcm16]] is the writer
-  * half of the round-trip). Only VIDEO remains a STUB
-  * ([[decodeStub]], [[sampleFramesStub]] — the JDK has no video
-  * codec) with deterministic fake outputs and real
-  * schema/partitioning plumbing; swap the stub body for a codec
-  * (JNI/FFI batch call) without touching the pipeline shape.
+  * half of the round-trip). VIDEO decode is REAL for animated GIF
+  * — the one multi-frame container the JDK can read —
+  * ([[decodeVideo]], [[sampleFrameFeatures]],
+  * [[videoFingerprint64]], with [[encodeGifFrames]] as the writer
+  * half of the round-trip). Codecs the JDK lacks (H.264/MP4-class)
+  * remain STUBS with deterministic fake outputs and real
+  * schema/partitioning plumbing ([[decodeStub]],
+  * [[sampleFramesStub]], [[resizeStub]], [[embedStub]]); swap the
+  * stub body for a codec (a JNI/FFI [[mapBatches]] call) without
+  * touching the pipeline shape.
   */
 object Multimodal {
 

@@ -48,12 +48,27 @@ private[graft] object PersistSlots {
     * OLDER than `mark` — i.e. slots the work since `mark` never
     * reused. Slots touched at-or-after the mark stay warm (the
     * within-query cross-trial reuse the bench depends on). Returns
-    * the number of slots released. */
+    * the number of slot entries released.
+    *
+    * Alias guard (round 15): [[swap]]'s cross-slot sharing stores ONE
+    * DataFrame under several keys with INDEPENDENT touch stamps, so a
+    * stale alias of a frame some touched slot still holds must not be
+    * unpersisted — that would evict the touched slot's cache mid-run
+    * (results stay correct via the self-healing re-persist, but the
+    * within-query cross-trial reuse the bench medians depend on would
+    * be silently lost for shared-plan operators like containment /
+    * capped-jaccard). Such a stale alias only drops its MAP ENTRY;
+    * the surviving slot keeps the cached frame. Identity comparison
+    * is exact here because the sharing branch stores the surviving
+    * slot's own object. */
   def releaseUntouched(mark: Long): Int = synchronized {
-    val stale = slots.keys
-      .filter(k => touchedAt.getOrElse(k, 0L) < mark).toSeq
+    val (stale, live) = slots.keys.toSeq
+      .partition(k => touchedAt.getOrElse(k, 0L) < mark)
+    val liveFrames = live.map(slots(_))
     stale.foreach { k =>
-      try slots(k).unpersist() catch { case _: Throwable => }
+      val df = slots(k)
+      if (!liveFrames.exists(_ eq df))
+        try df.unpersist() catch { case _: Throwable => }
       slots.remove(k)
       touchedAt.remove(k)
     }

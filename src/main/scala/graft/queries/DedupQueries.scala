@@ -352,6 +352,22 @@ object DedupQueries {
       Dedup.dupSpanRemove(Tables(s, dir, "documents"), "doc_id", "text",
         spanLen = 8)),
 
+    // collision-VERIFIED exact-substring dedup (round 15): the span
+    // key is a 48-bit hash, and at 100 TB-scale span counts
+    // (>> 2^24) birthday collisions fold unrelated spans together —
+    // on the remove path that scrubs innocent text. Hash-matched
+    // candidate spans join back to their actual word slices and
+    // occurrence is recounted on the span TEXT, making the Lee et
+    // al. signal exact; the extra join is bounded to candidates
+    // only, so the no-self-join linear scale shape is unchanged
+    "dedup_spans_verified" -> ((s, dir) =>
+      Dedup.dupSpanStatsVerified(Tables(s, dir, "documents"), "doc_id",
+        "text", spanLen = 8)),
+
+    "dedup_span_remove_verified" -> ((s, dir) =>
+      Dedup.dupSpanRemoveVerified(Tables(s, dir, "documents"), "doc_id",
+        "text", spanLen = 8)),
+
     // sentence-granularity duplication stats: what fraction of each
     // document's sentences also appear in another document — the
     // C4-style boilerplate signal at natural boundaries (dedup_spans
@@ -1014,6 +1030,80 @@ object DedupQueries {
       |       END AS BIGINT) AS dup_frac_e4
       |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin
 
+  // dedup_spans_verified replay: hash-occurrence window names the
+  // candidates, then occurrence is recounted on the span TEXT
+  // itself (partition by sp) — the verification join restated as a
+  // second window; n_spans needs no explode (greatest(words-7, 0))
+  private val dupSpansVerifiedOracle =
+    """WITH w AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(wl) >= 8 THEN
+      |           list_transform(range(1, len(wl) - 6),
+      |             i -> array_to_string(wl[i:i+7], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |       FROM w),
+      |pos AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(s) + 1), i ->
+      |            {'p': i, 'sp': s[i]}), recursive := true)
+      |        FROM sh),
+      |ho AS (SELECT doc_id, p, sp,
+      |         count(*) OVER (PARTITION BY
+      |           CAST('0x' || substring(md5(sp), 1, 12) AS BIGINT)) AS occ
+      |       FROM pos),
+      |ver AS (SELECT doc_id, p,
+      |          count(*) OVER (PARTITION BY sp) AS vocc
+      |        FROM ho WHERE occ > 1),
+      |ns AS (SELECT doc_id,
+      |         CAST(greatest(len(wl) - 7, 0) AS BIGINT) AS n_spans FROM w),
+      |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+      |       FROM ver WHERE vocc > 1 GROUP BY 1)
+      |SELECT ns.doc_id, ns.n_spans,
+      |  CAST(coalesce(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(CASE WHEN ns.n_spans = 0 THEN 0
+      |       ELSE floor(CAST(coalesce(nd.n_dup_spans, 0) AS DOUBLE)
+      |                  / ns.n_spans * 10000)
+      |       END AS BIGINT) AS dup_frac_e4
+      |FROM ns LEFT JOIN nd USING (doc_id)""".stripMargin
+
+  // dedup_span_remove_verified replay: the verified starts (vocc > 1
+  // on the span text) drive the same in-doc list-filter rewrite as
+  // the unverified remove oracle
+  private val dupSpanRemoveVerifiedOracle =
+    """WITH w AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(wl) >= 8 THEN
+      |           list_transform(range(1, len(wl) - 6),
+      |             i -> array_to_string(wl[i:i+7], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |       FROM w),
+      |pos AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(s) + 1), i ->
+      |            {'p': i, 'sp': s[i]}), recursive := true)
+      |        FROM sh),
+      |ho AS (SELECT doc_id, p, sp,
+      |         count(*) OVER (PARTITION BY
+      |           CAST('0x' || substring(md5(sp), 1, 12) AS BIGINT)) AS occ
+      |       FROM pos),
+      |ver AS (SELECT doc_id, p,
+      |          count(*) OVER (PARTITION BY sp) AS vocc
+      |        FROM ho WHERE occ > 1),
+      |st AS (SELECT doc_id, list(p ORDER BY p) AS starts
+      |       FROM ver WHERE vocc > 1 GROUP BY 1),
+      |k AS (SELECT w.doc_id, w.wl,
+      |        list_filter(w.wl, (wd, i) ->
+      |          len(list_filter(coalesce(st.starts, CAST([] AS BIGINT[])),
+      |                p -> p <= i AND i < p + 8)) = 0) AS kept
+      |      FROM w LEFT JOIN st USING (doc_id))
+      |SELECT doc_id,
+      |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+      |  CAST(len(wl) AS BIGINT) AS n_words,
+      |  CAST(len(kept) AS BIGINT) AS n_kept
+      |FROM k""".stripMargin
+
   // dedup_span_remove replay: same span hashes and occurrence window
   // as dedup_spans, duplicated span STARTS per doc, then the in-doc
   // rewrite as a list filter. Indexing is 1-based on both sides of
@@ -1211,6 +1301,8 @@ object DedupQueries {
     "dedup_cdc_gear_remove" -> cdcGearRemoveOracle,
     "dedup_spans" -> dupSpansOracle,
     "dedup_span_remove" -> dupSpanRemoveOracle,
+    "dedup_spans_verified" -> dupSpansVerifiedOracle,
+    "dedup_span_remove_verified" -> dupSpanRemoveVerifiedOracle,
     "dedup_editdist" -> editdistOracle,
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,

@@ -380,6 +380,19 @@ object Demo {
     println("k-anonymity k-levels=" + ka.count() +
       " at_risk_docs=" + ka.filter(col("at_risk") === 1)
         .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
+    // round 15: collision-verified exact-substring dedup — the
+    // text-verified dup counts vs the hash-keyed ones (identical on
+    // a collision-free corpus; the verified form is what survives
+    // 100 TB span counts)
+    val sv = graft.operators.Dedup.dupSpanStatsVerified(docs5, "doc_id", "text")
+    val su = graft.operators.Dedup.dupSpanStats(docs5, "doc_id", "text")
+    println("verified spans dup_docs=" +
+      sv.filter(col("n_dup_spans") > 0).count() +
+      " (hash-keyed " + su.filter(col("n_dup_spans") > 0).count() + ")" +
+      " scrubbed_words=" + graft.operators.Dedup
+        .dupSpanRemoveVerified(docs5, "doc_id", "text")
+        .agg(coalesce(sum(col("n_words") - col("n_kept")), lit(0L)))
+        .head().getLong(0))
     spark.stop()
   }
 }

@@ -44,6 +44,8 @@ object Explain {
     "q_curate_e2e",      // filter->near-dedup->decontaminate->chunk, one plan
     "dedup_spans",       // window count on span hash, no self-join
     "dedup_span_remove", // same shape + doc-local rewrite filter
+    "dedup_spans_verified", // + bounded candidates-only verify join
+    "dedup_span_remove_verified", // verified starts drive the rewrite
     "q_dsir",            // importance scoring: narrow fold vs vote literal
     "q_quality_filter",  // perceptron scoring: narrow fold vs weight literal
     "q_bm25",            // bounded posting exchanges + broadcast stats row

@@ -52,6 +52,14 @@ import org.apache.spark.sql.functions._
   * Emits one JSON line per query with seconds at replication R, plus
   * rows processed; pair two runs (R=1 vs R=10) to read the scaling
   * exponent. Results feed SCALE.md.
+  *
+  * Large-R subsets (round 15): SPARK_SCALE_TABLES=documents,embeddings
+  * replicates ONLY the named fact tables (dims still copy verbatim) —
+  * at R=200 (1 M docs) materializing a 120 M-row lineitem nobody
+  * probes would dominate the run. When the subset is set,
+  * Fixtures.warm is skipped too (media payload fixtures over 1 M docs
+  * are ingest cost, not probe work); pair with SPARK_SCALE_ONLY
+  * naming queries that touch only the replicated tables.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -83,13 +91,17 @@ object ScaleProbe {
     // would silently measure. Only the completion marker (written
     // after the last table lands) allows the skip; anything else is
     // deleted and rebuilt.
+    val tables: Set[String] = sys.env.get("SPARK_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val marker = Paths.get(dest, "_REPLICATED")
-    val expected = s"r=$r mode=$mode"
+    val expected = s"r=$r mode=$mode" +
+      (if (tables.isEmpty) "" else s" tables=${tables.toSeq.sorted.mkString(",")}")
     val complete = Files.isRegularFile(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8").trim == expected
     if (!complete) {
       if (Files.isDirectory(Paths.get(dest))) deleteTree(dest)
-      replicate(spark, src, dest, r, mode)
+      replicate(spark, src, dest, r, mode, tables)
       Files.write(marker, (expected + "\n").getBytes("UTF-8"))
     }
 
@@ -103,7 +115,9 @@ object ScaleProbe {
       "dedup_jaccard_capped", "dedup_components", "dedup_components_stars",
       "dedup_embedding_lsh", "dedup_semantic",
       "dedup_embedding_lsh_auto", "dedup_semantic_auto",
-      "dedup_spans", "dedup_span_remove", "q_dsir", "q_quality_filter",
+      "dedup_spans", "dedup_span_remove",
+      "dedup_spans_verified", "dedup_span_remove_verified",
+      "q_dsir", "q_quality_filter",
       "knn_cosine", "knn_lsh", "knn_ivf", "q_kmeans",
       "q_pq", "knn_pq_adc", "knn_pq_rerank", "knn_ivfpq",
       "text_tfidf", "text_decontaminate", "text_chunk",
@@ -152,9 +166,13 @@ object ScaleProbe {
 
     // warm codegen/session
     spark.range(1000).selectExpr("sum(id)").collect()
-    try graft.queries.Fixtures.warm(spark, dest)
-    catch { case e: Throwable =>
-      System.err.println(s"[scale] fixture warm failed: ${e.getMessage}") }
+    // table-subset runs skip the media fixture warm: payload fixtures
+    // over a 1 M-doc corpus are ingest cost the probe isn't measuring
+    if (tables.isEmpty) {
+      try graft.queries.Fixtures.warm(spark, dest)
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] fixture warm failed: ${e.getMessage}") }
+    }
 
     val results = names.flatMap { name =>
       graft.SparkEntry.queries.get(name).map { fn =>
@@ -201,11 +219,15 @@ object ScaleProbe {
     */
   private[tools] def replicate(spark: SparkSession, src: String,
                                dest: String, r: Int,
-                               mode: String): Unit = {
+                               mode: String,
+                               tables: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     val fresh = mode != "dup" // vocab rewrites embeddings like fresh
     val KEYSPAN = 100000000L
     Files.createDirectories(Paths.get(dest))
+
+    // empty set = every fact table (the historical behavior)
+    def wanted(name: String): Boolean = tables.isEmpty || tables(name)
 
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(r).toDF("copy_n"))
@@ -216,17 +238,24 @@ object ScaleProbe {
     def w(df: DataFrame, name: String): Unit =
       df.drop("copy_n").write.mode("overwrite").parquet(s"$dest/$name.parquet")
 
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    w(copies(li).withColumn("l_orderkey", shift("l_orderkey")), "lineitem")
+    if (wanted("lineitem")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      w(copies(li).withColumn("l_orderkey", shift("l_orderkey")), "lineitem")
+    }
 
-    val ord = spark.read.parquet(s"$src/orders.parquet")
-    w(copies(ord)
-      .withColumn("o_orderkey", shift("o_orderkey"))
-      .withColumn("o_custkey", shift("o_custkey")), "orders")
+    if (wanted("orders")) {
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      w(copies(ord)
+        .withColumn("o_orderkey", shift("o_orderkey"))
+        .withColumn("o_custkey", shift("o_custkey")), "orders")
+    }
 
-    val cust = spark.read.parquet(s"$src/customer.parquet")
-    w(copies(cust).withColumn("c_custkey", shift("c_custkey")), "customer")
+    if (wanted("customer")) {
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      w(copies(cust).withColumn("c_custkey", shift("c_custkey")), "customer")
+    }
 
+    if (wanted("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docText =
       if (mode == "vocab")
@@ -257,7 +286,9 @@ object ScaleProbe {
     w(copies(docs)
       .withColumn("doc_id", shift("doc_id"))
       .withColumn("text", docText), "documents")
+    }
 
+    if (wanted("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embVec =
       if (!fresh) col("embedding")
@@ -275,11 +306,14 @@ object ScaleProbe {
     w(copies(emb)
       .withColumn("vec_id", shift("vec_id"))
       .withColumn("embedding", embVec), "embeddings")
+    }
 
-    val ev = graft.queries.Tables.events(spark, src)
-    w(copies(ev)
-      .withColumn("event_id", shift("event_id"))
-      .withColumn("user_id", shift("user_id")), "events")
+    if (wanted("events")) {
+      val ev = graft.queries.Tables.events(spark, src)
+      w(copies(ev)
+        .withColumn("event_id", shift("event_id"))
+        .withColumn("user_id", shift("user_id")), "events")
+    }
 
     for (dim <- Seq("nation", "region", "part", "supplier")) {
       w(spark.read.parquet(s"$src/$dim.parquet"), dim)

@@ -163,6 +163,39 @@ object TrialMeter {
     * needs >= 3 trials for a meaningful median. Pure — spec'd on
     * synthetic inputs.
     */
+  /** Warm-trial RAMP detector (round 15). BENCH_r14's q_profile warm
+    * trials read 1.96, 1.71, 5.12, 11.30, 13.87 s on code untouched
+    * since r12 (mm_audio: 1.09 → 5.81): external load arriving
+    * MID-QUERY inflates cpu and wall together, so [[flags]]'s
+    * relative cpu/wall gauge provably cannot fire, and on a host
+    * whose /proc/stat is saturated at rest the absolute gauge is
+    * self-disabled — the monotone in-query ramp was invisible and
+    * its inflated trials moved the round-over-round medians. The
+    * ramp signature is its own gauge over trials in EXECUTION order:
+    * the run's second-half median exceeds `factor` x its first-half
+    * median AND the last trial exceeds `factor` x the first. Returns
+    * the indices of ramp-inflated trials (wall > factor x first-half
+    * median) to exclude from the median — empty when no ramp. A
+    * single late spike (second-half median robust to one outlier)
+    * or plain jitter does not fire; runs whose median wall is under
+    * `minWallSec` are never flagged (scheduler noise). Pure —
+    * spec'd on the observed r14 sequences and synthetic inputs. */
+  def rampIndices(walls: Seq[Double], factor: Double = 2.0,
+                  minWallSec: Double = 0.05): Seq[Int] = {
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
+    val n = walls.length
+    if (n < 3 || med(walls) < minWallSec) Nil
+    else {
+      val firstMed = med(walls.take(n / 2))
+      val secondMed = med(walls.drop(n / 2))
+      if (firstMed > 0 && walls.head > 0 &&
+          walls.last > walls.head * factor && secondMed > firstMed * factor)
+        walls.zipWithIndex.collect { case (w, i) if w > firstMed * factor => i }
+      else Nil
+    }
+  }
+
   def flags(stats: Seq[TrialStat], extShareMax: Double = 0.25,
             relFactor: Double = 2.0, wallFactor: Double = 1.5,
             minWallSec: Double = 0.05,

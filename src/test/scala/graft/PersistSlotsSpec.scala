@@ -50,6 +50,25 @@ class PersistSlotsSpec extends SparkSpec {
     PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
   }
 
+  test("releaseUntouched never unpersists a frame a touched slot aliases " +
+    "(cross-slot sharing)") {
+    val mk = () => Seq(1, 2, 3).toDF("v").filter($"v" > 1)
+    val a = PersistSlots.swap("spec.alias.a", mk())
+    a.count()
+    // identical plan under a second name -> swap's sharing branch
+    // stores the SAME DataFrame object under both keys
+    val b = PersistSlots.swap("spec.alias.b", mk())
+    assert(b eq a, "sharing branch should alias the existing frame")
+    val mark = PersistSlots.advanceEpoch()
+    // only slot a is touched inside the window; b's entry goes stale
+    PersistSlots.swap("spec.alias.a", mk()): Unit
+    val released = PersistSlots.releaseUntouched(mark)
+    assert(released >= 1, "the stale alias entry should be released")
+    assert(a.storageLevel != StorageLevel.NONE,
+      "releasing the stale alias must not evict the touched slot's cache")
+    PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
+  }
+
   test("released slots re-persist cleanly on the next swap (self-healing)") {
     val mk = () => Seq(7, 8).toDF("v").filter($"v" > 6)
     val p1 = PersistSlots.swap("spec.release.d", mk())

@@ -70,6 +70,39 @@ class TrialMeterSpec extends AnyFunSuite {
     assert(!TrialMeter.flags(Seq.fill(5)(noProc)).exists(identity))
   }
 
+  test("rampIndices: the observed r14 q_profile ramp is detected and its " +
+    "inflated trials named") {
+    // BENCH_r14's actual warm walls on code untouched since r12 —
+    // cpu tracked wall, so flags() provably could not fire
+    val r = TrialMeter.rampIndices(Seq(1.96, 1.71, 5.12, 11.30, 13.87))
+    assert(r == Seq(2, 3, 4), s"got $r")
+  }
+
+  test("rampIndices: a monotone 5x ramp (mm_audio shape) fires") {
+    val r = TrialMeter.rampIndices(Seq(1.09, 1.8, 2.9, 4.4, 5.81))
+    assert(r.nonEmpty && r.contains(4))
+  }
+
+  test("rampIndices: flat trials with jitter do not fire") {
+    assert(TrialMeter.rampIndices(Seq(2.0, 2.3, 1.9, 2.2, 2.4)).isEmpty)
+    // last/first just over 2x but second half not uniformly slower
+    assert(TrialMeter.rampIndices(Seq(1.0, 2.5, 1.1, 1.2, 2.1)).isEmpty)
+  }
+
+  test("rampIndices: a single late spike is the median's job, not a ramp") {
+    assert(TrialMeter.rampIndices(Seq(2.0, 2.0, 2.0, 2.0, 8.0)).isEmpty)
+  }
+
+  test("rampIndices: two late spikes (load arriving mid-query) do fire") {
+    assert(TrialMeter.rampIndices(Seq(2.0, 2.0, 2.0, 8.0, 9.0)) == Seq(3, 4))
+  }
+
+  test("rampIndices: sub-minWall runs and short sequences never fire") {
+    assert(TrialMeter.rampIndices(Seq(0.01, 0.02, 0.04, 0.04, 0.045)).isEmpty)
+    assert(TrialMeter.rampIndices(Seq(1.0, 9.0)).isEmpty)
+    assert(TrialMeter.rampIndices(Nil).isEmpty)
+  }
+
   test("snap/stat measure real process cpu against wall") {
     val a = TrialMeter.snap()
     // ~200ms of single-thread spin: cpu and wall should both be
