@@ -110,4 +110,32 @@ object Expectations {
         sum(col("k")).as("n_docs"))
       .withColumn("at_risk", (col("k") < kMin).cast("int"))
   }
+
+  /** l-diversity profile (Machanavajjhala et al. 2007, the
+    * re-identification gauge k-anonymity cannot give): a
+    * quasi-identifier class where every member shares ONE sensitive
+    * value leaks that value even at k = 1000 — so per class the
+    * metric is the number of DISTINCT sensitive values (`l`), and
+    * the report is the class histogram over l, with classes under
+    * `lMin` flagged. Same release-shaped contract as
+    * [[kAnonymityProfile]]: one row per distinct l, no row data
+    * leaves the aggregation.
+    *
+    * Scale shape: one exact count-distinct aggregation on the
+    * quasi-id key (two map-combined exchanges — Spark plans exact
+    * `countDistinct` as an expand + re-aggregate, both bounded by
+    * |classes x distinct sensitive values|), then a second
+    * aggregation over the |classes| rows. */
+  def lDiversityProfile(df: DataFrame, quasiIds: Seq[Column],
+                        sensitive: Column, lMin: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier")
+    require(lMin >= 1, s"lMin must be >= 1, got $lMin")
+    df.groupBy(quasiIds: _*)
+      .agg(countDistinct(sensitive).as("l"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__n")).as("n_docs"))
+      .withColumn("at_risk", (col("l") < lMin).cast("int"))
+  }
 }

@@ -448,4 +448,100 @@ object LanguageModel {
           .when(col("avg_nll_e6") <= col("__t2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Per-document EXCESS LOSS — the learnability data-selection
+    * signal (Mindermann et al. 2022 "RHO loss"; Lin et al. 2024
+    * RHO-1 applies it to LM pretraining token selection), restated
+    * for the n-gram proxy models this engine scores with: every
+    * document gets TWO stupid-backoff bigram NLLs — one from a model
+    * trained on the trusted REFERENCE corpus, one from a model
+    * trained on the (much larger) training corpus itself — and
+    *   excess_e6 = avg_train_nll − avg_ref_nll.
+    * Positive excess marks text the reference model finds easy but
+    * the corpus model finds hard: learnable and not yet learned —
+    * the highest-value data to keep. Negative excess marks text the
+    * corpus already models well (redundant) or the reference rejects
+    * (noise). `selected` = excess > 0.
+    *
+    * Integer-exact like [[bigramNll]]: both per-token costs floor to
+    * micro-nats before the sums, averages are integer division, and
+    * the excess is a subtraction of two integers — replays exactly
+    * in SQL.
+    *
+    * Scale shape: the corpus explodes into (prev, cur) pairs ONCE
+    * and left-joins BOTH models' count tables in the same pass (six
+    * gram-key joins against reference/vocabulary-sized tables —
+    * broadcastable at pruned-model sizes; the corpus text never
+    * shuffles twice), then one map-combined per-doc aggregation
+    * produces both sums. The shared words projection is
+    * slot-persisted: it feeds the pairs explode AND the train-model
+    * counts.
+    *
+    * @return (idCol, n_scored, train_nll_e6, ref_nll_e6, excess_e6,
+    *         selected) — docs with fewer than 2 words drop out. */
+  def excessLoss(docs: DataFrame, idCol: String, textCol: String,
+                 ref: DataFrame, refTextCol: String): DataFrame = {
+    val w = PersistSlots.swap("lm.excessLoss.words",
+      docs.select(col(idCol).as("id"), words(col(textCol)).as("__w")))
+
+    def uniOf(toks: DataFrame) = toks.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def bigOf(toks: DataFrame) = toks
+      .select(explode(pairsOf(col("__w"))).as("p"))
+      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c12"))
+    def totOf(toks: DataFrame, side: String) = toks
+      .agg(sum(size(col("__w"))).cast("long").as("__t"))
+      .select(when(col("__t").isNull, raise_error(lit(
+        s"excessLoss: empty $side corpus (every backoff " +
+          "probability would divide by zero)")).cast("long"))
+        .otherwise(col("__t")).as(s"total_$side"))
+
+    val refToks = ref.select(words(col(refTextCol)).as("__w"))
+    val trainToks = w.select(col("__w"))
+
+    def renamed(df: DataFrame, side: String): DataFrame =
+      df.columns.foldLeft(df) { (d, c) =>
+        if (c == "prev" || c == "cur" || c == "w") d
+        else d.withColumnRenamed(c, s"${c}_$side") }
+
+    val pairs = w
+      .filter(size(col("__w")) >= 2)
+      .select(col("id"), explode(pairsOf(col("__w"))).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+
+    def cost(side: String) = floor(lit(1000000.0) * -log(
+      when(col(s"c12_$side").isNotNull,
+        col(s"c12_$side").cast("double") / col(s"c1_$side").cast("double"))
+      .otherwise(when(col(s"c2_$side").isNotNull,
+        lit(0.4) * (col(s"c2_$side").cast("double") /
+          col(s"total_$side").cast("double")))
+      .otherwise(lit(0.4) /
+        (col(s"total_$side").cast("double") * lit(10.0))))))
+
+    val scored = Seq("ref" -> refToks, "tr" -> trainToks)
+      .foldLeft(pairs) { case (acc, (side, toks)) =>
+        acc
+          .join(renamed(bigOf(toks), side), Seq("prev", "cur"), "left")
+          .join(renamed(uniOf(toks), side)
+            .select(col("w").as("prev"), col(s"c_$side").as(s"c1_$side")),
+            Seq("prev"), "left")
+          .join(renamed(uniOf(toks), side)
+            .select(col("w").as("cur"), col(s"c_$side").as(s"c2_$side")),
+            Seq("cur"), "left")
+          .crossJoin(broadcast(totOf(toks, side)))
+      }
+      .withColumn("cost_ref_e6", cost("ref"))
+      .withColumn("cost_tr_e6", cost("tr"))
+
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("cost_tr_e6")).as("train_nll_e6"),
+        sum(col("cost_ref_e6")).as("ref_nll_e6"))
+      .select(col("id").as(idCol), col("n_scored"),
+        col("train_nll_e6"), col("ref_nll_e6"),
+        expr("(train_nll_e6 div n_scored) - (ref_nll_e6 div n_scored)")
+          .as("excess_e6"))
+      .withColumn("selected", (col("excess_e6") > 0).cast("int"))
+  }
 }

@@ -33,6 +33,11 @@ object TextQueries {
     * than this are flagged (Sweeney's canonical k=5). */
   private val K_MIN = 5L
 
+  /** q_l_diversity risk threshold: quasi-identifier classes with
+    * fewer distinct sensitive values than this are flagged
+    * (Machanavajjhala et al.'s canonical l=3). */
+  private val L_MIN = 3L
+
   /** Shared DuckDB replay of Reputation.sourceStats — one CTE chain;
     * `filtered` swaps the final projection between the per-source
     * stats table and the reputation-gated document list. Integer
@@ -427,6 +432,33 @@ object TextQueries {
         Seq(col("source"), col("lang"),
           (nw - pmod(nw, lit(10L))).as("len_bucket")),
         kMin = K_MIN)
+    }),
+
+    // l-diversity companion (round 15): k-anonymity's blind spot is
+    // a big class whose members all share ONE sensitive value — the
+    // class leaks it at any k. Quasi-ids here are (lang x length
+    // bucket); the sensitive attribute is the source (which corpus a
+    // document came from is exactly what a de-anonymization attack
+    // wants); classes with fewer than L_MIN distinct sources flag
+    "q_l_diversity" -> ((s, dir) => {
+      val nw = size(words(col("text"))).cast("long")
+      graft.operators.Expectations.lDiversityProfile(
+        Tables(s, dir, "documents"),
+        Seq(col("lang"), (nw - pmod(nw, lit(10L))).as("len_bucket")),
+        col("source"), lMin = L_MIN)
+    }),
+
+    // excess-loss (RHO-style learnability) data selection (round
+    // 15): two bigram models — reference split (doc_id % 5 = 0) vs
+    // the whole corpus — score every doc in one pairs pass; docs the
+    // reference finds easy but the corpus model finds hard carry
+    // positive excess and are selected. The integer-exact n-gram
+    // restatement of loss-based data selection
+    "q_excess_loss" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.LanguageModel.excessLoss(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0), "text")
     }),
 
     // the PLANNER view of decontamination: per-(source x benchmark)
@@ -1080,6 +1112,84 @@ object TextQueries {
        |  CAST(sum(k) AS BIGINT) AS n_docs,
        |  CAST(CASE WHEN k < $K_MIN THEN 1 ELSE 0 END AS INTEGER) AS at_risk
        |FROM g GROUP BY k""".stripMargin
+
+  // q_l_diversity replay: distinct-sensitive count per quasi-id
+  // class, then the class histogram over l — same shape as the
+  // k-anonymity replay with count(DISTINCT source) as the metric
+  private val lDiversityOracle: String =
+    s"""WITH q AS (SELECT source, lang,
+       |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nw
+       |  FROM documents),
+       |g AS (SELECT lang, nw - (nw % 10) AS len_bucket,
+       |        CAST(count(DISTINCT source) AS BIGINT) AS l,
+       |        CAST(count(*) AS BIGINT) AS n
+       |      FROM q GROUP BY 1, 2)
+       |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN l < $L_MIN THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+       |FROM g GROUP BY l""".stripMargin
+
+  // q_excess_loss replay: the perplexity cost ladder instantiated
+  // TWICE (reference-split model r*, whole-corpus model t*) over one
+  // shared pairs explode; the averages are integer divisions on
+  // nonnegative sums (`//` == `div`) and the excess is an integer
+  // subtraction — exact in both engines
+  private val excessLossOracle: String =
+    """WITH wd AS (SELECT doc_id,
+      |              regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |            FROM documents),
+      |wr AS (SELECT ws FROM wd WHERE doc_id % 5 = 0),
+      |unir AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |           SELECT unnest(ws) AS w FROM wr) GROUP BY w),
+      |bigr AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |           SELECT unnest(ws[1:len(ws)-1]) AS prev,
+      |                  unnest(ws[2:len(ws)]) AS cur
+      |           FROM wr WHERE len(ws) >= 2) GROUP BY prev, cur),
+      |totr AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS totalr FROM wr),
+      |unit AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+      |           SELECT unnest(ws) AS w FROM wd) GROUP BY w),
+      |bigt AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |           SELECT unnest(ws[1:len(ws)-1]) AS prev,
+      |                  unnest(ws[2:len(ws)]) AS cur
+      |           FROM wd WHERE len(ws) >= 2) GROUP BY prev, cur),
+      |tott AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS totalt FROM wd),
+      |dp AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
+      |         unnest(ws[2:len(ws)]) AS cur
+      |       FROM wd WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id,
+      |        CAST(floor(1000000.0 * (-ln(
+      |          CASE WHEN r12 IS NOT NULL
+      |                 THEN CAST(r12 AS DOUBLE) / CAST(r1 AS DOUBLE)
+      |               WHEN r2 IS NOT NULL
+      |                 THEN 0.4 * (CAST(r2 AS DOUBLE) / CAST(totalr AS DOUBLE))
+      |               ELSE 0.4 / (CAST(totalr AS DOUBLE) * 10.0)
+      |          END))) AS BIGINT) AS cost_r,
+      |        CAST(floor(1000000.0 * (-ln(
+      |          CASE WHEN t12 IS NOT NULL
+      |                 THEN CAST(t12 AS DOUBLE) / CAST(t1 AS DOUBLE)
+      |               WHEN t2 IS NOT NULL
+      |                 THEN 0.4 * (CAST(t2 AS DOUBLE) / CAST(totalt AS DOUBLE))
+      |               ELSE 0.4 / (CAST(totalt AS DOUBLE) * 10.0)
+      |          END))) AS BIGINT) AS cost_t
+      |      FROM dp
+      |      LEFT JOIN (SELECT prev, cur, c12 AS r12 FROM bigr)
+      |        USING (prev, cur)
+      |      LEFT JOIN (SELECT w AS prev, c AS r1 FROM unir) USING (prev)
+      |      LEFT JOIN (SELECT w AS cur, c AS r2 FROM unir) USING (cur)
+      |      LEFT JOIN (SELECT prev, cur, c12 AS t12 FROM bigt)
+      |        USING (prev, cur)
+      |      LEFT JOIN (SELECT w AS prev, c AS t1 FROM unit) USING (prev)
+      |      LEFT JOIN (SELECT w AS cur, c AS t2 FROM unit) USING (cur)
+      |      CROSS JOIN totr CROSS JOIN tott)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(cost_t) AS BIGINT) AS train_nll_e6,
+      |  CAST(sum(cost_r) AS BIGINT) AS ref_nll_e6,
+      |  CAST((sum(cost_t) // count(*)) - (sum(cost_r) // count(*))
+      |    AS BIGINT) AS excess_e6,
+      |  CAST(CASE WHEN (sum(cost_t) // count(*)) -
+      |                 (sum(cost_r) // count(*)) > 0
+      |       THEN 1 ELSE 0 END AS INTEGER) AS selected
+      |FROM c GROUP BY doc_id""".stripMargin
 
   // q_min_k_prob replay: the same per-token cost CTE, then the
   // order statistic as a windowed rank — rank the costs per doc
@@ -2022,5 +2132,7 @@ object TextQueries {
     "q_curriculum_order" -> curriculumOracle,
     "q_domain_reweight" -> domainReweightOracle,
     "q_k_anonymity" -> kAnonymityOracle,
+    "q_l_diversity" -> lDiversityOracle,
+    "q_excess_loss" -> excessLossOracle,
     "q_ccnet_buckets" -> ccnetBucketsOracle)
 }

@@ -380,6 +380,20 @@ object Demo {
     println("k-anonymity k-levels=" + ka.count() +
       " at_risk_docs=" + ka.filter(col("at_risk") === 1)
         .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
+    // round 15: l-diversity — the sensitive-value companion to the
+    // k-anonymity profile (a big class that shares one source still
+    // leaks it)
+    val ld = graft.SparkEntry.queries("q_l_diversity")(spark,
+      "/root/testdata/sf0.001")
+    println("l-diversity levels=" + ld.count() +
+      " at_risk_docs=" + ld.filter(col("at_risk") === 1)
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
+    // round 15: excess-loss (learnability) selection — docs the
+    // reference finds easy but the corpus model finds hard
+    val el = graft.SparkEntry.queries("q_excess_loss")(spark,
+      "/root/testdata/sf0.001")
+    println("excess loss docs=" + el.count() +
+      " selected=" + el.filter(col("selected") === 1).count())
     // round 15: collision-verified exact-substring dedup — the
     // text-verified dup counts vs the hash-keyed ones (identical on
     // a collision-free corpus; the verified form is what survives

@@ -46,6 +46,8 @@ object Explain {
     "dedup_span_remove", // same shape + doc-local rewrite filter
     "dedup_spans_verified", // + bounded candidates-only verify join
     "dedup_span_remove_verified", // verified starts drive the rewrite
+    "q_excess_loss",     // ONE pairs explode joined to BOTH models
+    "q_l_diversity",     // two bounded aggs, |classes|-row output
     "q_dsir",            // importance scoring: narrow fold vs vote literal
     "q_quality_filter",  // perceptron scoring: narrow fold vs weight literal
     "q_bm25",            // bounded posting exchanges + broadcast stats row

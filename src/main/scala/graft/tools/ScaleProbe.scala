@@ -159,7 +159,8 @@ object ScaleProbe {
       "q_curriculum_order", "q_vocab_coverage",
       "q_dim_truncate_recall", "q_ivf_recall_curve", "q_kmeans_update",
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
-      "q_write_plan", "q_domain_reweight", "q_k_anonymity")
+      "q_write_plan", "q_domain_reweight", "q_k_anonymity",
+      "q_l_diversity", "q_excess_loss")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
