@@ -128,15 +128,20 @@ object Bench {
       // first failure decides — don't re-run a broken query
       while (trial < warmups + warmTrials && !failed) { runTrial(); trial += 1 }
       var retried = 0
-      // RAMP indices (round 15, absolute indices into stats): detected
-      // ONCE over the initial warm batch in execution order, then
-      // treated as contaminated — excluded from the median and topped
-      // up by the same retry loop. The r14 artifact's q_profile warm
-      // trials (1.96, 1.71, 5.12, 11.30, 13.87 s on r12-untouched
-      // code) ramped monotonically because external load inflated cpu
-      // AND wall together — invisible to the relative cpu/wall gauge
-      // by construction. Detection runs on the cpu/wall-unflagged
-      // trials so both gauges compose instead of double-counting.
+      // RAMP indices (round 15, absolute indices into stats): the r14
+      // artifact's q_profile warm trials (1.96, 1.71, 5.12, 11.30,
+      // 13.87 s on r12-untouched code) ramped monotonically because
+      // external load inflated cpu AND wall together — invisible to
+      // the relative cpu/wall gauge by construction. Ramp-flagged
+      // trials are treated as contaminated: excluded from the median
+      // and topped up by the same retry loop. Detection runs over the
+      // currently-UNFLAGGED trials in execution order (so both gauges
+      // compose instead of double-counting) and RE-RUNS after every
+      // retry: under sustained load the replacement trials land just
+      // as inflated, and a one-shot detector would wave them into the
+      // accepted pool — the re-detect keeps flagging them (sticky
+      // set), so the final median falls back to the pre-ramp trials
+      // instead of the load plateau.
       val rampSet = scala.collection.mutable.Set.empty[Int]
       def warmFlags: Seq[Boolean] = {
         val base = TrialMeter.flags(stats.drop(warmups).toSeq,
@@ -144,20 +149,22 @@ object Bench {
         base.zipWithIndex.map { case (f, i) =>
           f || rampSet.contains(i + warmups) }
       }
-      if (!failed) {
-        val fl0 = TrialMeter.flags(stats.drop(warmups).toSeq,
+      def detectRamp(): Unit = {
+        val base = TrialMeter.flags(stats.drop(warmups).toSeq,
           extBaseline = extBaseline)
-        val cand = stats.drop(warmups).toSeq.zipWithIndex
-          .collect { case (s, i) if !fl0(i) => (s.wallSec, i + warmups) }
+        val cand = stats.drop(warmups).toSeq.zipWithIndex.collect {
+          case (s, i) if !base(i) && !rampSet.contains(i + warmups) =>
+            (s.wallSec, i + warmups) }
         TrialMeter.rampIndices(cand.map(_._1))
           .foreach(j => rampSet += cand(j)._2)
       }
       if (!failed) {
+        detectRamp()
         var fl = warmFlags
         while (!failed && fl.contains(true) && fl.count(!_) < warmTrials &&
                retried < MaxRetries) {
           runTrial(); retried += 1
-          if (!failed) fl = warmFlags
+          if (!failed) { detectRamp(); fl = warmFlags }
         }
       }
       val res =

@@ -104,7 +104,14 @@ object TextFunctions {
     * recomputed for every window — O(shingles^2) md5 calls per doc.
     */
   def shingleHashes48(shingleArr: Column): Column =
-    transform(shingleArr, s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+    shingleHashesHex(shingleArr, 12)
+
+  /** [[shingleHashes48]] with a caller-chosen key width in md5 hex
+    * digits (4 bits each) — narrowed widths let collision specs force
+    * collisions cheaply; 12 digits = the production 48-bit key. */
+  def shingleHashesHex(shingleArr: Column, hexDigits: Int): Column =
+    transform(shingleArr,
+      s => conv(substring(md5(s), 1, hexDigits), 16, 10).cast("long"))
 
   /** Winnowed fingerprint minima (the MOSS/winnowing algorithm,
     * Schleimer et al. 2003) over a *pre-projected* [[shingleHashes48]]

@@ -1168,9 +1168,20 @@ object Dedup {
       .filter(col("__occ") > 1)
       .groupBy(col("id"))
       .agg(collect_set(col("pos")).as("__starts"))
+    scrubSpans(base, dupStarts, idCol, spanLen)
+  }
+
+  /** Shared scrub rewrite for the span-remove family: drop every word
+    * of `base` = (id, __w) covered by a duplicated span start from
+    * `dupStarts` = (id, __starts) — 0-based starts; span p covers
+    * word indices [p, p + spanLen). One doc-local array filter; the
+    * unverified and verified remove paths MUST share this body so
+    * their output contracts (and the verified==unverified
+    * differential spec) cannot silently diverge. */
+  private def scrubSpans(base: DataFrame, dupStarts: DataFrame,
+                         idCol: String, spanLen: Int): DataFrame =
     base
       .join(dupStarts, Seq("id"), "left")
-      // 0-based starts; span p covers word indices [p, p + spanLen)
       .withColumn("__st", coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__kept", filter(col("__w"), (wd, i) =>
         !exists(col("__st"), p => p <= i && i < p + spanLen)))
@@ -1178,7 +1189,6 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("clean_text"),
         size(col("__w")).cast("long").as("n_words"),
         size(col("__kept")).cast("long").as("n_kept"))
-  }
 
   /** Shared machinery for the collision-VERIFIED span operators
     * (round 15): the slot-persisted (id, words) base plus the
@@ -1215,8 +1225,8 @@ object Dedup {
       df.select(col(idCol).as("id"), words(col(textCol)).as("__w")))
     val spans = base
       .select(col("id"), shinglesOfWords(col("__w"), spanLen).as("__sh"))
-      .select(col("id"), posexplode(transform(col("__sh"),
-        s => conv(substring(md5(s), 1, hashHexDigits), 16, 10).cast("long"))))
+      .select(col("id"),
+        posexplode(shingleHashesHex(col("__sh"), hashHexDigits)))
     val verified = spans
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("col"))))
       .filter(col("__occ") > 1)
@@ -1274,14 +1284,6 @@ object Dedup {
       hashHexDigits)
     val dupStarts = verified.groupBy(col("id"))
       .agg(collect_set(col("pos")).as("__starts"))
-    base
-      .join(dupStarts, Seq("id"), "left")
-      .withColumn("__st", coalesce(col("__starts"), array().cast("array<int>")))
-      .withColumn("__kept", filter(col("__w"), (wd, i) =>
-        !exists(col("__st"), p => p <= i && i < p + spanLen)))
-      .select(col("id").as(idCol),
-        concat_ws(" ", col("__kept")).as("clean_text"),
-        size(col("__w")).cast("long").as("n_words"),
-        size(col("__kept")).cast("long").as("n_kept"))
+    scrubSpans(base, dupStarts, idCol, spanLen)
   }
 }

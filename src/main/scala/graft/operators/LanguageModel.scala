@@ -473,9 +473,11 @@ object LanguageModel {
     * gram-key joins against reference/vocabulary-sized tables —
     * broadcastable at pruned-model sizes; the corpus text never
     * shuffles twice), then one map-combined per-doc aggregation
-    * produces both sums. The shared words projection is
-    * slot-persisted: it feeds the pairs explode AND the train-model
-    * counts.
+    * produces both sums. BOTH words projections are slot-persisted:
+    * the corpus side feeds the pairs explode AND the train-model
+    * counts, and the reference side feeds its model's unigram,
+    * bigram, and total aggregations (four consumers — unpersisted it
+    * would re-read and re-tokenize the reference per subtree).
     *
     * @return (idCol, n_scored, train_nll_e6, ref_nll_e6, excess_e6,
     *         selected) — docs with fewer than 2 words drop out. */
@@ -497,7 +499,8 @@ object LanguageModel {
           "probability would divide by zero)")).cast("long"))
         .otherwise(col("__t")).as(s"total_$side"))
 
-    val refToks = ref.select(words(col(refTextCol)).as("__w"))
+    val refToks = PersistSlots.swap("lm.excessLoss.refWords",
+      ref.select(words(col(refTextCol)).as("__w")))
     val trainToks = w.select(col("__w"))
 
     def renamed(df: DataFrame, side: String): DataFrame =
@@ -521,12 +524,15 @@ object LanguageModel {
 
     val scored = Seq("ref" -> refToks, "tr" -> trainToks)
       .foldLeft(pairs) { case (acc, (side, toks)) =>
+        // one unigram aggregation per side serves both the c1 (prev)
+        // and c2 (cur) joins
+        val uni = renamed(uniOf(toks), side)
         acc
           .join(renamed(bigOf(toks), side), Seq("prev", "cur"), "left")
-          .join(renamed(uniOf(toks), side)
+          .join(uni
             .select(col("w").as("prev"), col(s"c_$side").as(s"c1_$side")),
             Seq("prev"), "left")
-          .join(renamed(uniOf(toks), side)
+          .join(uni
             .select(col("w").as("cur"), col(s"c_$side").as(s"c2_$side")),
             Seq("cur"), "left")
           .crossJoin(broadcast(totOf(toks, side)))

@@ -58,16 +58,24 @@ private[graft] object PersistSlots {
     * within-query cross-trial reuse the bench medians depend on would
     * be silently lost for shared-plan operators like containment /
     * capped-jaccard). Such a stale alias only drops its MAP ENTRY;
-    * the surviving slot keeps the cached frame. Identity comparison
-    * is exact here because the sharing branch stores the surviving
-    * slot's own object. */
+    * the surviving slot keeps the cached frame. The comparison is
+    * canonical-plan equality, not object identity: Spark's
+    * CacheManager keys persist/unpersist by canonicalized plan, so
+    * TWO DISTINCT DataFrame objects with sameResult plans (possible
+    * after an external unpersist broke the sharing branch's
+    * same-object invariant and a later swap re-persisted a fresh
+    * frame) still share one cache entry — unpersisting the stale
+    * object would evict the live one's cache. Identity is kept as
+    * the cheap first check. */
   def releaseUntouched(mark: Long): Int = synchronized {
     val (stale, live) = slots.keys.toSeq
       .partition(k => touchedAt.getOrElse(k, 0L) < mark)
     val liveFrames = live.map(slots(_))
     stale.foreach { k =>
       val df = slots(k)
-      if (!liveFrames.exists(_ eq df))
+      val aliased = liveFrames.exists(l => (l eq df) ||
+        l.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+      if (!aliased)
         try df.unpersist() catch { case _: Throwable => }
       slots.remove(k)
       touchedAt.remove(k)

@@ -69,6 +69,29 @@ class PersistSlotsSpec extends SparkSpec {
     PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
   }
 
+  test("releaseUntouched spares DISTINCT objects sharing one plan-keyed " +
+    "cache entry (external-unpersist aftermath)") {
+    val mk = () => Seq(9, 10).toDF("v").filter($"v" > 9)
+    val a = PersistSlots.swap("spec.alias2.a", mk())
+    a.count()
+    // external actor breaks the same-object sharing invariant
+    a.unpersist()
+    // the re-swap under a second name misses (occupant uncached) and
+    // persists a FRESH object — CacheManager keys by canonical plan,
+    // so a and b now alias one cache entry as different objects
+    val b = PersistSlots.swap("spec.alias2.b", mk())
+    assert(!(b eq a))
+    b.count()
+    assert(b.storageLevel != StorageLevel.NONE)
+    val mark = PersistSlots.advanceEpoch()
+    PersistSlots.swap("spec.alias2.b", mk()): Unit // touch b only
+    PersistSlots.releaseUntouched(mark): Unit      // a's entry goes stale
+    assert(b.storageLevel != StorageLevel.NONE,
+      "releasing the stale distinct-object alias must not evict the " +
+        "touched slot's plan-keyed cache entry")
+    PersistSlots.releaseUntouched(PersistSlots.advanceEpoch()): Unit
+  }
+
   test("released slots re-persist cleanly on the next swap (self-healing)") {
     val mk = () => Seq(7, 8).toDF("v").filter($"v" > 6)
     val p1 = PersistSlots.swap("spec.release.d", mk())
