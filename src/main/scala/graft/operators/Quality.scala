@@ -353,6 +353,50 @@ object Quality {
     * exact form). All arithmetic is integer on nonnegative operands,
     * so the approximation itself replays exactly in SQL.
     */
+  /** Automated Readability Index (Senter & Smith 1967) in exact
+    * integer fixed point — the grade-level proxy curation pipelines
+    * bucket by when selecting for textbook-grade prose (alongside
+    * the Gopher rules and the LM gates; ARI is the classic
+    * characters-per-word × words-per-sentence readability formula
+    * and the only mainstream one that needs no syllable counter, so
+    * it replays exactly in SQL):
+    *
+    *   ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43
+    *
+    * restated in e2 fixed point with each term floored SEPARATELY on
+    * nonnegative operands (`div` == `//`):
+    *
+    *   ari_e2 = floor(471·chars / words)
+    *          + floor(50·words / sentences) − 2143
+    *
+    * chars = non-whitespace characters; words = whitespace tokens
+    * (min 1 by construction — `split` of an empty string is one
+    * empty token, making chars/words 0 for blank docs rather than a
+    * division failure); sentences = `[.!?]+` runs, floored at 1 so
+    * fragments score as one sentence. `grade` clamps ari_e2/100 into
+    * [1, 14] — clamp BEFORE the division keeps the operand
+    * nonnegative (Spark `div` truncates toward zero, DuckDB `//`
+    * floors; they only agree ≥ 0).
+    *
+    * Scale shape: one narrow projection — counting expressions only,
+    * no explode, no shuffle; codegen keeps it at scan speed.
+    * @return (idCol, n_chars, n_words, n_sents, ari_e2, grade) */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+        col(idCol),
+        length(regexp_replace(t, "\\s+", "")).cast("long").as("n_chars"),
+        size(split(trim(t), "\\s+")).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("n_sents"))
+      .withColumn("ari_e2",
+        expr("(471 * n_chars) div n_words") +
+          expr("(50 * n_words) div n_sents") - lit(2143L))
+      .withColumn("grade",
+        least(expr("greatest(ari_e2, 100L) div 100"), lit(14L)))
+  }
+
   def percentileNormalizeHist(scored: DataFrame, groupCol: String,
                               scoreCol: String,
                               buckets: Int = 1024): DataFrame = {

@@ -448,6 +448,14 @@ object TextQueries {
         col("source"), lMin = L_MIN)
     }),
 
+    // ARI readability grade (round 15): the classic chars-per-word x
+    // words-per-sentence formula in e2 fixed point — the grade-level
+    // bucket a textbook-quality selection sorts by, one narrow
+    // codegen'd scan, no explode, no shuffle
+    "q_readability" -> ((s, dir) =>
+      graft.operators.Quality.readability(
+        Tables(s, dir, "documents"), "doc_id", "text")),
+
     // excess-loss (RHO-style learnability) data selection (round
     // 15): two bigram models — reference split (doc_id % 5 = 0) vs
     // the whole corpus — score every doc in one pairs pass; docs the
@@ -1128,6 +1136,27 @@ object TextQueries {
        |  CAST(sum(n) AS BIGINT) AS n_docs,
        |  CAST(CASE WHEN l < $L_MIN THEN 1 ELSE 0 END AS INTEGER) AS at_risk
        |FROM g GROUP BY l""".stripMargin
+
+  // q_readability replay: every term floored separately on
+  // nonnegative operands (`//` == `div`); the grade clamps BEFORE
+  // its division so the operand stays nonnegative (the engines only
+  // agree on integer division >= 0); regexp_replace needs the 'g'
+  // flag in DuckDB (Spark replaces all matches by default)
+  private val readabilityOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+      |      AS n_chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS BIGINT) AS n_sents
+      |  FROM documents),
+      |a AS (SELECT *, CAST((471 * n_chars) // n_words
+      |        + (50 * n_words) // n_sents - 2143 AS BIGINT) AS ari_e2
+      |      FROM b)
+      |SELECT doc_id, n_chars, n_words, n_sents, ari_e2,
+      |  CAST(least(greatest(ari_e2, 100) // 100, 14) AS BIGINT) AS grade
+      |FROM a""".stripMargin
 
   // q_excess_loss replay: the perplexity cost ladder instantiated
   // TWICE (reference-split model r*, whole-corpus model t*) over one
@@ -2134,5 +2163,6 @@ object TextQueries {
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,
     "q_excess_loss" -> excessLossOracle,
+    "q_readability" -> readabilityOracle,
     "q_ccnet_buckets" -> ccnetBucketsOracle)
 }

@@ -394,6 +394,12 @@ object Demo {
       "/root/testdata/sf0.001")
     println("excess loss docs=" + el.count() +
       " selected=" + el.filter(col("selected") === 1).count())
+    // round 15: ARI readability grades — the textbook-quality bucket
+    val ri = graft.SparkEntry.queries("q_readability")(spark,
+      "/root/testdata/sf0.001")
+    println("readability docs=" + ri.count() + " grade range=[" +
+      ri.agg(min(col("grade"))).head().getLong(0) + "," +
+      ri.agg(max(col("grade"))).head().getLong(0) + "]")
     // round 15: collision-verified exact-substring dedup — the
     // text-verified dup counts vs the hash-keyed ones (identical on
     // a collision-free corpus; the verified form is what survives

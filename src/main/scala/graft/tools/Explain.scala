@@ -48,6 +48,7 @@ object Explain {
     "dedup_span_remove_verified", // verified starts drive the rewrite
     "q_excess_loss",     // ONE pairs explode joined to BOTH models
     "q_l_diversity",     // two bounded aggs, |classes|-row output
+    "q_readability",     // narrow counting projection, zero shuffle
     "q_dsir",            // importance scoring: narrow fold vs vote literal
     "q_quality_filter",  // perceptron scoring: narrow fold vs weight literal
     "q_bm25",            // bounded posting exchanges + broadcast stats row

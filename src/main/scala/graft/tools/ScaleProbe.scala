@@ -160,7 +160,7 @@ object ScaleProbe {
       "q_dim_truncate_recall", "q_ivf_recall_curve", "q_kmeans_update",
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
       "q_write_plan", "q_domain_reweight", "q_k_anonymity",
-      "q_l_diversity", "q_excess_loss")
+      "q_l_diversity", "q_excess_loss", "q_readability")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)

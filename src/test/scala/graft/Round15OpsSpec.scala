@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Expectations, LanguageModel}
+import graft.operators.{Expectations, LanguageModel, Quality}
 
 /** Round-15 operators: the l-diversity privacy profile and the
   * excess-loss (RHO-style learnability) data-selection score.
@@ -38,6 +38,26 @@ class Round15OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Expectations.lDiversityProfile(df, Seq(col("g")), col("s"), 0)
     }
+  }
+
+  test("readability: hand-computed ARI fixed point and clamped grades") {
+    val df = Seq(
+      (1L, "The quick brown fox. It jumps!"),
+      (2L, ""),
+      (3L, "supercalifragilistic expialidocious interdisciplinary")
+    ).toDF("doc_id", "text")
+    val out = Quality.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // doc 1: 25 non-ws chars / 6 words / 2 sentence runs:
+    // floor(471*25/6)=1962 + floor(50*6/2)=150 - 2143 = -31 -> grade 1
+    assert(out(1L) == (25L, 6L, 2L, -31L, 1L), s"got ${out(1L)}")
+    // blank doc: one empty token, sentence floor 1 -> 0 + 50 - 2143
+    assert(out(2L) == (0L, 1L, 1L, -2093L, 1L), s"got ${out(2L)}")
+    // long technical words, no sentence marks: floor(471*51/3)=8007
+    // + 150 - 2143 = 6014 -> grade clamps to 14
+    assert(out(3L) == (51L, 3L, 1L, 6014L, 14L), s"got ${out(3L)}")
   }
 
   private val excessCorpus = Seq(
