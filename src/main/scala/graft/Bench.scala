@@ -96,8 +96,9 @@ object Bench {
       * order (retries appended). `flagged` holds contaminated warm
       * indices (into `stats`, ramp-inflated indices included); the
       * median is over unflagged warm trials. `ramp` is the subset of
-      * `flagged` the ramp detector named (round 15 — see
-      * TrialMeter.rampIndices). */
+      * `flagged` the trend gauges named (round 15/16 — see
+      * TrialMeter.rampIndices and its decay mirror decayIndices;
+      * both directions report as ramp_trials). */
     final case class QTimes(median: Double, ok: Boolean,
                             stats: Seq[TrialMeter.TrialStat],
                             flagged: Seq[Int], retried: Int,
@@ -155,7 +156,14 @@ object Bench {
         val cand = stats.drop(warmups).toSeq.zipWithIndex.collect {
           case (s, i) if !base(i) && !rampSet.contains(i + warmups) =>
             (s.wallSec, i + warmups) }
-        TrialMeter.rampIndices(cand.map(_._1))
+        // both trend directions feed the same sticky set (round 16):
+        // rampIndices catches load arriving MID-RUN (r14 q_profile),
+        // decayIndices its mirror — load present at the query's START
+        // and decaying across trials (r15 q_sq8: warm walls 15.59 →
+        // 3.55 s, board median 7.92 on code unchanged since r10's
+        // 0.69). Reported together as ramp_trials.
+        (TrialMeter.rampIndices(cand.map(_._1)) ++
+          TrialMeter.decayIndices(cand.map(_._1)))
           .foreach(j => rampSet += cand(j)._2)
       }
       if (!failed) {
@@ -203,11 +211,31 @@ object Bench {
       "stream_funnel", "stream_approx_users", "stream_cdc_upsert",
       "stream_media_ingest", "stream_sink_parquet", "stream_sessionize",
       "stream_attribution", "stream_redelivery_dedup")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Run-order decorrelation (round 16): the board used to run in
+    // fixed alphabetical order, so an external load burst at a fixed
+    // offset into the run hits the SAME queries every round — q_sq8
+    // sat in the same slot each run and ate a decaying head burst in
+    // BENCH_r15 (board 7.92 s vs 0.69 truth). A deterministic
+    // per-round shuffle (seed = SPARK_GRAFT_ROUND, or the count of
+    // BENCH_r*.json files the driver leaves in cwd) turns systematic
+    // per-query bias into noise the medians and trend gauges already
+    // absorb; within a round the order is reproducible. Artifacts
+    // stay name-sorted for stable diffs.
+    val roundSeed: Long = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(r => scala.util.Try(r.trim.toLong).toOption)
+      .getOrElse {
+        Option(new java.io.File(".").list())
+          .map(_.count(_.matches("BENCH_r\\d+\\.json")).toLong)
+          .getOrElse(0L)
+      }
+    val runOrder = new scala.util.Random(roundSeed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    val results = runOrder
       .filterNot { case (n, _) => gateOnly.contains(n) }
       .map { case (name, fn) =>
         (name, timed(fn, sfDir, logAs = name))
       }
+      .sortBy(_._1)
     val failed = results.collect { case (n, q) if !q.ok => n }
     val qs = results.map { case (k, q) => "\"" + k + "\":" + q.median }
       .mkString("{", ",", "}")
@@ -394,7 +422,11 @@ object Bench {
     val pinnedCpuTotal =
       if (pinnedFailed || pinnedCpuMedians.exists(_.isEmpty)) -1.0
       else pinnedCpuMedians.flatten.sum
-    val pinnedCpuN = if (pinnedFailed) 0 else pinnedCpuMedians.count(_.isDefined)
+    // n = 0 whenever the total is the -1 sentinel (round 16, r15
+    // ADVICE): a missing-bean median also invalidates the total, and
+    // "how many queries the total covers" must read 0 — not a
+    // positive count next to total=-1 — in BOTH invalid cases
+    val pinnedCpuN = if (pinnedCpuTotal < 0) 0 else pinnedCpuMedians.count(_.isDefined)
     // per-query CPU-second medians over the SAME accepted trials the
     // wall medians pool (round 15, the judge's top ask): on a box
     // saturated at rest, per-query wall medians carry phantom
@@ -449,7 +481,7 @@ object Bench {
     val retriedTrials = trialLog.valuesIterator.map(_.retried).sum
     val loadEnd = TrialMeter.load1()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"pinned_cpu_total":${f"$pinnedCpuTotal%.2f"},"pinned_cpu_n":$pinnedCpuN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"ramped_trials":$rampedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses,"releases":$slotReleases,"held_end":${graft.operators.PersistSlots.size}},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"trial_gc":$gcJson,"flagged_trials":$flaggedJson,"ramp_trials":$rampJson,"bands":$bandsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"sf":"$sfDir","isolation":"warmup1+median5-warm","pinned_total":$pinnedTotal,"pinned_n":$pinnedN,"pinned_cpu_total":${f"$pinnedCpuTotal%.2f"},"pinned_cpu_n":$pinnedCpuN,"codegen_errors":$codegenErrors,"contaminated_trials":$contaminatedTrials,"ramped_trials":$rampedTrials,"retried_trials":$retriedTrials,"ext_baseline":${f"$extBaseline%.3f"},"order_seed":$roundSeed,"loadavg":[$loadStart,$loadEnd],"gate_only":${gateOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$errJson$probeJson,"persist_slots":{"hits":$slotHits,"misses":$slotMisses,"releases":$slotReleases,"held_end":${graft.operators.PersistSlots.size}},"trials":$trialsJson,"trial_cpu":$cpuJson,"trial_ext":$extJson,"trial_gc":$gcJson,"flagged_trials":$flaggedJson,"ramp_trials":$rampJson,"bands":$bandsJson}"""
     // Full-precision record (incl. the scale probe) goes to a file:
     // the harness that invokes this main captures only the last ~2000
     // characters of stdout, and the full per-query map outgrew that

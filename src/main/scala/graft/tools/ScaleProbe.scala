@@ -162,6 +162,14 @@ object ScaleProbe {
       "q_write_plan", "q_domain_reweight", "q_k_anonymity",
       "q_l_diversity", "q_excess_loss", "q_readability")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
+    // Table-subset runs REQUIRE a query subset (round 16, r15 ADVICE):
+    // with only some fact tables replicated under dest, the full
+    // allNames sweep would fail (or worse, half-measure) every query
+    // touching a missing table — the pairing was previously enforced
+    // only by the doc comment above.
+    require(tables.isEmpty || sys.env.contains("SPARK_SCALE_ONLY"),
+      "SPARK_SCALE_TABLES is set but SPARK_SCALE_ONLY is not: name the " +
+        "queries that touch only the replicated tables")
     val names = sys.env.get("SPARK_SCALE_ONLY")
       .map(_.split(",").toSeq).getOrElse(allNames)
 

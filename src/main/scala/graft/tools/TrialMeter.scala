@@ -196,6 +196,43 @@ object TrialMeter {
     }
   }
 
+  /** Warm-trial DECAY detector (round 16) — [[rampIndices]]'s mirror.
+    * BENCH_r15's q_sq8 warm trials read 15.59, 7.92, 6.66, 8.01,
+    * 3.55 s on code unchanged since r10 (board 0.69 s then): an
+    * external load burst present at the query's START and decaying
+    * across trials inflates the HEAD, and the board median rides the
+    * inflated head — with zero flags, because rampIndices fires only
+    * on increases and the cpu/wall gauge can't fire when contention
+    * burns real JVM cycles (cpu tracked wall throughout). The mirror
+    * signature: the run's first-half median exceeds `factor` x its
+    * second-half median AND the first trial exceeds `factor` x the
+    * last. When it fires, the whole FIRST HALF is the contaminated
+    * regime (decay by definition starts at trial 0) — flagged
+    * wholesale, plus any later trial still above factor x the settled
+    * second-half median (decay bleeding past the midpoint) — so the
+    * median falls back to the settled tail. A single early spike can
+    * fire the gauge (a 2-element first-half median IS its max), but
+    * then the head trials it flags are either the spike itself or
+    * walls at tail level whose exclusion leaves the median where the
+    * tail puts it — conservative in effect. Same sticky-set,
+    * re-detect-after-retry plumbing as the ramp gauge in Bench. */
+  def decayIndices(walls: Seq[Double], factor: Double = 2.0,
+                   minWallSec: Double = 0.05): Seq[Int] = {
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
+    val n = walls.length
+    if (n < 3 || med(walls) < minWallSec) Nil
+    else {
+      val firstMed = med(walls.take(n / 2))
+      val secondMed = med(walls.drop(n / 2))
+      if (secondMed > 0 && walls.last > 0 &&
+          walls.head > walls.last * factor && firstMed > secondMed * factor)
+        walls.zipWithIndex.collect {
+          case (w, i) if i < n / 2 || w > secondMed * factor => i }
+      else Nil
+    }
+  }
+
   def flags(stats: Seq[TrialStat], extShareMax: Double = 0.25,
             relFactor: Double = 2.0, wallFactor: Double = 1.5,
             minWallSec: Double = 0.05,

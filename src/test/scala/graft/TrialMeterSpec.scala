@@ -103,6 +103,55 @@ class TrialMeterSpec extends AnyFunSuite {
     assert(TrialMeter.rampIndices(Nil).isEmpty)
   }
 
+  test("decayIndices: the observed r15 q_sq8 decaying head is detected and " +
+    "the median falls back to the settled tail") {
+    // BENCH_r15's actual warm walls on code unchanged since r10 (board
+    // median 7.92 s vs a 0.69 s quiet-box truth): a load burst present
+    // at the query's START decayed across trials — rampIndices fires
+    // only on increases, and cpu tracked wall so flags() could not
+    // fire either
+    val walls = Seq(15.59, 7.92, 6.66, 8.01, 3.55)
+    val d = TrialMeter.decayIndices(walls)
+    assert(d == Seq(0, 1), s"got $d")
+    val kept = walls.zipWithIndex.collect {
+      case (w, i) if !d.contains(i) => w }
+    assert(kept.sorted.apply(kept.length / 2) == 6.66)
+  }
+
+  test("decayIndices: the inverted r14 q_profile ramp fires as a decay") {
+    val d = TrialMeter.decayIndices(Seq(13.87, 11.30, 5.12, 1.71, 1.96))
+    assert(d == Seq(0, 1, 2), s"got $d")
+  }
+
+  test("decayIndices: flat trials with jitter do not fire") {
+    assert(TrialMeter.decayIndices(Seq(2.4, 2.2, 1.9, 2.3, 2.0)).isEmpty)
+    // head/tail just over 2x but first half not uniformly slower
+    assert(TrialMeter.decayIndices(Seq(2.1, 1.2, 1.1, 2.5, 1.0)).isEmpty)
+  }
+
+  test("decayIndices: an increasing ramp is rampIndices' job, not a decay") {
+    assert(TrialMeter.decayIndices(Seq(1.96, 1.71, 5.12, 11.30, 13.87)).isEmpty)
+  }
+
+  test("decayIndices: a single early spike fires but is conservative in " +
+    "effect (flagged head trials leave the median at tail level)") {
+    // a 2-element first-half median IS its max, so the gauge fires;
+    // the flagged head is the spike plus a tail-level wall whose
+    // exclusion leaves the median where the tail puts it
+    val walls = Seq(8.0, 2.0, 2.0, 2.0, 2.0)
+    val d = TrialMeter.decayIndices(walls)
+    assert(d == Seq(0, 1), s"got $d")
+    val kept = walls.zipWithIndex.collect {
+      case (w, i) if !d.contains(i) => w }
+    assert(kept.sorted.apply(kept.length / 2) == 2.0)
+  }
+
+  test("decayIndices: sub-minWall runs and short sequences never fire") {
+    assert(TrialMeter.decayIndices(Seq(0.045, 0.04, 0.04, 0.02, 0.01)).isEmpty)
+    assert(TrialMeter.decayIndices(Seq(9.0, 1.0)).isEmpty)
+    assert(TrialMeter.decayIndices(Nil).isEmpty)
+  }
+
   test("snap/stat measure real process cpu against wall") {
     val a = TrialMeter.snap()
     // ~200ms of single-thread spin: cpu and wall should both be
