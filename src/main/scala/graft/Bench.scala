@@ -273,6 +273,7 @@ object Bench {
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
       "q_write_plan", "q_domain_reweight", "q_k_anonymity",
       "q_l_diversity", "q_excess_loss", "q_readability",
+      "text_extract_html", "text_boilerplate",
       "dedup_spans_verified", "dedup_span_remove_verified",
       // the two r13 weak items stay probed every round: the capped
       // prefix-edge pagerank and the parallel-decode audio near-dup

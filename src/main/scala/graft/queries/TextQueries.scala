@@ -901,8 +901,61 @@ object TextQueries {
         .agg(count(lit(1)).as("df"),
           md5(concat_ws(",",
             sort_array(collect_list(col("doc_id"))).cast("array<string>")))
-            .as("postings_hash")))
+            .as("postings_hash"))),
+
+    // HTML main-content extraction (jusText/trafilatura-shaped): the
+    // crawl-pipeline stage BEFORE every text operator above — strip
+    // script/style/comments, segment at block tags, keep blocks by
+    // integer line rules (link density, tag density, stopword share,
+    // length). The corpus has no HTML column, so a page is
+    // synthesized deterministically in both engines (text_pii's
+    // discipline): head + nav + heading + two body paragraphs from
+    // the document text + an image row + a related-links list + a
+    // footer. The extraction must keep the body prose and drop all
+    // chrome. Narrow array expressions, zero shuffle — scan speed.
+    "text_extract_html" -> ((s, dir) =>
+      graft.operators.HtmlExtract.extract(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), synthHtml.as("html")),
+          "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_text"), col("main_chars"))),
+
+    // the corpus-wide boilerplate profile over the same pages: blocks
+    // per first-failing drop reason with e4 shares — the dial read
+    // before loosening/tightening an extraction rule. One explode +
+    // one map-combined agg to <= 5 rows.
+    "text_boilerplate" -> ((s, dir) =>
+      graft.operators.HtmlExtract.profile(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), synthHtml.as("html")),
+        "html"))
   )
+
+  /** The deterministic HTML fixture page both engines build from
+    * (doc_id, text): realistic chrome (nav/footer/related-links/image
+    * row/inline entities) around body paragraphs drawn from the
+    * document text. substr past the text's end is '' in both engines,
+    * so short documents deterministically lose their second
+    * paragraph to the min-words rule. */
+  private def synthHtml =
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>.m{color:#333}</style>" +
+        "<script type=\"text/javascript\">var t = 1 && document.cookie;" +
+        "</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/archive\">Archive</a> " +
+        "<a href=\"/tags\">Tags</a></nav><h1>"),
+      substring(col("text"), 1, 20),
+      lit("</h1><p>"), substring(col("text"), 1, 120),
+      lit(".</p><p>"), substring(col("text"), 121, 160),
+      lit(" &amp; more.</p>" +
+        "<p><img src=\"/one.png\"><img src=\"/two.png\">" +
+        "<img src=\"/three.png\"> img alt fig</p>" +
+        "<ul><li><a href=\"/more\">Read more posts</a></li>" +
+        "<li><a href=\"/share\">Share this page</a></li></ul>" +
+        "<footer>Copyright 2026 <a href=\"/privacy\">Privacy</a> " +
+        "<a href=\"/imprint\">Imprint</a></footer></body></html>"))
 
   // q_bpe_train replay: V unrolled rounds. Each round counts
   // adjacent symbol pairs over the word-frequency table (parallel
@@ -2175,5 +2228,94 @@ object TextQueries {
     "q_l_diversity" -> lDiversityOracle,
     "q_excess_loss" -> excessLossOracle,
     "q_readability" -> readabilityOracle,
-    "q_ccnet_buckets" -> ccnetBucketsOracle)
+    "q_ccnet_buckets" -> ccnetBucketsOracle,
+    "text_extract_html" -> extractHtmlOracle,
+    "text_boilerplate" -> boilerplateOracle)
+
+  /** Shared CTE replay of HtmlExtract's block classifier: same synth
+    * page, same RE2-safe regexes, same replace-chain entity decode
+    * (&amp; last), same first-failing integer rules. Produces
+    * k(doc_id, cs = list of {txt, reason}). */
+  private lazy val htmlBlocksCte: String =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>.m{color:#333}</style><script type="text/javascript">var t = 1 && document.cookie;</script></head><body>' ||
+      |    '<nav><a href="/">Home</a> <a href="/archive">Archive</a> <a href="/tags">Tags</a></nav><h1>' ||
+      |    substr(text, 1, 20) || '</h1><p>' || substr(text, 1, 120) ||
+      |    '.</p><p>' || substr(text, 121, 160) ||
+      |    ' &amp; more.</p><p><img src="/one.png"><img src="/two.png"><img src="/three.png"> img alt fig</p>' ||
+      |    '<ul><li><a href="/more">Read more posts</a></li><li><a href="/share">Share this page</a></li></ul>' ||
+      |    '<footer>Copyright 2026 <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></footer></body></html>'
+      |      AS html
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') AS ch
+      |  FROM h),
+      |b AS (SELECT doc_id, list_filter(
+      |    string_split(regexp_replace(ch,
+      |      '(?i)</?(p|div|h[1-6]|li|ul|ol|nav|footer|header|article|section|table|tr|th|td|blockquote|pre|br|hr)(\s[^>]*)?/?>',
+      |      chr(10), 'g'), chr(10)),
+      |    r -> trim(r) <> '') AS raws
+      |  FROM c),
+      |m AS (SELECT doc_id, list_transform(raws, r -> struct_pack(
+      |    txt := trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(r, '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')),
+      |    link_chars := coalesce(list_sum(list_transform(
+      |      regexp_extract_all(r, '(?i)<a[^>]*>([^<]*)</a>', 1),
+      |      x -> length(x))), 0),
+      |    n_tags := len(regexp_extract_all(r, '<[^>]*>', 0)))) AS ms
+      |  FROM b),
+      |k AS (SELECT doc_id, list_transform(ms, m -> struct_pack(
+      |    txt := m['txt'],
+      |    reason := CASE
+      |      WHEN (CASE WHEN m['txt'] = '' THEN 0
+      |            ELSE len(string_split(m['txt'], ' ')) END) < 3
+      |        THEN 'empty_or_short'
+      |      WHEN floor(m['link_chars'] * 10000 / length(m['txt'])) > 2000
+      |        THEN 'link_heavy'
+      |      WHEN floor(m['n_tags'] * 10000 /
+      |          len(string_split(m['txt'], ' '))) > 5000
+      |        THEN 'tag_soup'
+      |      WHEN len(string_split(m['txt'], ' ')) < 10 AND
+      |          floor(len(list_filter(string_split(lower(m['txt']), ' '),
+      |            w -> w IN ('the','a','of','and','to','in','is','it')))
+      |            * 10000 / len(string_split(m['txt'], ' '))) < 300
+      |        THEN 'short_no_stop'
+      |      ELSE 'kept' END)) AS cs
+      |  FROM m)""".stripMargin
+
+  private lazy val extractHtmlOracle: String =
+    htmlBlocksCte +
+      """,
+        |e AS (SELECT doc_id, cs,
+        |    list_transform(list_filter(cs, c -> c['reason'] = 'kept'),
+        |      c -> c['txt']) AS kept
+        |  FROM k)
+        |SELECT doc_id,
+        |  CAST(len(cs) AS BIGINT) AS n_blocks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN len(kept) = 0 THEN NULL
+        |       ELSE array_to_string(kept, chr(10)) END AS main_text,
+        |  CAST(coalesce(length(CASE WHEN len(kept) = 0 THEN NULL
+        |       ELSE array_to_string(kept, chr(10)) END), 0) AS BIGINT)
+        |    AS main_chars
+        |FROM e""".stripMargin
+
+  private lazy val boilerplateOracle: String =
+    htmlBlocksCte +
+      """,
+        |e AS (SELECT unnest(cs) AS c FROM k),
+        |g AS (SELECT c['reason'] AS reason, count(*) AS n_blocks
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_blocks) AS BIGINT) AS total_blocks FROM g)
+        |SELECT reason, n_blocks, total_blocks,
+        |  CAST(floor(n_blocks * 10000 / total_blocks) AS BIGINT) AS share_e4
+        |FROM g CROSS JOIN t""".stripMargin
 }

@@ -413,6 +413,19 @@ object Demo {
         .dupSpanRemoveVerified(docs5, "doc_id", "text")
         .agg(coalesce(sum(col("n_words") - col("n_kept")), lit(0L)))
         .head().getLong(0))
+    // round 16: HTML main-content extraction — the crawl-pipeline
+    // stage before every text operator; body prose survives, chrome
+    // (nav/footer/links/images) classified out by integer line rules
+    val hx = graft.SparkEntry.queries("text_extract_html")(spark,
+      "/root/testdata/sf0.001")
+    println("html extract docs=" + hx.count() +
+      " kept_blocks=" + hx.agg(sum(col("n_kept"))).head().getLong(0) +
+      " of " + hx.agg(sum(col("n_blocks"))).head().getLong(0))
+    val bp = graft.SparkEntry.queries("text_boilerplate")(spark,
+      "/root/testdata/sf0.001")
+    println("boilerplate profile: " + bp.orderBy(col("reason"))
+      .collect().map(r => r.getAs[String]("reason") + "=" +
+        r.getAs[Long]("n_blocks")).mkString(" "))
     spark.stop()
   }
 }

@@ -49,6 +49,8 @@ object Explain {
     "q_excess_loss",     // ONE pairs explode joined to BOTH models
     "q_l_diversity",     // two bounded aggs, |classes|-row output
     "q_readability",     // narrow counting projection, zero shuffle
+    "text_extract_html", // block classify: pure array exprs, zero shuffle
+    "text_boilerplate",  // same scan + explode -> <=5-row agg
     "q_dsir",            // importance scoring: narrow fold vs vote literal
     "q_quality_filter",  // perceptron scoring: narrow fold vs weight literal
     "q_bm25",            // bounded posting exchanges + broadcast stats row
