@@ -274,6 +274,7 @@ object Bench {
       "q_write_plan", "q_domain_reweight", "q_k_anonymity",
       "q_l_diversity", "q_excess_loss", "q_readability",
       "text_extract_html", "text_boilerplate",
+      "q_t_closeness", "q_calibration",
       "dedup_spans_verified", "dedup_span_remove_verified",
       // the two r13 weak items stay probed every round: the capped
       // prefix-edge pagerank and the parallel-decode audio near-dup

@@ -138,4 +138,65 @@ object Expectations {
         sum(col("__n")).as("n_docs"))
       .withColumn("at_risk", (col("l") < lMin).cast("int"))
   }
+
+  /** t-closeness profile (Li, Li & Venkatasubramanian 2007) — the
+    * third rung of the privacy ladder: l-diversity still leaks when a
+    * class's sensitive values are diverse but SKEWED relative to the
+    * corpus (a class that is 90% one source reveals likely membership
+    * even with l = 3 distinct sources). Per quasi-identifier class
+    * the metric is the total-variation (L1/2) distance between the
+    * class's sensitive-value distribution and the corpus-wide one, in
+    * EXACT integer e6 fixed point over the common denominator:
+    *
+    *   d_e6 = (Σ_v |n_cv·n − n_v·n_c| · 500000) div (n_c · n)
+    *
+    * where the Σ over values ABSENT from the class collapses in
+    * closed form to `(n − Σ_present n_v) · n_c` — no expansion to the
+    * full class × value cross product is ever materialized. The
+    * report is the class histogram over `bucketE6`-wide distance
+    * buckets with buckets at or above `tMaxE6` flagged (classes at
+    * exactly t land in the flagged bucket — conservative by one ULP
+    * of the bucket width). Same release-shaped contract as the other
+    * profiles: no row data leaves the aggregation.
+    *
+    * Scale shape: ONE corpus scan (the map-combined (class, value)
+    * count; slot-persisted — four downstream consumers must not
+    * re-scan the corpus); everything after operates on the bounded
+    * \|classes × values\| frame with broadcast joins. Fixed-point
+    * overflow bound: `n_c · n · 1e6` must fit a long, i.e. corpus
+    * rows × largest-class rows < ~9.2e12 — fine to ~3M-row classes
+    * at 3M docs; shard the profile by a QI column beyond that. */
+  def tClosenessProfile(df: DataFrame, quasiIds: Seq[Column],
+                        sensitive: Column, tMaxE6: Long,
+                        bucketE6: Long = 100000L): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier")
+    require(tMaxE6 >= 0 && bucketE6 >= 1 && tMaxE6 % bucketE6 == 0,
+      s"tMaxE6 ($tMaxE6) must be a nonnegative multiple of bucketE6 ($bucketE6)")
+    val qiNames = quasiIds.indices.map(i => s"__qi$i")
+    val qiCols = qiNames.map(col)
+    val base = df.select(
+      quasiIds.zip(qiNames).map { case (c, n) => c.as(n) } :+
+        sensitive.as("__sv"): _*)
+    val cv = PersistSlots.swap("expectations.tClosenessCv",
+      base.groupBy(qiCols :+ col("__sv"): _*)
+        .agg(count(lit(1)).as("n_cv")))
+    val vt = cv.groupBy(col("__sv")).agg(sum(col("n_cv")).as("n_v"))
+    val cls = cv.groupBy(qiCols: _*).agg(sum(col("n_cv")).as("n_c"))
+    val n = cv.agg(sum(col("n_cv")).as("n"))
+    cv.join(broadcast(vt), Seq("__sv"))
+      .join(broadcast(cls), qiNames)
+      .crossJoin(broadcast(n))
+      .groupBy(qiCols: _*)
+      .agg(sum(abs(col("n_cv") * col("n") - col("n_v") * col("n_c")))
+          .as("s1"),
+        sum(col("n_v")).as("sv"),
+        max(col("n_c")).as("n_c"), max(col("n")).as("n"))
+      // integer div: both operands nonnegative, so Spark's truncating
+      // div == DuckDB's flooring // (the oracle-portability rule)
+      .withColumn("d_e6", expr("(s1 + (n - sv) * n_c) * 500000 div (n_c * n)"))
+      .groupBy((col("d_e6") - pmod(col("d_e6"), lit(bucketE6)))
+        .as("d_bucket_e6"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_c")).as("n_docs"))
+      .withColumn("at_risk", (col("d_bucket_e6") >= tMaxE6).cast("int"))
+  }
 }

@@ -397,6 +397,57 @@ object Quality {
         least(expr("greatest(ari_e2, 100L) div 100"), lit(14L)))
   }
 
+  /** Calibration curve (reliability diagram) over a trained quality
+    * score: the margin range split into `bins` equal-width bins, per
+    * bin the OBSERVED positive rate next to the MEAN margin — the
+    * table that tells a user what an ensemble threshold actually
+    * means ("margins in bin 17 ⇒ 91% of those docs are
+    * positive-class"), pairing with [[retentionCurve]]'s volume half.
+    *
+    * Bins are ADAPTIVE (width = (max−min+1)/bins from a one-row
+    * min/max pre-aggregation, broadcast back): perceptron margins
+    * scale with corpus size — a fixed absolute step that gives 20
+    * bins at one SF gives 500 one-document bins at 10× (observed),
+    * and a reliability diagram of singleton bins says nothing.
+    * Equal-MASS (ntile) bins would need a global sort of the scored
+    * corpus; equal-width costs one extra tiny agg and keeps the
+    * whole thing at scan shape.
+    *
+    * Integer discipline: `bin = (score−min)·bins div (max−min+1)`
+    * divides nonnegative operands (truncating div == flooring //);
+    * so does `pos_rate_e4`; the mean margin can be NEGATIVE, where
+    * Spark's div (toward zero) and DuckDB's // (toward −∞) disagree —
+    * `mean_score_e4` is computed sign-split (negate, divide
+    * nonnegative, negate back), truncation toward zero in both
+    * engines. Empty bins are absent rows, not zeros.
+    *
+    * Scale shape: one min/max agg + one map-combined aggregation
+    * over the scored scan, ≤ `bins` output rows. */
+  def calibrationCurve(scored: DataFrame, scoreCol: String,
+                       labelCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val sc = col(scoreCol).cast("long")
+    val mm = scored.agg(min(sc).as("__mn"), max(sc).as("__mx"))
+    scored.crossJoin(broadcast(mm))
+      .select(sc.as("__s"), col(labelCol).as("__y"),
+        col("__mn"), col("__mx"))
+      .groupBy(expr(s"(__s - __mn) * $bins div (__mx - __mn + 1)")
+        .as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__y") > 0).cast("long")).as("n_pos"),
+        sum(col("__s")).as("sum_score"),
+        max(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
+      .withColumn("bin_lo",
+        expr(s"__mn + bin * (__mx - __mn + 1) div $bins"))
+      .withColumn("pos_rate_e4", expr("n_pos * 10000 div n_docs"))
+      .withColumn("mean_score_e4",
+        when(col("sum_score") >= 0,
+          expr("sum_score * 10000 div n_docs"))
+          .otherwise(-expr("(-sum_score) * 10000 div n_docs")))
+      .select(col("bin"), col("bin_lo"), col("n_docs"), col("n_pos"),
+        col("pos_rate_e4"), col("mean_score_e4"))
+  }
+
   def percentileNormalizeHist(scored: DataFrame, groupCol: String,
                               scoreCol: String,
                               buckets: Int = 1024): DataFrame = {

@@ -321,6 +321,24 @@ object PipelineQueries {
           col("vote_len"), col("votes"), col("keep"))
     }),
 
+    // calibration curve (round 16): the reliability diagram over the
+    // ensemble's trained margin — 20 adaptive equal-width margin
+    // bins, per bin observed positive rate vs mean margin (e4) — the
+    // table that says what a threshold MEANS (q_threshold_sweep says
+    // what it COSTS). One min/max agg + one map-combined agg over
+    // the scoring scan, <= 20 rows.
+    "q_calibration" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__y", when(col("lang") === "en", 1).otherwise(-1))
+      val w = graft.operators.Quality.trainPerceptron(
+        docs, "text", "__y", buckets = QUAL_B, epochs = 2)
+      val scored = graft.operators.Quality
+        .scoreLinear(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("__y")), "doc_id")
+      graft.operators.Quality.calibrationCurve(
+        scored, "score", "__y", bins = 20)
+    }),
+
     // source-quality PageRank: nodes are (source, lang) corpora,
     // edges link nodes whose documents share a normalized 6-word
     // opening (the shared-boilerplate/copy signal a host-quality
@@ -1054,6 +1072,31 @@ object PipelineQueries {
          |  CAST(c.docs_kept * 10000 // t.td AS BIGINT) AS doc_share_e4,
          |  CAST(c.weight_kept * 10000 // t.tw AS BIGINT) AS weight_share_e4
          |FROM c, t""".stripMargin,
+
+    // q_calibration replay: the same perceptron-score chain, then the
+    // reliability agg — adaptive equal-width bins over the min/max
+    // margin range, nonneg // for bin and rate, sign-split // for
+    // the mean (truncation toward zero, matching Spark's div)
+    "q_calibration" ->
+      s"""WITH $qualityScoreCtes,
+         |j AS (SELECT sc.score, d.y FROM sc JOIN d USING (doc_id)),
+         |mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+         |              CAST(max(score) AS BIGINT) AS mx FROM j),
+         |g AS (SELECT ((score - mm.mn) * 20) // (mm.mx - mm.mn + 1) AS bin,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_pos,
+         |        CAST(sum(score) AS BIGINT) AS sum_score,
+         |        max(mm.mn) AS mn2, max(mm.mx) AS mx2
+         |      FROM j, mm GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(mn2 + (bin * (mx2 - mn2 + 1)) // 20 AS BIGINT) AS bin_lo,
+         |  n_docs, n_pos,
+         |  CAST((n_pos * 10000) // n_docs AS BIGINT) AS pos_rate_e4,
+         |  CAST(CASE WHEN sum_score >= 0 THEN (sum_score * 10000) // n_docs
+         |       ELSE -(((-sum_score) * 10000) // n_docs) END AS BIGINT)
+         |    AS mean_score_e4
+         |FROM g""".stripMargin,
 
     // q_budget_waterfill replay: per-source token totals -> exact
     // integer sqrt weights -> the prefix-test waterfill over the

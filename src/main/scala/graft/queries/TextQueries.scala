@@ -38,6 +38,10 @@ object TextQueries {
     * (Machanavajjhala et al.'s canonical l=3). */
   private val L_MIN = 3L
 
+  /** q_t_closeness risk threshold in e6: distance buckets at or above
+    * t=0.2 (the worked example in Li et al. 2007) are flagged. */
+  private val T_MAX_E6 = 200000L
+
   /** Shared DuckDB replay of Reputation.sourceStats — one CTE chain;
     * `filtered` swaps the final projection between the per-source
     * stats table and the reputation-gated document list. Integer
@@ -457,6 +461,21 @@ object TextQueries {
         Tables(s, dir, "documents"),
         Seq(col("lang"), (nw - pmod(nw, lit(10L))).as("len_bucket")),
         col("source"), lMin = L_MIN)
+    }),
+
+    // t-closeness (round 16): the privacy ladder's third rung —
+    // l-diversity still leaks when a class's sensitive values are
+    // diverse but SKEWED vs the corpus (a class 90% one source
+    // reveals likely membership at any l). Per class the exact-e6
+    // total-variation distance between class and corpus sensitive
+    // distributions, histogrammed over 0.1-wide buckets, >= t=0.2
+    // flagged. Same quasi-ids/sensitive as q_l_diversity.
+    "q_t_closeness" -> ((s, dir) => {
+      val nw = size(words(col("text"))).cast("long")
+      graft.operators.Expectations.tClosenessProfile(
+        Tables(s, dir, "documents"),
+        Seq(col("lang"), (nw - pmod(nw, lit(10L))).as("len_bucket")),
+        col("source"), tMaxE6 = T_MAX_E6)
     }),
 
     // ARI readability grade (round 15): the classic chars-per-word x
@@ -1200,6 +1219,40 @@ object TextQueries {
        |  CAST(sum(n) AS BIGINT) AS n_docs,
        |  CAST(CASE WHEN l < $L_MIN THEN 1 ELSE 0 END AS INTEGER) AS at_risk
        |FROM g GROUP BY l""".stripMargin
+
+  // q_t_closeness replay: per-class exact-e6 total-variation distance
+  // to the corpus sensitive distribution over the common denominator
+  // n_c*n; the absent-value tail collapses to (n - sv)*n_c. Integer
+  // // on nonnegative operands == Spark's div.
+  private val tClosenessOracle: String =
+    s"""WITH q AS (SELECT source, lang,
+       |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nw
+       |  FROM documents),
+       |q2 AS (SELECT lang, nw - (nw % 10) AS len_bucket, source FROM q),
+       |cv AS (SELECT lang, len_bucket, source,
+       |         CAST(count(*) AS BIGINT) AS n_cv
+       |       FROM q2 GROUP BY 1, 2, 3),
+       |vt AS (SELECT source, CAST(sum(n_cv) AS BIGINT) AS n_v
+       |       FROM cv GROUP BY 1),
+       |cls AS (SELECT lang, len_bucket, CAST(sum(n_cv) AS BIGINT) AS n_c
+       |        FROM cv GROUP BY 1, 2),
+       |n AS (SELECT CAST(sum(n_cv) AS BIGINT) AS nn FROM cv),
+       |s AS (SELECT cv.lang, cv.len_bucket,
+       |        CAST(sum(abs(cv.n_cv * n.nn - vt.n_v * cls.n_c)) AS BIGINT)
+       |          AS s1,
+       |        CAST(sum(vt.n_v) AS BIGINT) AS sv,
+       |        max(cls.n_c) AS n_c, max(n.nn) AS nn
+       |      FROM cv JOIN vt USING (source)
+       |        JOIN cls USING (lang, len_bucket) CROSS JOIN n
+       |      GROUP BY 1, 2),
+       |d AS (SELECT ((s1 + (nn - sv) * n_c) * 500000) // (n_c * nn) AS d_e6,
+       |        n_c FROM s),
+       |b AS (SELECT d_e6 - (d_e6 % 100000) AS d_bucket_e6, n_c FROM d)
+       |SELECT d_bucket_e6, CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(n_c) AS BIGINT) AS n_docs,
+       |  CAST(CASE WHEN d_bucket_e6 >= $T_MAX_E6 THEN 1 ELSE 0 END
+       |    AS INTEGER) AS at_risk
+       |FROM b GROUP BY 1""".stripMargin
 
   // q_readability replay: every term floored separately on
   // nonnegative operands (`//` == `div`); the grade clamps BEFORE
@@ -2226,6 +2279,7 @@ object TextQueries {
     "q_domain_reweight" -> domainReweightOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,
+    "q_t_closeness" -> tClosenessOracle,
     "q_excess_loss" -> excessLossOracle,
     "q_readability" -> readabilityOracle,
     "q_ccnet_buckets" -> ccnetBucketsOracle,

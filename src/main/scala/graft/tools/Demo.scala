@@ -426,6 +426,19 @@ object Demo {
     println("boilerplate profile: " + bp.orderBy(col("reason"))
       .collect().map(r => r.getAs[String]("reason") + "=" +
         r.getAs[Long]("n_blocks")).mkString(" "))
+    // round 16: t-closeness — the privacy ladder's third rung
+    // (skew of a class's sensitive distribution vs the corpus)
+    val tc = graft.SparkEntry.queries("q_t_closeness")(spark,
+      "/root/testdata/sf0.001")
+    println("t-closeness buckets=" + tc.count() +
+      " at_risk_docs=" + tc.filter(col("at_risk") === 1)
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
+    // round 16: calibration curve — what an ensemble threshold MEANS
+    val cc = graft.SparkEntry.queries("q_calibration")(spark,
+      "/root/testdata/sf0.001")
+    println("calibration bins=" + cc.count() + " rate range=[" +
+      cc.agg(min(col("pos_rate_e4"))).head().getLong(0) + "," +
+      cc.agg(max(col("pos_rate_e4"))).head().getLong(0) + "]e4")
     spark.stop()
   }
 }

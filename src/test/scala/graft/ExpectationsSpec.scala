@@ -65,4 +65,45 @@ class ExpectationsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(3))).toSeq.sorted
     assert(rep == Seq(("k_unique", 1), ("v_pos", 1)))
   }
+
+  test("tCloseness: skewed class flagged, corpus-like classes not") {
+    import spark.implicits._
+    // c1, c2: 10 A + 10 B each (mirror the corpus); c3: 9 A + 1 B.
+    // Corpus = 29 A / 21 B over 50. Hand-worked exact distances:
+    //   d(c1) = d(c2) = 1/2(|0.5-0.58| + |0.5-0.42|) = 0.08 -> bucket 0
+    //   d(c3) = (|9*50-29*10| + |1*50-21*10|) * 5e5 / (10*50)
+    //         = 320 * 500000 / 500 = 320000 -> bucket 300000, flagged
+    val rows =
+      (1 to 10).map(_ => ("c1", "A")) ++ (1 to 10).map(_ => ("c1", "B")) ++
+      (1 to 10).map(_ => ("c2", "A")) ++ (1 to 10).map(_ => ("c2", "B")) ++
+      (1 to 9).map(_ => ("c3", "A")) :+ (("c3", "B"))
+    val got = Expectations.tClosenessProfile(rows.toDF("cls", "sv"),
+        Seq(col("cls")), col("sv"), tMaxE6 = 200000L)
+      .orderBy("d_bucket_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == Seq((0L, 2L, 40L, 0), (300000L, 1L, 10L, 1)), got.toString)
+  }
+
+  test("tCloseness: the absent-value tail is exact (closed form)") {
+    import spark.implicits._
+    // c1 holds only A (4 rows), c2 only B (4 rows): corpus 4/4, so
+    // each class's distance is exactly 0.5 — the B term for c1 is
+    // entirely the absent-tail (n - sv) * n_c = (8-4)*4 = 16, and
+    // (16+16)*5e5/(4*8) = 500000
+    val rows = (1 to 4).map(_ => ("c1", "A")) ++ (1 to 4).map(_ => ("c2", "B"))
+    val got = Expectations.tClosenessProfile(rows.toDF("cls", "sv"),
+        Seq(col("cls")), col("sv"), tMaxE6 = 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(got == Seq((500000L, 2L, 1)), got.toString)
+  }
+
+  test("tCloseness rejects a threshold off the bucket grid") {
+    import spark.implicits._
+    val df = Seq(("c", "A")).toDF("cls", "sv")
+    intercept[IllegalArgumentException] {
+      Expectations.tClosenessProfile(df, Seq(col("cls")), col("sv"),
+        tMaxE6 = 150000L)
+    }
+  }
 }

@@ -197,4 +197,39 @@ class PlannerSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 10000L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("calibrationCurve: adaptive bins, per-bin rate and mean exact " +
+    "(hand-worked, negative margins included)") {
+    import spark.implicits._
+    // margins -10..9 (range 20, 4 bins of width exactly 5); labels
+    // planted so the positive rate RISES with the margin — the
+    // calibrated shape the diagram exists to show
+    val scored = (0 until 20).map { i =>
+      val margin = i - 10L
+      val y = if (i % 5 < (i / 5 + 1)) 1 else -1 // 1,2,3,4 pos per bin
+      (i.toLong, margin, y)
+    }.toDF("doc_id", "score", "y")
+    val got = Quality.calibrationCurve(scored, "score", "y", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    // bin k holds margins [-10+5k, -10+5k+4]; mean = -8+5k, so
+    // mean_e4 = (-8+5k)*10000 with toward-zero truncation on the
+    // negative bins
+    assert(got == Seq(
+      (0L, -10L, 5L, 1L, 2000L, -80000L),
+      (1L, -5L, 5L, 2L, 4000L, -30000L),
+      (2L, 0L, 5L, 3L, 6000L, 20000L),
+      (3L, 5L, 5L, 4L, 8000L, 70000L)), got.toString)
+  }
+
+  test("calibrationCurve: constant-score frame lands in one bin") {
+    import spark.implicits._
+    val scored = Seq((1L, 7L, 1), (2L, 7L, -1)).toDF("doc_id", "score", "y")
+    val got = Quality.calibrationCurve(scored, "score", "y", bins = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toSeq
+    assert(got == Seq((0L, 7L, 2L, 5000L)), got.toString)
+  }
 }
