@@ -152,6 +152,34 @@ object HtmlExtract {
         coalesce(length(col("main_text")).cast("long"), lit(0L)))
   }
 
+  /** Outbound links: one row per anchor in DOCUMENT ORDER — the
+    * crawl-frontier / host-graph feed (outlinks seed the next fetch
+    * round and the link edges a source-reputation PageRank rides).
+    * `rank` is the 1-based position of the anchor on the page, `href`
+    * the raw attribute value, `anchor` the tag-stripped
+    * entity-decoded anchor text, `section` the href's first path
+    * segment (the coarse by-section rollup key; '' for the root).
+    *
+    * Two regexp_extract_all passes over the SAME pattern align
+    * positionally (group 1 = href, group 2 = inner text), zipped and
+    * position-exploded — one explode, no shuffle, scan speed. Links
+    * inside script/style/comments are gone before extraction
+    * ([[preClean]]). */
+  def outlinks(df: DataFrame, htmlCol: String): DataFrame = {
+    val pat = "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val cleaned = preClean(col(htmlCol))
+    val zipped = arrays_zip(
+      regexp_extract_all(cleaned, lit(pat), lit(1)).as("href"),
+      regexp_extract_all(cleaned, lit(pat), lit(2)).as("anchor"))
+    df.select(df.columns.map(col) :+ posexplode(zipped): _*)
+      .select(df.columns.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.href").as("href"),
+        blockText(col("col.anchor")).as("anchor"),
+        regexp_extract(col("col.href"), "^/([A-Za-z0-9_-]+)", 1)
+          .as("section")): _*)
+  }
+
   /** Corpus-wide line-rule profile: blocks per classification reason
     * with e4 shares — the dial a pipeline operator reads before
     * loosening/tightening a rule. One explode + one map-combined

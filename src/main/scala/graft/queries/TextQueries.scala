@@ -948,7 +948,19 @@ object TextQueries {
       graft.operators.HtmlExtract.profile(
         Tables(s, dir, "documents")
           .select(col("doc_id"), synthHtml.as("html")),
-        "html"))
+        "html")),
+
+    // outlink extraction over the same pages: one row per anchor in
+    // document order — the crawl-frontier / host-graph feed (the
+    // per-doc /doc/N link varies, so the edge list is non-degenerate:
+    // 50 distinct targets). One explode, no shuffle.
+    "text_outlinks" -> ((s, dir) =>
+      graft.operators.HtmlExtract.outlinks(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), synthHtml.as("html")),
+          "html")
+        .select(col("doc_id"), col("rank"), col("href"),
+          col("anchor"), col("section")))
   )
 
   /** The deterministic HTML fixture page both engines build from
@@ -974,7 +986,10 @@ object TextQueries {
         "<ul><li><a href=\"/more\">Read more posts</a></li>" +
         "<li><a href=\"/share\">Share this page</a></li></ul>" +
         "<footer>Copyright 2026 <a href=\"/privacy\">Privacy</a> " +
-        "<a href=\"/imprint\">Imprint</a></footer></body></html>"))
+        "<a href=\"/imprint\">Imprint</a> <a href=\"/doc/"),
+      (col("doc_id") % 50).cast("string"),
+      lit("\">see doc "), (col("doc_id") % 50).cast("string"),
+      lit("</a></footer></body></html>"))
 
   // q_bpe_train replay: V unrolled rounds. Each round counts
   // adjacent symbol pairs over the word-frequency table (parallel
@@ -2284,7 +2299,8 @@ object TextQueries {
     "q_readability" -> readabilityOracle,
     "q_ccnet_buckets" -> ccnetBucketsOracle,
     "text_extract_html" -> extractHtmlOracle,
-    "text_boilerplate" -> boilerplateOracle)
+    "text_boilerplate" -> boilerplateOracle,
+    "text_outlinks" -> outlinksOracle)
 
   /** Shared CTE replay of HtmlExtract's block classifier: same synth
     * page, same RE2-safe regexes, same replace-chain entity decode
@@ -2299,7 +2315,9 @@ object TextQueries {
       |    '.</p><p>' || substr(text, 121, 160) ||
       |    ' &amp; more.</p><p><img src="/one.png"><img src="/two.png"><img src="/three.png"> img alt fig</p>' ||
       |    '<ul><li><a href="/more">Read more posts</a></li><li><a href="/share">Share this page</a></li></ul>' ||
-      |    '<footer>Copyright 2026 <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a></footer></body></html>'
+      |    '<footer>Copyright 2026 <a href="/privacy">Privacy</a> <a href="/imprint">Imprint</a> <a href="/doc/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) || '">see doc ' ||
+      |    CAST(doc_id % 50 AS VARCHAR) || '</a></footer></body></html>'
       |      AS html
       |  FROM documents),
       |c AS (SELECT doc_id,
@@ -2372,4 +2390,29 @@ object TextQueries {
         |SELECT reason, n_blocks, total_blocks,
         |  CAST(floor(n_blocks * 10000 / total_blocks) AS BIGINT) AS share_e4
         |FROM g CROSS JOIN t""".stripMargin
+
+  /** text_outlinks replay: same preCleaned page (htmlBlocksCte's h/c;
+    * the unused block CTEs prune away), two positionally-aligned
+    * regexp_extract_all passes zipped by a range subscript. */
+  private lazy val outlinksOracle: String =
+    htmlBlocksCte +
+      """,
+        |l AS (SELECT doc_id,
+        |    regexp_extract_all(ch,
+        |      '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hrefs,
+        |    regexp_extract_all(ch,
+        |      '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) AS anchors
+        |  FROM c),
+        |u AS (SELECT doc_id,
+        |    unnest(range(1, len(hrefs) + 1)) AS r, hrefs, anchors
+        |  FROM l)
+        |SELECT doc_id, CAST(r AS BIGINT) AS rank, hrefs[r] AS href,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(anchors[r], '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS anchor,
+        |  regexp_extract(hrefs[r], '^/([A-Za-z0-9_-]+)', 1) AS section
+        |FROM u""".stripMargin
 }

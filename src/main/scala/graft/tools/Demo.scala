@@ -426,6 +426,11 @@ object Demo {
     println("boilerplate profile: " + bp.orderBy(col("reason"))
       .collect().map(r => r.getAs[String]("reason") + "=" +
         r.getAs[Long]("n_blocks")).mkString(" "))
+    val ol = graft.SparkEntry.queries("text_outlinks")(spark,
+      "/root/testdata/sf0.001")
+    println("outlinks edges=" + ol.count() + " sections=" +
+      ol.select(col("section")).distinct().count() +
+      " targets=" + ol.select(col("href")).distinct().count())
     // round 16: t-closeness — the privacy ladder's third rung
     // (skew of a class's sensitive distribution vs the corpus)
     val tc = graft.SparkEntry.queries("q_t_closeness")(spark,

@@ -51,6 +51,7 @@ object Explain {
     "q_readability",     // narrow counting projection, zero shuffle
     "text_extract_html", // block classify: pure array exprs, zero shuffle
     "text_boilerplate",  // same scan + explode -> <=5-row agg
+    "text_outlinks",     // zipped extract_all + posexplode, no shuffle
     "q_t_closeness",     // one corpus scan -> bounded class x value agg
     "q_calibration",     // min/max agg + one map-combined agg, <=20 rows
     "q_dsir",            // importance scoring: narrow fold vs vote literal

@@ -161,7 +161,7 @@ object ScaleProbe {
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
       "q_write_plan", "q_domain_reweight", "q_k_anonymity",
       "q_l_diversity", "q_excess_loss", "q_readability",
-      "text_extract_html", "text_boilerplate",
+      "text_extract_html", "text_boilerplate", "text_outlinks",
       "q_t_closeness", "q_calibration")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     // Table-subset runs REQUIRE a query subset (round 16, r15 ADVICE):

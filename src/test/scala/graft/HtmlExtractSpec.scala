@@ -110,6 +110,34 @@ class HtmlExtractSpec extends SparkSpec {
     assert(out.getAs[Long]("n_blocks") == 4)
   }
 
+  test("outlinks: document order, raw hrefs, stripped anchors, sections") {
+    val got = HtmlExtract.outlinks(
+        Seq((1L, page)).toDF("id", "html"), "html")
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("href"),
+        r.getAs[String]("anchor"), r.getAs[String]("section")))
+      .toSeq
+    assert(got == Seq(
+      (1L, "/", "Home page", ""),
+      (2L, "/b", "Blog index", "b"),
+      (3L, "/m", "Read more posts", "m"),
+      (4L, "/p", "Privacy", "p"),
+      (5L, "/i", "Imprint", "i")), got.toString)
+  }
+
+  test("outlinks: links inside script are not links; linkless page " +
+    "emits no rows; inline tags inside anchors strip") {
+    val html = "<body><script>var s = '<a href=\"/x\">fake</a>';</script>" +
+      "<p><a href=\"/real\">A <b>bold</b> link &amp; more</a></p></body>"
+    val got = HtmlExtract.outlinks(Seq((1L, html)).toDF("id", "html"), "html")
+      .collect().map(r => (r.getAs[String]("href"), r.getAs[String]("anchor")))
+      .toSeq
+    assert(got == Seq(("/real", "A bold link & more")), got.toString)
+    assert(HtmlExtract.outlinks(
+      Seq((1L, "<body><p>No links at all here.</p></body>"))
+        .toDF("id", "html"), "html").count() == 0)
+  }
+
   test("entities decode with &amp; last (no double decode)") {
     // &amp;lt; must become the literal text "&lt;", not "<"
     val html = "<body><p>The code prints &amp;lt; to the page and " +
