@@ -25,7 +25,8 @@ object SparkEntry {
       VectorQueries.queries ++
       MultimodalQueries.queries ++
       PipelineQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++
+      CrawlQueries.queries
 
   def oracleSql: Map[String, String] =
     FlattenQueries.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
       PipelineQueries.oracles ++
-      StreamQueries.oracles
+      StreamQueries.oracles ++
+      CrawlQueries.oracles
 }

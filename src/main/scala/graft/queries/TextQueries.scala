@@ -969,7 +969,7 @@ object TextQueries {
     * document text. substr past the text's end is '' in both engines,
     * so short documents deterministically lose their second
     * paragraph to the min-words rule. */
-  private def synthHtml =
+  private[queries] def synthHtml =
     concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title><style>.m{color:#333}</style>" +
@@ -2306,7 +2306,7 @@ object TextQueries {
     * page, same RE2-safe regexes, same replace-chain entity decode
     * (&amp; last), same first-failing integer rules. Produces
     * k(doc_id, cs = list of {txt, reason}). */
-  private lazy val htmlBlocksCte: String =
+  private[queries] lazy val htmlBlocksCte: String =
     """WITH h AS (SELECT doc_id,
       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
       |    '</title><style>.m{color:#333}</style><script type="text/javascript">var t = 1 && document.cookie;</script></head><body>' ||

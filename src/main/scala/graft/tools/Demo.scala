@@ -444,6 +444,21 @@ object Demo {
     println("calibration bins=" + cc.count() + " rate range=[" +
       cc.agg(min(col("pos_rate_e4"))).head().getLong(0) + "," +
       cc.agg(max(col("pos_rate_e4"))).head().getLong(0) + "]e4")
+    // round 16: crawl-side — canonical URLs, host graph, frontier
+    val uc = graft.SparkEntry.queries("text_url_canon")(spark,
+      "/root/testdata/sf0.001")
+    println("url canon rows=" + uc.count() + " distinct_urls=" +
+      uc.select(col("url")).distinct().count() + " domains=" +
+      uc.select(col("domain")).distinct().count())
+    val hg = graft.SparkEntry.queries("q_host_graph")(spark,
+      "/root/testdata/sf0.001")
+    println("host graph domains=" + hg.count() + " max_in_links=" +
+      hg.agg(max(col("in_links"))).head().getLong(0))
+    val cf = graft.SparkEntry.queries("q_crawl_frontier")(spark,
+      "/root/testdata/sf0.001")
+    println("frontier urls=" + cf.count() + " hosts=" +
+      cf.select(col("host")).distinct().count() + " max_round=" +
+      cf.agg(max(col("fetch_round"))).head().getLong(0))
     spark.stop()
   }
 }

@@ -52,6 +52,9 @@ object Explain {
     "text_extract_html", // block classify: pure array exprs, zero shuffle
     "text_boilerplate",  // same scan + explode -> <=5-row agg
     "text_outlinks",     // zipped extract_all + posexplode, no shuffle
+    "text_url_canon",    // narrow regexp/array projection, zero shuffle
+    "q_host_graph",      // one map-combined edge agg + bounded rollups
+    "q_crawl_frontier",  // url groupBy + anti-join + per-host window
     "q_t_closeness",     // one corpus scan -> bounded class x value agg
     "q_calibration",     // min/max agg + one map-combined agg, <=20 rows
     "q_dsir",            // importance scoring: narrow fold vs vote literal
