@@ -167,6 +167,33 @@ object FlattenQueries {
         .csv(path)
     }),
 
+    // WARC round-trip: the web-crawl container format (ISO 28500) —
+    // spec-shaped response records (per-partition warcinfo preamble,
+    // exact Content-Length framing) written from a deterministic
+    // documents subset carrying the shared synthetic HTML page, read
+    // back with the splittable delimited-text path and parsed at
+    // scan speed. The oracle recomputes url/status/mime/chars from
+    // the parquet table, so any framing or parse drift fails the
+    // gate.
+    "warc_source" -> ((s, dir) => {
+      val sample = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.net/doc/"), col("doc_id").cast("string"))
+            .as("uri"),
+          TextQueries.synthHtml.as("html"))
+        .repartition(4)
+      val path = Fixtures.scratch("warc_q").resolve("docs.warc").toString
+      graft.sources.WarcSource.toWarc(sample, "uri", "html", path)
+      graft.sources.WarcSource.fromWarc(s, path)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("http_status"), col("mime"),
+          length(col("html")).cast("long").as("n_chars"))
+    }),
+
     // schema introspection golden: info() rendering of the nested
     // schema, checked against a literal oracle
     "schema_info" -> ((s, dir) => {
@@ -221,6 +248,16 @@ object FlattenQueries {
     "csv_source" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey % 43 = 0""".stripMargin,
+    "warc_source" ->
+      (TextQueries.htmlBlocksCte +
+        """
+          |SELECT doc_id,
+          |  'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+          |    '.example.net/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          |  CAST(200 AS INTEGER) AS http_status,
+          |  'text/html' AS mime,
+          |  CAST(length(html) AS BIGINT) AS n_chars
+          |FROM h WHERE doc_id % 5 = 0""".stripMargin),
     "flatten_names" ->
       """SELECT l_orderkey, l_quantity AS a_v, l_discount AS b_v
         |FROM lineitem""".stripMargin,

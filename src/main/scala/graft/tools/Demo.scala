@@ -459,6 +459,11 @@ object Demo {
     println("frontier urls=" + cf.count() + " hosts=" +
       cf.select(col("host")).distinct().count() + " max_round=" +
       cf.agg(max(col("fetch_round"))).head().getLong(0))
+    // round 16: WARC container round-trip — crawl ingestion closed
+    val wa = graft.SparkEntry.queries("warc_source")(spark,
+      "/root/testdata/sf0.001")
+    println("warc records=" + wa.count() + " total_chars=" +
+      wa.agg(sum(col("n_chars"))).head().getLong(0))
     spark.stop()
   }
 }
