@@ -128,6 +128,47 @@ object CrawlQueries {
         .withColumn("fetch_round",
           row_number().over(Window.partitionBy(col("host"))
             .orderBy(col("hits").desc, col("url").asc)).cast("long"))
+    }),
+
+    // robots.txt compliance: candidate URLs against each host's
+    // parsed rule set under RFC 9309 longest-match (Allow wins
+    // length ties; a decoy non-star group must be ignored; the
+    // empty-Disallow allow-everything idiom parses to no rule).
+    // Rules explode from ONE robots row per host (bounded), join on
+    // the host key (broadcast at scale), and one composite-min agg
+    // per URL picks verdict + matched prefix.
+    "q_robots_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val links = HtmlExtract.outlinks(
+        docs.select(col("doc_id"), TextQueries.synthHtml.as("html")), "html")
+      val base = concat(lit("HTTPS://Site"),
+        (col("doc_id") % 7).cast("string"), lit(".Example.NET"))
+      val cand = PersistSlots.swap("crawl.robotsCand",
+        links.select(
+            UrlOps.canonicalize(UrlOps.resolve(base, col("href")))
+              .as("url"))
+          .distinct()
+          .select(col("url"), UrlOps.hostOf(col("url")).as("host")))
+      val k = regexp_extract(col("host"), "site([0-9]+)", 1).cast("int")
+      val txt = concat(
+        lit("User-agent: bot\nDisallow: /\nUser-agent: *\nCrawl-delay: "),
+        (k + 1).cast("string"), lit("\nDisallow: /tags\n"),
+        when(k % 2 === 0, "Disallow: /doc/\nAllow: /doc/1\n").otherwise(""),
+        when(k % 3 === 0, "Disallow: /share\nAllow: /share\n").otherwise(""),
+        lit("Disallow: \nAllow: /archive\n"))
+      val hosts = cand.select(col("host")).distinct()
+        .withColumn("robots_txt", txt)
+      val hostRules = graft.operators.RobotsOps
+        .rules(hosts, "robots_txt")
+        .select(col("host"), col("rule_dir"), col("rule_pfx"))
+      val delays = hosts.select(col("host"),
+        graft.operators.RobotsOps.crawlDelay(col("robots_txt"))
+          .as("crawl_delay"))
+      graft.operators.RobotsOps
+        .verdicts(cand, "url", "host", hostRules, "host")
+        .join(delays, Seq("host"))
+        .select(col("url"), col("host"), col("crawl_delay"),
+          col("verdict"), col("matched_pfx"))
     }))
 
   // ---------------------------------------------------------------
@@ -268,5 +309,72 @@ object CrawlQueries {
           |SELECT url, host, CAST(hits AS BIGINT) AS hits,
           |  CAST(row_number() OVER (PARTITION BY host
           |    ORDER BY hits DESC, url ASC) AS BIGINT) AS fetch_round
-          |FROM f""".stripMargin))
+          |FROM f""".stripMargin),
+
+    "q_robots_filter" ->
+      (TextQueries.htmlBlocksCte +
+        """,
+          |ol AS (SELECT doc_id, unnest(regexp_extract_all(ch,
+          |    '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href
+          |  FROM c),
+          |rawu AS (SELECT doc_id,
+          |    'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.NET'
+          |    || href AS raw_url
+          |  FROM ol),
+          |""".stripMargin + canonStages +
+        """,
+          |cand AS (SELECT DISTINCT url, hst AS host FROM cu),
+          |hostk AS (SELECT host,
+          |    CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INTEGER) AS k
+          |  FROM (SELECT DISTINCT host FROM cand)),
+          |txts AS (SELECT host, 'User-agent: bot' || chr(10) ||
+          |    'Disallow: /' || chr(10) || 'User-agent: *' || chr(10) ||
+          |    'Crawl-delay: ' || CAST(k + 1 AS VARCHAR) || chr(10) ||
+          |    'Disallow: /tags' || chr(10) ||
+          |    CASE WHEN k % 2 = 0 THEN 'Disallow: /doc/' || chr(10) ||
+          |         'Allow: /doc/1' || chr(10) ELSE '' END ||
+          |    CASE WHEN k % 3 = 0 THEN 'Disallow: /share' || chr(10) ||
+          |         'Allow: /share' || chr(10) ELSE '' END ||
+          |    'Disallow: ' || chr(10) || 'Allow: /archive' || chr(10)
+          |      AS txt
+          |  FROM hostk),
+          |sec AS (SELECT host, list_filter(string_split(txt, 'User-agent: '),
+          |    s -> starts_with(s, '*'))[1] AS sg
+          |  FROM txts),
+          |dl AS (SELECT host,
+          |    CASE WHEN regexp_extract(sg, 'Crawl-delay: ([0-9]+)', 1) = ''
+          |      THEN 0
+          |      ELSE CAST(regexp_extract(sg, 'Crawl-delay: ([0-9]+)', 1)
+          |                AS BIGINT) END AS crawl_delay
+          |  FROM sec),
+          |rl AS (SELECT host,
+          |    regexp_extract_all(sg, '(?m)^(Disallow|Allow): ([^\n]*)', 1)
+          |      AS dirs,
+          |    regexp_extract_all(sg, '(?m)^(Disallow|Allow): ([^\n]*)', 2)
+          |      AS pfxs
+          |  FROM sec),
+          |ri AS (SELECT host, unnest(range(1, len(dirs) + 1)) AS i,
+          |    dirs, pfxs FROM rl),
+          |rules AS (SELECT host, dirs[i] AS rule_dir, pfxs[i] AS rule_pfx
+          |  FROM ri WHERE pfxs[i] <> ''),
+          |app AS (SELECT cd.url, cd.host, r.rule_dir, r.rule_pfx
+          |  FROM cand cd JOIN rules r USING (host)
+          |  WHERE starts_with(regexp_replace(cd.url,
+          |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '', 'g'), r.rule_pfx)),
+          |best AS (SELECT url, max(length(rule_pfx)) AS maxlen
+          |  FROM app GROUP BY 1),
+          |win AS (SELECT a.url,
+          |    min((CASE WHEN a.rule_dir = 'Disallow' THEN 'disallow'
+          |         ELSE 'allow' END) || '|' || a.rule_pfx) AS w
+          |  FROM app a JOIN best b
+          |    ON a.url = b.url AND length(a.rule_pfx) = b.maxlen
+          |  GROUP BY 1)
+          |SELECT cd.url, cd.host, d.crawl_delay,
+          |  CASE WHEN win.w IS NULL THEN 'allow'
+          |       ELSE split_part(win.w, '|', 1) END AS verdict,
+          |  CASE WHEN win.w IS NULL THEN ''
+          |       ELSE split_part(win.w, '|', 2) END AS matched_pfx
+          |FROM cand cd
+          |LEFT JOIN win ON cd.url = win.url
+          |JOIN dl d ON cd.host = d.host""".stripMargin))
 }

@@ -459,6 +459,12 @@ object Demo {
     println("frontier urls=" + cf.count() + " hosts=" +
       cf.select(col("host")).distinct().count() + " max_round=" +
       cf.agg(max(col("fetch_round"))).head().getLong(0))
+    // round 16: robots.txt compliance over the frontier hosts
+    val rb = graft.SparkEntry.queries("q_robots_filter")(spark,
+      "/root/testdata/sf0.001")
+    println("robots urls=" + rb.count() + " disallowed=" +
+      rb.filter(col("verdict") === "disallow").count() +
+      " max_delay=" + rb.agg(max(col("crawl_delay"))).head().getLong(0))
     // round 16: WARC container round-trip — crawl ingestion closed
     val wa = graft.SparkEntry.queries("warc_source")(spark,
       "/root/testdata/sf0.001")

@@ -163,7 +163,8 @@ object ScaleProbe {
       "q_l_diversity", "q_excess_loss", "q_readability",
       "text_extract_html", "text_boilerplate", "text_outlinks",
       "q_t_closeness", "q_calibration",
-      "text_url_canon", "q_host_graph", "q_crawl_frontier")
+      "text_url_canon", "q_host_graph", "q_crawl_frontier",
+      "q_robots_filter")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     // Table-subset runs REQUIRE a query subset (round 16, r15 ADVICE):
     // with only some fact tables replicated under dest, the full
