@@ -276,7 +276,7 @@ object Bench {
       "text_extract_html", "text_boilerplate",
       "q_t_closeness", "q_calibration",
       "text_url_canon", "q_host_graph", "q_crawl_frontier",
-      "q_robots_filter",
+      "q_robots_filter", "q_anchor_text",
       "dedup_spans_verified", "dedup_span_remove_verified",
       // the two r13 weak items stay probed every round: the capped
       // prefix-edge pagerank and the parallel-decode audio near-dup

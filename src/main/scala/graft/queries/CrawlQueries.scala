@@ -130,6 +130,33 @@ object CrawlQueries {
             .orderBy(col("hits").desc, col("url").asc)).cast("long"))
     }),
 
+    // anchor-text aggregation: the classic link-text relevance /
+    // labeling signal — terms of every anchor pointing AT a target
+    // URL, counted and ranked per target (top 3). One explode over
+    // the outlink rows, one (url, term) map-combined count, one
+    // window PARTITIONED by url. At 100 TB the count collapses the
+    // edge list before the window ever runs, and both shuffles ride
+    // the same url key.
+    "q_anchor_text" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val links = HtmlExtract.outlinks(
+        docs.select(col("doc_id"), TextQueries.synthHtml.as("html")), "html")
+      val base = concat(lit("HTTPS://Site"),
+        (col("doc_id") % 7).cast("string"), lit(".Example.NET"))
+      val terms = links.select(
+          UrlOps.canonicalize(UrlOps.resolve(base, col("href")))
+            .as("url"),
+          explode(filter(split(lower(col("anchor")), " "),
+            w => w =!= "")).as("term"))
+      terms.groupBy(col("url"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("url"))
+            .orderBy(col("n").desc, col("term").asc)).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
     // robots.txt compliance: candidate URLs against each host's
     // parsed rule set under RFC 9309 longest-match (Allow wins
     // length ties; a decoy non-star group must be ignored; the
@@ -310,6 +337,41 @@ object CrawlQueries {
           |  CAST(row_number() OVER (PARTITION BY host
           |    ORDER BY hits DESC, url ASC) AS BIGINT) AS fetch_round
           |FROM f""".stripMargin),
+
+    "q_anchor_text" ->
+      (TextQueries.htmlBlocksCte +
+        """,
+          |l AS (SELECT doc_id,
+          |    regexp_extract_all(ch,
+          |      '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hrefs,
+          |    regexp_extract_all(ch,
+          |      '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) AS anchors
+          |  FROM c),
+          |u AS (SELECT doc_id,
+          |    unnest(range(1, len(hrefs) + 1)) AS r, hrefs, anchors
+          |  FROM l),
+          |rawu AS (SELECT doc_id,
+          |    'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.NET'
+          |    || hrefs[r] AS raw_url,
+          |    trim(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |        regexp_replace(anchors[r], '<[^>]*>', ' ', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS anchor
+          |  FROM u),
+          |""".stripMargin + canonStages +
+        """,
+          |t AS (SELECT url,
+          |    unnest(list_filter(string_split(lower(anchor), ' '),
+          |      w -> w <> '')) AS term
+          |  FROM cu),
+          |g AS (SELECT url, term, count(*) AS n FROM t GROUP BY 1, 2)
+          |SELECT url, term, CAST(n AS BIGINT) AS n, rank FROM (
+          |  SELECT url, term, n,
+          |    CAST(row_number() OVER (PARTITION BY url
+          |      ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+          |  FROM g) WHERE rank <= 3""".stripMargin),
 
     "q_robots_filter" ->
       (TextQueries.htmlBlocksCte +

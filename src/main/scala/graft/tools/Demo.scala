@@ -465,6 +465,11 @@ object Demo {
     println("robots urls=" + rb.count() + " disallowed=" +
       rb.filter(col("verdict") === "disallow").count() +
       " max_delay=" + rb.agg(max(col("crawl_delay"))).head().getLong(0))
+    // round 16: anchor-text signal per target URL
+    val at = graft.SparkEntry.queries("q_anchor_text")(spark,
+      "/root/testdata/sf0.001")
+    println("anchor terms rows=" + at.count() + " targets=" +
+      at.select(col("url")).distinct().count())
     // round 16: WARC container round-trip — crawl ingestion closed
     val wa = graft.SparkEntry.queries("warc_source")(spark,
       "/root/testdata/sf0.001")

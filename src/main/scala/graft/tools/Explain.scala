@@ -56,6 +56,7 @@ object Explain {
     "q_host_graph",      // one map-combined edge agg + bounded rollups
     "q_crawl_frontier",  // url groupBy + anti-join + per-host window
     "q_robots_filter",   // host-key rule join + composite-min verdict agg
+    "q_anchor_text",     // one explode -> url-key count -> same-key window
     "q_t_closeness",     // one corpus scan -> bounded class x value agg
     "q_calibration",     // min/max agg + one map-combined agg, <=20 rows
     "q_dsir",            // importance scoring: narrow fold vs vote literal

@@ -164,7 +164,7 @@ object ScaleProbe {
       "text_extract_html", "text_boilerplate", "text_outlinks",
       "q_t_closeness", "q_calibration",
       "text_url_canon", "q_host_graph", "q_crawl_frontier",
-      "q_robots_filter")
+      "q_robots_filter", "q_anchor_text")
     // SPARK_SCALE_ONLY=a,b,c re-probes a subset after a change
     // Table-subset runs REQUIRE a query subset (round 16, r15 ADVICE):
     // with only some fact tables replicated under dest, the full
