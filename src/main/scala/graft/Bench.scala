@@ -273,7 +273,7 @@ object Bench {
       "q_score_normalize_hist", "q_quality_ensemble", "q_bm25_rm3",
       "q_write_plan", "q_domain_reweight", "q_k_anonymity",
       "q_l_diversity", "q_excess_loss", "q_readability",
-      "text_extract_html", "text_boilerplate",
+      "text_extract_html", "text_boilerplate", "text_outlinks",
       "q_t_closeness", "q_calibration",
       "text_url_canon", "q_host_graph", "q_crawl_frontier",
       "q_robots_filter", "q_anchor_text",

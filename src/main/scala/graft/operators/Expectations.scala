@@ -180,11 +180,21 @@ object Expectations {
     val cv = PersistSlots.swap("expectations.tClosenessCv",
       base.groupBy(qiCols :+ col("__sv"): _*)
         .agg(count(lit(1)).as("n_cv")))
-    val vt = cv.groupBy(col("__sv")).agg(sum(col("n_cv")).as("n_v"))
-    val cls = cv.groupBy(qiCols: _*).agg(sum(col("n_cv")).as("n_c"))
+    // NULL-SAFE (<=>) self-joins: a NULL sensitive value is a value
+    // (a class that is 90% NULL-source is exactly as skewed as one
+    // that is 90% any named source), and a NULL quasi-id is a class —
+    // groupBy keeps both, so an equi-join here would silently drop
+    // the rows the sibling k-anonymity/l-diversity profiles count,
+    // UNDERCOUNTING at-risk classes (the bad direction for a privacy
+    // gauge).
+    val vt = cv.groupBy(col("__sv").as("__sv_v"))
+      .agg(sum(col("n_cv")).as("n_v"))
+    val cls = cv.groupBy(qiNames.map(nm => col(nm).as(nm + "_c")): _*)
+      .agg(sum(col("n_cv")).as("n_c"))
     val n = cv.agg(sum(col("n_cv")).as("n"))
-    cv.join(broadcast(vt), Seq("__sv"))
-      .join(broadcast(cls), qiNames)
+    cv.join(broadcast(vt), col("__sv") <=> col("__sv_v"))
+      .join(broadcast(cls),
+        qiNames.map(nm => col(nm) <=> col(nm + "_c")).reduce(_ && _))
       .crossJoin(broadcast(n))
       .groupBy(qiCols: _*)
       .agg(sum(abs(col("n_cv") * col("n") - col("n_v") * col("n_c")))

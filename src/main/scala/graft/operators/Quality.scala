@@ -426,11 +426,15 @@ object Quality {
   def calibrationCurve(scored: DataFrame, scoreCol: String,
                        labelCol: String, bins: Int = 20): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val sc = col(scoreCol).cast("long")
-    val mm = scored.agg(min(sc).as("__mn"), max(sc).as("__mx"))
-    scored.crossJoin(broadcast(mm))
-      .select(sc.as("__s"), col(labelCol).as("__y"),
-        col("__mn"), col("__mx"))
+    // slot-persisted: the min/max pre-agg and the binning agg are two
+    // consumers of the SCORED frame — without the slot the scoring
+    // scan (the dominant cost) re-runs per consumer
+    val sl = PersistSlots.swap("quality.calibrationScored",
+      scored.select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).as("__y")))
+    val mm = sl.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+    sl.crossJoin(broadcast(mm))
+      .select(col("__s"), col("__y"), col("__mn"), col("__mx"))
       .groupBy(expr(s"(__s - __mn) * $bins div (__mx - __mn + 1)")
         .as("bin"))
       .agg(count(lit(1)).as("n_docs"),

@@ -25,28 +25,41 @@ import org.apache.spark.sql.functions._
   */
 object RobotsOps {
 
-  /** The `User-agent: *` group's text of a robots.txt (sections
-    * split on the User-agent header; no RE2-unsafe lookahead). */
+  /** The `User-agent: *` group's text of a robots.txt — tolerant the
+    * way RFC 9309 §2.1 requires of a parser: directive names are
+    * case-insensitive, the space after the colon is optional, and
+    * CRLF files parse like LF (the \r is stripped first, or every
+    * captured value would carry a dead trailing \r that can never
+    * match a URL path — a compliance filter failing OPEN). Sections
+    * split on the header (no RE2-unsafe lookahead). */
   def starSection(txt: Column): Column =
-    get(filter(split(txt, "User-agent: "), s => s.startsWith("*")),
-      lit(0))
+    get(filter(split(replace(txt, lit("\r"), lit("")),
+        "(?i)User-agent:[ \t]*"),
+      s => s.startsWith("*")), lit(0))
 
   /** Crawl-delay (seconds) of the star group; 0 when absent. */
   def crawlDelay(txt: Column): Column = {
-    val d = regexp_extract(starSection(txt), "Crawl-delay: ([0-9]+)", 1)
+    val d = regexp_extract(starSection(txt),
+      "(?i)Crawl-delay:[ \t]*([0-9]+)", 1)
     when(d === "" || d.isNull, lit(0L)).otherwise(d.cast("long"))
   }
 
   /** Parse one robots.txt column into exploded (rule_dir, rule_pfx)
-    * rows — star-group Allow/Disallow lines only, empty prefixes
-    * dropped (the allow-everything idiom). Input columns are kept. */
+    * rows — star-group Allow/Disallow lines only (any case, space
+    * after the colon optional, values trimmed), `rule_dir`
+    * normalized to "Disallow"/"Allow", empty prefixes dropped (the
+    * allow-everything idiom). Input columns are kept. */
   def rules(df: DataFrame, txtCol: String): DataFrame = {
     val sec = starSection(col(txtCol))
-    val pat = "(?m)^(Disallow|Allow): ([^\n]*)"
+    val pat = "(?mi)^(Disallow|Allow):[ \t]*([^\n]*)"
     val zipped = arrays_zip(
       regexp_extract_all(sec, lit(pat), lit(1)).as("dir"),
       regexp_extract_all(sec, lit(pat), lit(2)).as("pfx"))
-    df.withColumn("__r", explode(filter(zipped,
+    df.withColumn("__r", explode(filter(
+        transform(zipped, r => struct(
+          when(lower(r.getField("dir")) === "disallow", "Disallow")
+            .otherwise("Allow").as("dir"),
+          trim(r.getField("pfx")).as("pfx"))),
         r => r.getField("pfx") =!= "")))
       .select(df.columns.map(col) ++ Seq(
         col("__r.dir").as("rule_dir"), col("__r.pfx").as("rule_pfx")): _*)

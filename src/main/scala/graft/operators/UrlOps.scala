@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   * Normalization contract (documented bounds, not silent ones):
   *   - fragment dropped; scheme and host lowercased; default ports
   *     (http:80, https:443) dropped, others kept;
-  *   - path: empty → "/", duplicate slashes collapsed, "/./" and a
-  *     trailing "/." removed, "segment/../" resolved up to
-  *     [[DotDotPasses]] levels of nesting (a fixpoint loop is not
-  *     expressible as one narrow expression; real-world crawl paths
-  *     nest 1-2 deep — beyond the bound the residue stays verbatim,
-  *     which is safe: two URLs only ever MISS a merge, never merge
-  *     wrongly). Above-root "/../" residue is dropped last, per RFC
-  *     3986's remove_dot_segments;
+  *   - path: empty → "/", duplicate slashes collapsed, "/./" runs
+  *     removed (three global passes — up to ~7 ADJACENT "/./"
+  *     segments; a fixpoint loop is not expressible as one narrow
+  *     expression) and a trailing "/." removed, "segment/../"
+  *     resolved up to [[DotDotPasses]] levels of nesting (real-world
+  *     crawl paths nest 1-2 deep). Beyond either bound the residue
+  *     stays VERBATIM, which is safe: two URLs only ever MISS a
+  *     merge, never merge wrongly. Above-root "/../" residue is
+  *     dropped last per RFC 3986's remove_dot_segments — matched as
+  *     full segments only ("/..third" is a legal segment NAME and
+  *     must survive, or the host and path would fuse);
   *   - query: parameters split on "&", tracking keys removed
   *     ([[TrackingRe]]: utm_*, gclid, fbclid, msclkid, ref), the
   *     rest SORTED (param order never distinguishes resources in
@@ -78,16 +81,22 @@ object UrlOps {
     val path0 = regexp_extract(rest, "^([^?]*)", 1)
     val query0 = regexp_extract(rest, "\\?(.*)", 1)
     // path normalization, step order mirrored in the oracle:
-    // dup slashes, "/./" (two passes: adjacent matches share a
-    // slash), trailing "/.", then bounded "seg/../" resolution,
-    // then above-root residue.
+    // dup slashes, "/./" (three passes: adjacent matches share a
+    // slash, each global pass halves a run), trailing "/.", bounded
+    // "seg/../" resolution, then above-root residue — "/../" as a
+    // FULL segment only, so a segment merely named "..x" survives
+    // (stripping its "/.." prefix would fuse host and path).
     val p1 = regexp_replace(when(path0 === "", lit("/")).otherwise(path0),
       "/{2,}", "/")
-    val p2 = regexp_replace(regexp_replace(p1, "/\\./", "/"), "/\\./", "/")
+    val p2 = (1 to 3).foldLeft(p1)((c, _) =>
+      regexp_replace(c, "/\\./", "/"))
     val p3 = regexp_replace(p2, "/\\.$", "/")
     val p4 = (1 to DotDotPasses).foldLeft(p3)((c, _) =>
       regexp_replace(c, "/[^/]+/\\.\\./", "/"))
-    val path = regexp_replace(p4, "^(/\\.\\.)+", "")
+    val path = regexp_replace(
+      (1 to DotDotPasses).foldLeft(p4)((c, _) =>
+        regexp_replace(c, "^/\\.\\./", "/")),
+      "^/\\.\\.$", "/")
     val params = filter(split(query0, "&"),
       p => !p.rlike(TrackingRe) && p =!= "")
     val q = array_join(array_sort(params), "&")

@@ -52,6 +52,21 @@ object CrawlQueries {
       port, path, qry, frag)
   }
 
+  /** Outlink rows of the synthesized corpus pages — the one fixture
+    * frame every crawl query starts from (its oracle-side replay is
+    * the `ol` CTE each oracle builds from [[TextQueries.htmlBlocksCte]]).
+    */
+  private def pageLinks(s: SparkSession, dir: String): DataFrame =
+    HtmlExtract.outlinks(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextQueries.synthHtml.as("html")), "html")
+
+  /** Each page's base URL (mixed case on purpose — canonicalization
+    * must normalize it). */
+  private def pageBase: Column =
+    concat(lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.NET"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // per-URL canonicalization: raw spelling → the ONE canonical
@@ -108,16 +123,13 @@ object CrawlQueries {
     // partitioned by host.
     "q_crawl_frontier" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val links = HtmlExtract.outlinks(
-        docs.select(col("doc_id"), TextQueries.synthHtml.as("html")), "html")
-      val base = concat(lit("HTTPS://Site"),
-        (col("doc_id") % 7).cast("string"), lit(".Example.NET"))
-      val raw = concat(UrlOps.resolve(base, col("href")),
+      val raw = concat(UrlOps.resolve(pageBase, col("href")),
         when(col("doc_id") % 2 === 0, "?utm_campaign=x").otherwise("#ref"))
-      val cand = links.select(UrlOps.canonicalize(raw).as("url"))
+      val cand = pageLinks(s, dir)
+        .select(UrlOps.canonicalize(raw).as("url"))
         .groupBy(col("url")).agg(count(lit(1)).as("hits"))
-      val crawled = docs.filter(col("doc_id") % 3 === 0)
+      val crawled = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
         .select(concat(lit("https://site"),
           (col("doc_id") % 7).cast("string"), lit(".example.net/doc/"),
           (col("doc_id") % 50).cast("string")).as("url"))
@@ -139,13 +151,8 @@ object CrawlQueries {
     // the same url key.
     "q_anchor_text" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val links = HtmlExtract.outlinks(
-        docs.select(col("doc_id"), TextQueries.synthHtml.as("html")), "html")
-      val base = concat(lit("HTTPS://Site"),
-        (col("doc_id") % 7).cast("string"), lit(".Example.NET"))
-      val terms = links.select(
-          UrlOps.canonicalize(UrlOps.resolve(base, col("href")))
+      val terms = pageLinks(s, dir).select(
+          UrlOps.canonicalize(UrlOps.resolve(pageBase, col("href")))
             .as("url"),
           explode(filter(split(lower(col("anchor")), " "),
             w => w =!= "")).as("term"))
@@ -165,14 +172,9 @@ object CrawlQueries {
     // the host key (broadcast at scale), and one composite-min agg
     // per URL picks verdict + matched prefix.
     "q_robots_filter" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val links = HtmlExtract.outlinks(
-        docs.select(col("doc_id"), TextQueries.synthHtml.as("html")), "html")
-      val base = concat(lit("HTTPS://Site"),
-        (col("doc_id") % 7).cast("string"), lit(".Example.NET"))
       val cand = PersistSlots.swap("crawl.robotsCand",
-        links.select(
-            UrlOps.canonicalize(UrlOps.resolve(base, col("href")))
+        pageLinks(s, dir).select(
+            UrlOps.canonicalize(UrlOps.resolve(pageBase, col("href")))
               .as("url"))
           .distinct()
           .select(col("url"), UrlOps.hostOf(col("url")).as("host")))
@@ -244,11 +246,12 @@ object CrawlQueries {
       |    regexp_extract(rst, '\?(.*)', 1) AS q0
       |  FROM n1),
       |n3 AS (SELECT *, regexp_replace(
-      |    regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(regexp_replace(regexp_replace(
       |      CASE WHEN p0 = '' THEN '/' ELSE p0 END,
       |      '/{2,}', '/', 'g'),
-      |      '/\./', '/', 'g'), '/\./', '/', 'g'), '/\.$', '/', 'g'),
+      |      '/\./', '/', 'g'), '/\./', '/', 'g'), '/\./', '/', 'g'),
+      |      '/\.$', '/', 'g'),
       |      '/[^/]+/\.\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g'),
       |      '/[^/]+/\.\./', '/', 'g') AS pth0,
       |    coalesce(array_to_string(list_sort(list_filter(string_split(q0, '&'),
@@ -263,7 +266,9 @@ object CrawlQueries {
       |         ELSE ':' || prt END ||
       |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
       |    CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url
-      |  FROM (SELECT *, regexp_replace(pth0, '^(/\.\.)+', '', 'g') AS pth
+      |  FROM (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+      |          regexp_replace(pth0, '^/\.\./', '/'), '^/\.\./', '/'),
+      |          '^/\.\./', '/'), '^/\.\.$', '/') AS pth
       |        FROM n3))""".stripMargin
 
   /** Registrable-domain SQL over a host expression (mirrors
@@ -400,25 +405,32 @@ object CrawlQueries {
           |    'Disallow: ' || chr(10) || 'Allow: /archive' || chr(10)
           |      AS txt
           |  FROM hostk),
-          |sec AS (SELECT host, list_filter(string_split(txt, 'User-agent: '),
+          |sec AS (SELECT host, list_filter(
+          |    string_split_regex(replace(txt, chr(13), ''),
+          |      '(?i)User-agent:[ \t]*'),
           |    s -> starts_with(s, '*'))[1] AS sg
           |  FROM txts),
           |dl AS (SELECT host,
-          |    CASE WHEN regexp_extract(sg, 'Crawl-delay: ([0-9]+)', 1) = ''
+          |    CASE WHEN regexp_extract(sg,
+          |        '(?i)Crawl-delay:[ \t]*([0-9]+)', 1) = ''
           |      THEN 0
-          |      ELSE CAST(regexp_extract(sg, 'Crawl-delay: ([0-9]+)', 1)
+          |      ELSE CAST(regexp_extract(sg,
+          |        '(?i)Crawl-delay:[ \t]*([0-9]+)', 1)
           |                AS BIGINT) END AS crawl_delay
           |  FROM sec),
           |rl AS (SELECT host,
-          |    regexp_extract_all(sg, '(?m)^(Disallow|Allow): ([^\n]*)', 1)
-          |      AS dirs,
-          |    regexp_extract_all(sg, '(?m)^(Disallow|Allow): ([^\n]*)', 2)
-          |      AS pfxs
+          |    regexp_extract_all(sg,
+          |      '(?mi)^(Disallow|Allow):[ \t]*([^\n]*)', 1) AS dirs,
+          |    regexp_extract_all(sg,
+          |      '(?mi)^(Disallow|Allow):[ \t]*([^\n]*)', 2) AS pfxs
           |  FROM sec),
           |ri AS (SELECT host, unnest(range(1, len(dirs) + 1)) AS i,
           |    dirs, pfxs FROM rl),
-          |rules AS (SELECT host, dirs[i] AS rule_dir, pfxs[i] AS rule_pfx
-          |  FROM ri WHERE pfxs[i] <> ''),
+          |rules AS (SELECT host,
+          |    CASE WHEN lower(dirs[i]) = 'disallow' THEN 'Disallow'
+          |         ELSE 'Allow' END AS rule_dir,
+          |    trim(pfxs[i]) AS rule_pfx
+          |  FROM ri WHERE trim(pfxs[i]) <> ''),
           |app AS (SELECT cd.url, cd.host, r.rule_dir, r.rule_pfx
           |  FROM cand cd JOIN rules r USING (host)
           |  WHERE starts_with(regexp_replace(cd.url,

@@ -52,15 +52,17 @@ object WarcSource {
         md5(col(uriCol)), lit(">\r\n"),
         lit("Content-Type: application/http;msgtype=response\r\n"),
         lit("Content-Length: "),
-        // exact HTTP-block length: status line (17) + Content-Type
-        // header (25) + "Content-Length: " (16) + its digits + CRLF
-        // (2) + blank line (2) + body
-        (length(col(htmlCol)) +
-          length(length(col(htmlCol)).cast("string")) + lit(62))
+        // exact HTTP-block length in OCTETS (WARC/HTTP Content-Length
+        // is bytes, not chars — they differ on non-ASCII payloads):
+        // status line (17) + Content-Type header (25) +
+        // "Content-Length: " (16) + its digits + CRLF (2) + blank
+        // line (2) + body bytes
+        (octet_length(col(htmlCol)) +
+          length(octet_length(col(htmlCol)).cast("string")) + lit(62))
           .cast("string"),
         lit("\r\n\r\n"),
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
-        length(col(htmlCol)).cast("string"),
+        octet_length(col(htmlCol)).cast("string"),
         lit("\r\n\r\n"), col(htmlCol), lit("\r\n\r\n")).as("rec"))
       .as[String]
     val withInfo: Dataset[String] = recs.mapPartitions { it =>
@@ -95,7 +97,13 @@ object WarcSource {
           .as("status_s"),
         regexp_extract(get(parts, lit(1)), "(?m)^Content-Type: ([^\r\n]+)", 1)
           .as("mime"),
-        get(parts, lit(2)).as("html"))
+        // body = every part between the HTTP-header block and the
+        // record-closing blank line, REJOINED — a payload containing
+        // its own CRLF blank lines must come back intact, not
+        // truncated at its first internal \r\n\r\n
+        when(size(parts) >= 4,
+          array_join(slice(parts, lit(3), size(parts) - lit(3)),
+            "\r\n\r\n")).as("html"))
       .filter(col("warc_type") === "response")
       .select(col("url"), col("status_s").cast("int").as("http_status"),
         col("mime"), col("html"))

@@ -98,6 +98,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(got == Seq((500000L, 2L, 1)), got.toString)
   }
 
+  test("tCloseness: NULL sensitive values and NULL quasi-ids count") {
+    import spark.implicits._
+    // Identical shape to the absent-tail test but with NULL standing
+    // in for "B", plus a NULL-keyed class mirroring c1: every row
+    // must participate (null-safe self-joins) — equal distances, and
+    // the null class appears in the histogram.
+    val rows: Seq[(String, String)] =
+      (1 to 4).map(_ => ("c1", "A")) ++
+        (1 to 4).map(_ => ("c2", null: String)) ++
+        (1 to 4).map(_ => (null: String, "A"))
+    val got = Expectations.tClosenessProfile(rows.toDF("cls", "sv"),
+        Seq(col("cls")), col("sv"), tMaxE6 = 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    // corpus 8 A / 4 null over 12; c1 and the null class (all A):
+    //   d = (|4*12-8*4| + absent 4*4)*5e5/(4*12) = 32*5e5/48 = 333333
+    // c2 (all null): d = (absent 8*4 + |4*12-4*4|)*5e5/48 = 666666
+    assert(got.toSet === Set((300000L, 2L, 8L, 1), (600000L, 1L, 4L, 1)),
+      got.toString)
+  }
+
   test("tCloseness rejects a threshold off the bucket grid") {
     import spark.implicits._
     val df = Seq(("c", "A")).toDF("cls", "sv")

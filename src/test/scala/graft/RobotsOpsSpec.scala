@@ -56,6 +56,24 @@ class RobotsOpsSpec extends SparkSpec {
       ("Allow", "/doc/pub"), ("Disallow", "/tie"), ("Allow", "/tie")))
   }
 
+  test("RFC 9309 tolerance: case, missing space, CRLF, padded values") {
+    val sloppy = "user-AGENT:*\r\ncrawl-delay:7\r\n" +
+      "disallow:/private\r\nALLOW: /private/pub \r\ndisallow: \r\n"
+    val df = Seq(("h1", sloppy)).toDF("host", "robots_txt")
+    val r = RobotsOps.rules(df, "robots_txt")
+      .select("rule_dir", "rule_pfx").as[(String, String)].collect().toSet
+    assert(r === Set(("Disallow", "/private"), ("Allow", "/private/pub")))
+    assert(df.select(RobotsOps.crawlDelay(col("robots_txt")))
+      .as[Long].head() === 7L)
+    val v = RobotsOps.verdicts(
+      Seq(("https://h1/private/x", "h1")).toDF("url", "host"),
+      "url", "host",
+      RobotsOps.rules(df, "robots_txt").select("host", "rule_dir",
+        "rule_pfx"), "host")
+      .select("verdict").as[String].head()
+    assert(v === "disallow") // a CRLF file must NOT fail open
+  }
+
   test("crawl delay parsed; 0 when absent; no star group = no rules") {
     val d = Seq(("h1", robots), ("h2", "User-agent: *\nDisallow: /x\n"),
         ("h3", "User-agent: bot\nDisallow: /\n"))

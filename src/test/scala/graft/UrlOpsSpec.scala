@@ -51,6 +51,17 @@ class UrlOpsSpec extends SparkSpec {
 
   test("above-root dot-dot residue dropped (RFC 3986)") {
     assert(canon("https://a.com/../x") === "https://a.com/x")
+    assert(canon("https://a.com/../../x") === "https://a.com/x")
+    assert(canon("https://a.com/..") === "https://a.com/")
+  }
+
+  test("a segment NAMED ..x is not above-root residue — it survives") {
+    assert(canon("https://a.com/..foo/x") === "https://a.com/..foo/x")
+    assert(canon("https://a.com/a/..b") === "https://a.com/a/..b")
+  }
+
+  test("adjacent /./ runs clear within the documented three passes") {
+    assert(canon("https://a.com/a/./././././b") === "https://a.com/a/b")
   }
 
   test("tracking params scrubbed, survivors sorted, empty query no ?") {

@@ -72,6 +72,34 @@ class WarcSourceSpec extends SparkSpec {
     assert(httpBlock.length === declared)
   }
 
+  test("payload with its own CRLF blank lines comes back intact") {
+    val dir = tmpDir("warc_blank")
+    val body = "<pre>first\r\n\r\nsecond\r\n\r\nthird</pre>"
+    WarcSource.toWarc(Seq(("https://a.com/b", body)).toDF("uri", "html")
+      .coalesce(1), "uri", "html", dir)
+    val got = WarcSource.fromWarc(spark, dir)
+      .select("html").as[String].head()
+    assert(got === body)
+  }
+
+  test("Content-Length is octets, not chars (non-ASCII payload)") {
+    val dir = tmpDir("warc_octet")
+    val body = "<p>café — résumé</p>"
+    WarcSource.toWarc(Seq(("https://a.com/u", body)).toDF("uri", "html")
+      .coalesce(1), "uri", "html", dir)
+    val part = partFiles(dir).head
+    val txt = new String(Files.readAllBytes(Paths.get(part)),
+      StandardCharsets.UTF_8)
+    val rec = txt.split("WARC/1\\.0\r\n")
+      .find(_.startsWith("WARC-Type: response")).get
+    val declared = "(?m)^Content-Length: ([0-9]+)".r
+      .findFirstMatchIn(rec).get.group(1).toInt
+    val httpBlock = rec.substring(rec.indexOf("\r\n\r\n") + 4)
+      .stripSuffix("\n").stripSuffix("\r\n\r\n")
+    assert(httpBlock.getBytes(StandardCharsets.UTF_8).length === declared)
+    assert(httpBlock.length < declared) // chars < octets here
+  }
+
   test("foreign records parse: 404 status and non-html mime") {
     val dir = tmpDir("warc_foreign")
     val rec = "WARC/1.0\r\n" +
