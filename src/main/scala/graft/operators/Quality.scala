@@ -41,13 +41,19 @@ object Quality {
   private def bucketOf(w: Column, buckets: Int): Column =
     (Packing.hash48c(w) % buckets).cast("int")
 
-  /** Narrow integer score: Σ_w weight[bucket(w)], a fold against the
-    * broadcast dense weight literal. */
-  private def scoreExpr(wordsCol: Column, weights: Seq[Long]): Column = {
-    val wLit = typedlit(weights)
-    aggregate(wordsCol, lit(0L),
-      (acc, wd) => acc + element_at(wLit, bucketOf(wd, weights.length) + 1))
-  }
+  /** Narrow integer score: Σ_w weight[bucket(w)] — the codegen'd
+    * [[graft.plans.BucketWeightSum]] kernel (optimization round 16;
+    * the previous `aggregate(...)` higher-order fold was interpreted
+    * and re-ran an interpreted md5 tree per word — it dominated every
+    * scoring scan and both perceptron training epochs). Same values:
+    * the kernel computes the identical 48-bit md5 bucket and long
+    * fold, so trained weights, scores, and the SQL replay are
+    * unchanged. */
+  private def scoreExpr(wordsCol: Column, weights: Seq[Long]): Column =
+    org.apache.spark.sql.graftglue.Bridge.column(
+      graft.plans.BucketWeightSum(
+        org.apache.spark.sql.graftglue.Bridge.expression(wordsCol),
+        weights.toIndexedSeq))
 
   /** One batch perceptron epoch over a tokenized frame: returns
     * `weights + Σ_{misclassified d} label_d * counts_d` as a new

@@ -238,15 +238,16 @@ object Sampling {
       val r = BigInt(rc.getOrElse(b, 0L)) * nt
       if (t > r) 1L else if (t < r) -1L else 0L
     }
-    val votesLit = typedlit(votes)
     raw
       .select(col(idCol), col(wordsCol).as("__w"))
       .select(col(idCol),
         size(col("__w")).cast("long").as("n_words"),
-        aggregate(col("__w"), lit(0L), (acc, wd) =>
-          acc + element_at(votesLit,
-            ((conv(substring(md5(wd), 1, 12), 16, 10).cast("long") % buckets)
-              + 1).cast("int"))).as("score"))
+        // codegen'd bucket fold (round 16) — same 48-bit md5 votes as
+        // the interpreted HOF form it replaces, same SQL replay
+        org.apache.spark.sql.graftglue.Bridge.column(
+          graft.plans.BucketWeightSum(
+            org.apache.spark.sql.graftglue.Bridge.expression(col("__w")),
+            votes.toIndexedSeq)).as("score"))
       .withColumn("keep", (col("score") > 0).cast("int"))
   }
 

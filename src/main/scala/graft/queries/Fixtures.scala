@@ -132,7 +132,8 @@ object Fixtures {
   /** The same frame built inline (un-cached): what nest_roundtrip
     * times. */
   def nestLineitem(s: SparkSession, dir: String): DataFrame =
-    Nest.nest(Tables(s, dir, "lineitem"),
+    // fanned: the per-key struct-list build dominates the one-task scan
+    Nest.nest(Tables.fanned(s, dir, "lineitem"),
       keys = Seq("l_orderkey"), payload = Seq("l_linenumber", "l_quantity"),
       as = "items", sortBy = Seq("l_linenumber"))
 

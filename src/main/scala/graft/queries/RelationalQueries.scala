@@ -213,7 +213,8 @@ object RelationalQueries {
     // exactly in SQL and partitioning can't change it
     "q_bootstrap_ci" -> ((s, dir) =>
       graft.operators.Bootstrap.halfSampleCI(
-        Tables(s, dir, "lineitem")
+        // fanned: 32 md5-bit replicate folds per row dwarf the scan
+        Tables.fanned(s, dir, "lineitem")
           .withColumn("__key",
             col("l_orderkey") * 8 + col("l_linenumber")),
         "l_returnflag", "l_extendedprice", "__key")),
@@ -321,7 +322,8 @@ object RelationalQueries {
     // construction; GK (q_approx_quantile) is the sketch twin at
     // extreme group sizes
     "q_robust_stats" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+      // fanned: the per-group sort passes dominate the one-task scan
+      val li = Tables.fanned(s, dir, "lineitem").select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"))
       graft.operators.RobustStats.stats(li, "l_returnflag", "price_c")
     }),

@@ -6,8 +6,110 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Driver-provided parquet tables (TESTDATA.md). */
 object Tables {
+
+  /** Scan fan-out (optimization round 16, guide §2.5 "input skew —
+    * one huge unsplittable file"): each sf directory ships every
+    * table as ONE parquet file with ONE row group, so a Spark scan
+    * gets exactly one task no matter how many cores the session has —
+    * and every narrow (shuffle-free) operator in the library, which
+    * is most of the text/quality/LM family, ran single-threaded on a
+    * 32-core box (measured: 47 benched queries with cpu ≈ wall,
+    * 54 s of the 183 s board). File-split configs cannot help: a
+    * single row group is unsplittable at read time (a byte-range
+    * split with no row-group start reads zero rows).
+    *
+    * Fix: round-robin repartition immediately after the read, SIZED
+    * BY THE INPUT, never by a constant — `min(defaultParallelism,
+    * bytes / 16 KiB)` tasks, and ONLY when the scan's own split
+    * count (`ceil(bytes / maxPartitionBytes)`) is below that target.
+    * At production scale the guard never fires (100 TB / 128 MB ≈
+    * 800 k splits >> any executor count) and the plan is untouched —
+    * the fan-out exists exactly for the unsplittable-small-input
+    * regime, where the one-time ~file-size shuffle buys every
+    * downstream operator the session's full parallelism. The 16 KiB
+    * per-task floor keeps tiny dimension tables (region, nation,
+    * supplier) at one partition so short join queries don't pay
+    * 32 empty-task schedulings per dimension.
+    *
+    * The redistribution is a HASH repartition on the table's leading
+    * column (every driver table leads with its key: doc_id,
+    * l_orderkey, event_id, ...), not round-robin: round-robin pays a
+    * whole-partition sort before partitioning (SPARK-23207's
+    * retry-determinism guard) which is itself serial on a one-split
+    * scan — measured +0.3-0.4 s on the lineitem queries — while hash
+    * partitioning is deterministic per row (murmur3 of the key), so
+    * it needs no sort and is retry-safe by construction. Key columns
+    * are unique or near-unique (<= 7 rows per l_orderkey), so the
+    * hash spread is uniform — no synthetic-key skew (guide §2.5).
+    *
+    * No declared query's RESULT depends on row order or partitioning
+    * (the driver's compare canonicalizes; float aggregates are
+    * rounded/bound-checked by design — see q_geomean /
+    * q_approx_quantile). Disable with spark.graft.scan.fanout=false
+    * (conf or env SPARK_GRAFT_SCAN_FANOUT) to reproduce the old
+    * single-task plans.
+    */
+  private val FanoutBytesPerTask = 16L * 1024
+
+  /** Tables fanned out BY DEFAULT: the corpora whose consumers do
+    * heavy per-row compute (md5 shingle/bucket folds, regexp chains,
+    * vector kernels) — measured 1.5-3.5x wall on every consumer. The
+    * relational tables are NOT in the default set: their cheap
+    * scan-bound queries (q1_agg 0.35 s, q_sql_q6 0.15 s) pay more
+    * for the extra exchange than the single-task scan costs
+    * (measured +0.15-0.3 s each), while their few compute-heavy
+    * consumers opt in per call site via [[fanned]]. Override with
+    * spark.graft.scan.fanout.tables (csv). */
+  private val DefaultFanoutTables = Set("documents", "embeddings")
+
+  private def fanoutEnabled(spark: SparkSession, name: String,
+                            forced: Boolean): Boolean = {
+    val master = spark.conf
+      .getOption("spark.graft.scan.fanout")
+      .orElse(sys.env.get("SPARK_GRAFT_SCAN_FANOUT"))
+      .forall(_.trim.equalsIgnoreCase("true"))
+    val tables = spark.conf
+      .getOption("spark.graft.scan.fanout.tables")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(DefaultFanoutTables)
+    master && (forced || tables.contains(name))
+  }
+
+  private def fanout(spark: SparkSession, df: DataFrame,
+                     bytes: Long): DataFrame = {
+    if (bytes <= 0) return df
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val scanSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val target = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / FanoutBytesPerTask))
+    if (scanSplits >= target || target <= 1) df
+    else df.repartition(target.toInt, col(df.columns.head))
+  }
+
+  private def sizedRead(spark: SparkSession, path: String,
+                        name: String, forced: Boolean): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (!fanoutEnabled(spark, name, forced)) return df
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L }
+    fanout(spark, df, bytes)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    sizedRead(spark, s"$sfDir/$name.parquet", name, forced = false)
+
+  /** Per-call-site fan-out opt-in for compute-heavy consumers of the
+    * relational tables (nest's collect_list build, the robust-stats
+    * per-group sorts, the bootstrap-CI md5-bit folds): same
+    * scale-guarded redistribution as the default-fanned corpora. */
+  def fanned(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    sizedRead(spark, s"$sfDir/$name.parquet", name, forced = true)
 
   /** The events table's `ts` column has shipped in two physical
     * layouts across fixture generations: TIMESTAMP(NANOS), which Spark
@@ -21,7 +123,8 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val df = sizedRead(spark, s"$sfDir/events.parquet", "events",
+      forced = false)
     df.schema("ts").dataType match {
       case LongType => df // nanos-as-long under the legacy flag
       case TimestampNTZType =>
