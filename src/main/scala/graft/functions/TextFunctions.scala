@@ -23,17 +23,19 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Shingles from an already-materialized word-array column. Use
-    * this two-step form in pipelines: `transform` is interpreted (not
-    * codegen'd), so if `w` were an inline `split(...)` expression it
-    * would re-run the regex split for every element_at — materialize
-    * the array in a projection first and the lambda reads an
-    * attribute (measured ~20x on the shingle pipeline). */
+  /** Shingles from an already-materialized word-array column — the
+    * codegen'd [[graft.plans.ShinglesOfWords]] kernel (optimization
+    * round 16; the previous `transform(sequence(...), i ->
+    * concat_ws(...))` HOF was interpreted per element and sat on the
+    * scan side of every shingle pipeline). Same values and null
+    * contract as the HOF form: null or short inputs yield an empty
+    * array, a null WORD is skipped by the join (concat_ws). */
   def shinglesOfWords(w: Column, n: Int = 3): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      org.apache.spark.sql.graftglue.Bridge.column(
+        graft.plans.ShinglesOfWords(
+          org.apache.spark.sql.graftglue.Bridge.expression(w), n)),
+      array().cast("array<string>"))
 
   /** Word n-gram shingles (w_i .. w_{i+n-1} joined by spaces); empty
     * array when the text has fewer than n words. Convenience form —
@@ -108,10 +110,15 @@ object TextFunctions {
 
   /** [[shingleHashes48]] with a caller-chosen key width in md5 hex
     * digits (4 bits each) — narrowed widths let collision specs force
-    * collisions cheaply; 12 digits = the production 48-bit key. */
+    * collisions cheaply; 12 digits = the production 48-bit key.
+    * Codegen'd [[graft.plans.Hash48Array]] kernel (round 16) — same
+    * values as the interpreted per-element
+    * `conv(substring(md5(s),1,d),16,10)` transform it replaces. */
   def shingleHashesHex(shingleArr: Column, hexDigits: Int): Column =
-    transform(shingleArr,
-      s => conv(substring(md5(s), 1, hexDigits), 16, 10).cast("long"))
+    org.apache.spark.sql.graftglue.Bridge.column(
+      graft.plans.Hash48Array(
+        org.apache.spark.sql.graftglue.Bridge.expression(shingleArr),
+        hexDigits))
 
   /** Winnowed fingerprint minima (the MOSS/winnowing algorithm,
     * Schleimer et al. 2003) over a *pre-projected* [[shingleHashes48]]
@@ -124,10 +131,12 @@ object TextFunctions {
     * with no shingles yield an empty array.
     */
   def winnowedMins(hashArr: Column, w: Int = 4): Column =
-    when(size(hashArr) === 0, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0), greatest(size(hashArr) - w, lit(0))),
-        p => array_min(slice(hashArr, p + 1, lit(w)))))
+    // codegen'd kernel (round 16) — same rolling minima and null
+    // contract as the interpreted transform/slice/array_min HOF form
+    // it replaces (O(size·w) interpreted calls per doc)
+    org.apache.spark.sql.graftglue.Bridge.column(
+      graft.plans.WinnowMins(
+        org.apache.spark.sql.graftglue.Bridge.expression(hashArr), w))
 
   /** Per-seed MinHash value: lexicographic min of seeded MD5 over the
     * document's shingles. Null for docs with no shingles.

@@ -209,9 +209,17 @@ object Binary {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"hammingNearDupPairs: the pigeonhole guarantee needs " +
         s"maxHamming < nBands, got maxHamming=$maxHamming nBands=$nBands")
-    val keyed = packedBandKeys(
-      df.select(col(idCol).as("__id"), col(sigCol).as("__sig")),
-      "__id", "__sig", nBands)
+    // slot-persist the (id, sig) frame: BOTH self-join sides read it,
+    // and without the persist the upstream fingerprint stage — for
+    // the perceptual families a per-row media DECODE UDF, the
+    // dominant cost — executes once per side (optimization round 16:
+    // mm_phash measured 60 process-CPU-s, two full PNG-decode passes
+    // per run, vs mm_decode's one-pass 16). At 100 TB the signature
+    // is computed once on corpus entry and stored (the operator's
+    // documented shape); the slot is the local analogue.
+    val sigs = PersistSlots.swap(s"binary.hammingSigs.$nBands",
+      df.select(col(idCol).as("__id"), col(sigCol).as("__sig")))
+    val keyed = packedBandKeys(sigs, "__id", "__sig", nBands)
     val a = keyed.select(col("band"), col("key"),
       col("__id").as("id_a"), col("__sig").as("__sa"))
     val b = keyed.select(col("band"), col("key"),

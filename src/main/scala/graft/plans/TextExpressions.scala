@@ -137,6 +137,195 @@ object BucketWeightSum {
   }
 }
 
+/** Codegen'd word n-gram shingling: `shingles[i] = concat_ws(" ",
+  * words[i..i+n-1])` for i in [0, size-n], empty array when the doc
+  * has fewer than n words — the exact value contract of the
+  * interpreted `transform(sequence(0, size-n), i -> concat_ws(...))`
+  * HOF it replaces (TextFunctions.shinglesOfWords), which sat on the
+  * scan side of EVERY shingle pipeline (minhash, ngram-Jaccard,
+  * winnow, spans, containment, LM grams, decontamination) and never
+  * entered whole-stage codegen (optimization round 16, guide §4).
+  * concat_ws semantics preserved: a null word is SKIPPED by the
+  * join, never nulling the shingle. Null input array → null (the
+  * Column wrapper coalesces to the HOF's empty-array contract). */
+case class ShinglesOfWords(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ShinglesOfWords.shingles(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShinglesOfWords.shingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesOfWords =
+    copy(child = newChild)
+}
+
+object ShinglesOfWords {
+  private val Space = UTF8String.fromString(" ")
+
+  def shingles(w: org.apache.spark.sql.catalyst.util.ArrayData,
+               n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val size = w.numElements()
+    if (size < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any](size - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= size - n) {
+      var j = 0
+      while (j < n) {
+        // concat_ws skips null inputs — preserved bit-for-bit
+        parts(j) = if (w.isNullAt(i + j)) null else w.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd per-shingle 48-bit (or narrower) md5 keys:
+  * `hashes[i] = conv(substring(md5(s_i), 1, hexDigits), 16, 10)` —
+  * the exact value contract of the interpreted `transform(arr, s ->
+  * conv(substring(md5(s),1,d),16,10).cast(long))` HOF it replaces
+  * (TextFunctions.shingleHashesHex), the per-element interpreted md5
+  * tree on the scan side of the winnow / span / CDC families. A null
+  * ELEMENT hashes to a null element (md5(null) is null), matching
+  * the HOF. */
+case class Hash48Array(child: Expression, hexDigits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15,
+    s"hexDigits must fit a positive long (1..15), got $hexDigits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash48_array requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    Hash48Array.hashes(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], hexDigits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Hash48Array.hashes($a, $hexDigits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash48Array =
+    copy(child = newChild)
+}
+
+object Hash48Array {
+  def hashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+             hexDigits: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first hexDigits hex chars of the digest as a base-16 long —
+        // nibble k is the high (even k) / low (odd k) half of byte k/2
+        var v = 0L
+        var k = 0
+        while (k < hexDigits) {
+          val nib =
+            if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf
+            else d(k >> 1) & 0xf
+          v = (v << 4) | nib
+          k += 1
+        }
+        out(i) = v
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd winnowing minima (Schleimer et al. 2003) over a
+  * pre-hashed shingle array: `mins[p] = min(hash[p..p+w-1])` for p in
+  * [0, max(size-w, 0)], empty for empty input — the exact value
+  * contract of the interpreted `transform(sequence(...), p ->
+  * array_min(slice(...)))` HOF it replaces (TextFunctions
+  * .winnowedMins), which re-evaluated an interpreted slice+min per
+  * window (O(size·w) interpreted calls per doc). array_min's
+  * null-skipping is preserved (null elements are ignored; an
+  * all-null window yields a null min). */
+case class WinnowMins(child: Expression, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_mins requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    WinnowMins.mins(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.WinnowMins.mins($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def mins(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+           w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val windows = math.max(n - w, 0) + 1
+    val out = new Array[Any](windows)
+    var p = 0
+    while (p < windows) {
+      val end = math.min(p + w, n)
+      var best = Long.MaxValue
+      var seen = false
+      var i = p
+      while (i < end) {
+        if (!arr.isNullAt(i)) {
+          val v = arr.getLong(i)
+          if (!seen || v < best) { best = v; seen = true }
+        }
+        i += 1
+      }
+      out(p) = if (seen) best else null
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object CharProfile {
 
   /** Shared hot loop of both eval paths (NOT named `eval` — see

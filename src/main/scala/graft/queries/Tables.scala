@@ -49,7 +49,7 @@ object Tables {
     * (conf or env SPARK_GRAFT_SCAN_FANOUT) to reproduce the old
     * single-task plans.
     */
-  private val FanoutBytesPerTask = 16L * 1024
+  private val FanoutBytesPerTask = 64L * 1024
 
   /** Tables fanned out BY DEFAULT: the corpora whose consumers do
     * heavy per-row compute (md5 shingle/bucket folds, regexp chains,
@@ -110,6 +110,24 @@ object Tables {
     * scale-guarded redistribution as the default-fanned corpora. */
   def fanned(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sizedRead(spark, s"$sfDir/$name.parquet", name, forced = true)
+
+  /** Per-call-site fan-out OPT-OUT: queries whose plans carry FAT
+    * LITERALS (PQ/ADC codebook tables, broadcast n-gram map
+    * literals, merged centroid literals) pay the literal's
+    * per-task deserialization and init once per partition — measured
+    * +15-30 process-CPU-s and +0.7-1.1 s wall per query when their
+    * one-split scan fanned to 32 tasks, dwarfing the parallelism
+    * win. Their documented shape is "one narrow scan against
+    * broadcast literals"; keep that scan at the input's own split
+    * count. (The same economics hold on a cluster: such plans want
+    * FEW fat tasks, which a real many-split corpus provides anyway —
+    * there the literal cost amortizes over 100-1000x more rows per
+    * task.) */
+  def unfanned(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      throw new IllegalArgumentException("use Tables.events")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** The events table's `ts` column has shipped in two physical
     * layouts across fixture generations: TIMESTAMP(NANOS), which Spark

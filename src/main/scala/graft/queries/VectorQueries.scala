@@ -88,7 +88,7 @@ object VectorQueries {
     // clustering member of the ingest family (dedup_incremental,
     // knn_graph_ingest, stream_media_ingest)
     "q_kmeans_update" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       graft.operators.KMeans.updateAssign(
         emb.filter(col("vec_id") % 10 =!= 7),
         emb.filter(col("vec_id") % 10 === 7),
@@ -158,7 +158,7 @@ object VectorQueries {
     // 4 codes + its exact squared quantization error — the m
     // independent k-means chains replay per-subspace in SQL
     "q_pq" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
         dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
       graft.operators.PQ.encode(emb, "vec_id", "embedding", books)
@@ -169,7 +169,7 @@ object VectorQueries {
     // broadcast literals — a narrow projection + TakeOrdered, never
     // touching the raw vectors. Exact-oracled like the other ANN ops.
     "knn_pq_adc" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
         dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
       val codes = graft.operators.PQ.encode(emb, "vec_id", "embedding", books)
@@ -181,7 +181,7 @@ object VectorQueries {
     // the composed IVF+PQ recipe: probe 4 of 16 cells, ADC-score only
     // their residents — the billion-vector layout, still exact-oracled
     "knn_ivfpq" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
         dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
       val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
@@ -196,7 +196,7 @@ object VectorQueries {
     // the original vectors with exact integer L2 — recovers exact-L2
     // ranking at ADC cost plus a broadcast-sized join-back
     "knn_pq_rerank" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       val books = graft.operators.PQ.fit(emb, "vec_id", "embedding",
         dim = DIM, m = PQ_M, k = PQ_K, steps = 2)
       val codes = graft.operators.PQ.encode(emb, "vec_id", "embedding", books)
@@ -212,7 +212,7 @@ object VectorQueries {
     // exact-oracled, because coarse fit, assignment, residual and
     // ADC are exact integer milliunit arithmetic end to end
     "knn_ivfpq_res" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       val model = graft.operators.PQ.fitResidual(emb, "vec_id", "embedding",
         dim = DIM, nlist = 16, m = PQ_M, k = PQ_K, steps = 2)
       val query = emb.orderBy(col("vec_id").asc).select(col("embedding"))
@@ -353,7 +353,7 @@ object VectorQueries {
     // width multiplies the scanned fraction of the corpus; this
     // measures what each extra probe buys). Exact leg computed once.
     "q_ivf_recall_curve" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.unfanned(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
       // slot-persisted for the same reason as q_dim_truncate_recall:
       // four probe-width legs share one exact frame
