@@ -28,10 +28,62 @@ object Multimodal {
 
   final case class ImageInfo(width: Long, height: Long, channels: Long)
 
+  /** ImageIO plumbing cost (optimization round 16): with the default
+    * `ImageIO.getUseCache() == true`, EVERY `ImageIO.read`/`write`
+    * and `createImageInputStream` call backs its stream with a temp
+    * FILE — one file create/write/delete per decoded row in a
+    * per-row UDF, plus a fresh SPI reader lookup + reader instance
+    * per call. Memory-cached streams and per-thread reader reuse
+    * decode the same bytes to the same pixels through the same
+    * codec classes (ImageIO.read itself is
+    * `setInput(stream, true, true); read(0)` on the first SPI
+    * reader — replicated verbatim below); only the plumbing goes.
+    * setUseCache(false) is process-wide and also covers the encode
+    * halves (resize re-encode, fixture writers). */
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap())
+
+  /** Container sniff for the formats the fixtures and common crawl
+    * payloads actually carry; anything else takes the generic SPI
+    * path unchanged. */
+  private def formatOf(b: Array[Byte]): String =
+    if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte) "png"
+    else if (b.length >= 4 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte) "gif"
+    else null
+
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val m = readerCache.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
+  }
+
   private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (b == null) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-    catch { case _: Exception => None }
+    else try {
+      imageIoInit
+      val fmt = formatOf(b)
+      if (fmt == null)
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      else {
+        val r = cachedReader(fmt)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        // ImageIO.read's exact protocol: seekForwardOnly,
+        // ignoreMetadata, frame 0, default param
+        try { r.setInput(iis, true, true); Option(r.read(0)) }
+        finally { r.reset(); iis.close() }
+      }
+    } catch { case _: Exception => None }
 
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF).
     * Emits a `decoded` struct of (width, height, channels); null or
@@ -428,15 +480,26 @@ object Multimodal {
       f: javax.imageio.ImageReader => T): Option[T] =
     if (b == null) None
     else try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      imageIoInit
+      val fmt = formatOf(b)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); None }
-      else {
-        val r = readers.next()
+      if (fmt != null) {
+        // cached per-thread reader; setInput's metadata flags stay at
+        // their defaults (callers read per-frame metadata)
+        val r = cachedReader(fmt)
         try { r.setInput(iis); Some(f(r)) }
         catch { case _: Exception => None }
-        finally { r.dispose(); iis.close() }
+        finally { r.reset(); iis.close() }
+      } else {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some(f(r)) }
+          catch { case _: Exception => None }
+          finally { r.dispose(); iis.close() }
+        }
       }
     } catch { case _: Exception => None }
 
