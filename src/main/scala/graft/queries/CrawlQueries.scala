@@ -90,14 +90,23 @@ object CrawlQueries {
     // ONE map-combined agg; both rollups then ride the slot-persisted
     // edge list, so the corpus scans once.
     "q_host_graph" -> ((s, dir) => {
-      val dst = UrlOps.registrableDomain(
-        UrlOps.hostOf(UrlOps.canonicalize(rawUrlOf)))
       val src = UrlOps.registrableDomain(
         concat(lit("feed.hub"), (col("doc_id") % 4).cast("string"),
           lit(".co.uk")))
       val edges = PersistSlots.swap("crawl.hostEdges",
         Tables(s, dir, "documents")
-          .select(src.as("src_domain"), dst.as("dst_domain"))
+          // materialize each canonicalization stage in its own
+          // projection (the text_url_canon discipline): composed
+          // into ONE expression, registrableDomain references its
+          // host argument ~6 times and each reference re-embeds the
+          // whole ~19-regex canonicalize subtree — CollapseProject
+          // keeps multiply-referenced non-cheap projections apart,
+          // so staging evaluates the chain ONCE per row (measured
+          // 15.4 process-CPU-s → ~2, same rows, same values)
+          .select(col("doc_id"), UrlOps.canonicalize(rawUrlOf).as("__url"))
+          .select(col("doc_id"), UrlOps.hostOf(col("__url")).as("__h"))
+          .select(src.as("src_domain"),
+            UrlOps.registrableDomain(col("__h")).as("dst_domain"))
           .groupBy(col("src_domain"), col("dst_domain"))
           .agg(count(lit(1)).as("n_links")))
       val out = edges.groupBy(col("src_domain").as("domain"))
