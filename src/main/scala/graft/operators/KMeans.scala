@@ -66,9 +66,21 @@ object KMeans {
     *    k×dim loop inside whole-stage codegen. Same integer sums,
     *    same smallest-id tiebreak (ids scanned sorted, strict <), so
     *    results are bit-identical — pinned by Round5OpsSpec.
+    *
+    * Default exprMax = 0 (optimization round 17; was 256): the
+    * kernel form is now the default at EVERY k. The unrolled form
+    * embeds k centroid literals + 2k expression nodes per assignment
+    * — at k=8..16 that alone fattened every k-means/PQ plan (plan
+    * build, canonicalization, per-task deserialization all O(plan)),
+    * and the centroid payload now rides a per-executor broadcast ref
+    * inside the kernel ([[graft.plans.BcRef]]) instead of per-task
+    * literals. Results unchanged at any switch point (the
+    * Round5OpsSpec pin); the expression form stays behind the
+    * parameter as the oracle-replayable reference and for the spec's
+    * differential runs.
     */
   private[graft] def assignTo(q0: DataFrame, centroids: Map[Int, Seq[Long]],
-                              exprMax: Int = 256): DataFrame = {
+                              exprMax: Int = 0): DataFrame = {
     import graft.plans.VectorExpressions.dotLong
     val ids = centroids.keys.toSeq.sorted
     if (ids.length <= exprMax) {

@@ -82,11 +82,22 @@ object PQ {
       idCol, books, keep)
 
   /** [[encode]] over an already-quantized long-array column `__qf` —
-    * the shared core that raw-vector and residual encodes feed. */
+    * the shared core that raw-vector and residual encodes feed.
+    *
+    * Optimization round 17: each subspace argmin is ONE codegen'd
+    * [[graft.plans.NearestCentroidLong]] kernel over a broadcast-ref
+    * codebook instead of the k-way unrolled
+    * `array(|s|² − 2 s·c + |c|², ...)` + array_min/array_position
+    * chain against k typedlit centroid literals per subspace. Same
+    * values (exact integer Σ(s−c)², ids scanned ascending, strict <
+    * keeps the smallest code on ties — the bit-identity the
+    * Round5OpsSpec pin established for KMeans.assignTo's two forms);
+    * the plan shrinks from m·k literal branches to m kernel nodes,
+    * which is what makes the PQ family cheap to plan, serialize and
+    * fan out. */
   private[operators] def encodeQuantized(q: DataFrame, idCol: String,
                                          books: Codebooks,
                                          keep: Seq[String]): DataFrame = {
-    import graft.plans.VectorExpressions.dotLong
     val withSub = (0 until books.m).foldLeft(q) { (acc, j) =>
       acc.withColumn(s"__s$j",
         slice(col("__qf"), j * books.subDim + 1, books.subDim))
@@ -97,17 +108,11 @@ object PQ {
       // (same convention as KMeans.assignTo), so codes are the
       // ORIGINAL cluster ids, not dense positions
       val ids = subspaceCodes(books, j)
-      val sv = col(s"__s$j")
-      val dists = array(ids.map { c =>
-        val cent = books.centroids((j, c))
-        dotLong(sv, sv) - lit(2L) * dotLong(sv, typedlit(cent)) +
-          lit(cent.map(x => x * x).sum)
-      }: _*)
-      acc.withColumn(s"__d$j", dists)
-        .withColumn(s"code_$j",
-          element_at(typedlit(ids),
-            array_position(col(s"__d$j"), array_min(col(s"__d$j"))).cast("int")))
-        .withColumn(s"__e$j", array_min(col(s"__d$j")))
+      val assigned = graft.plans.VectorExpressions.nearestCentroidLong(
+        col(s"__s$j"), ids.map(c => (c, books.centroids((j, c)))))
+      acc.withColumn(s"__a$j", assigned)
+        .withColumn(s"code_$j", col(s"__a$j").getField("cluster"))
+        .withColumn(s"__e$j", col(s"__a$j").getField("dist"))
     }
     coded.select(col(idCol) +: keep.map(col) ++:
       (0 until books.m).map(j => col(s"code_$j")) :+

@@ -27,22 +27,36 @@ import org.apache.spark.sql.types._
   * instead of Option allocation), rebuilt per JVM after serialization.
   */
 final class LmModelRef(val order: Int, val total: Long,
-                       private val tableSeq: IndexedSeq[Map[String, Long]])
+                       tableSeq: IndexedSeq[Map[String, Long]])
     extends Serializable {
   require(order >= 2 && tableSeq.length == order,
     s"LmModelRef: need tables for orders 1..$order, got ${tableSeq.length}")
 
   def totalD: Double = total.toDouble
 
-  @transient lazy val tables: Array[java.util.HashMap[String, java.lang.Long]] =
-    tableSeq.map { m =>
+  // Scoring-ready mirror built ONCE on the driver and shipped via a
+  // broadcast handle (optimization round 17, see [[BcRef]]): the
+  // previous shape serialized the vocabulary-scale Scala maps with
+  // the expression — every TASK re-deserialized the whole model from
+  // the task binary and then rebuilt this HashMap mirror
+  // (transient-lazy per deserialized instance) — the fat-literal
+  // per-task tax behind q_perplexity5_bcast's CPU inflation under
+  // fan-out. Now the task binary carries an O(1) stub; executors
+  // deserialize the prebuilt mirror at most once per JVM.
+  private val bcTables: BcRef[Array[java.util.HashMap[String, java.lang.Long]]] =
+    BcRef(tableSeq.map { m =>
       val h = new java.util.HashMap[String, java.lang.Long](
         math.max(8, (m.size / 0.75).toInt + 1))
       m.foreach { case (k, v) => h.put(k, java.lang.Long.valueOf(v)) }
       h
-    }.toArray
+    }.toArray)
 
-  @transient private lazy val digest: (Long, Long) = ContentDigest.md5 { f =>
+  def tables: Array[java.util.HashMap[String, java.lang.Long]] = bcTables.value
+
+  // digest EAGER (round 17): computed on the driver at construction —
+  // tableSeq is deliberately NOT a field anymore, so a lazy digest
+  // could not be computed after shipping
+  private val digest: (Long, Long) = ContentDigest.md5 { f =>
     f.int(order); f.long(total)
     tableSeq.foreach { m =>
       f.long(m.size.toLong)
@@ -189,14 +203,25 @@ case class NgramNllSum(child: Expression, model: LmModelRef)
       s"graft_ngram_nll requires an array<string> argument, got ${other.simpleString}")
   }
 
+  // interpreted path: resolve the broadcast once per (deserialized)
+  // expression instance, not per row
+  @transient private lazy val tbls = model.tables
+
   override protected def nullSafeEval(a: Any): Any =
-    NgramNll.sumCosts(a.asInstanceOf[ArrayData], model.tables,
+    NgramNll.sumCosts(a.asInstanceOf[ArrayData], tbls,
       model.totalD, model.order)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val tbl = ctx.addReferenceObj("lmTables", model.tables,
-        "java.util.HashMap[]")
+      // reference the REF (O(1) in the task binary), resolve the
+      // broadcast payload once per task in the generated class init —
+      // addReferenceObj on model.tables itself would re-embed the
+      // resolved payload in the codegen references and ship it per
+      // task again (the exact tax BcRef removes)
+      val ref = ctx.addReferenceObj("lmModel", model,
+        classOf[LmModelRef].getName)
+      val tbl = ctx.addMutableState("java.util.HashMap[]", "lmTables",
+        v => s"$v = $ref.tables();")
       s"${ev.value} = graft.plans.NgramNll.sumCosts($a, $tbl, " +
         s"${model.totalD}D, ${model.order});"
     })
@@ -220,14 +245,19 @@ case class NgramNllCosts(child: Expression, model: LmModelRef)
       s"graft_ngram_nll_costs requires an array<string> argument, got ${other.simpleString}")
   }
 
+  @transient private lazy val tbls = model.tables
+
   override protected def nullSafeEval(a: Any): Any =
-    NgramNll.costArray(a.asInstanceOf[ArrayData], model.tables,
+    NgramNll.costArray(a.asInstanceOf[ArrayData], tbls,
       model.totalD, model.order)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val tbl = ctx.addReferenceObj("lmTables", model.tables,
-        "java.util.HashMap[]")
+      // see NgramNllSum.doGenCode on why the REF ships, not the tables
+      val ref = ctx.addReferenceObj("lmModel", model,
+        classOf[LmModelRef].getName)
+      val tbl = ctx.addMutableState("java.util.HashMap[]", "lmTables",
+        v => s"$v = $ref.tables();")
       s"${ev.value} = graft.plans.NgramNll.costArray($a, $tbl, " +
         s"${model.totalD}D, ${model.order});"
     })

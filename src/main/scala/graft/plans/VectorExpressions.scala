@@ -388,32 +388,44 @@ object FloatLshBuckets {
   * 128-bit MD5 of the sorted (id, dims) content — two
   * independently-built identical centroid sets still compare equal
   * (the PersistSlots plan-reuse contract), plan comparison is O(1). */
-final class CentroidsLongRef(val centroids: Seq[(Int, Seq[Long])])
+final class CentroidsLongRef(centroids: Seq[(Int, Seq[Long])])
     extends Serializable {
   require(centroids.nonEmpty, "graft_nearest_centroid: empty centroid set")
 
-  @transient private lazy val sorted = centroids.sortBy(_._1)
-  @transient lazy val idArr: Array[Int] = sorted.map(_._1).toArray
-  @transient lazy val matArr: Array[Array[Long]] =
-    sorted.map(_._2.toArray).toArray
+  /** Centroid count — kept as a plain field for equals/toString (the
+    * matrix itself ships behind the broadcast handle below). */
+  val k: Int = centroids.length
 
-  @transient private lazy val digest: (Long, Long) = ContentDigest.md5 { f =>
+  // primitive mirror built ONCE on the driver, shipped via a
+  // broadcast handle (optimization round 17, see [[BcRef]]): the
+  // previous shape serialized the Seq structurally with the
+  // expression — every task re-deserialized the O(k·dim) matrix and
+  // rebuilt the primitive mirror — the fat-literal per-task tax
+  // behind the round-16 PQ/IVF fan-out opt-outs.
+  private val bc: BcRef[(Array[Int], Array[Array[Long]])] = BcRef {
+    val sorted = centroids.sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray)
+  }
+  def idArr: Array[Int] = bc.value._1
+  def matArr: Array[Array[Long]] = bc.value._2
+
+  // digest EAGER (round 17): on the driver, before the payload ships
+  private val digest: (Long, Long) = ContentDigest.md5 { f =>
     f.int(centroids.length)
-    sorted.foreach { case (id, v) =>
+    centroids.sortBy(_._1).foreach { case (id, v) =>
       f.int(id); f.int(v.length); v.foreach(f.long)
     }
   }
 
   override def equals(other: Any): Boolean = other match {
     case that: CentroidsLongRef =>
-      (this eq that) ||
-        (centroids.length == that.centroids.length && digest == that.digest)
+      (this eq that) || (k == that.k && digest == that.digest)
     case _ => false
   }
   override def hashCode(): Int = digest._1.toInt
   // appears in plan strings — a fingerprint, never the matrix
   override def toString: String =
-    f"centroids(k=${centroids.length},md5=${digest._1}%016x)"
+    f"centroids(k=$k,md5=${digest._1}%016x)"
 }
 
 /** Nearest quantized centroid of an `array<bigint>` vector: argmin
@@ -436,8 +448,10 @@ final class CentroidsLongRef(val centroids: Seq[(Int, Seq[Long])])
 case class NearestCentroidLong(child: Expression, cents: CentroidsLongRef)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  private def idArr: Array[Int] = cents.idArr
-  private def matArr: Array[Array[Long]] = cents.matArr
+  // interpreted path: resolve the broadcast once per (deserialized)
+  // expression instance, not per row
+  @transient private lazy val idArr: Array[Int] = cents.idArr
+  @transient private lazy val matArr: Array[Array[Long]] = cents.matArr
 
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
@@ -456,8 +470,16 @@ case class NearestCentroidLong(child: Expression, cents: CentroidsLongRef)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val ids = ctx.addReferenceObj("centroidIds", idArr, "int[]")
-      val mat = ctx.addReferenceObj("centroidMat", matArr, "long[][]")
+      // ship the O(1) ref, resolve the broadcast payload once per
+      // task in the generated class init (addReferenceObj on the
+      // resolved arrays would re-embed them in the per-task codegen
+      // references — the tax BcRef removes)
+      val ref = ctx.addReferenceObj("centroidsRef", cents,
+        classOf[CentroidsLongRef].getName)
+      val ids = ctx.addMutableState("int[]", "centroidIds",
+        v => s"$v = $ref.idArr();")
+      val mat = ctx.addMutableState("long[][]", "centroidMat",
+        v => s"$v = $ref.matArr();")
       val r = ctx.freshName("assigned")
       s"""
          |InternalRow $r = graft.plans.NearestCentroidLong.assignNearest(
@@ -594,20 +616,29 @@ object CellScoring {
   * scale ~n/B with the corpus under autoK). Carries the primitive
   * mirror (sorted ids, vectors, precomputed |c|^2 norms), rebuilt
   * lazily per deserialized instance. */
-final class CellsFloatRef(val centroids: Seq[(Long, Seq[Float])])
+final class CellsFloatRef(centroids: Seq[(Long, Seq[Float])])
     extends Serializable {
   require(centroids.nonEmpty, "graft cell expressions: empty centroid set")
 
-  @transient private lazy val sorted = centroids.sortBy(_._1)
-  @transient lazy val cidArr: Array[Long] = sorted.map(_._1).toArray
-  @transient lazy val vecArr: Array[Array[Float]] =
-    sorted.map(_._2.toArray).toArray
-  @transient lazy val normArr: Array[Double] =
-    vecArr.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  /** Cell count — plain field for equals/toString; the matrix ships
+    * behind the broadcast handle below (see [[CentroidsLongRef]]). */
+  val k: Int = centroids.length
 
-  @transient private lazy val digest: (Long, Long) = ContentDigest.md5 { f =>
+  private val bc: BcRef[(Array[Long], Array[Array[Float]], Array[Double])] =
+    BcRef {
+      val sorted = centroids.sortBy(_._1)
+      val vecs = sorted.map(_._2.toArray).toArray
+      (sorted.map(_._1).toArray, vecs,
+        vecs.map(cv => cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }
+  def cidArr: Array[Long] = bc.value._1
+  def vecArr: Array[Array[Float]] = bc.value._2
+  def normArr: Array[Double] = bc.value._3
+
+  // digest EAGER (round 17): on the driver, before the payload ships
+  private val digest: (Long, Long) = ContentDigest.md5 { f =>
     f.int(centroids.length)
-    sorted.foreach { case (id, v) =>
+    centroids.sortBy(_._1).foreach { case (id, v) =>
       f.long(id); f.int(v.length)
       v.foreach(x => f.int(java.lang.Float.floatToIntBits(x)))
     }
@@ -615,13 +646,12 @@ final class CellsFloatRef(val centroids: Seq[(Long, Seq[Float])])
 
   override def equals(other: Any): Boolean = other match {
     case that: CellsFloatRef =>
-      (this eq that) ||
-        (centroids.length == that.centroids.length && digest == that.digest)
+      (this eq that) || (k == that.k && digest == that.digest)
     case _ => false
   }
   override def hashCode(): Int = digest._1.toInt
   override def toString: String =
-    f"cells(k=${centroids.length},md5=${digest._1}%016x)"
+    f"cells(k=$k,md5=${digest._1}%016x)"
 }
 
 /** Codegen'd IVF cell assignment: nearest-centroid id (argmax
@@ -634,9 +664,9 @@ final class CellsFloatRef(val centroids: Seq[(Long, Seq[Float])])
 case class NearestCellFloat(child: Expression, cells: CellsFloatRef)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  private def cidArr: Array[Long] = cells.cidArr
-  private def vecArr: Array[Array[Float]] = cells.vecArr
-  private def normArr: Array[Double] = cells.normArr
+  @transient private lazy val cidArr: Array[Long] = cells.cidArr
+  @transient private lazy val vecArr: Array[Array[Float]] = cells.vecArr
+  @transient private lazy val normArr: Array[Double] = cells.normArr
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -652,9 +682,15 @@ case class NearestCellFloat(child: Expression, cells: CellsFloatRef)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cids = ctx.addReferenceObj("cellIds", cidArr, "long[]")
-      val vecs = ctx.addReferenceObj("cellVecs", vecArr, "float[][]")
-      val norms = ctx.addReferenceObj("cellNorms", normArr, "double[]")
+      // ship the ref, resolve once per task (see NearestCentroidLong)
+      val ref = ctx.addReferenceObj("cellsRef", cells,
+        classOf[CellsFloatRef].getName)
+      val cids = ctx.addMutableState("long[]", "cellIds",
+        v => s"$v = $ref.cidArr();")
+      val vecs = ctx.addMutableState("float[][]", "cellVecs",
+        v => s"$v = $ref.vecArr();")
+      val norms = ctx.addMutableState("double[]", "cellNorms",
+        v => s"$v = $ref.normArr();")
       s"""${ev.value} = graft.plans.CellScoring.nearestCell(
          |  $a, $cids, $vecs, $norms);""".stripMargin
     })
@@ -673,9 +709,9 @@ case class ProbeCellsFloat(child: Expression, cells: CellsFloatRef,
 
   require(nProbe >= 1, s"graft_probe_cells: nProbe must be >= 1, got $nProbe")
 
-  private def cidArr: Array[Long] = cells.cidArr
-  private def vecArr: Array[Array[Float]] = cells.vecArr
-  private def normArr: Array[Double] = cells.normArr
+  @transient private lazy val cidArr: Array[Long] = cells.cidArr
+  @transient private lazy val vecArr: Array[Array[Float]] = cells.vecArr
+  @transient private lazy val normArr: Array[Double] = cells.normArr
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -692,9 +728,15 @@ case class ProbeCellsFloat(child: Expression, cells: CellsFloatRef,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cids = ctx.addReferenceObj("cellIds", cidArr, "long[]")
-      val vecs = ctx.addReferenceObj("cellVecs", vecArr, "float[][]")
-      val norms = ctx.addReferenceObj("cellNorms", normArr, "double[]")
+      // ship the ref, resolve once per task (see NearestCentroidLong)
+      val ref = ctx.addReferenceObj("cellsRef", cells,
+        classOf[CellsFloatRef].getName)
+      val cids = ctx.addMutableState("long[]", "cellIds",
+        v => s"$v = $ref.cidArr();")
+      val vecs = ctx.addMutableState("float[][]", "cellVecs",
+        v => s"$v = $ref.vecArr();")
+      val norms = ctx.addMutableState("double[]", "cellNorms",
+        v => s"$v = $ref.normArr();")
       s"""${ev.value} = graft.plans.CellScoring.probeCells(
          |  $a, $cids, $vecs, $norms, $nProbe);""".stripMargin
     })
