@@ -13,11 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased whitespace tokens. */
-  def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Lowercased whitespace tokens — the codegen'd
+    * [[graft.plans.WordsOf]] kernel (optimization round 17): the
+    * exact value contract of `split(trim(lower(text)), "\\s+")`
+    * (differentially pinned in TextKernelsSpec) without the
+    * java.util.regex engine on the scan side of every text query. */
+  def words(text: Column): Column =
+    org.apache.spark.sql.graftglue.Bridge.column(
+      graft.plans.WordsOf(
+        org.apache.spark.sql.graftglue.Bridge.expression(text)))
 
-  /** Whitespace token count (original casing irrelevant). */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count (original casing irrelevant) — the
+    * codegen'd [[graft.plans.WordCountOf]] kernel: the exact value of
+    * `size(split(trim(text), "\\s+"))` with no token-array
+    * allocation. */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graftglue.Bridge.column(
+      graft.plans.WordCountOf(
+        org.apache.spark.sql.graftglue.Bridge.expression(text)))
+
+  /** [[tokenCount]] as the drop-in for `size(words(text))` call
+    * sites (identical count — lowercasing cannot create or destroy
+    * whitespace; see [[graft.plans.WordsOf.count]]): the per-doc
+    * length gauges (privacy-profile length buckets, length
+    * histograms) need the count, never the tokens — this form skips
+    * the token-array allocation entirely. */
+  def wordCount(text: Column): Column = tokenCount(text)
 
   /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
   def bpeishTokenCount(text: Column): Column =

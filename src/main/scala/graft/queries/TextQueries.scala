@@ -441,7 +441,7 @@ object TextQueries {
     // text_pii's scrub (a doc alone in its cell is linkable even
     // with its PII strings gone)
     "q_k_anonymity" -> ((s, dir) => {
-      val nw = size(words(col("text"))).cast("long")
+      val nw = wordCount(col("text")).cast("long")
       graft.operators.Expectations.kAnonymityProfile(
         Tables(s, dir, "documents"),
         Seq(col("source"), col("lang"),
@@ -456,7 +456,7 @@ object TextQueries {
     // document came from is exactly what a de-anonymization attack
     // wants); classes with fewer than L_MIN distinct sources flag
     "q_l_diversity" -> ((s, dir) => {
-      val nw = size(words(col("text"))).cast("long")
+      val nw = wordCount(col("text")).cast("long")
       graft.operators.Expectations.lDiversityProfile(
         Tables(s, dir, "documents"),
         Seq(col("lang"), (nw - pmod(nw, lit(10L))).as("len_bucket")),
@@ -471,7 +471,7 @@ object TextQueries {
     // distributions, histogrammed over 0.1-wide buckets, >= t=0.2
     // flagged. Same quasi-ids/sensitive as q_l_diversity.
     "q_t_closeness" -> ((s, dir) => {
-      val nw = size(words(col("text"))).cast("long")
+      val nw = wordCount(col("text")).cast("long")
       graft.operators.Expectations.tClosenessProfile(
         Tables(s, dir, "documents"),
         Seq(col("lang"), (nw - pmod(nw, lit(10L))).as("len_bucket")),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{BucketWeightSum, Hash48Array, ShinglesOfWords, WinnowMins}
+import graft.plans.{BucketWeightSum, Hash48Array, ShinglesOfWords, WinnowMins, WordCountOf, WordsOf}
 
 /** Optimization-round 16 kernels: each codegen'd expression replaced
   * an interpreted higher-order-function form on a hot scan path, and
@@ -151,6 +151,60 @@ class TextKernelsSpec extends SparkSpec {
     got.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1), r) }
   }
 
+  // ---- round-17 tokenizer kernels: the exact forms they replace ----
+
+  private def oldWords(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace-adversarial corpus: every Java \s char in runs,
+    * leading/trailing (trim removes only 0x20), unicode incl. a char
+    * whose FULL lowercase mapping grows (İ → i+U+0307), empties. */
+  private val textCases: Seq[String] = Seq(
+    null, "", " ", "  ", "\t", "\n\n", "", "\f\r", " \t ",
+    "a", "A b", "a  b\tc", "\ta b\n", "  leading", "trailing  ",
+    "\t\tx\t\t", "MiXeD CaSe WORDS", "中文 分词 测试", "İstanbul İ I ı",
+    "été NAÏVE Ægir", "a b", "word " * 40 + "\tend",
+    "\r\nab\fc\rd e\tf\ng", "ﬁ ﬂ ﬀ", "ΣΙΣΥΦΟΣ σίσυφος")
+
+  test("WordsOf == split(trim(lower(text)), \\s+) on adversarial inputs") {
+    val df = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters
+        .SeqHasAsJava(textCases.map(org.apache.spark.sql.Row(_))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val got = df.select(
+      Bridge.column(WordsOf(Bridge.expression(col("t")))).as("k"),
+      oldWords(col("t")).as("o")).collect()
+    got.zip(textCases).foreach { case (r, in) =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"input='$in'")
+      else assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"input='$in': ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("WordCountOf == size(split(trim(lower(text)), \\s+)) incl. null " +
+       "under the session's size(null) semantics") {
+    val df = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters
+        .SeqHasAsJava(textCases.map(org.apache.spark.sql.Row(_))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val got = df.select(
+      Bridge.column(WordCountOf(Bridge.expression(col("t")))).as("k"),
+      size(oldWords(col("t"))).as("o"),
+      // tokenCount's no-lower twin: the count must be lower-invariant
+      size(split(trim(col("t")), "\\s+")).as("o2")).collect()
+    got.zip(textCases).foreach { case (r, in) =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"input='$in'")
+      else {
+        assert(r.getInt(0) == r.getInt(1), s"input='$in'")
+        assert(r.getInt(0) == r.getInt(2), s"lower-invariance: input='$in'")
+      }
+    }
+  }
+
   test("generated code force-compiles and agrees with eval") {
     val arrRef = BoundReference(0, ArrayType(StringType), nullable = true)
     val hashRef = BoundReference(0, ArrayType(LongType), nullable = true)
@@ -163,6 +217,19 @@ class TextKernelsSpec extends SparkSpec {
     val h48 = Hash48Array(arrRef, 12)
     val bws = BucketWeightSum(arrRef, IndexedSeq(5L, -2L, 9L, 0L))
     val wm = WinnowMins(hashRef, 4)
+    val strRef = BoundReference(0, StringType, nullable = true)
+    val wo = WordsOf(strRef)
+    val wc = WordCountOf(strRef)
+    val pTok = GenerateUnsafeProjection.generate(Seq(
+      Alias(wo, "w")(), Alias(wc, "c")()))
+    val trow = InternalRow(UTF8String.fromString("\tA b  C\n"))
+    val tout = pTok.apply(trow)
+    assert(tout.getArray(0).toSeq[UTF8String](StringType) ==
+      wo.eval(trow).asInstanceOf[ArrayData].toSeq[UTF8String](StringType))
+    assert(tout.getInt(1) == wc.eval(trow).asInstanceOf[Int])
+    // leading-\t and trailing-\n empty tokens + a, b, c (trim strips
+    // only 0x20; Pattern.split(-1) keeps both boundary empties)
+    assert(tout.getInt(1) == 5)
 
     // GenerateUnsafeProjection force-compiles doGenCode — a janino
     // error throws here instead of silently falling back
