@@ -160,42 +160,50 @@ object Expectations {
     * profiles: no row data leaves the aggregation.
     *
     * Scale shape: ONE corpus scan (the map-combined (class, value)
-    * count; slot-persisted — four downstream consumers must not
-    * re-scan the corpus); everything after operates on the bounded
-    * \|classes × values\| frame with broadcast joins. Fixed-point
-    * overflow bound: `n_c · n · 1e6` must fit a long, i.e. corpus
-    * rows × largest-class rows < ~9.2e12 — fine to ~3M-row classes
-    * at 3M docs; shard the profile by a QI column beyond that. */
+    * count); everything after rides that bounded \|classes × values\|
+    * frame down a SINGLE chain of window sums — `n_v` over the value,
+    * `n_c` over the class, `n` over the whole (bounded) frame — then
+    * two aggregations. Optimization round 17: this replaces the
+    * previous three broadcast self-joins (vt/cls/n legs) over a
+    * slot-persisted cv. The join form was algebra on the same tiny
+    * frame, but it cost 4 separately-planned consumers of a cached
+    * relation (134 tasks / 10 driver-planned jobs per run measured at
+    * 32 cores — the cache's partitioning is pinned at
+    * spark.sql.shuffle.partitions because AQE does not re-plan cached
+    * subtrees, so every consumer stage paid 32 micro-task overheads)
+    * — 4.5-6 CPU-s of engine overhead on ~0.3 CPU-s of real work.
+    * The window chain is one linear plan: AQE coalescing stays live,
+    * nothing is cached, and the identical integer sums come out
+    * (window partition-by groups NULLs exactly like the group-bys it
+    * replaces — a NULL sensitive value is a value, a NULL quasi-id is
+    * a class, preserved by construction rather than by null-safe join
+    * keys). The whole-frame window moves the |classes × values| frame
+    * through one task — bounded by the profile's own output contract,
+    * never by the corpus. Fixed-point overflow bound: `n_c · n · 1e6`
+    * must fit a long, i.e. corpus rows × largest-class rows < ~9.2e12
+    * — fine to ~3M-row classes at 3M docs; shard the profile by a QI
+    * column beyond that. */
   def tClosenessProfile(df: DataFrame, quasiIds: Seq[Column],
                         sensitive: Column, tMaxE6: Long,
                         bucketE6: Long = 100000L): DataFrame = {
     require(quasiIds.nonEmpty, "at least one quasi-identifier")
     require(tMaxE6 >= 0 && bucketE6 >= 1 && tMaxE6 % bucketE6 == 0,
       s"tMaxE6 ($tMaxE6) must be a nonnegative multiple of bucketE6 ($bucketE6)")
+    import org.apache.spark.sql.expressions.Window
     val qiNames = quasiIds.indices.map(i => s"__qi$i")
     val qiCols = qiNames.map(col)
     val base = df.select(
       quasiIds.zip(qiNames).map { case (c, n) => c.as(n) } :+
         sensitive.as("__sv"): _*)
-    val cv = PersistSlots.swap("expectations.tClosenessCv",
-      base.groupBy(qiCols :+ col("__sv"): _*)
-        .agg(count(lit(1)).as("n_cv")))
-    // NULL-SAFE (<=>) self-joins: a NULL sensitive value is a value
-    // (a class that is 90% NULL-source is exactly as skewed as one
-    // that is 90% any named source), and a NULL quasi-id is a class —
-    // groupBy keeps both, so an equi-join here would silently drop
-    // the rows the sibling k-anonymity/l-diversity profiles count,
-    // UNDERCOUNTING at-risk classes (the bad direction for a privacy
-    // gauge).
-    val vt = cv.groupBy(col("__sv").as("__sv_v"))
-      .agg(sum(col("n_cv")).as("n_v"))
-    val cls = cv.groupBy(qiNames.map(nm => col(nm).as(nm + "_c")): _*)
-      .agg(sum(col("n_cv")).as("n_c"))
-    val n = cv.agg(sum(col("n_cv")).as("n"))
-    cv.join(broadcast(vt), col("__sv") <=> col("__sv_v"))
-      .join(broadcast(cls),
-        qiNames.map(nm => col(nm) <=> col(nm + "_c")).reduce(_ && _))
-      .crossJoin(broadcast(n))
+    val cv = base.groupBy(qiCols :+ col("__sv"): _*)
+      .agg(count(lit(1)).as("n_cv"))
+    cv.withColumn("n_v",
+        sum(col("n_cv")).over(Window.partitionBy(col("__sv"))))
+      .withColumn("n_c",
+        sum(col("n_cv")).over(Window.partitionBy(qiCols: _*)))
+      // whole-frame total: the frame is |classes × values|-bounded,
+      // so the single-partition window is a report-sized task
+      .withColumn("n", sum(col("n_cv")).over(Window.partitionBy()))
       .groupBy(qiCols: _*)
       .agg(sum(abs(col("n_cv") * col("n") - col("n_v") * col("n_c")))
           .as("s1"),
