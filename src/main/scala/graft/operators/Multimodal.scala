@@ -28,21 +28,23 @@ object Multimodal {
 
   final case class ImageInfo(width: Long, height: Long, channels: Long)
 
-  /** ImageIO plumbing cost (optimization round 16): with the default
+  /** ImageIO plumbing cost (optimization round 16; global removed in
+    * round 17 per the r16 advice): with the default
     * `ImageIO.getUseCache() == true`, EVERY `ImageIO.read`/`write`
-    * and `createImageInputStream` call backs its stream with a temp
-    * FILE — one file create/write/delete per decoded row in a
+    * and `createImage{In,Out}putStream` call backs its stream with a
+    * temp FILE — one file create/write/delete per decoded row in a
     * per-row UDF, plus a fresh SPI reader lookup + reader instance
     * per call. Memory-cached streams and per-thread reader reuse
-    * decode the same bytes to the same pixels through the same
-    * codec classes (ImageIO.read itself is
-    * `setInput(stream, true, true); read(0)` on the first SPI
-    * reader — replicated verbatim below); only the plumbing goes.
-    * setUseCache(false) is process-wide and also covers the encode
-    * halves (resize re-encode, fixture writers). */
-  private lazy val imageIoInit: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
-
+    * decode the same bytes to the same pixels through the same codec
+    * classes (ImageIO.read itself is `setInput(stream, true, true);
+    * read(0)` on the first SPI reader — replicated verbatim below);
+    * only the plumbing goes. Round 16 additionally flipped the
+    * PROCESS-WIDE `ImageIO.setUseCache(false)` to cover the encode
+    * halves; round 17 removes that JVM-global mutation (a host
+    * application relying on disk-backed streams to bound heap for
+    * huge images would have been silently reconfigured) and instead
+    * wraps every encode/read call site in an explicit
+    * MemoryCache stream — same bytes, no global state. */
   private val readerCache =
     ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
       () => new java.util.HashMap())
@@ -67,13 +69,28 @@ object Multimodal {
     r
   }
 
+  /** PNG re-encode to an in-memory buffer through an explicit
+    * memory-cached stream (no ImageIO.getUseCache consultation, no
+    * temp file) — the shared encode plumbing of the resize path and
+    * the fixture writers. */
+  private[graft] def writePng(img: java.awt.image.RenderedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close() // flushes the cached bytes into bos
+    bos.toByteArray
+  }
+
   private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (b == null) None
     else try {
-      imageIoInit
       val fmt = formatOf(b)
       if (fmt == null)
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        // the ImageInputStream overload skips createImageInputStream's
+        // getUseCache consultation; same SPI reader selection
+        Option(javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(b))))
       else {
         val r = cachedReader(fmt)
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -115,9 +132,7 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, targetW, targetH, null)
         } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        writePng(out)
       }
     }
     df.withColumn("resized", resize(col(binCol)))
@@ -365,7 +380,7 @@ object Multimodal {
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -405,7 +420,7 @@ object Multimodal {
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     // transparent frames: palette index 1 is declared transparent
     // (GCE transparentColorFlag) and fills the frame's TOP HALF — so
     // SrcOver compositing must keep the canvas pixels under it, the
@@ -480,7 +495,6 @@ object Multimodal {
       f: javax.imageio.ImageReader => T): Option[T] =
     if (b == null) None
     else try {
-      imageIoInit
       val fmt = formatOf(b)
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b))

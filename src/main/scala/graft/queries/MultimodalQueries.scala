@@ -41,9 +41,7 @@ object MultimodalQueries {
       val g = img.createGraphics()
       try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
       finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      graft.operators.Multimodal.writePng(img)
     }
     Tables(s, dir, "documents")
       .select(col("doc_id"), gen(col("doc_id")).as("payload"))
@@ -134,9 +132,7 @@ object MultimodalQueries {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
+        graft.operators.Multimodal.writePng(img)
       }
       Tables(s, dir, "documents")
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
