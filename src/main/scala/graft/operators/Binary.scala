@@ -217,8 +217,15 @@ object Binary {
     // per run, vs mm_decode's one-pass 16). At 100 TB the signature
     // is computed once on corpus entry and stored (the operator's
     // documented shape); the slot is the local analogue.
-    val sigs = PersistSlots.swap(s"binary.hammingSigs.$nBands",
-      df.select(col(idCol).as("__id"), col(sigCol).as("__sig")))
+    // slot name carries the input plan's semantic hash (round 17, per
+    // the r16 advice): keyed on nBands alone, interleaved calls on
+    // DIFFERENT inputs with equal nBands evicted each other's cache —
+    // results stayed correct (recompute), but the decode-once benefit
+    // silently vanished for both callers
+    val proj = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val sigs = PersistSlots.swap(
+      s"binary.hammingSigs.$nBands.${proj.queryExecution.analyzed.semanticHash()}",
+      proj)
     val keyed = packedBandKeys(sigs, "__id", "__sig", nBands)
     val a = keyed.select(col("band"), col("key"),
       col("__id").as("id_a"), col("__sig").as("__sa"))
