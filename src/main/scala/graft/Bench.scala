@@ -19,6 +19,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Optimization round 17 (ONLY session-config change this round;
+      // guide §2.2 "fewer, larger reduce partitions" applied to cached
+      // plans): without this, a persisted frame compiles WITHOUT AQE
+      // and its exchanges pin at spark.sql.shuffle.partitions — every
+      // consumer stage of every PersistSlots frame then pays
+      // shuffle.partitions micro-tasks however tiny the cached data
+      // (measured: q_t_closeness read its ~300-row cached aggregate
+      // through 4 consumers × 32 cached partitions = 134 tasks/run;
+      // dedup_containment 21.8 → 6.8 process-CPU-s with AQE-sized
+      // caches). The same pinning happens on a real cluster (caches
+      // freeze at e.g. 2000 partitions), so this is a scale win, not
+      // a local[32] tune; Spark leaves it false by default only
+      // because consumers that RELY on a cached plan's output
+      // partitioning could be surprised — no declared result here
+      // depends on partitioning (the documented fan-out invariant,
+      // oracle-verified at two SFs).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,8 +11,11 @@ import java.nio.file.{Files, Paths}
   * PushedFilters) are checkable without running Spark.
   *
   * Usage: runMain graft.tools.PlanDump <outDir> <tag> <name>[,name...]
-  * (sfDir via SPARK_GRAFT_SF_DIR, default sf0.001 — plan shape, not
-  * timing, so the smallest sf is fine and fast.)
+  * (sfDir via SPARK_GRAFT_SF_DIR; cores via SPARK_GRAFT_CPUS. Round
+  * 17: dump at the BENCH shape — sf0.1, 32 cores — so size-guarded
+  * mechanisms like the scan fan-out actually appear in the dumped
+  * plans; the r16 dumps were taken at sf0.001, below the fan-out
+  * guard's floor, and were byte-identical for every fanned query.)
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -22,9 +25,10 @@ object PlanDump {
       if (args.length > 2) args(2).split(",").toSeq
       else Seq.empty
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
