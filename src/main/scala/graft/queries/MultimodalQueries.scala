@@ -266,14 +266,22 @@ object MultimodalQueries {
           col("decoded.channels").as("channels"),
           col("decoded.n_samples").as("n_samples"),
           col("decoded.samples").as("__d"))
+      // ONE codegen'd pass over the samples (graft.plans.AudioFeats,
+      // optimization round 17) — the previous three interpreted HOF
+      // folds (array_max∘transform, the |x| sum fold, and the
+      // two-element_at-per-step zero-cross fold) re-evaluated
+      // interpreted trees per sample and cost as much as the real
+      // codec decode. Same values on the declared PCM16 domain,
+      // differentially spec-pinned; subexpression elimination shares
+      // one kernel eval across the three projected fields.
+      val f = org.apache.spark.sql.graftglue.Bridge.column(
+        graft.plans.AudioFeats(
+          org.apache.spark.sql.graftglue.Bridge.expression(col("__d")), N))
       dec.select(col("doc_id"), col("sample_rate"), col("channels"),
         col("n_samples"),
-        array_max(transform(col("__d"), x => abs(x))).cast("long").as("max_abs"),
-        aggregate(col("__d"), lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"),
-        aggregate(sequence(lit(1), lit(N - 1)), lit(0L), (acc, i) =>
-          acc + when(element_at(col("__d"), i) *
-            element_at(col("__d"), i + 1) < 0, 1L).otherwise(0L))
-          .as("zero_cross"))
+        f.getField("max_abs").as("max_abs"),
+        f.getField("sum_abs").as("sum_abs"),
+        f.getField("zero_cross").as("zero_cross"))
     }),
 
     // acoustic near-dup of REAL decoded audio: seed = doc_id / 5

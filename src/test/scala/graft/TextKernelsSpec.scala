@@ -205,6 +205,53 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  // ---- round-17 audio feature kernel: the exact HOF forms it replaces ----
+
+  test("AudioFeats == the interpreted max/sum/zero-cross folds") {
+    import graft.plans.AudioFeats
+    val rnd = new scala.util.Random(31)
+    val n = 16
+    // PCM16-domain arrays of >= n elements, incl. zeros, sign runs,
+    // null elements, and a NULL array (the (null, null, 0) case)
+    val rows: Seq[Seq[Integer]] =
+      Seq(
+        Seq.fill(n)(Integer.valueOf(0)),
+        (0 until n).map(i => Integer.valueOf(if (i % 2 == 0) 32767 else -32768)),
+        (0 until n + 5).map(_ => Integer.valueOf(rnd.nextInt(65536) - 32768)),
+        (0 until n).map(i =>
+          if (i == 3 || i == 9) null
+          else Integer.valueOf(rnd.nextInt(65536) - 32768)),
+        null) ++
+        (0 until 40).map(_ => (0 until n + rnd.nextInt(8)).map(_ =>
+          Integer.valueOf(rnd.nextInt(65536) - 32768)))
+    val df = spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map(r =>
+          org.apache.spark.sql.Row(if (r == null) null else r))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          ArrayType(org.apache.spark.sql.types.IntegerType,
+            containsNull = true)))))
+    val k = Bridge.column(AudioFeats(Bridge.expression(col("d")), n))
+    val got = df.select(
+      k.getField("max_abs").as("k_max"),
+      k.getField("sum_abs").as("k_sum"),
+      k.getField("zero_cross").as("k_zc"),
+      array_max(transform(col("d"), x => abs(x))).cast("long").as("o_max"),
+      aggregate(col("d"), lit(0L), (acc, x) => acc + abs(x)).as("o_sum"),
+      aggregate(sequence(lit(1), lit(n - 1)), lit(0L), (acc, i) =>
+        acc + when(element_at(col("d"), i) *
+          element_at(col("d"), i + 1) < 0, 1L).otherwise(0L)).as("o_zc"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(3) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(3)), s"max row $i: $r")
+      assert(r.isNullAt(1) == r.isNullAt(4) &&
+        (r.isNullAt(1) || r.getLong(1) == r.getLong(4)), s"sum row $i: $r")
+      assert(r.getLong(2) == r.getLong(5), s"zc row $i: $r")
+    }
+  }
+
   test("generated code force-compiles and agrees with eval") {
     val arrRef = BoundReference(0, ArrayType(StringType), nullable = true)
     val hashRef = BoundReference(0, ArrayType(LongType), nullable = true)
